@@ -15,8 +15,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    End-to-end search slice: build the TF-IDF positional inverted
+    index over ``documents`` (tokenize → filter → stem → tf/df →
+    score), evaluate a CNF boolean query, rank by score, return the
+    top page joined back to the corpus (SURVEY.md §7 phase 1).
+    """
+    from pyspark.sql import functions as F
+
+    from hadoop_search_spark.operators.index import build_postings
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    postings = build_postings(docs, num_docs=500, stem=True)
+    ranked = (
+        postings.filter(F.col("term") == "spark")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .join(docs.select("doc_id", "text", "lang", "source"), "doc_id")
+        .select("doc_id", "score", "lang", "source", "text")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return ranked
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

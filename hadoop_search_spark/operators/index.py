@@ -1,0 +1,168 @@
+"""Index-build pipeline — the Spark shape of the reference's 4-job
+offline pipeline (SURVEY.md §3.2).
+
+Reference jobs → one lazy DataFrame pipeline:
+
+* WordCount (stop-word discovery): `hadoop_wiki_search/code/wordcount/
+  WordCountMapred.java` — word counts with map-side combine, then
+  top-K=100 by (count, word). Here: ``groupBy.count`` (Catalyst does
+  partial aggregation automatically) + ``orderBy.limit`` (physical
+  plan is TakeOrderedAndProject = per-partition heap + driver merge,
+  exactly the reference's bounded-TreeSet trick, but distributed).
+* DocCount: `code/doccount/DocCountMapred.java` — ``df.count()``.
+* InvertedIndex job 1+2: `code/inverted/InvertedIndexMapred.java`
+  — tokenize → filter → stem → per-(term,doc) tf + sorted positions →
+  per-term df → tf-idf.  Score formula (`:220`):
+  ``(1 + log10(tf)) * ln(docNum / df)`` — note the mixed bases.
+
+Scale design:
+
+* The only Python in the pipeline is the Porter pandas UDF, applied
+  to the *distinct* token stream per batch with an LRU cache.
+* df (document frequency) is computed with a window-free
+  ``groupBy("term")`` + broadcast-eligible join back; at 100 TB both
+  sides of that join are term-keyed and AQE picks broadcast vs
+  sort-merge from runtime stats.
+* The published index is written
+  ``repartitionByRange(n, "term").sortWithinPartitions("term")`` —
+  the Spark equivalent of the reference's sampled
+  TotalOrderPartitioner (`:288,296-306`): parquet footer min/max on
+  ``term`` then gives query-time partition pruning, the same effect
+  as the reference's `_index_partition` boundary file
+  (`code/query/QueryMapred.java:126-162`) with zero custom code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_search_spark.functions.porter import porter_stem_udf
+from hadoop_search_spark.functions.tokenize import tokenize_with_positions
+
+# Reference constants
+NUM_STOP_WORDS = 100  # WordCountMapred.java:32
+NUM_INDEX_PARTITIONS = 10  # InvertedIndexMapred.java:288
+
+
+def word_counts(documents: DataFrame) -> DataFrame:
+    """(word, cnt) corpus-wide counts — reference A1.
+
+    Wordcount path drops numeric tokens only (P4), no alnum filter.
+    """
+    toks = tokenize_with_positions(documents, drop_numeric=True, require_alnum=False)
+    return toks.groupBy(F.col("token").alias("word")).agg(F.count("*").alias("cnt"))
+
+
+def stop_words(documents: DataFrame, k: int = NUM_STOP_WORDS) -> DataFrame:
+    """Top-K most frequent words — reference A6.
+
+    The reference's bounded TreeSet orders by (count, word), so ties at
+    the boundary resolve by word descending; we reproduce that order.
+    """
+    return (
+        word_counts(documents)
+        .orderBy(F.desc("cnt"), F.desc("word"))
+        .limit(k)
+        .select("word")
+    )
+
+
+def doc_count(documents: DataFrame) -> int:
+    """Total corpus size — reference A2 (DocCountMapred.java:25-62)."""
+    return documents.count()
+
+
+def build_postings(
+    documents: DataFrame,
+    stopwords: DataFrame | None = None,
+    num_docs: int | None = None,
+    stem: bool = True,
+) -> DataFrame:
+    """Build the inverted index: (term, doc_id, tf, positions, score).
+
+    Pipeline parity with `code/inverted/InvertedIndexMapred.java`:
+    positions are 1-based counted before filtering (P8); filters are
+    alnum (P5), numeric (P4) and *unstemmed* stop-word (P6, `:76`);
+    stemming (P7) happens after the filters (`:78-80`). Positions are
+    stored absolute + ascending — the reference's delta-encoding
+    (`:134-140`) is a storage codec that Parquet's integer encodings
+    already provide.
+
+    ``stopwords`` joins as a broadcast anti-join: a ≤100-row dim table
+    against the token stream — never a shuffle.
+    """
+    toks = tokenize_with_positions(documents, drop_numeric=True, require_alnum=True)
+    if stopwords is not None:
+        toks = toks.join(
+            F.broadcast(stopwords.withColumnRenamed("word", "token")),
+            on="token",
+            how="left_anti",
+        )
+    term = porter_stem_udf(F.col("token")) if stem else F.col("token")
+    toks = toks.select(term.alias("term"), "doc_id", "pos")
+
+    # A3: per-(term, doc) tf + ascending positions
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+    # A4: per-term document frequency. Window over term would resort;
+    # a groupBy + join keeps both sides term-partitioned (one shuffle,
+    # reused by AQE) and the df side is tiny → broadcast.
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_counts), "term")
+
+    if num_docs is None:
+        num_docs = documents.count()
+
+    # A5: tf-idf, mixed bases exactly as the reference:
+    # (1 + log10(tf)) * ln(docNum / df)
+    score = (F.lit(1.0) + F.log10(F.col("tf"))) * F.log(F.lit(float(num_docs)) / F.col("df"))
+    return scored.select(
+        "term",
+        "doc_id",
+        "tf",
+        "positions",
+        score.alias("score"),
+    )
+
+
+def write_index(
+    postings: DataFrame,
+    path: str,
+    num_partitions: int = NUM_INDEX_PARTITIONS,
+) -> None:
+    """Publish the index globally range-partitioned + sorted by term —
+    reference O4 (sampled TotalOrderPartitioner, 10 partitions).
+
+    Query-time term predicates then prune at three levels: file
+    (range partition), row group (parquet min/max), page (column
+    index) — the distributed generalization of the reference's
+    `_index_partition` boundary-file pruning.
+    """
+    (
+        postings.repartitionByRange(num_partitions, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def build_index_tables(
+    spark: SparkSession,
+    documents: DataFrame,
+    num_stop_words: int = NUM_STOP_WORDS,
+    stem: bool = True,
+) -> dict[str, DataFrame]:
+    """Run the full offline pipeline; returns the published tables.
+
+    Equivalent of running the reference's CorpusSplit → WordCount →
+    DocCount → InvertedIndex chain, as one lazy plan.
+    """
+    sw = stop_words(documents, num_stop_words)
+    n = doc_count(documents)
+    postings = build_postings(documents, stopwords=sw, num_docs=n, stem=stem)
+    corpus_stats = spark.createDataFrame([(n,)], "doc_num BIGINT")
+    return {"postings": postings, "stopwords": sw, "corpus_stats": corpus_stats}
