@@ -1,0 +1,306 @@
+"""CNF query planner — lowers the parse tree to a DataFrame join DAG.
+
+This is the Spark shape of the reference's posting-list algebra
+(`hadoop_wiki_search/util/QueryParser.java:96-325`, SURVEY.md §2.4):
+a sort-merge join engine over docId-sorted posting lists becomes a
+DAG of equi-joins on ``doc_id`` that Catalyst/AQE lowers to
+broadcast/sort-merge joins from runtime statistics.
+
+Algebra (wrapper types 0=normal, 1=negated, 2=ignored stop word):
+
+* J1 intersect (AND)  → inner join; ``score = sA*sB``; when both
+  operands still carry positions (only phrase members do), the boost
+  ``score = (sA*sB)^(1 + 1/minDist)`` applies
+  (`QueryParser.java:250-253`, phraseFactor=1.0).
+* J2 merge (OR)       → full-outer join; ``score = coalesce(sA,0)+coalesce(sB,0)``.
+* J3 difference       → left-anti join.
+* J4/J5 negation algebra → case analysis in Python, lowering to the
+  three joins above (De Morgan rewrites, `QueryParser.java:122-139,281-298`).
+* J6 smallest-first AND → operands ordered by *estimated* cardinality
+  from the index's df statistics instead of the reference's
+  materialized ``list.size()`` (`QueryParser.java:159-164`) — the
+  plan stays lazy; no action per operand.
+* J7 n-ary OR → when every operand is positive, collapses to
+  ``unionByName + groupBy(doc_id).sum(score)`` — one shuffle instead
+  of a join per operand (strictly better than the reference's
+  divide-and-conquer merge); mixed signs fold pairwise.
+
+Deviations (SURVEY.md §2.4 "semantic caveats", risk register §7):
+
+* Phrase min-distance is the exact min pairwise distance over
+  absolute positions via nested higher-order array functions —
+  the reference's skip-walk over delta-encoded positions
+  (`QueryParser.java:207-249`) approximates the same quantity.
+* A root-level negated result is materialized by anti-joining the
+  document universe (score 0); the reference returns the negated
+  list unmaterialized.
+* docIds compare as BIGINT, not string — membership identical, only
+  internal merge order differs.
+
+Scale: every leaf is a parquet scan with ``term = 'w'`` pushed down;
+the index layout (range-partitioned + sorted by term) prunes to one
+partition per term — the distributed form of the reference's
+boundary-file pruning (`code/query/QueryMapred.java:126-162`). Joins
+key on ``doc_id``; posting lists for single terms are small relative
+to the cluster, so AQE broadcasts the small side. Nothing is
+collected on the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_search_spark.plans import parser as P
+
+PHRASE_FACTOR = 1.0  # QueryParser.java:45
+
+_RESULT_SCHEMA = "doc_id BIGINT, score DOUBLE, positions ARRAY<INT>"
+
+
+@dataclass
+class _Wrapped:
+    """PostingListWrapper (`QueryParser.java:63-70`): a posting
+    relation + its wrapper type + a lazy cardinality estimate."""
+
+    type: int  # 0 normal / 1 negated / 2 ignored
+    df: DataFrame  # (doc_id, score, positions)
+    has_positions: bool
+    est: float  # estimated row count, for J6 join ordering
+
+
+class SearchEngine:
+    """Evaluate CNF boolean queries against a postings index.
+
+    Parameters
+    ----------
+    postings : (term, doc_id, tf, positions, score) index DataFrame
+        (see `operators/index.py:build_postings`).
+    documents : corpus DataFrame with ``doc_id`` — the universe used
+        to materialize root-level negations.
+    stopwords : iterable of *raw* stop words; stemmed internally for
+        leaf typing, like the reference query side
+        (`code/query/QueryMapred.java:103-122`).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        postings: DataFrame,
+        documents: DataFrame | None = None,
+        stopwords=(),
+    ) -> None:
+        self.spark = spark
+        self.postings = postings
+        self.documents = documents
+        self.stopwords = frozenset(P.porter_stem(w) for w in stopwords)
+        self._df_stats: dict[str, int] | None = None
+
+    # ---- statistics (J6 ordering) ------------------------------------
+
+    def _term_stats(self, terms: set[str]) -> dict[str, int]:
+        """Document frequency per query term — one tiny aggregate over
+        the term-pruned index scan; replaces the reference's
+        materialized-size sort with a statistics lookup."""
+        if not terms:
+            return {}
+        rows = (
+            self.postings.filter(F.col("term").isin(*terms))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        )
+        return {r.term: r.df for r in rows}
+
+    # ---- leaves ------------------------------------------------------
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], _RESULT_SCHEMA)
+
+    def _leaf_df(self, term: str) -> DataFrame:
+        return self.postings.filter(F.col("term") == term).select(
+            "doc_id", "score", "positions"
+        )
+
+    # ---- algebra -----------------------------------------------------
+
+    @staticmethod
+    def _strip_positions(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", "score")
+
+    def _intersect_lists(self, a: _Wrapped, b: _Wrapped) -> _Wrapped:
+        """J1: inner join with phrase-proximity scoring."""
+        if a.has_positions and b.has_positions:
+            left = a.df.select("doc_id", F.col("score").alias("_sa"), F.col("positions").alias("_pa"))
+            right = b.df.select("doc_id", F.col("score").alias("_sb"), F.col("positions").alias("_pb"))
+            joined = left.join(right, "doc_id")
+            # exact min pairwise |pa - pb| via nested array transforms;
+            # arrays are per-doc term positions (length = tf), so the
+            # O(tf_a * tf_b) expression stays tiny and codegen'd.
+            # Zero distances are excluded: the reference's walk skips
+            # equal positions (QueryParser.java:244-247), which also
+            # guards the 1/minDist boost against division by zero when
+            # a phrase repeats a word.
+            min_dist = F.array_min(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "_pa",
+                            lambda x: F.transform("_pb", lambda y: F.abs(x - y)),
+                        )
+                    ),
+                    lambda d: d != 0,
+                )
+            )
+            prod = F.col("_sa") * F.col("_sb")
+            score = F.when(
+                min_dist.isNotNull(),
+                F.pow(prod, F.lit(PHRASE_FACTOR) + 1.0 / min_dist),
+            ).otherwise(prod)
+            out = joined.select("doc_id", score.alias("score"))
+        else:
+            left = a.df.select("doc_id", F.col("score").alias("_sa"))
+            right = b.df.select("doc_id", F.col("score").alias("_sb"))
+            out = left.join(right, "doc_id").select(
+                "doc_id", (F.col("_sa") * F.col("_sb")).alias("score")
+            )
+        return _Wrapped(P.NORMAL, out, False, min(a.est, b.est))
+
+    def _merge_lists(self, a: _Wrapped, b: _Wrapped) -> _Wrapped:
+        """J2: full-outer union-merge, scores add on overlap."""
+        left = self._strip_positions(a.df).withColumnRenamed("score", "_sa")
+        right = self._strip_positions(b.df).withColumnRenamed("score", "_sb")
+        out = left.join(right, "doc_id", "full_outer").select(
+            "doc_id",
+            (F.coalesce("_sa", F.lit(0.0)) + F.coalesce("_sb", F.lit(0.0))).alias("score"),
+        )
+        return _Wrapped(P.NORMAL, out, False, a.est + b.est)
+
+    def _difference_lists(self, a: _Wrapped, b: _Wrapped) -> _Wrapped:
+        """J3: docs in A not in B, keeping A's scores."""
+        out = self._strip_positions(a.df).join(
+            self._strip_positions(b.df).select("doc_id"), "doc_id", "left_anti"
+        )
+        return _Wrapped(P.NORMAL, out, False, a.est)
+
+    def _and_pair(self, a: _Wrapped, b: _Wrapped) -> _Wrapped:
+        """J4: AND with negation algebra (`QueryParser.java:122-139`)."""
+        if a.type == P.IGNORED and b.type == P.IGNORED:
+            return _Wrapped(P.IGNORED, self._empty(), False, 0.0)
+        if a.type == P.IGNORED:
+            return b
+        if b.type == P.IGNORED:
+            return a
+        if a.type == P.NEGATED and b.type == P.NEGATED:
+            m = self._merge_lists(a, b)  # -A and -B -> -(A ∪ B)
+            return _Wrapped(P.NEGATED, m.df, False, m.est)
+        if a.type == P.NORMAL and b.type == P.NORMAL:
+            return self._intersect_lists(a, b)
+        if a.type == P.NEGATED:
+            return self._difference_lists(b, a)  # -A and B -> B - A
+        return self._difference_lists(a, b)  # A and -B -> A - B
+
+    def _or_pair(self, a: _Wrapped, b: _Wrapped) -> _Wrapped:
+        """J5: OR with De Morgan rewrites (`QueryParser.java:281-298`)."""
+        if a.type == P.IGNORED and b.type == P.IGNORED:
+            return _Wrapped(P.IGNORED, self._empty(), False, 0.0)
+        if a.type == P.IGNORED:
+            return b
+        if b.type == P.IGNORED:
+            return a
+        if a.type == P.NEGATED and b.type == P.NEGATED:
+            i = self._intersect_lists(a, b)  # -A or -B -> -(A ∩ B)
+            return _Wrapped(P.NEGATED, i.df, False, i.est)
+        if a.type == P.NORMAL and b.type == P.NORMAL:
+            return self._merge_lists(a, b)
+        if a.type == P.NEGATED:
+            d = self._difference_lists(a, b)  # -A or B -> -(A - B)
+            return _Wrapped(P.NEGATED, d.df, False, d.est)
+        d = self._difference_lists(b, a)  # A or -B -> -(B - A)
+        return _Wrapped(P.NEGATED, d.df, False, d.est)
+
+    # ---- tree evaluation --------------------------------------------
+
+    def _evaluate(self, node: P.Node, stats: dict[str, int]) -> _Wrapped:
+        if isinstance(node, P.Word):
+            return _Wrapped(
+                P.NORMAL, self._leaf_df(node.term), True, float(stats.get(node.term, 0))
+            )
+        if isinstance(node, P.ExceptWord):
+            return _Wrapped(
+                P.NEGATED, self._leaf_df(node.term), True, float(stats.get(node.term, 0))
+            )
+        if isinstance(node, P.StopWord):
+            return _Wrapped(P.IGNORED, self._empty(), False, 0.0)
+        if isinstance(node, P.And):
+            children = [self._evaluate(c, stats) for c in node.children]
+            if len(children) == 1:
+                c = children[0]
+                # single-operand AND copies without positions
+                # (doAnd low==high, QueryParser.java:150-157)
+                return _Wrapped(c.type, self._strip_positions(c.df), False, c.est)
+            # J6: smallest estimated list first
+            children.sort(key=lambda w: w.est)
+            acc = children[0]
+            for nxt in children[1:]:
+                acc = self._and_pair(acc, nxt)
+            return acc
+        if isinstance(node, P.Or):
+            # doOr's recursion base copies every operand without
+            # positions (QueryParser.java:267-275) — phrase proximity
+            # never applies across OR operands, only inside a phrase AND.
+            children = [
+                _Wrapped(c.type, self._strip_positions(c.df), False, c.est)
+                for c in (self._evaluate(ch, stats) for ch in node.children)
+            ]
+            if len(children) == 1:
+                acc = children[0]
+            elif all(c.type == P.NORMAL for c in children):
+                # J7 fast path: one union + one aggregation shuffle
+                unioned = self._strip_positions(children[0].df)
+                for c in children[1:]:
+                    unioned = unioned.unionByName(self._strip_positions(c.df))
+                acc = _Wrapped(
+                    P.NORMAL,
+                    unioned.groupBy("doc_id").agg(F.sum("score").alias("score")),
+                    False,
+                    sum(c.est for c in children),
+                )
+            else:
+                acc = children[0]
+                for nxt in children[1:]:
+                    acc = self._or_pair(acc, nxt)
+            if node.negated:
+                acc = _Wrapped(1 - acc.type if acc.type != P.IGNORED else P.IGNORED,
+                               acc.df, acc.has_positions, acc.est)
+            return acc
+        raise TypeError(f"unknown node {node!r}")
+
+    # ---- public API --------------------------------------------------
+
+    def plan(self, query: str) -> DataFrame:
+        """Lower ``query`` to a (doc_id, score) DataFrame, unranked."""
+        tree = P.parse_query(query, self.stopwords)
+        stats = self._term_stats(P.query_terms(tree))
+        result = self._evaluate(tree, stats)
+        if result.type == P.IGNORED:
+            return self._empty().select("doc_id", "score")
+        if result.type == P.NEGATED:
+            # root negation: complement against the document universe
+            # (documented deviation — the reference returns the negated
+            # list unmaterialized, `QueryParser.java` root handling)
+            if self.documents is None:
+                return self._empty().select("doc_id", "score")
+            return (
+                self.documents.select("doc_id")
+                .join(result.df.select("doc_id"), "doc_id", "left_anti")
+                .select("doc_id", F.lit(0.0).alias("score"))
+            )
+        return self._strip_positions(result.df)
+
+    def search(self, query: str) -> DataFrame:
+        """Ranked results: (doc_id, score), score desc / doc_id asc
+        (reference O2, ties broken deterministically)."""
+        return self.plan(query).orderBy(F.desc("score"), F.asc("doc_id"))
