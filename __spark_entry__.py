@@ -45,7 +45,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Each callable takes (spark, sf_dir) and returns a DataFrame.
     Alias every computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from hadoop_search_spark import catalog
+
+    return catalog.queries()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -55,4 +57,6 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    from hadoop_search_spark import catalog
+
+    return catalog.oracle_sql()

@@ -1,0 +1,742 @@
+"""Query catalog — the driver-contract registry behind
+``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Every entry pairs a Spark implementation (DataFrame API, run via
+``fn(spark, sf_dir)``) with an equivalent ANSI-SQL oracle that DuckDB
+executes on the same parquet tables. The driver hash-compares both at
+sf0.01 (row count + schema + order-insensitive value hash), so the
+two sides must agree **bit-for-bit**, which dictates three rules used
+throughout:
+
+* money/measure aggregations cast inputs to DECIMAL(12,2) first —
+  decimal arithmetic is exact, so sums are independent of partial-agg
+  ordering — and cast the final aggregate to DOUBLE (values here fit
+  a double's 53-bit significand, so the conversion is exact in both
+  engines);
+* floating-point expressions (tf-idf scores, proximity boosts) are
+  built from single IEEE operations verified bit-identical between
+  the JVM and DuckDB (log10/ln/pow/×), never from multi-way float
+  sums whose order could differ;
+* timestamps surface as integer epoch values (``unix_micros`` /
+  ``epoch_us``) rather than engine-native timestamp types.
+
+Aggregate/computed columns are aliased identically on both sides —
+the driver sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(12,2)"
+
+
+@dataclass(frozen=True)
+class CatalogEntry:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    note: str = ""
+
+
+CATALOG: dict[str, CatalogEntry] = {}
+
+
+def register(name: str, oracle: str | None = None, note: str = ""):
+    def deco(fn):
+        CATALOG[name] = CatalogEntry(fn, oracle, note)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as a proper timestamp.
+
+    The fixture stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; read nanos as long and convert with exact
+    integer division (``div`` — a double division would lose precision
+    on 19-digit nanos). Truncation direction matches DuckDB's
+    nanos→micros read.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return ev
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast(DEC)
+
+
+_REVENUE_DEC = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+
+
+def _revenue_col() -> F.Column:
+    return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+
+
+# ======================================================================
+# Relational core (joins / aggregations / windows — SURVEY.md §2.3-§2.5
+# generalized over the star-schema fixtures)
+# ======================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum({_REVENUE_DEC}) AS DOUBLE) AS sum_disc_price,
+  CAST(sum({_REVENUE_DEC} * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    note="TPC-H Q1 shape: scan + filter + 8-agg hash aggregate",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_revenue_col()).cast("double").alias("sum_disc_price"),
+            F.sum(_revenue_col() * (one + _dec("l_tax"))).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 24
+""",
+    note="TPC-H Q6 shape: selective filter + single agg; parquet pushdown showcase",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.09)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"))
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT o.o_orderkey,
+  CAST(sum({_REVENUE_DEC.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue,
+  epoch_us(o.o_orderdate) AS orderdate_us,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o.o_orderkey, epoch_us(o.o_orderdate), o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""",
+    note="TPC-H Q3 shape: 3-way join + agg + deterministic top-10",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "orderdate_us", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT n.n_name, CAST(sum({_REVENUE_DEC.replace('l_', 'l.l_')}) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+    note="TPC-H Q5 shape: 6-way star join with broadcast dims",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_semi_join",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS n
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+GROUP BY o.o_orderpriority
+""",
+    note="left-semi join (EXISTS) — J8 analog",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS n
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_mktsegment
+""",
+    note="left-anti join (NOT EXISTS) — J3 analog",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_window_topk",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 2
+""",
+    note="top-K per group via ranking window — O3 distributed analog",
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+    note="hierarchical aggregate (rollup) — beyond-reference relational surface",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "q_distinct_agg",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS distinct_parts,
+       count(DISTINCT l_suppkey) AS distinct_supps
+FROM lineitem GROUP BY l_returnflag
+""",
+    note="multi distinct-aggregate",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+    )
+
+
+@register(
+    "q_case_pivot",
+    oracle="""
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+  CAST(sum(CASE WHEN l_linestatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+FROM lineitem GROUP BY l_returnflag
+""",
+    note="manual pivot via conditional aggregation",
+)
+def q_case_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+
+    def n(status: str, alias: str) -> F.Column:
+        return F.sum(F.when(F.col("l_linestatus") == status, 1).otherwise(0)).alias(alias)
+
+    return li.groupBy("l_returnflag").agg(
+        n("O", "n_open"), n("F", "n_full"), n("P", "n_partial")
+    )
+
+
+@register(
+    "q_point_lookup",
+    oracle="SELECT doc_id, text, lang, source FROM documents WHERE doc_id = 42",
+    note="S8 point lookup: pushed-down equality on sorted parquet",
+)
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 42)
+        .select("doc_id", "text", "lang", "source")
+    )
+
+
+@register(
+    "q_pagination",
+    oracle="""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) t
+WHERE rn > 20 AND rn <= 30
+""",
+    note="O5 pagination: page 3 of size 10, bounded-prefix implementation",
+)
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # distributed page fetch: top page*size via limit, then window the prefix
+    prefix = docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(30)
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        prefix.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 20)
+        .select("doc_id", "n_chars")
+    )
+
+
+# ======================================================================
+# Search engine surface (reference parity, SURVEY.md §2)
+# The oracle-checked variants run un-stemmed / no stop words (stemming
+# is not SQL-expressible); the stemmed full pipeline is rows-only.
+# ======================================================================
+
+# Non-stemmed postings CTE shared by the search oracles. Mirrors
+# operators/index.py:build_postings with stem=False, no stopwords:
+# split on single space (fixture text is single-space separated),
+# alnum + non-numeric filters, 1-based positions, tf-idf with mixed
+# log bases.
+POSTINGS_CTE = """
+WITH toks AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(string_split(lower(text), ' ')) AS term,
+           generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+    FROM documents) raw
+  WHERE regexp_matches(term, '^[a-z0-9]+$')
+    AND NOT regexp_matches(term, '^[0-9]+$')
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf, list_sort(list(pos)) AS positions
+  FROM toks GROUP BY term, doc_id
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n FROM documents),
+postings AS (
+  SELECT tf.term, tf.doc_id, tf.tf, dfreq.df, tf.positions,
+         (1 + log10(tf.tf)) * ln(nd.n / dfreq.df) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+)
+"""
+
+
+def _plain_engine(spark: SparkSession, sf_dir: str):
+    """Un-stemmed, no-stop-word engine over the documents fixture."""
+    from hadoop_search_spark.operators.index import build_postings
+    from hadoop_search_spark.plans.planner import SearchEngine
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = build_postings(docs, num_docs=None, stem=False)
+    return SearchEngine(spark, postings, documents=docs, stem=None)
+
+
+@register(
+    "wc_top100",
+    oracle="""
+SELECT word, cnt FROM (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+  WHERE NOT regexp_matches(word, '^[0-9]+$')
+  GROUP BY word) c
+ORDER BY cnt DESC, word DESC LIMIT 100
+""",
+    note="A1+A6: corpus word count, top-100 stop-word discovery",
+)
+def wc_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.index import word_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return word_counts(docs).orderBy(F.desc("cnt"), F.desc("word")).limit(100)
+
+
+@register(
+    "doc_count",
+    oracle="SELECT count(*) AS doc_num FROM documents",
+    note="A2: global doc count",
+)
+def doc_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").agg(F.count("*").alias("doc_num"))
+
+
+@register(
+    "postings_tf",
+    oracle=POSTINGS_CTE
+    + """
+SELECT term, doc_id, tf, array_to_string(positions, ',') AS positions_csv
+FROM postings
+""",
+    note="A3: per-(term,doc) tf + ascending positions (non-stemmed)",
+)
+def postings_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.index import build_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    p = build_postings(docs, num_docs=1, stem=False)  # num_docs irrelevant for tf
+    return p.select(
+        "term", "doc_id", "tf", F.array_join("positions", ",").alias("positions_csv")
+    )
+
+
+@register(
+    "postings_tfidf",
+    oracle=POSTINGS_CTE + "SELECT term, doc_id, tf, df, round(score, 9) AS score FROM postings",
+    note="A4+A5: document frequency + mixed-base tf-idf scores (non-stemmed)",
+)
+def postings_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.index import build_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    p = build_postings(docs, num_docs=None, stem=False)
+    dfreq = p.groupBy("term").agg(F.count("*").alias("df"))
+    return p.join(dfreq, "term").select(
+        "term", "doc_id", "tf", "df", F.round("score", 9).alias("score")
+    )
+
+
+@register(
+    "search_and",
+    oracle=POSTINGS_CTE
+    + """
+SELECT a.doc_id, round(a.score * b.score, 9) AS score
+FROM (SELECT doc_id, score FROM postings WHERE term = 'table') a
+JOIN (SELECT doc_id, score FROM postings WHERE term = 'scan') b USING (doc_id)
+""",
+    note="J1 via engine: '(table) and (scan)' — clause AND, score product",
+)
+def search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _plain_engine(spark, sf_dir).plan("(table) and (scan)").select(
+        "doc_id", F.round("score", 9).alias("score")
+    )
+
+
+@register(
+    "search_or",
+    oracle=POSTINGS_CTE
+    + """
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       round(coalesce(a.score, 0) + coalesce(b.score, 0), 9) AS score
+FROM (SELECT doc_id, score FROM postings WHERE term = 'table') a
+FULL OUTER JOIN (SELECT doc_id, score FROM postings WHERE term = 'scan') b
+  ON a.doc_id = b.doc_id
+""",
+    note="J2 via engine: 'table or scan' — union-merge, scores add",
+)
+def search_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _plain_engine(spark, sf_dir).plan("table or scan").select(
+        "doc_id", F.round("score", 9).alias("score")
+    )
+
+
+@register(
+    "search_and_not",
+    oracle=POSTINGS_CTE
+    + """
+SELECT a.doc_id, round(a.score, 9) AS score
+FROM (SELECT doc_id, score FROM postings WHERE term = 'table') a
+WHERE NOT EXISTS (SELECT 1 FROM postings b
+                  WHERE b.term = 'scan' AND b.doc_id = a.doc_id)
+""",
+    note="J3/J4 via engine: 'table and not scan' — difference",
+)
+def search_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _plain_engine(spark, sf_dir).plan("table and not scan").select(
+        "doc_id", F.round("score", 9).alias("score")
+    )
+
+
+@register(
+    "search_phrase",
+    oracle=POSTINGS_CTE
+    + """
+, posr AS (
+  SELECT term, doc_id, unnest(positions) AS p
+  FROM postings WHERE term IN ('table', 'scan')
+),
+mind AS (
+  SELECT x.doc_id, min(abs(x.p - y.p)) AS m
+  FROM posr x JOIN posr y
+    ON x.doc_id = y.doc_id AND x.term = 'table' AND y.term = 'scan'
+   AND x.p <> y.p
+  GROUP BY x.doc_id
+)
+SELECT a.doc_id,
+       round(CASE WHEN mind.m IS NOT NULL
+             THEN pow(a.score * b.score, 1.0 + 1.0 / mind.m)
+             ELSE a.score * b.score END, 9) AS score
+FROM (SELECT doc_id, score FROM postings WHERE term = 'table') a
+JOIN (SELECT doc_id, score FROM postings WHERE term = 'scan') b USING (doc_id)
+LEFT JOIN mind ON mind.doc_id = a.doc_id
+""",
+    note="J1 phrase: 'table scan' — proximity boost (sA*sB)^(1+1/minDist)",
+)
+def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _plain_engine(spark, sf_dir).plan("table scan").select(
+        "doc_id", F.round("score", 9).alias("score")
+    )
+
+
+@register(
+    "search_not_clause",
+    oracle=POSTINGS_CTE
+    + """
+SELECT d.doc_id, CAST(0.0 AS DOUBLE) AS score
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM postings p
+  WHERE p.doc_id = d.doc_id AND p.term IN ('table', 'scan'))
+""",
+    note="J5 + root negation: 'not (table or scan)' — complement vs universe",
+)
+def search_not_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _plain_engine(spark, sf_dir).plan("not (table or scan)").select(
+        "doc_id", F.round("score", 9).alias("score")
+    )
+
+
+@register(
+    "search_cnf_mixed",
+    oracle=POSTINGS_CTE
+    + """
+, clause1 AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.score, 0) + coalesce(b.score, 0) AS score
+  FROM (SELECT doc_id, score FROM postings WHERE term = 'table') a
+  FULL OUTER JOIN (SELECT doc_id, score FROM postings WHERE term = 'part') b
+    ON a.doc_id = b.doc_id
+)
+SELECT c.doc_id, round(c.score, 9) AS score
+FROM clause1 c
+WHERE NOT EXISTS (SELECT 1 FROM postings s
+                  WHERE s.term = 'stream' AND s.doc_id = c.doc_id)
+""",
+    note="J4+J5 composition: '(table or part) and (not stream)'",
+)
+def search_cnf_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _plain_engine(spark, sf_dir).plan("(table or part) and (not stream)").select(
+        "doc_id", F.round("score", 9).alias("score")
+    )
+
+
+@register(
+    "search_stemmed_cnf",
+    oracle=None,
+    note="full stemmed engine with computed stop words — stemming is not "
+    "SQL-expressible, rows-only check (P6/P7 + J1-J8)",
+)
+def search_stemmed_cnf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.index import build_postings, stop_words
+    from hadoop_search_spark.plans.planner import SearchEngine
+
+    docs = _t(spark, sf_dir, "documents")
+    sw = stop_words(docs, k=2)
+    stopword_list = [r.word for r in sw.collect()]
+    postings = build_postings(docs, stopwords=sw, num_docs=None, stem=True)
+    engine = SearchEngine(spark, postings, documents=docs, stopwords=stopword_list)
+    return engine.search("(sparks or streaming) and not tables")
+
+
+# ======================================================================
+# Events: time-series / JSON / sessionization (SURVEY.md §7 phase 5)
+# ======================================================================
+
+
+@register(
+    "events_hourly",
+    oracle="""
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hour_us, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    note="tumbling-window aggregate (streaming-compatible window())",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_json",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
+    note="semi-structured JSON extraction (get_json_object)",
+)
+def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.max(k).alias("max_k")
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       epoch_us(min(ts)) AS session_start_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+""",
+    note="sessionization (30-min gap) via lag + cumulative sum — the "
+    "batch equivalent of streaming session windows",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("session_id", F.sum(new_s).over(cum).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---- public accessors -------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: e.fn for name, e in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.oracle for name, e in CATALOG.items() if e.oracle is not None}

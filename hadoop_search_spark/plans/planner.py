@@ -91,11 +91,13 @@ class SearchEngine:
         postings: DataFrame,
         documents: DataFrame | None = None,
         stopwords=(),
+        stem=P.porter_stem,
     ) -> None:
         self.spark = spark
         self.postings = postings
         self.documents = documents
-        self.stopwords = frozenset(P.porter_stem(w) for w in stopwords)
+        self.stem = stem or (lambda w: w)
+        self.stopwords = frozenset(self.stem(w) for w in stopwords)
         self._df_stats: dict[str, int] | None = None
 
     # ---- statistics (J6 ordering) ------------------------------------
@@ -282,7 +284,7 @@ class SearchEngine:
 
     def plan(self, query: str) -> DataFrame:
         """Lower ``query`` to a (doc_id, score) DataFrame, unranked."""
-        tree = P.parse_query(query, self.stopwords)
+        tree = P.parse_query(query, self.stopwords, stem=self.stem)
         stats = self._term_stats(P.query_terms(tree))
         result = self._evaluate(tree, stats)
         if result.type == P.IGNORED:
