@@ -731,6 +731,380 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ======================================================================
+# LLM-data-pipeline operators: dedup / similarity / text analysis /
+# multimodal (SURVEY.md §7 phase 5, BASELINE.json north star)
+# ======================================================================
+
+# Shared SQL fragments. Hash parity: ('0x'||substr(md5(x),1,N))::BIGINT
+# in DuckDB == conv(substring(md5(x),1,N),16,10)::bigint in Spark.
+_SHINGLES_CTE = """
+WITH rawtoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM rawtoks a
+  JOIN rawtoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN rawtoks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_TAIL = """
+, shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT s.doc_a, s.doc_b,
+       round(s.shared / (za.n_sh + zb.n_sh - s.shared), 9) AS jaccard
+FROM shared s
+JOIN sizes za ON za.doc_id = s.doc_a
+JOIN sizes zb ON zb.doc_id = s.doc_b
+WHERE round(s.shared / (za.n_sh + zb.n_sh - s.shared), 9) >= 0.5
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+WITH h AS (SELECT doc_id, md5(text) AS digest FROM documents),
+g AS (SELECT digest, min(doc_id) AS keeper_id, count(*) AS group_size
+      FROM h GROUP BY digest)
+SELECT h.doc_id, g.keeper_id, g.group_size
+FROM h JOIN g USING (digest)
+""",
+    note="exact dedup via content-hash groupBy; doc_id != keeper_id → drop",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_SHINGLES_CTE
+    + """
+, seeds AS (SELECT unnest(range(16)) AS seed),
+mh AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 12))::BIGINT) AS minhash
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, (seed // 4)::INT AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
+  FROM mh GROUP BY doc_id, (seed // 4)::INT
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+"""
+    + _JACCARD_TAIL,
+    note="MinHash(16)+LSH(4x4 bands) near-dup with exact-Jaccard verify ≥ 0.5",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLES_CTE
+    + """
+, cand AS (
+  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+)
+"""
+    + _JACCARD_TAIL,
+    note="exact 3-gram Jaccard ≥ 0.5 via shared-shingle candidate join",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+_SIMHASH_CTE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> ''
+       GROUP BY doc_id, tok),
+hashed AS (SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, 10))::BIGINT AS h FROM tf),
+votes AS (
+  SELECT doc_id, bb.b, (((h >> bb.b) & 1) * 2 - 1) * tf AS vote
+  FROM hashed CROSS JOIN (SELECT unnest(range(40)) AS b) bb
+),
+bitsum AS (SELECT doc_id, b, sum(vote) AS s FROM votes GROUP BY doc_id, b),
+sims AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsum GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_SIMHASH_CTE + "SELECT doc_id, simhash FROM sims",
+    note="40-bit SimHash fingerprint (weighted bit votes)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_CTE
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sims a JOIN sims b
+  ON (a.simhash >> 20) = (b.simhash >> 20) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    note="SimHash near-dup pairs, Hamming ≤ 3, banded on top 20 bits",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.dedup import simhash, simhash_pairs
+
+    sims = simhash(_t(spark, sf_dir, "documents"))
+    return simhash_pairs(sims, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
+_EMB_CTE = """
+WITH exp_e AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id IN (0, 1, 2, 3, 4)),
+exp_q AS (
+  SELECT query_id, unnest(q_emb)::DOUBLE AS x,
+         generate_subscripts(q_emb, 1) AS i
+  FROM q
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp_e GROUP BY vec_id)
+"""
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=_EMB_CTE
+    + """
+, dots AS (
+  SELECT a.vec_id, b.query_id, sum(a.x * b.x) AS dot
+  FROM exp_e a JOIN exp_q b USING (i)
+  WHERE a.vec_id <> b.query_id
+  GROUP BY a.vec_id, b.query_id
+),
+cos AS (
+  SELECT d.query_id, d.vec_id,
+         round(d.dot / (na.nrm * nq.nrm), 9) AS cosine
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN norms nq ON nq.vec_id = d.query_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM cos) t
+WHERE rn <= 10
+""",
+    note="brute-force cosine top-10 for 5 query vectors (exact ANN baseline)",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
+@register(
+    "sim_ann_lsh_topk",
+    oracle=_EMB_CTE
+    + """
+, planes AS (
+  SELECT pp.p, ii.i,
+         CASE WHEN ('0x' || substr(md5(pp.p::VARCHAR || ':' || (ii.i - 1)::VARCHAR), 1, 10))::BIGINT % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(range(8)) AS p) pp
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+),
+proj AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.s) AS proj
+  FROM exp_e e JOIN planes pl ON pl.i = e.i
+  GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, 7 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+qb AS (SELECT q.query_id, q.q_emb, b.bucket AS q_bucket
+       FROM q JOIN buckets b ON b.vec_id = q.query_id),
+cand AS (
+  SELECT e.vec_id, qb.query_id
+  FROM buckets e JOIN qb ON e.bucket = qb.q_bucket AND e.vec_id <> qb.query_id
+),
+dots AS (
+  SELECT c.vec_id, c.query_id, sum(a.x * b.x) AS dot
+  FROM cand c
+  JOIN exp_e a ON a.vec_id = c.vec_id
+  JOIN exp_q b ON b.query_id = c.query_id AND b.i = a.i
+  GROUP BY c.vec_id, c.query_id
+),
+cos AS (
+  SELECT d.query_id, d.vec_id, round(d.dot / (na.nrm * nq.nrm), 9) AS cosine
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN norms nq ON nq.vec_id = d.query_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM cos) t
+WHERE rn <= 10
+""",
+    note="LSH-bucketed ANN top-10 (8 sign-projection hyperplanes) — the "
+    "scale path; recall < 1 by design, identical across engines",
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
+@register(
+    "text_script_counts",
+    oracle="""
+SELECT script, count(*) AS n FROM (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'cjk'
+              WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'cyrillic'
+              WHEN regexp_matches(text, '(?i)[a-z]') THEN 'latin'
+              ELSE 'other' END AS script
+  FROM documents) t
+GROUP BY script
+""",
+    note="charset-heuristic script/language ID rollup",
+)
+def text_script_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.textstats import script_counts
+
+    return script_counts(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    oracle="""
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 9) AS mean_token_len,
+  round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x)))::DOUBLE / len(toks), 9) AS stop_ratio,
+  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text), 9) AS digit_ratio,
+  round(
+    (len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x)))::DOUBLE / len(toks)) * 0.4
+    + least((list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)) / 10.0, 1.0) * 0.3
+    + (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)) * 0.3
+  , 9) AS quality
+FROM (SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents) t
+""",
+    note="per-doc quality features + blended prose score",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.textstats import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_count",
+    oracle="""
+SELECT doc_id, len(toks) AS n_tokens,
+       CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est
+FROM (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents) t
+""",
+    note="whitespace token count + BPE-ish subword estimate",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       CAST(sum(pos * ('0x' || substr(md5(tok), 1, 10))::BIGINT) % 2305843009213693951 AS BIGINT) AS fingerprint
+FROM (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos
+  FROM documents) t
+GROUP BY doc_id
+""",
+    note="order-sensitive 61-bit rolling document fingerprint",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "media_stats",
+    oracle="""
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       count(*) AS n,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+GROUP BY 1
+""",
+    note="multimodal byte accounting over synthesized binary payload column",
+)
+def media_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.multimodal import media_stats, synthesize_media
+
+    return media_stats(synthesize_media(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "media_decode",
+    oracle=None,
+    note="Arrow-batched media decode via mapInPandas (decoder stubbed "
+    "deterministically — libs not in container); rows-only check",
+)
+def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.multimodal import decode_media, synthesize_media
+
+    return decode_media(synthesize_media(_t(spark, sf_dir, "documents")))
+
+
 # ---- public accessors -------------------------------------------------
 
 

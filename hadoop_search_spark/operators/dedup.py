@@ -1,0 +1,253 @@
+"""Deduplication operators for large-corpus training-data pipelines
+(SURVEY.md §7 phase 5; BASELINE.json north star).
+
+Four families, all expressed as relational DataFrame plans (no
+driver-side materialization, no Python in the hot path):
+
+* **exact** — hash-groupBy on a content digest;
+* **MinHash + LSH** — word-shingle → k min-hashes → banded signature
+  → bucket self-join → exact-Jaccard verification of candidates;
+* **SimHash** — weighted bit-vote fingerprint + banded Hamming pairs;
+* **n-gram Jaccard** — shingle-set self-join for exact similarity on
+  candidate pairs.
+
+Determinism note: every hash is derived from md5 hex (verified to
+produce identical BIGINTs in Spark and DuckDB), so each operator has
+an exact SQL oracle. Hash widths are chosen so all arithmetic stays
+far below 2^63 — Spark wraps silently on long overflow while DuckDB
+promotes to HUGEINT, so overflow would silently diverge.
+
+Scale: the only self-joins are on LSH band buckets / hash prefixes,
+never all-pairs; shingle explosion is linear in corpus size and
+shuffles on (doc, shingle)-derived keys. At 100 TB the band join is
+the standard MinHash-LSH reduce — skew (a viral shingle) is handled
+by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 12 hex digits < 2^48: min-hash values
+_MH_HEX = 12
+# 10 hex digits < 2^40: simhash token hashes (bit votes)
+_SH_HEX = 10
+
+NUM_MINHASHES = 16
+LSH_BAND_ROWS = 4  # 4 bands of 4 rows
+SHINGLE_SIZE = 3
+SIMHASH_BITS = 40
+SIMHASH_PREFIX_SHIFT = 20  # band on top 20 bits for pair generation
+
+
+def _md5_int(col: F.Column, hex_digits: int) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, hex_digits), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, keeper_id, group_size): every doc annotated with its
+    content-hash group's canonical (min) id. ``doc_id != keeper_id``
+    rows are exact duplicates to drop."""
+    h = docs.select("doc_id", F.md5(F.col(text_col)).alias("h"))
+    groups = h.groupBy("h").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("group_size")
+    )
+    return h.join(groups, "h").select("doc_id", "keeper_id", "group_size")
+
+
+# ---------------------------------------------------------- shingles
+
+
+def word_shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_SIZE) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+
+
+# ------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = NUM_MINHASHES
+) -> DataFrame:
+    """(doc_id, seed, minhash): k md5-derived min-hashes per doc.
+
+    One explode over a k-element seed array then a (doc, seed) min —
+    a single shuffle; k is a column constant, not a Python loop over
+    jobs."""
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    per_seed = shingles.select(
+        "doc_id",
+        F.explode(seeds).alias("seed"),
+        F.col("shingle"),
+    ).select(
+        "doc_id",
+        "seed",
+        _md5_int(F.concat_ws(":", F.col("seed"), F.col("shingle")), _MH_HEX).alias("h"),
+    )
+    return per_seed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_bands(signatures: DataFrame, band_rows: int = LSH_BAND_ROWS) -> DataFrame:
+    """(doc_id, band, band_key): concatenated in-band min-hashes."""
+    with_band = signatures.withColumn("band", (F.col("seed") / band_rows).cast("int"))
+    return with_band.groupBy("doc_id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                lambda s: s["minhash"].cast("string"),
+            ),
+            ",",
+        ).alias("band_key")
+    )
+
+
+def minhash_lsh_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs sharing any LSH band bucket."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs: (doc_a, doc_b, jaccard)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = shingles.withColumnRenamed("doc_id", "doc_a")
+    sb = shingles.withColumnRenamed("doc_id", "doc_b")
+    shared = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 9
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = NUM_MINHASHES,
+    band_rows: int = LSH_BAND_ROWS,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bucket join →
+    exact-Jaccard verify. Returns (doc_a, doc_b, jaccard) pairs."""
+    sh = word_shingles(docs, text_col)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = minhash_lsh_candidates(lsh_bands(sig, band_rows))
+    return jaccard_verify(cand, sh, threshold)
+
+
+# ------------------------------------------------------------ SimHash
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): weighted bit-vote fingerprint over tokens.
+
+    Token hash = 40-bit md5 int; each bit votes ±tf; bit set when the
+    vote sum is positive. All arithmetic < 2^63 in both engines."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    hashed = tf.select("doc_id", "tf", _md5_int(F.col("tok"), _SH_HEX).alias("h"))
+    bit_idx = F.array(*[F.lit(b) for b in range(bits)])
+    votes = hashed.select(
+        "doc_id",
+        "tf",
+        "h",
+        F.explode(bit_idx).alias("b"),
+    ).select(
+        "doc_id",
+        "b",
+        (
+            (F.expr("(h >> b) & 1") * 2 - 1) * F.col("tf")
+        ).alias("vote"),
+    )
+    bitsum = votes.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
+    return bitsum.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("cast(pow(2, b) as bigint)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    sims: DataFrame, max_hamming: int = 3, prefix_shift: int = SIMHASH_PREFIX_SHIFT
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance, banded on the hash's top
+    bits so the self-join is per-bucket, never all-pairs."""
+    banded = sims.withColumn("bucket", F.expr(f"simhash >> {prefix_shift}"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ----------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = SHINGLE_SIZE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs via shingle-set self-join — the
+    no-LSH baseline. Candidate generation is the shared-shingle join
+    (docs with zero overlap never pair), so complexity is output-
+    bound, not n^2."""
+    sh = word_shingles(docs, text_col, n)
+    cand = (
+        sh.withColumnRenamed("doc_id", "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, threshold)

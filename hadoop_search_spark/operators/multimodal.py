@@ -1,0 +1,117 @@
+"""Multimodal column plumbing (SURVEY.md §7 phase 5).
+
+Media (image/audio/video) is modeled as opaque ``BINARY`` payloads
+with typed metadata — the standard large-scale layout (media bytes
+inline or as object-store references, transforms as Arrow-batched
+functions over ``mapInPandas``).
+
+The decode step is STUBBED: the image/audio libraries are not in this
+environment, so ``decode_media`` computes deterministic fake features
+(derived from payload length + md5) behind the same batch interface a
+real decoder (PIL/librosa/ffmpeg) would use — the Spark-side plumbing
+(schema, Arrow batching, partition parallelism, UDF signature) is
+real and tested. Swap ``_fake_decode_batch`` for a real decoder to
+productionize; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id BIGINT, kind STRING, payload BINARY, "
+    "src_doc BIGINT, n_bytes BIGINT"
+)
+
+DECODED_SCHEMA = (
+    "media_id BIGINT, kind STRING, n_bytes BIGINT, "
+    "width INT, height INT, n_frames INT, checksum STRING"
+)
+
+
+def synthesize_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build a media table from the documents fixture: payload =
+    utf-8 bytes of the text (a deterministic stand-in for real media
+    bytes), kind assigned round-robin image/audio/video."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.col("doc_id").alias("src_doc"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+    )
+
+
+def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in for a real decoder. A real implementation
+    would be e.g.::
+
+        img = PIL.Image.open(io.BytesIO(payload))
+        width, height = img.size
+
+    Raises NotImplementedError for kinds a decoder doesn't support,
+    exactly as a real one would."""
+    out = []
+    for _, row in pdf.iterrows():
+        payload = bytes(row["payload"])
+        if row["kind"] not in ("image", "audio", "video"):
+            raise NotImplementedError(f"no decoder for kind {row['kind']!r}")
+        digest = hashlib.md5(payload).hexdigest()
+        h = int(digest[:8], 16)
+        out.append(
+            {
+                "media_id": row["media_id"],
+                "kind": row["kind"],
+                "n_bytes": len(payload),
+                "width": 64 + h % 1024,
+                "height": 64 + (h >> 10) % 1024,
+                "n_frames": 1 if row["kind"] == "image" else 1 + h % 120,
+                "checksum": digest,
+            }
+        )
+    return pd.DataFrame(out, columns=[c.split()[0] for c in DECODED_SCHEMA.split(", ")])
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode over ``mapInPandas`` — partition-parallel,
+    constant memory per batch; the pattern for any per-item media
+    transform (resize, feature-extract, frame-sample) at 100 TB."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _fake_decode_batch(pdf)
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 30) -> DataFrame:
+    """Explode videos into sampled frame rows (frame index every
+    ``every_n``) — pure Catalyst, no UDF: (media_id, frame_idx)."""
+    frames = F.sequence(
+        F.lit(0), F.col("n_frames") - 1, F.lit(every_n)
+    )
+    return (
+        decoded.filter(F.col("kind") == "video")
+        .select("media_id", F.explode(frames).alias("frame_idx"))
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Byte accounting per kind — the partition-pruning-friendly
+    summary a media lakehouse needs."""
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (SURVEY.md §7 phase 5).
+
+Two paths over ``embeddings(vec_id, embedding ARRAY<FLOAT>, label)``:
+
+* **brute-force cosine top-k** — the correctness baseline: exact
+  cosine against every corpus vector, per-query top-k. Expressed with
+  higher-order array functions (``zip_with`` + ``aggregate``), fully
+  codegen'd, one broadcast of the query vectors — no shuffle of the
+  corpus side at all.
+* **LSH-bucketed top-k** — the scale path: sign-random-projection
+  buckets from md5-derived deterministic hyperplanes; the corpus is
+  scanned once, bucketed, and only the query's bucket is searched.
+  Deterministic hashes keep it SQL-oracle-checkable; recall < 1 by
+  design (documented) but identical across engines.
+
+Cosines are rounded to 9dp and ordered (cosine desc, vec_id) so
+near-tie ordering is identical in Spark and the DuckDB oracle
+(partial-sum ordering of a 64-term float dot product can differ in
+the last ulp).
+
+At 100 TB: the corpus side never materializes per-pair rows in the
+brute-force path (queries broadcast, per-row loop is an array
+expression); top-k per query is a window over query-partitioned data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NUM_HYPERPLANES = 8
+_HP_HEX = 10  # 40-bit hyperplane component hashes
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, vec_id, cosine, rn), self-matches excluded.
+    The query set joins in as a broadcast — the big side streams."""
+    q = (
+        embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    pairs = embeddings.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("q_emb"))
+        / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+        9,
+    )
+    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def hyperplane_sign(emb: F.Column, plane: int, dim: int) -> F.Column:
+    """Sign of <v, h_plane> where h_plane's components are ±1 derived
+    from md5(plane:i) parity — deterministic in any engine."""
+    comps = F.array(*[F.lit(i) for i in range(dim)])
+    signed = F.zip_with(
+        emb,
+        comps,
+        lambda x, i: x.cast("double")
+        * (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.lit(plane), i)), 1, _HP_HEX),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            * 2
+            - 1
+        ).cast("double"),
+    )
+    s = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(s > 0, 1).otherwise(0)
+
+
+def lsh_bucket(emb: F.Column, num_planes: int, dim: int) -> F.Column:
+    """Bucket id = concatenated sign bits of ``num_planes`` random
+    projections."""
+    bucket = F.lit(0).cast("bigint")
+    for p in range(num_planes):
+        bucket = bucket * 2 + hyperplane_sign(emb, p, dim)
+    return bucket
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_planes: int = NUM_HYPERPLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: search only the query's sign-projection
+    bucket. Same output shape as :func:`cosine_topk`; recall < 1."""
+    bucketed = embeddings.withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), num_planes, dim)
+    )
+    q = (
+        bucketed.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    pairs = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("q_emb"))
+        / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+        9,
+    )
+    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )

@@ -1,0 +1,118 @@
+"""Text analysis operators for training-data pipelines
+(SURVEY.md §7 phase 5): script/language heuristics, quality scoring,
+token counting, order-sensitive document fingerprinting.
+
+All pure Catalyst expressions (regex + arithmetic) with exact DuckDB
+oracles; hash widths sized so sums never overflow a BIGINT (Spark
+wraps silently, DuckDB promotes — overflow would diverge)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny embedded stopword list for ratio features (order irrelevant)
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+FP_HEX = 10  # 40-bit token hashes for the fingerprint
+FP_MOD = (1 << 61) - 1  # Mersenne prime modulus
+
+
+def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Charset-heuristic script ID (n-gram-free language ID baseline):
+    cjk / cyrillic / latin / other, by first matching character class."""
+    t = F.col(text_col)
+    # python-level \u escapes → literal chars in the pattern, so the
+    # same bytes work in Java regex (Spark) and RE2 (DuckDB oracle)
+    script = (
+        F.when(t.rlike("[一-鿿]"), "cjk")
+        .when(t.rlike("[Ѐ-ӿ]"), "cyrillic")
+        .when(t.rlike("(?i)[a-z]"), "latin")
+        .otherwise("other")
+    )
+    return docs.select("doc_id", script.alias("script"))
+
+
+def script_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return (
+        script_profile(docs, text_col)
+        .groupBy("script")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + a single blended score:
+    token count, mean token length, stop-word ratio, digit ratio.
+    quality = stop_ratio·0.4 + clamp(mean_len/10)·0.3 + (1-digit_ratio)·0.3
+    (an interpretable heuristic in [0,1], monotone in 'looks like prose')."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
+    n_tokens = F.size(toks)
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+        .cast("double")
+        / n_tokens
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("double")
+        / n_tokens
+    )
+    n_chars = F.length(t)
+    digit_ratio = (
+        (n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))).cast("double") / n_chars
+    )
+    quality = (
+        stop_ratio * 0.4
+        + F.least(mean_len / 10.0, F.lit(1.0)) * 0.3
+        + (1.0 - digit_ratio) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(mean_len, 9).alias("mean_token_len"),
+        F.round(stop_ratio, 9).alias("stop_ratio"),
+        F.round(digit_ratio, 9).alias("digit_ratio"),
+        F.round(quality, 9).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate
+    (words + extra units for long words: ceil(len/4) per token)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    n_tokens = F.size(toks).cast("bigint")
+    n_subword = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.ceil(F.length(x) / F.lit(4.0)).cast("bigint"),
+    )
+    return docs.select(
+        "doc_id", n_tokens.alias("n_tokens"), n_subword.alias("n_subword_est")
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive 61-bit fingerprint:
+    ``sum(pos * md5int40(token)) mod (2^61-1)``.
+
+    pos ≤ ~2^12 and hash < 2^40 keep every partial sum below 2^59, so
+    the BIGINT arithmetic is overflow-free and identical in Spark and
+    DuckDB. Swapping two tokens changes the fingerprint (unlike a
+    bag-of-words hash)."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("pos0", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5(F.col("tok")), 1, FP_HEX), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    return toks.groupBy("doc_id").agg(
+        (F.sum(F.col("pos") * F.col("h")) % F.lit(FP_MOD)).alias("fingerprint")
+    )

@@ -1,0 +1,151 @@
+"""Unit tests for the LLM-pipeline operators: dedup, similarity,
+text stats, multimodal plumbing."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hadoop_search_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+    word_shingles,
+)
+from hadoop_search_spark.operators.multimodal import (
+    decode_media,
+    frame_sample,
+    media_stats,
+    synthesize_media,
+)
+from hadoop_search_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from hadoop_search_spark.operators.textstats import (
+    doc_fingerprint,
+    quality_features,
+    script_counts,
+    token_counts,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "a b c")])
+    got = {r.doc_id: (r.keeper_id, r.group_size) for r in exact_dedup_groups(df).collect()}
+    assert got == {1: (1, 3), 2: (1, 3), 4: (1, 3), 3: (3, 1)}
+
+
+def test_word_shingles(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b")])  # doc 2 shorter than n=3
+    got = {(r.doc_id, r.shingle) for r in word_shingles(df).collect()}
+    assert got == {(1, "a b c"), (1, "b c d")}
+
+
+def test_minhash_identical_docs_pair(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different words entirely unrelated text here now ok fine"),
+        ],
+    )
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_dedup(df).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_ngram_jaccard_threshold(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),  # shares 3 of (4+4-3)... jaccard 3/5
+            (3, "z z z z z z"),
+        ],
+    )
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == pytest.approx(3 / 5)
+    assert all(a != 3 and b != 3 for a, b in pairs)
+
+
+def test_simhash_identical_and_pairs(spark):
+    df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "qq ww ee rr tt yy")])
+    sims = simhash(df)
+    vals = {r.doc_id: r.simhash for r in sims.collect()}
+    assert vals[1] == vals[2]
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(sims, max_hamming=0).collect()}
+    assert pairs == {(1, 2): 0}
+
+
+def test_cosine_topk_hand_vectors(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.1]),   # closest to 0
+        (2, [0.0, 1.0]),   # orthogonal
+        (3, [-1.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = [(r.vec_id, r.cosine) for r in cosine_topk(emb, [0], k=3).orderBy("rn").collect()]
+    assert [v for v, _ in got] == [1, 2, 3]
+    assert got[0][1] == pytest.approx(1 / (1.01) ** 0.5, rel=1e-6)
+    assert got[1][1] == pytest.approx(0.0, abs=1e-9)
+    assert got[2][1] == pytest.approx(-1.0)
+
+
+def test_ann_lsh_subset_of_exact(spark, documents):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, [0, 1], k=5).collect()}
+    approx = ann_lsh_topk(emb, [0, 1], k=5).collect()
+    # every ANN hit must carry the true cosine; ANN is a subset of the
+    # candidate space, ranked identically
+    assert all(r.rn <= 5 for r in approx)
+    assert len(approx) <= 10
+    assert exact  # exact search produced something
+
+
+def test_script_counts(spark):
+    df = _docs(spark, [(1, "hello world"), (2, "你好 世界"), (3, "привет мир"), (4, "123 456")])
+    got = {r.script: r.n for r in script_counts(df).collect()}
+    assert got == {"latin": 1, "cjk": 1, "cyrillic": 1, "other": 1}
+
+
+def test_quality_and_tokens(spark):
+    df = _docs(spark, [(1, "the cat sat on a 99 mat")])
+    q = quality_features(df).collect()[0]
+    assert q.n_tokens == 7
+    assert q.stop_ratio == pytest.approx(3 / 7, abs=1e-9)
+    assert q.digit_ratio == pytest.approx(2 / 23, abs=1e-9)
+    t = token_counts(df).collect()[0]
+    assert t.n_tokens == 7 and t.n_subword_est == 7  # all tokens ≤ 4 chars
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = _docs(spark, [(1, "a b"), (2, "b a"), (3, "a b")])
+    fp = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
+    assert fp[1] == fp[3] and fp[1] != fp[2]
+
+
+def test_multimodal_plumbing(spark, documents):
+    media = synthesize_media(documents.limit(30))
+    stats = {r.kind: r.n for r in media_stats(media).collect()}
+    assert sum(stats.values()) == 30 and set(stats) == {"image", "audio", "video"}
+
+    decoded = decode_media(media)
+    assert decoded.schema.simpleString() == (
+        "struct<media_id:bigint,kind:string,n_bytes:bigint,width:int,"
+        "height:int,n_frames:int,checksum:string>"
+    )
+    rows = decoded.collect()
+    assert len(rows) == 30
+    assert all(r.n_bytes > 0 and len(r.checksum) == 32 for r in rows)
+    # images decode to exactly one frame; videos to many
+    frames = frame_sample(decoded, every_n=30)
+    assert frames.filter(F.col("frame_idx") < 0).count() == 0
+
+    # unknown kind surfaces the decoder's NotImplementedError
+    bad = media.withColumn("kind", F.lit("hologram"))
+    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+        decode_media(bad).collect()
