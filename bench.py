@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Benchmark harness — runs the headline catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is fully materialized with collect() (driver-consumption
+semantics, same as the correctness gate). JVM/session startup and a
+warm-up action are excluded from timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Representative slice of the catalog: relational joins/aggs/windows,
+# the search pipeline (index build + CNF evaluation), dedup,
+# similarity, text stats, and event analytics.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q_window_topk",
+    "wc_top100",
+    "postings_tfidf",
+    "search_phrase",
+    "search_cnf_mixed",
+    "search_stemmed_cnf",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_fingerprint",
+    "events_sessionize",
+]
+
+
+def main() -> int:
+    from hadoop_search_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="hadoop_search_spark_bench", cpus=CPUS)
+
+    qs = entry.queries()
+    # warm-up: JVM + parquet footer caches, not measured
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = len(qs[name](spark, SF_DIR).collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

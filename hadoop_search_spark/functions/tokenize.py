@@ -52,7 +52,9 @@ def tokenize_with_positions(
     position assignment, so positions of surviving tokens reflect their
     place among all tokens.
     """
-    toks = df.select(
+    from hadoop_search_spark.partitioning import spread
+
+    toks = spread(df.select(id_col, text_col), id_col).select(
         F.col(id_col),
         F.posexplode(tokens_array(F.col(text_col))).alias("pos0", "token"),
     ).select(

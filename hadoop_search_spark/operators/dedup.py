@@ -64,6 +64,8 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def word_shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_SIZE) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    from hadoop_search_spark.partitioning import spread
+
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     shingles = F.when(
@@ -73,7 +75,11 @@ def word_shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_SIZE
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    return (
+        spread(docs.select("doc_id", F.col(text_col)), "doc_id")
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
 
 
 # ------------------------------------------------------- MinHash + LSH
@@ -111,6 +117,43 @@ def lsh_bands(signatures: DataFrame, band_rows: int = LSH_BAND_ROWS) -> DataFram
             ),
             ",",
         ).alias("band_key")
+    )
+
+
+def minhash_bands_wide(
+    shingles: DataFrame,
+    num_hashes: int = NUM_MINHASHES,
+    band_rows: int = LSH_BAND_ROWS,
+) -> DataFrame:
+    """(doc_id, band, band_key) in ONE shuffle: the k min-hashes are k
+    min-aggregates over the shingle stream (no k-fold row explosion),
+    and bands are a post-aggregation column explode.
+
+    Produces byte-identical band keys to :func:`lsh_bands` ∘
+    :func:`minhash_signatures`; this is the scale path — shuffle
+    volume is |shingles|, not k·|shingles|."""
+    aggs = [
+        F.min(
+            _md5_int(F.concat_ws(":", F.lit(i), F.col("shingle")), _MH_HEX)
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    wide = shingles.groupBy("doc_id").agg(*aggs)
+    n_bands = num_hashes // band_rows
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"mh{b * band_rows + j}") for j in range(band_rows)],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
     )
 
 
@@ -165,10 +208,14 @@ def minhash_lsh_dedup(
     band_rows: int = LSH_BAND_ROWS,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bucket join →
-    exact-Jaccard verify. Returns (doc_a, doc_b, jaccard) pairs."""
-    sh = word_shingles(docs, text_col)
-    sig = minhash_signatures(sh, num_hashes)
-    cand = minhash_lsh_candidates(lsh_bands(sig, band_rows))
+    exact-Jaccard verify. Returns (doc_a, doc_b, jaccard) pairs.
+
+    The shingle set is persisted: the DAG references it three times
+    (signatures, sizes, the two verify sides) and without caching
+    Spark would re-explode the corpus for each. Signatures use the
+    one-shuffle wide form (:func:`minhash_bands_wide`)."""
+    sh = word_shingles(docs, text_col).persist()
+    cand = minhash_lsh_candidates(minhash_bands_wide(sh, num_hashes, band_rows))
     return jaccard_verify(cand, sh, threshold)
 
 
@@ -180,7 +227,9 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
 
     Token hash = 40-bit md5 int; each bit votes ±tf; bit set when the
     vote sum is positive. All arithmetic < 2^63 in both engines."""
-    toks = docs.select(
+    from hadoop_search_spark.partitioning import spread
+
+    toks = spread(docs.select("doc_id", text_col), "doc_id").select(
         "doc_id", F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
@@ -242,7 +291,7 @@ def ngram_jaccard_pairs(
     no-LSH baseline. Candidate generation is the shared-shingle join
     (docs with zero overlap never pair), so complexity is output-
     bound, not n^2."""
-    sh = word_shingles(docs, text_col, n)
+    sh = word_shingles(docs, text_col, n).persist()
     cand = (
         sh.withColumnRenamed("doc_id", "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b"), "shingle")

@@ -108,11 +108,14 @@ def build_postings(
         F.sort_array(F.collect_list("pos")).alias("positions"),
     )
 
-    # A4: per-term document frequency. Window over term would resort;
-    # a groupBy + join keeps both sides term-partitioned (one shuffle,
-    # reused by AQE) and the df side is tiny → broadcast.
-    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df_counts), "term")
+    # A4: per-term document frequency as a count window over term.
+    # A groupBy + join would force the (tokenize→stem→tf) subtree to
+    # compute twice — Catalyst does not share subtrees across a
+    # broadcast exchange — so the window's single extra shuffle is the
+    # cheaper plan at every scale.
+    from pyspark.sql import Window
+
+    scored = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
 
     if num_docs is None:
         num_docs = documents.count()
@@ -124,6 +127,7 @@ def build_postings(
         "term",
         "doc_id",
         "tf",
+        "df",
         "positions",
         score.alias("score"),
     )

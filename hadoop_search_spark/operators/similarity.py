@@ -59,13 +59,16 @@ def cosine_topk(
 
     Returns (query_id, vec_id, cosine, rn), self-matches excluded.
     The query set joins in as a broadcast — the big side streams."""
+    from hadoop_search_spark.partitioning import spread
+
     q = (
         embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
         .select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
         )
     )
-    pairs = embeddings.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    corpus = spread(embeddings, "vec_id")
+    pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     cos = F.round(
         _dot(F.col("embedding"), F.col("q_emb"))
         / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
@@ -120,7 +123,9 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: search only the query's sign-projection
     bucket. Same output shape as :func:`cosine_topk`; recall < 1."""
-    bucketed = embeddings.withColumn(
+    from hadoop_search_spark.partitioning import spread
+
+    bucketed = spread(embeddings, "vec_id").withColumn(
         "bucket", lsh_bucket(F.col("embedding"), num_planes, dim)
     )
     q = (

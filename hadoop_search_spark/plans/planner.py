@@ -283,10 +283,26 @@ class SearchEngine:
     # ---- public API --------------------------------------------------
 
     def plan(self, query: str) -> DataFrame:
-        """Lower ``query`` to a (doc_id, score) DataFrame, unranked."""
+        """Lower ``query`` to a (doc_id, score) DataFrame, unranked.
+
+        The index is first pruned to the query's term set and
+        persisted — the Spark form of the reference's map-side
+        semi-join (J8, `code/query/QueryMapred.java:56-61`): every
+        leaf then reads the (tiny) cached posting subset instead of
+        re-running the index scan per operand. The subsequent
+        ``_term_stats`` action materializes the cache."""
         tree = P.parse_query(query, self.stopwords, stem=self.stem)
-        stats = self._term_stats(P.query_terms(tree))
-        result = self._evaluate(tree, stats)
+        terms = P.query_terms(tree)
+        full_postings = self.postings
+        if terms:
+            self.postings = self.postings.filter(
+                F.col("term").isin(*terms)
+            ).persist()
+        try:
+            stats = self._term_stats(terms)
+            result = self._evaluate(tree, stats)
+        finally:
+            self.postings = full_postings
         if result.type == P.IGNORED:
             return self._empty().select("doc_id", "score")
         if result.type == P.NEGATED:

@@ -1,0 +1,156 @@
+"""Structured Streaming over the events table (SURVEY.md §2.7, §7).
+
+The reference is batch-only; this module is the north-star extension:
+the same event analytics the batch catalog exposes, expressed as
+incremental streaming queries so they run unchanged against Kafka/
+files at production scale.
+
+* tumbling / sliding windowed aggregates with event-time watermarks;
+* session windows (native ``session_window``);
+* a custom stateful operator via ``applyInPandasWithState`` (running
+  per-user spend + event count — the pattern for any bespoke online
+  aggregate Spark lacks).
+
+Tests drive these with the parquet fixture as a bounded stream
+(memory sink + ``processAllAvailable``) and assert stream/batch
+equivalence where the semantics promise it.
+
+Scale notes: watermarks bound state; session/window state is keyed by
+(user, window) and distributes across executors; the Pandas-UDF
+stateful path receives Arrow batches per key group.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# events fixture schema with ts as raw TIMESTAMP(NANOS)-as-long
+EVENTS_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a bounded file stream. The file-stream
+    source requires a directory, so read the sf dir with a glob filter
+    for the events file. The TIMESTAMP(NANOS) column reads as long
+    nanos (same workaround as the batch path) and converts via exact
+    integer division."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour counts + value sums per event type — streaming
+    twin of catalog ``events_hourly``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_error_rate(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """10-minute windows sliding every 5: error share of all events."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_us"),
+            "n",
+            "n_err",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows per user — the streaming form of the
+    batch gaps-and-islands sessionization (catalog
+    ``events_sessionize``)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+RUNNING_TOTALS_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+_STATE_SCHEMA = "n BIGINT, total DOUBLE"
+
+
+def _running_totals_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful op: per-user running (count, spend)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """``applyInPandasWithState`` running totals per user — the
+    template for bespoke online aggregates (counters, decayed scores,
+    fraud heuristics) that built-in windows can't express."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a bounded stream to completion into an in-memory table;
+    returns the started-and-stopped query. For tests/smoke."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,118 @@
+"""Structured Streaming tests: drive the parquet fixture as a bounded
+stream and assert stream/batch equivalence."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hadoop_search_spark.streaming.events import (
+    hourly_counts,
+    read_events_stream,
+    run_to_memory,
+    running_user_totals,
+    session_windows,
+    sliding_error_rate,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return read_events_stream(spark, SF)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def test_stream_hourly_equals_batch(spark, events_stream, events_batch):
+    run_to_memory(hourly_counts(events_stream), "hourly_out", "complete")
+    got = {
+        (r.hour_us, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM hourly_out").collect()
+    }
+    want = {
+        (r.hour_us, r.event_type): (r.n, r.sum_value)
+        for r in (
+            events_batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+            .select(
+                F.unix_micros(F.col("w.start")).alias("hour_us"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+            .collect()
+        )
+    }
+    assert got.keys() == want.keys()
+    for k, (n, sv) in want.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(sv, rel=1e-9)
+
+
+def test_sliding_windows_overlap(spark, events_stream):
+    run_to_memory(sliding_error_rate(events_stream), "sliding_out", "complete")
+    rows = spark.sql("SELECT * FROM sliding_out ORDER BY win_us").collect()
+    assert len(rows) > 0
+    # sliding by 5 min: consecutive window starts differ by a multiple
+    # of 5 minutes; every event is counted in ≤2 windows
+    starts = [r.win_us for r in rows]
+    assert all((b - a) % (5 * 60 * 1_000_000) == 0 for a, b in zip(starts, starts[1:]))
+    total_events = spark.sql("SELECT sum(n) AS s FROM sliding_out").collect()[0].s
+    assert total_events == 2 * 1000  # each event in exactly 2 windows
+
+
+def test_session_windows(spark, events_stream, events_batch):
+    run_to_memory(session_windows(events_stream), "sessions_out", "complete")
+    rows = spark.sql("SELECT * FROM sessions_out").collect()
+    assert len(rows) > 0
+    # session count per user must match the batch gaps-and-islands count
+    stream_sessions = (
+        spark.sql("SELECT user_id, count(*) AS c FROM sessions_out GROUP BY user_id")
+        .collect()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    batch_sessions = (
+        events_batch.withColumn(
+            "new_s", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("c"))
+        .collect()
+    )
+    assert {(r.user_id, r.c) for r in stream_sessions} == {
+        (r.user_id, r.c) for r in batch_sessions
+    }
+
+
+def test_stateful_running_totals(spark, events_stream, events_batch):
+    run_to_memory(running_user_totals(events_stream), "totals_out", "update")
+    # last update per user == full batch totals
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            """SELECT user_id, max_by(n_events, n_events) AS n_events,
+                      max_by(total_value, n_events) AS total_value
+               FROM totals_out GROUP BY user_id"""
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.tv)
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for u, (n, tv) in want.items():
+        assert got[u][0] == n
+        assert got[u][1] == pytest.approx(tv, rel=1e-9)
