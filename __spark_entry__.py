@@ -19,24 +19,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
     End-to-end search slice: build the TF-IDF positional inverted
     index over ``documents`` (tokenize → filter → stem → tf/df →
-    score), evaluate a CNF boolean query, rank by score, return the
-    top page joined back to the corpus (SURVEY.md §7 phase 1).
+    score), evaluate a CNF boolean query through the join-DAG planner
+    (phrase proximity + negation algebra included), rank by score,
+    and return the top page joined back to the corpus.
     """
     from pyspark.sql import functions as F
 
     from hadoop_search_spark.operators.index import build_postings
+    from hadoop_search_spark.plans.planner import SearchEngine
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     postings = build_postings(docs, num_docs=500, stem=True)
-    ranked = (
-        postings.filter(F.col("term") == "spark")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(10)
+    engine = SearchEngine(spark, postings, documents=docs)
+    ranked = engine.search("(spark or streams) and window and not dup")
+    return (
+        ranked.limit(10)
         .join(docs.select("doc_id", "text", "lang", "source"), "doc_id")
         .select("doc_id", "score", "lang", "source", "text")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
-    return ranked
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

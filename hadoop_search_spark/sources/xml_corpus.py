@@ -1,0 +1,96 @@
+"""Wikipedia-dump XML ingestion — reference operators S1/S2/S4/P1
+(SURVEY.md §2.1-2.2; `hadoop_wiki_search/util/XMLInputFormat.java`,
+`util/WikipediaPageInputFormat.java`,
+`code/corpus/CorpusSplitMapred.java`).
+
+The reference hand-rolls a split-boundary-safe streaming XML record
+reader over (possibly gzipped) dumps, binds ``<page>…</page>`` blocks
+to a WikipediaPage, and writes two MapFile corpora (clean text +
+HTML). Spark 4 ships a native XML source that does the record
+splitting, schema binding, and codec handling (gzip transparently) —
+so the entire ~350 LoC of S1+S2 reduces to
+``spark.read.format("xml").option("rowTag", "page")``.
+
+The wiki-markup → clean-text step lives in the reference's external
+cloud9 dependency; here it is a small Catalyst regex chain (strip
+templates, links, refs, markup) — same shape, documented
+approximation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+PAGE_SCHEMA = "id BIGINT, title STRING, revision STRUCT<text: STRING>"
+
+
+def read_wiki_xml(spark: SparkSession, path: str) -> DataFrame:
+    """S1+S2: dump file(s) → one row per ``<page>`` element.
+
+    Handles gzipped dumps transparently (the XML source inherits
+    Hadoop codec handling, the Spark form of
+    `XMLInputFormat.java:137-153`). The explicit schema keeps
+    ``revision.text`` a string — real dumps escape markup inside
+    ``<text>``, and schema inference would otherwise explode embedded
+    entities into nested structs."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "page")
+        .schema(PAGE_SCHEMA)
+        .load(path)
+    )
+
+
+def strip_wiki_markup(text: Column) -> Column:
+    """Approximate the reference's cloud9 ``getContent()`` clean-up:
+    drop templates, xml/html tags, refs; unwrap [[links]] and quotes."""
+    t = F.coalesce(text.cast("string"), F.lit(""))
+    t = F.regexp_replace(t, r"\{\{[^{}]*\}\}", " ")  # templates
+    t = F.regexp_replace(t, r"<ref[^>]*>.*?</ref>", " ")  # refs
+    t = F.regexp_replace(t, r"<[^>]+>", " ")  # tags
+    t = F.regexp_replace(t, r"\[\[(?:[^\[\]|]*\|)?([^\[\]]*)\]\]", r"$1")  # links
+    t = F.regexp_replace(t, r"'{2,}", "")  # bold/italic quotes
+    return F.regexp_replace(t, r"\s+", " ")
+
+
+def html_escape(text: Column) -> Column:
+    """The display/HTML corpus escapes angle brackets — inverse of the
+    fetch-side unescape (`util/CorpusFetcher.java:255`, P10)."""
+    t = F.coalesce(text.cast("string"), F.lit(""))
+    return F.regexp_replace(F.regexp_replace(t, "<", "&#60;"), ">", "&#62;")
+
+
+def corpus_split(pages: DataFrame, corpus_type: str = "string") -> DataFrame:
+    """P1: project pages to ``(doc_id, title, content)`` choosing clean
+    text vs HTML by ``corpus_type`` (`CorpusSplitMapred.java:38-50`);
+    rows with null id/text are dropped (the reference NPE-catches).
+
+    The reference stores ``title\\ncontent`` as one blob
+    (`util/CorpusFetcher.java:106-107`); we keep title a typed column.
+    """
+    raw_text = F.col("revision.text").cast("string")
+    content = (
+        html_escape(raw_text) if corpus_type == "html" else strip_wiki_markup(raw_text)
+    )
+    return (
+        pages.select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            F.col("title").cast("string").alias("title"),
+            content.alias("content"),
+        )
+        .dropna(subset=["doc_id", "content"])
+    )
+
+
+def write_corpus(corpus: DataFrame, path: str, num_partitions: int | None = None) -> None:
+    """S4: publish sorted by doc_id so point fetches (S8) prune row
+    groups — the parquet form of the MapFile's key index
+    (`CorpusSplitMapred.java:99-103`)."""
+    df = corpus
+    if num_partitions:
+        df = df.repartitionByRange(num_partitions, "doc_id")
+    else:
+        df = df.orderBy("doc_id")
+    df.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(path)

@@ -1,0 +1,100 @@
+"""Scale-design assertions: physical plans must show partition
+pruning, predicate pushdown, broadcast joins, and whole-stage codegen
+— the properties that make the engine viable at 100 TB
+(ARCHITECTURE.md "Scale design")."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hadoop_search_spark.operators.index import build_postings, write_index
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, documents, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("index") / "postings")
+    postings = build_postings(documents, num_docs=500, stem=False)
+    write_index(postings, path, num_partitions=10)
+    return path
+
+
+def test_index_written_range_partitioned(spark, index_path):
+    import glob
+
+    files = glob.glob(f"{index_path}/part-*")
+    assert len(files) == 10  # reference: 10 term-range partitions
+
+    # each term lives in exactly one file (global range partitioning)
+    reloaded = spark.read.parquet(index_path)
+    spread = (
+        reloaded.select("term", F.input_file_name().alias("f"))
+        .groupBy("term")
+        .agg(F.countDistinct("f").alias("nf"))
+        .agg(F.max("nf").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert spread == 1
+
+
+def test_term_filter_prunes_to_one_file(spark, index_path):
+    reloaded = spark.read.parquet(index_path)
+    hit = reloaded.filter(F.col("term") == "table")
+    files_read = hit.select(F.input_file_name().alias("f")).distinct().count()
+    assert files_read == 1  # min/max footer stats prune the other 9
+
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(term,table)" in plan
+
+
+def test_point_lookup_pushdown(spark, documents):
+    plan = (
+        documents.filter(F.col("doc_id") == 42)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "EqualTo(doc_id,42)" in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    from hadoop_search_spark.catalog import q5_local_supplier_volume
+
+    df = q5_local_supplier_volume(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tokenize_stays_in_codegen(spark, documents):
+    from hadoop_search_spark.functions.tokenize import tokenize_with_positions
+
+    df = tokenize_with_positions(documents)
+    jvm = spark.sparkContext._jvm
+    codegen = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+    assert "WholeStageCodegen" in codegen
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # no Python in the tokenize path
+
+
+def test_no_cartesian_in_dedup(spark, documents):
+    from hadoop_search_spark.operators.dedup import minhash_lsh_dedup
+
+    plan = (
+        minhash_lsh_dedup(documents.limit(50))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_search_plan_is_join_dag_not_collect(spark, documents):
+    from hadoop_search_spark.plans.planner import SearchEngine
+
+    postings = build_postings(documents, num_docs=500, stem=False)
+    engine = SearchEngine(spark, postings, documents=documents, stem=None)
+    df = engine.plan("(table) and (scan or merge)")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # evaluation is a distributed join DAG (the reference funnels all
+    # posting lists to a single reducer)
+    assert "Join" in plan
