@@ -435,10 +435,17 @@ def _plain_engine(spark: SparkSession, sf_dir: str):
     from hadoop_search_spark.operators.index import build_postings
     from hadoop_search_spark.plans.planner import SearchEngine
 
+    from pyspark import StorageLevel
+
     key = (id(spark), sf_dir, "plain")
     if key not in _ENGINE_CACHE:
         docs = _t(spark, sf_dir, "documents")
-        postings = build_postings(docs, num_docs=None, stem=False).persist()
+        # DISK_ONLY: the columnar in-memory cache is pathologically slow
+        # building batches for the positions ARRAY column (~7x the cost
+        # of computing the pipeline); row-serialized disk cache is not.
+        postings = build_postings(docs, num_docs=None, stem=False).persist(
+            StorageLevel.DISK_ONLY
+        )
         _ENGINE_CACHE[key] = SearchEngine(spark, postings, documents=docs, stem=None)
     return _ENGINE_CACHE[key]
 
@@ -637,14 +644,17 @@ def search_stemmed_cnf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.operators.index import build_postings, stop_words
     from hadoop_search_spark.plans.planner import SearchEngine
 
+    from pyspark import StorageLevel
+
     key = (id(spark), sf_dir, "stemmed")
     if key not in _ENGINE_CACHE:
         docs = _t(spark, sf_dir, "documents")
         stopword_list = [r.word for r in stop_words(docs, k=2).collect()]
         sw = spark.createDataFrame([(w,) for w in stopword_list], "word STRING")
+        # DISK_ONLY — see _plain_engine (array-column columnar cache cost)
         postings = build_postings(
             docs, stopwords=sw, num_docs=None, stem=True
-        ).persist()
+        ).persist(StorageLevel.DISK_ONLY)
         _ENGINE_CACHE[key] = SearchEngine(
             spark, postings, documents=docs, stopwords=stopword_list
         )
@@ -1116,6 +1126,62 @@ def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.operators.multimodal import decode_media, synthesize_media
 
     return decode_media(synthesize_media(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "q_scalar_functions",
+    oracle="""
+SELECT p_partkey,
+  lower(p_name) AS name_lower,
+  substr(p_type, 1, 5) AS type_prefix,
+  regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked,
+  concat(p_brand, ':', p_type) AS brand_type,
+  length(p_name) AS name_len,
+  abs(p_size - 25) AS size_dev,
+  round(pow(p_retailprice, 0.5), 9) AS price_sqrt,
+  round((1 + log10(p_size)) * ln(p_retailprice), 9) AS log_shape,
+  printf('%.3f', p_retailprice) AS price_fmt
+FROM part
+""",
+    note="scalar surface (SURVEY §2.6): string/regex/math/format functions",
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.regexp_replace("p_brand", "[0-9]+", "#").alias("brand_masked"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.abs(F.col("p_size") - 25).cast("bigint").alias("size_dev"),
+        F.round(F.pow("p_retailprice", F.lit(0.5)), 9).alias("price_sqrt"),
+        F.round(
+            (F.lit(1) + F.log10("p_size")) * F.log("p_retailprice"), 9
+        ).alias("log_shape"),
+        F.format_string("%.3f", "p_retailprice").alias("price_fmt"),
+    )
+
+
+@register(
+    "q_date_parts",
+    oracle="""
+SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders GROUP BY 1, 2
+""",
+    note="timestamp part extraction + monthly rollup",
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
 
 
 # ---- public accessors -------------------------------------------------

@@ -295,9 +295,13 @@ class SearchEngine:
         terms = P.query_terms(tree)
         full_postings = self.postings
         if terms:
+            from pyspark import StorageLevel
+
+            # DISK_ONLY: columnar caching of the positions ARRAY column
+            # costs multiples of computing it (see catalog._plain_engine)
             self.postings = self.postings.filter(
                 F.col("term").isin(*terms)
-            ).persist()
+            ).persist(StorageLevel.DISK_ONLY)
         try:
             stats = self._term_stats(terms)
             result = self._evaluate(tree, stats)

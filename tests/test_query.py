@@ -162,6 +162,8 @@ CORPUS_QUERIES = [
     "not table",
     "table and scan or merge",
     "table or not scan",
+    "not table or not scan",
+    "not (not table or not scan)",
     "window window",
     "fast and the",
 ]
