@@ -1184,6 +1184,48 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_set_ops",
+    oracle="""
+SELECT 'inter' AS op, k FROM (
+  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey AS k FROM orders)
+UNION ALL
+SELECT 'exc' AS op, k FROM (
+  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT o_custkey AS k FROM orders)
+""",
+    note="set operations: INTERSECT / EXCEPT (distinct semantics) + UNION ALL",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    building = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    ordered = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    inter = building.intersect(ordered).select(F.lit("inter").alias("op"), "k")
+    exc = building.exceptAll(ordered).distinct().select(F.lit("exc").alias("op"), "k")
+    return inter.unionByName(exc)
+
+
+@register(
+    "q_approx_stats",
+    oracle=None,
+    note="sketch aggregates (HLL distinct, approximate quantiles) — "
+    "engine-specific algorithms, rows-only check",
+)
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price"),
+    )
+
+
 # ---- public accessors -------------------------------------------------
 
 
