@@ -57,6 +57,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ensure_utc(spark: SparkSession) -> None:
+    """Timestamp-surfacing entries assume a UTC session: the fixture
+    timestamps are NTZ, and converting them through session-zoned
+    types (``cast("timestamp")``, ``timestamp_micros``, ``window``)
+    must not shift epochs relative to DuckDB's zone-naive arithmetic.
+    The driver is expected to run UTC; this makes it explicit."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as a proper timestamp.
 
@@ -66,6 +75,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     on 19-digit nanos). Truncation direction matches DuckDB's
     nanos→micros read.
     """
+    _ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") == "bigint":
@@ -168,6 +178,7 @@ LIMIT 10
     note="TPC-H Q3 shape: 3-way join + agg + deterministic top-10",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_utc(spark)  # orderdate_us goes through an NTZ→LTZ cast
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
