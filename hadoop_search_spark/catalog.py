@@ -805,6 +805,23 @@ WHERE round(s.shared / (za.n_sh + zb.n_sh - s.shared), 9) >= 0.5
 """
 
 
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized persisted shingle set per (session, sf_dir): dedup
+    queries share one materialization instead of stacking a new cache
+    entry per call (unbounded persists eventually thrash the
+    MemoryStore)."""
+    from pyspark import StorageLevel
+
+    from hadoop_search_spark.operators.dedup import word_shingles
+
+    key = (id(spark), sf_dir, "shingles")
+    if key not in _ENGINE_CACHE:
+        _ENGINE_CACHE[key] = word_shingles(_t(spark, sf_dir, "documents")).persist(
+            StorageLevel.DISK_ONLY
+        )
+    return _ENGINE_CACHE[key]
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -849,7 +866,9 @@ cand AS (
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.operators.dedup import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), threshold=0.5, shingles=_shingles(spark, sf_dir)
+    )
 
 
 @register(
@@ -867,7 +886,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, shingles=_shingles(spark, sf_dir)
+    )
 
 
 _SIMHASH_CTE = """

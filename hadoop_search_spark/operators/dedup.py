@@ -206,15 +206,19 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
     num_hashes: int = NUM_MINHASHES,
     band_rows: int = LSH_BAND_ROWS,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bucket join →
     exact-Jaccard verify. Returns (doc_a, doc_b, jaccard) pairs.
 
-    The shingle set is persisted: the DAG references it three times
-    (signatures, sizes, the two verify sides) and without caching
-    Spark would re-explode the corpus for each. Signatures use the
-    one-shuffle wide form (:func:`minhash_bands_wide`)."""
-    sh = word_shingles(docs, text_col).persist()
+    The DAG references the shingle set four times (signatures, sizes,
+    the two verify sides); pass a caller-persisted ``shingles``
+    (``word_shingles(docs)``) to compute it once. Persistence is
+    deliberately caller-owned — an operator that persists internally
+    on every call leaks cache entries until the MemoryStore thrashes.
+    Signatures use the one-shuffle wide form
+    (:func:`minhash_bands_wide`)."""
+    sh = shingles if shingles is not None else word_shingles(docs, text_col)
     cand = minhash_lsh_candidates(minhash_bands_wide(sh, num_hashes, band_rows))
     return jaccard_verify(cand, sh, threshold)
 
@@ -286,12 +290,14 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = SHINGLE_SIZE,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs via shingle-set self-join — the
     no-LSH baseline. Candidate generation is the shared-shingle join
     (docs with zero overlap never pair), so complexity is output-
-    bound, not n^2."""
-    sh = word_shingles(docs, text_col, n).persist()
+    bound, not n^2. Persistence of ``shingles`` is caller-owned (see
+    :func:`minhash_lsh_dedup`)."""
+    sh = shingles if shingles is not None else word_shingles(docs, text_col, n)
     cand = (
         sh.withColumnRenamed("doc_id", "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b"), "shingle")
