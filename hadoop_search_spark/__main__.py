@@ -1,0 +1,131 @@
+"""Command-line interface — usage parity with the reference's drivers
+(SURVEY.md §3):
+
+* ``index``  — the offline pipeline (CorpusSplit→WordCount→DocCount→
+  InvertedIndex chain): corpus parquet → published index + stopwords.
+* ``search`` — `code/query/QueryMapred.main`: CNF query + page number
+  → ranked, snippeted, highlighted results. Output format mirrors the
+  reference (`util/CorpusFetcher.java:91,108`): a ``count/pages``
+  header, then ``doc_id``/score/snippet records separated by
+  ``$RST$``.
+* ``fetch``  — `code/query/DocGetter.main`: print one document by id.
+
+Examples::
+
+    python -m hadoop_search_spark index --corpus /root/testdata/sf0.001/documents.parquet --out /tmp/idx
+    python -m hadoop_search_spark search "spark and not dup" --page 1 --index /tmp/idx --corpus /root/testdata/sf0.001/documents.parquet
+    python -m hadoop_search_spark search "table scan" --corpus /root/testdata/sf0.001/documents.parquet
+    python -m hadoop_search_spark fetch 42 --corpus /root/testdata/sf0.001/documents.parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(cpus: int):
+    from hadoop_search_spark.session import get_spark
+
+    return get_spark(app_name="hadoop_search_spark_cli", cpus=cpus)
+
+
+def cmd_index(args) -> int:
+    from hadoop_search_spark.operators.index import build_index_tables, write_index
+
+    spark = _spark(args.cpus)
+    docs = spark.read.parquet(args.corpus)
+    tabs = build_index_tables(spark, docs, num_stop_words=args.stopwords)
+    write_index(tabs["postings"], f"{args.out}/postings", num_partitions=args.partitions)
+    tabs["stopwords"].coalesce(1).write.mode("overwrite").parquet(f"{args.out}/stopwords")
+    tabs["corpus_stats"].coalesce(1).write.mode("overwrite").parquet(
+        f"{args.out}/corpus_stats"
+    )
+    n = spark.read.parquet(f"{args.out}/postings").count()
+    print(f"indexed: {n} postings -> {args.out}")
+    spark.stop()
+    return 0
+
+
+def _engine(spark, args):
+    from hadoop_search_spark.operators.index import build_postings
+    from hadoop_search_spark.plans.planner import SearchEngine
+
+    docs = spark.read.parquet(args.corpus)
+    if args.index:
+        postings = spark.read.parquet(f"{args.index}/postings")
+        stopwords = [
+            r.word for r in spark.read.parquet(f"{args.index}/stopwords").collect()
+        ]
+    else:
+        postings = build_postings(docs, num_docs=None, stem=True)
+        stopwords = []
+    return SearchEngine(spark, postings, documents=docs, stopwords=stopwords), docs
+
+
+def cmd_search(args) -> int:
+    from hadoop_search_spark.plans.results import PAGE_SIZE, render_page
+
+    spark = _spark(args.cpus)
+    engine, docs = _engine(spark, args)
+    total, rows = render_page(engine, docs, args.query, args.page)
+    pages = max(1, -(-total // PAGE_SIZE))
+    print(f"{total}/{pages}")  # reference header: resultNum/pageNum
+    for r in rows:
+        print(f"{r['doc_id']}\n{r['score']:.3f}\n{r['snippet']}$RST$")
+    spark.stop()
+    return 0
+
+
+def cmd_fetch(args) -> int:
+    from pyspark.sql import functions as F
+
+    from hadoop_search_spark.plans.results import fetch_docs, unescape_html
+
+    spark = _spark(args.cpus)
+    docs = spark.read.parquet(args.corpus)
+    text_col = "text" if "text" in docs.columns else docs.columns[-1]
+    rows = (
+        fetch_docs(docs, [args.doc_id])
+        .select(unescape_html(F.col(text_col)).alias("content"))
+        .collect()
+    )
+    if not rows:
+        print(f"doc {args.doc_id} not found", file=sys.stderr)
+        spark.stop()
+        return 1
+    print(rows[0].content)
+    spark.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="hadoop_search_spark")
+    p.add_argument("--cpus", type=int, default=8)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build + publish the inverted index")
+    pi.add_argument("--corpus", required=True, help="corpus parquet path")
+    pi.add_argument("--out", required=True, help="output index dir")
+    pi.add_argument("--stopwords", type=int, default=100)
+    pi.add_argument("--partitions", type=int, default=10)
+    pi.set_defaults(fn=cmd_index)
+
+    ps = sub.add_parser("search", help="run a CNF boolean query")
+    ps.add_argument("query")
+    ps.add_argument("--page", type=int, default=1)
+    ps.add_argument("--corpus", required=True)
+    ps.add_argument("--index", help="published index dir (else build in-session)")
+    ps.set_defaults(fn=cmd_search)
+
+    pf = sub.add_parser("fetch", help="print one document by id")
+    pf.add_argument("doc_id", type=int)
+    pf.add_argument("--corpus", required=True)
+    pf.set_defaults(fn=cmd_fetch)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
