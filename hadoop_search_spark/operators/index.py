@@ -170,3 +170,97 @@ def build_index_tables(
     postings = build_postings(documents, stopwords=sw, num_docs=n, stem=stem)
     corpus_stats = spark.createDataFrame([(n,)], "doc_num BIGINT")
     return {"postings": postings, "stopwords": sw, "corpus_stats": corpus_stats}
+
+
+def term_doc_stats(
+    documents: DataFrame,
+    stopwords: DataFrame | None = None,
+    stem: bool = True,
+) -> DataFrame:
+    """The corpus-size-independent core of the index:
+    (term, doc_id, tf, positions). tf and positions depend only on the
+    document itself, never on the rest of the corpus — which is what
+    makes the index incrementally maintainable."""
+    toks = tokenize_with_positions(documents, drop_numeric=True, require_alnum=True)
+    if stopwords is not None:
+        toks = toks.join(
+            F.broadcast(stopwords.withColumnRenamed("word", "token")),
+            on="token",
+            how="left_anti",
+        )
+    term = porter_stem_udf(F.col("token")) if stem else F.col("token")
+    return (
+        toks.select(term.alias("term"), "doc_id", "pos")
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+
+
+def rescore(tf_stats: DataFrame, num_docs: int) -> DataFrame:
+    """df + tf-idf over per-(term,doc) stats — the only corpus-global
+    step of index construction, and therefore the only work an
+    incremental merge repeats."""
+    from pyspark.sql import Window
+
+    scored = tf_stats.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    score = (F.lit(1.0) + F.log10(F.col("tf"))) * F.log(
+        F.lit(float(num_docs)) / F.col("df")
+    )
+    return scored.select("term", "doc_id", "tf", "df", "positions", score.alias("score"))
+
+
+def merge_index(
+    existing_postings: DataFrame,
+    existing_num_docs: int,
+    new_documents: DataFrame,
+    stopwords: DataFrame | None = None,
+    stem: bool = True,
+) -> tuple[DataFrame, int]:
+    """Incrementally extend a published index with new documents —
+    beyond the reference, which rebuilds from scratch
+    (SURVEY.md §3.2; the MapReduce chain has no incremental path).
+
+    Only the new documents are tokenized/stemmed; the existing index
+    contributes its stored (term, doc_id, tf, positions) rows
+    unchanged, and the corpus-global df/score columns are recomputed
+    over the union (idf shifts for every term when the corpus grows —
+    there is no way around rescoring, but rescoring is one window over
+    the union, no re-tokenization).
+
+    New doc_ids must not collide with existing ones (caller enforces —
+    e.g. monotone ingest ids). Returns (postings, num_docs).
+    """
+    new_stats = term_doc_stats(new_documents, stopwords=stopwords, stem=stem)
+    old_stats = existing_postings.select("term", "doc_id", "tf", "positions")
+    num_docs = existing_num_docs + new_documents.count()
+    return rescore(old_stats.unionByName(new_stats), num_docs), num_docs
+
+
+def write_index_bucketed(
+    postings: DataFrame,
+    table_name: str,
+    path: str,
+    num_buckets: int = NUM_INDEX_PARTITIONS,
+) -> None:
+    """Publish the index hash-bucketed + sorted by term via the table
+    catalog — the co-location alternative to range partitioning:
+    downstream term-keyed aggregations and self-joins (df maintenance,
+    index stats, term-term co-occurrence) read pre-hashed buckets and
+    skip their shuffle entirely (no Exchange in the plan).
+
+    Range partitioning (``write_index``) remains the default publish
+    format — it gives min/max file pruning for point term lookups;
+    bucketing serves the maintenance/analytics side. Registered as an
+    external table at ``path``.
+    """
+    (
+        postings.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, "term")
+        .sortBy("term", "doc_id")
+        .saveAsTable(table_name)
+    )

@@ -98,3 +98,23 @@ def test_search_plan_is_join_dag_not_collect(spark, documents):
     # evaluation is a distributed join DAG (the reference funnels all
     # posting lists to a single reducer)
     assert "Join" in plan
+
+
+def test_bucketed_index_aggregates_without_shuffle(spark, documents, tmp_path):
+    from hadoop_search_spark.operators.index import write_index_bucketed
+
+    postings = build_postings(documents, num_docs=500, stem=False)
+    write_index_bucketed(postings, "postings_bucketed", str(tmp_path / "bidx"))
+    try:
+        tbl = spark.table("postings_bucketed")
+        assert tbl.count() == postings.count()
+        # term-keyed aggregation over the bucketed table needs no shuffle
+        agg = tbl.groupBy("term").agg(F.sum("tf").alias("s"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # and results match the unbucketed aggregation
+        want = {r.term: r.s for r in postings.groupBy("term").agg(F.sum("tf").alias("s")).collect()}
+        got = {r.term: r.s for r in agg.collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS postings_bucketed")
