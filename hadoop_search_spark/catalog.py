@@ -441,6 +441,13 @@ postings AS (
 _ENGINE_CACHE: dict = {}
 
 
+def _session_key(spark: SparkSession) -> str:
+    # applicationId is unique per SparkContext lifetime; id(spark) can
+    # be recycled by the allocator after a session is stopped, which
+    # would serve DataFrames bound to a dead context
+    return spark.sparkContext.applicationId
+
+
 def _plain_engine(spark: SparkSession, sf_dir: str):
     """Un-stemmed, no-stop-word engine over the documents fixture."""
     from hadoop_search_spark.operators.index import build_postings
@@ -448,7 +455,7 @@ def _plain_engine(spark: SparkSession, sf_dir: str):
 
     from pyspark import StorageLevel
 
-    key = (id(spark), sf_dir, "plain")
+    key = (_session_key(spark), sf_dir, "plain")
     if key not in _ENGINE_CACHE:
         docs = _t(spark, sf_dir, "documents")
         # DISK_ONLY: the columnar in-memory cache is pathologically slow
@@ -657,7 +664,7 @@ def search_stemmed_cnf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark import StorageLevel
 
-    key = (id(spark), sf_dir, "stemmed")
+    key = (_session_key(spark), sf_dir, "stemmed")
     if key not in _ENGINE_CACHE:
         docs = _t(spark, sf_dir, "documents")
         stopword_list = [r.word for r in stop_words(docs, k=2).collect()]
@@ -814,7 +821,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hadoop_search_spark.operators.dedup import word_shingles
 
-    key = (id(spark), sf_dir, "shingles")
+    key = (_session_key(spark), sf_dir, "shingles")
     if key not in _ENGINE_CACHE:
         _ENGINE_CACHE[key] = word_shingles(_t(spark, sf_dir, "documents")).persist(
             StorageLevel.DISK_ONLY
@@ -1010,7 +1017,7 @@ proj AS (
 ),
 buckets AS (
   SELECT vec_id,
-         CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, 7 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         CAST(sum(CASE WHEN round(proj, 9) > 0 THEN CAST(pow(2, 7 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
   FROM proj GROUP BY vec_id
 ),
 qb AS (SELECT q.query_id, q.q_emb, b.bucket AS q_bucket
@@ -1239,7 +1246,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ordered = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
     inter = building.intersect(ordered).select(F.lit("inter").alias("op"), "k")
-    exc = building.exceptAll(ordered).distinct().select(F.lit("exc").alias("op"), "k")
+    exc = building.subtract(ordered).select(F.lit("exc").alias("op"), "k")
     return inter.unionByName(exc)
 
 

@@ -92,45 +92,12 @@ def build_postings(
     ``stopwords`` joins as a broadcast anti-join: a ≤100-row dim table
     against the token stream — never a shuffle.
     """
-    toks = tokenize_with_positions(documents, drop_numeric=True, require_alnum=True)
-    if stopwords is not None:
-        toks = toks.join(
-            F.broadcast(stopwords.withColumnRenamed("word", "token")),
-            on="token",
-            how="left_anti",
-        )
-    term = porter_stem_udf(F.col("token")) if stem else F.col("token")
-    toks = toks.select(term.alias("term"), "doc_id", "pos")
-
-    # A3: per-(term, doc) tf + ascending positions
-    tf = toks.groupBy("term", "doc_id").agg(
-        F.count("*").alias("tf"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
-    )
-
-    # A4: per-term document frequency as a count window over term.
-    # A groupBy + join would force the (tokenize→stem→tf) subtree to
-    # compute twice — Catalyst does not share subtrees across a
-    # broadcast exchange — so the window's single extra shuffle is the
-    # cheaper plan at every scale.
-    from pyspark.sql import Window
-
-    scored = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-
+    # A3 (tf + positions) then A4/A5 (df + score): one definition of
+    # the pipeline, shared with the incremental-merge path so full
+    # build and merge can never drift apart.
     if num_docs is None:
         num_docs = documents.count()
-
-    # A5: tf-idf, mixed bases exactly as the reference:
-    # (1 + log10(tf)) * ln(docNum / df)
-    score = (F.lit(1.0) + F.log10(F.col("tf"))) * F.log(F.lit(float(num_docs)) / F.col("df"))
-    return scored.select(
-        "term",
-        "doc_id",
-        "tf",
-        "df",
-        "positions",
-        score.alias("score"),
-    )
+    return rescore(term_doc_stats(documents, stopwords=stopwords, stem=stem), num_docs)
 
 
 def write_index(

@@ -102,7 +102,11 @@ def hyperplane_sign(emb: F.Column, plane: int, dim: int) -> F.Column:
         ).cast("double"),
     )
     s = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
-    return F.when(s > 0, 1).otherwise(0)
+    # round before the sign test: the projection is a float sum whose
+    # accumulation order differs across engines, and an unguarded
+    # `> 0` on a near-zero projection would flip the bucket bit
+    # between this and the SQL oracle
+    return F.when(F.round(s, 9) > 0, 1).otherwise(0)
 
 
 def lsh_bucket(emb: F.Column, num_planes: int, dim: int) -> F.Column:

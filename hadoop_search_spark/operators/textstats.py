@@ -97,10 +97,14 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive 61-bit fingerprint:
     ``sum(pos * md5int40(token)) mod (2^61-1)``.
 
-    pos ≤ ~2^12 and hash < 2^40 keep every partial sum below 2^59, so
-    the BIGINT arithmetic is overflow-free and identical in Spark and
-    DuckDB. Swapping two tokens changes the fingerprint (unlike a
-    bag-of-words hash)."""
+    Each product ``pos * h`` stays below 2^61 for documents up to ~2M
+    tokens, but the *sum* over a long document would overflow int64
+    (worst case 2^40·n²/2 exceeds 2^63 around 4k tokens), and Spark
+    wraps silently where DuckDB promotes to HUGEINT. The sum therefore
+    accumulates in DECIMAL(38,0) — exact to 38 digits, matching
+    DuckDB's HUGEINT arithmetic — with the modulus applied to the
+    exact total. Swapping two tokens changes the fingerprint (unlike
+    a bag-of-words hash)."""
     toks = docs.select(
         "doc_id",
         F.posexplode(
@@ -114,5 +118,10 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("h"),
     )
     return toks.groupBy("doc_id").agg(
-        (F.sum(F.col("pos") * F.col("h")) % F.lit(FP_MOD)).alias("fingerprint")
+        (
+            F.sum((F.col("pos") * F.col("h")).cast("decimal(38,0)"))
+            % F.lit(FP_MOD).cast("decimal(38,0)")
+        )
+        .cast("bigint")
+        .alias("fingerprint")
     )

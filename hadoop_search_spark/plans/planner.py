@@ -93,23 +93,27 @@ class SearchEngine:
         stopwords=(),
         stem=P.porter_stem,
     ) -> None:
+        import threading
+        from collections import deque
+
         self.spark = spark
         self.postings = postings
         self.documents = documents
         self.stem = stem or (lambda w: w)
         self.stopwords = frozenset(self.stem(w) for w in stopwords)
-        self._df_stats: dict[str, int] | None = None
+        self._prune_cache: deque[DataFrame] = deque()
+        self._prune_lock = threading.Lock()
 
     # ---- statistics (J6 ordering) ------------------------------------
 
-    def _term_stats(self, terms: set[str]) -> dict[str, int]:
+    def _term_stats(self, postings: DataFrame, terms: set[str]) -> dict[str, int]:
         """Document frequency per query term — one tiny aggregate over
         the term-pruned index scan; replaces the reference's
         materialized-size sort with a statistics lookup."""
         if not terms:
             return {}
         rows = (
-            self.postings.filter(F.col("term").isin(*terms))
+            postings.filter(F.col("term").isin(*terms))
             .groupBy("term")
             .agg(F.count("*").alias("df"))
             .collect()
@@ -121,8 +125,8 @@ class SearchEngine:
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], _RESULT_SCHEMA)
 
-    def _leaf_df(self, term: str) -> DataFrame:
-        return self.postings.filter(F.col("term") == term).select(
+    def _leaf_df(self, postings: DataFrame, term: str) -> DataFrame:
+        return postings.filter(F.col("term") == term).select(
             "doc_id", "score", "positions"
         )
 
@@ -225,19 +229,27 @@ class SearchEngine:
 
     # ---- tree evaluation --------------------------------------------
 
-    def _evaluate(self, node: P.Node, stats: dict[str, int]) -> _Wrapped:
+    def _evaluate(
+        self, node: P.Node, postings: DataFrame, stats: dict[str, int]
+    ) -> _Wrapped:
         if isinstance(node, P.Word):
             return _Wrapped(
-                P.NORMAL, self._leaf_df(node.term), True, float(stats.get(node.term, 0))
+                P.NORMAL,
+                self._leaf_df(postings, node.term),
+                True,
+                float(stats.get(node.term, 0)),
             )
         if isinstance(node, P.ExceptWord):
             return _Wrapped(
-                P.NEGATED, self._leaf_df(node.term), True, float(stats.get(node.term, 0))
+                P.NEGATED,
+                self._leaf_df(postings, node.term),
+                True,
+                float(stats.get(node.term, 0)),
             )
         if isinstance(node, P.StopWord):
             return _Wrapped(P.IGNORED, self._empty(), False, 0.0)
         if isinstance(node, P.And):
-            children = [self._evaluate(c, stats) for c in node.children]
+            children = [self._evaluate(c, postings, stats) for c in node.children]
             if len(children) == 1:
                 c = children[0]
                 # single-operand AND copies without positions
@@ -255,7 +267,7 @@ class SearchEngine:
             # never applies across OR operands, only inside a phrase AND.
             children = [
                 _Wrapped(c.type, self._strip_positions(c.df), False, c.est)
-                for c in (self._evaluate(ch, stats) for ch in node.children)
+                for c in (self._evaluate(ch, postings, stats) for ch in node.children)
             ]
             if len(children) == 1:
                 acc = children[0]
@@ -282,6 +294,10 @@ class SearchEngine:
 
     # ---- public API --------------------------------------------------
 
+    # bound on live per-query pruned-postings caches; older entries
+    # evict (their plans stay valid — they just recompute if re-run)
+    _PRUNE_CACHE_MAX = 8
+
     def plan(self, query: str) -> DataFrame:
         """Lower ``query`` to a (doc_id, score) DataFrame, unranked.
 
@@ -290,23 +306,30 @@ class SearchEngine:
         semi-join (J8, `code/query/QueryMapred.java:56-61`): every
         leaf then reads the (tiny) cached posting subset instead of
         re-running the index scan per operand. The subsequent
-        ``_term_stats`` action materializes the cache."""
+        ``_term_stats`` action materializes the cache.
+
+        Thread-safe: the pruned subset is a local, never assigned to
+        ``self`` (one engine instance serves concurrent queries — the
+        bench drives exactly that), and per-query persists are bounded
+        by an eviction deque rather than leaking one cache entry per
+        query for the life of the session."""
         tree = P.parse_query(query, self.stopwords, stem=self.stem)
         terms = P.query_terms(tree)
-        full_postings = self.postings
+        postings = self.postings
         if terms:
             from pyspark import StorageLevel
 
             # DISK_ONLY: columnar caching of the positions ARRAY column
             # costs multiples of computing it (see catalog._plain_engine)
-            self.postings = self.postings.filter(
-                F.col("term").isin(*terms)
-            ).persist(StorageLevel.DISK_ONLY)
-        try:
-            stats = self._term_stats(terms)
-            result = self._evaluate(tree, stats)
-        finally:
-            self.postings = full_postings
+            postings = postings.filter(F.col("term").isin(*terms)).persist(
+                StorageLevel.DISK_ONLY
+            )
+            with self._prune_lock:
+                self._prune_cache.append(postings)
+                while len(self._prune_cache) > self._PRUNE_CACHE_MAX:
+                    self._prune_cache.popleft().unpersist(blocking=False)
+        stats = self._term_stats(postings, terms)
+        result = self._evaluate(tree, postings, stats)
         if result.type == P.IGNORED:
             return self._empty().select("doc_id", "score")
         if result.type == P.NEGATED:

@@ -74,13 +74,15 @@ def corpus_split(pages: DataFrame, corpus_type: str = "string") -> DataFrame:
     content = (
         html_escape(raw_text) if corpus_type == "html" else strip_wiki_markup(raw_text)
     )
+    # drop null id / null revision text BEFORE cleaning — the cleaners
+    # coalesce null to "", so a post-projection dropna would never fire
     return (
-        pages.select(
+        pages.filter(F.col("id").isNotNull() & raw_text.isNotNull())
+        .select(
             F.col("id").cast("bigint").alias("doc_id"),
             F.col("title").cast("string").alias("title"),
             content.alias("content"),
         )
-        .dropna(subset=["doc_id", "content"])
     )
 
 

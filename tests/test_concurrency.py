@@ -1,0 +1,44 @@
+"""Regression: one SearchEngine instance must serve concurrent
+queries correctly (plan() formerly mutated shared state — a race that
+corrupted the memoized engine under the bench's concurrent pass)."""
+
+from concurrent.futures import ThreadPoolExecutor
+
+from hadoop_search_spark.operators.index import build_postings
+from hadoop_search_spark.plans.planner import SearchEngine
+
+QUERIES = [
+    "(table) and (scan)",
+    "(table or part) and (not stream)",
+    "table scan",
+    "spark or merge",
+    "not (table or scan)",
+    "fast and key and row",
+]
+
+
+def test_concurrent_queries_on_shared_engine(spark, documents):
+    postings = build_postings(documents, num_docs=500, stem=False)
+    engine = SearchEngine(spark, postings, documents=documents, stem=None)
+
+    sequential = {
+        q: {(r.doc_id, round(r.score, 9)) for r in engine.plan(q).collect()}
+        for q in QUERIES
+    }
+
+    def run(q):
+        return q, {(r.doc_id, round(r.score, 9)) for r in engine.plan(q).collect()}
+
+    for _ in range(2):  # two rounds to catch state corruption carry-over
+        with ThreadPoolExecutor(len(QUERIES)) as pool:
+            concurrent = dict(pool.map(run, QUERIES))
+        assert concurrent == sequential
+
+
+def test_prune_cache_bounded(spark, documents):
+    postings = build_postings(documents, num_docs=500, stem=False)
+    engine = SearchEngine(spark, postings, documents=documents, stem=None)
+    for i, q in enumerate(["table", "scan", "merge", "part", "stream", "row",
+                           "key", "fast", "slow", "join", "hash", "sort"]):
+        engine.plan(q).collect()
+    assert len(engine._prune_cache) <= engine._PRUNE_CACHE_MAX
