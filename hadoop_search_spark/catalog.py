@@ -1265,6 +1265,131 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_having",
+    oracle="""
+SELECT l_partkey, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY l_partkey
+HAVING count(*) >= 8
+""",
+    note="post-aggregation filter (HAVING)",
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+        )
+        .filter(F.col("n") >= 8)
+    )
+
+
+@register(
+    "q_corr_subquery",
+    oracle="""
+SELECT c.c_custkey, c.c_acctbal
+FROM customer c
+WHERE c.c_acctbal > (
+  SELECT avg(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey)
+""",
+    note="correlated scalar subquery: customers above their nation's mean balance",
+)
+def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    # decorrelated form: per-nation mean joined back (what Catalyst
+    # rewrites the subquery to); comparison on the same double avg
+    nation_avg = c.groupBy("c_nationkey").agg(
+        (F.sum("c_acctbal") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "q_large_orders",
+    oracle="""
+SELECT o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, t.sum_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 140
+) t ON t.l_orderkey = o.o_orderkey
+""",
+    note="TPC-H Q18 shape: IN-subquery over an aggregate, as a join",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 140)
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"), "sum_qty"
+    )
+
+
+@register(
+    "q_order_count_distribution",
+    oracle="""
+SELECT n_orders, count(*) AS n_customers FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey) t
+GROUP BY n_orders
+""",
+    note="TPC-H Q13 shape: left join + two-level aggregation (zero-order customers included)",
+)
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "q_window_lead_lag",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS order_us,
+       epoch_us(lag(o_orderdate) OVER w) AS prev_us,
+       epoch_us(lead(o_orderdate) OVER w) AS next_us,
+       CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    note="analytic windows: lead/lag per customer + global ntile quartiles",
+)
+def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_utc(spark)
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wq = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    ts = lambda c: F.unix_micros(c.cast("timestamp"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        ts(F.col("o_orderdate")).alias("order_us"),
+        ts(F.lag("o_orderdate").over(w)).alias("prev_us"),
+        ts(F.lead("o_orderdate").over(w)).alias("next_us"),
+        F.ntile(4).over(wq).cast("bigint").alias("price_quartile"),
+    )
+
+
 # ---- public accessors -------------------------------------------------
 
 
