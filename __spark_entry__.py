@@ -9,9 +9,46 @@ as you implement operators from SURVEY.md §2.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# make hadoop_search_spark importable regardless of the caller's cwd
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+
+_PKG_ZIP: str | None = None
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Ship the package to Python workers via addPyFile.
+
+    The Porter pandas UDF pickles a reference to
+    ``hadoop_search_spark.functions.porter``; workers unpickle it and
+    must import the package themselves. When the driver process was
+    launched outside the repo, the workers' sys.path has no repo
+    entry — the driver-side path insert above does not propagate —
+    so the package is zipped once and distributed."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        import tempfile
+        import zipfile
+
+        zp = os.path.join(tempfile.mkdtemp(), "hadoop_search_spark.zip")
+        with zipfile.ZipFile(zp, "w") as z:
+            pkg = os.path.join(_REPO_ROOT, "hadoop_search_spark")
+            for dirpath, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, _REPO_ROOT))
+        _PKG_ZIP = zp
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        pass  # already registered on this context
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,6 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from hadoop_search_spark.operators.index import build_postings
     from hadoop_search_spark.plans.planner import SearchEngine
 
+    _ensure_workers(spark)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     postings = build_postings(docs, num_docs=500, stem=True)
     engine = SearchEngine(spark, postings, documents=docs)
@@ -48,7 +86,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     from hadoop_search_spark import catalog
 
-    return catalog.queries()
+    def with_workers(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_workers(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: with_workers(fn) for name, fn in catalog.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
