@@ -1390,6 +1390,55 @@ def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_embedding_dedup",
+    oracle=_EMB_CTE
+    + """
+, planes AS (
+  SELECT pp.p, ii.i,
+         CASE WHEN ('0x' || substr(md5(pp.p::VARCHAR || ':' || (ii.i - 1)::VARCHAR), 1, 10))::BIGINT % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(range(8)) AS p) pp
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+),
+proj AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.s) AS proj
+  FROM exp_e e JOIN planes pl ON pl.i = e.i
+  GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN round(proj, 9) > 0 THEN CAST(pow(2, 7 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, sum(x.x * y.x) AS dot
+  FROM cand c
+  JOIN exp_e x ON x.vec_id = c.vec_a
+  JOIN exp_e y ON y.vec_id = c.vec_b AND y.i = x.i
+  GROUP BY c.vec_a, c.vec_b
+)
+SELECT d.vec_a, d.vec_b, round(d.dot / (na.nrm * nb.nrm), 9) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= 0.35
+""",
+    note="embedding-cosine near-dup pairs: sign-projection buckets + exact "
+    "cosine verify >= 0.35 (vector-space dedup mode; the synthetic "
+    "embeddings are near-random, so a production-style 0.95 threshold "
+    "is vacuous on the fixture)",
+)
+def sim_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import embedding_dedup_pairs
+
+    return embedding_dedup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
 # ---- public accessors -------------------------------------------------
 
 

@@ -155,3 +155,40 @@ def ann_lsh_topk(
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k)
     )
+
+
+def embedding_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = NUM_HYPERPLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space dedup
+    mode: bucket by sign-random-projection (near-identical vectors
+    share all sign bits with high probability), verify candidates with
+    the exact cosine, keep pairs ≥ ``threshold``.
+
+    Returns (vec_a, vec_b, cosine). The self-join is per-bucket, never
+    all-pairs; recall follows the LSH collision bound (documented
+    approximation, same as :func:`ann_lsh_topk`)."""
+    from hadoop_search_spark.partitioning import spread
+
+    bucketed = spread(embeddings, "vec_id").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), num_planes, dim)
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b"))
+        / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+        9,
+    )
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

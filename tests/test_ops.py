@@ -149,3 +149,17 @@ def test_multimodal_plumbing(spark, documents):
     bad = media.withColumn("kind", F.lit("hologram"))
     with pytest.raises(Exception, match="NotImplementedError|no decoder"):
         decode_media(bad).collect()
+
+
+def test_embedding_dedup_finds_planted_near_dups(spark):
+    from hadoop_search_spark.operators.similarity import embedding_dedup_pairs
+
+    base = [1.0] * 64
+    near = [1.0] * 63 + [1.1]       # cosine ~0.9996 with base
+    far = [(-1.0) ** i for i in range(64)]  # orthogonal-ish
+    emb = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    pairs = {(r.vec_a, r.vec_b): r.cosine for r in embedding_dedup_pairs(emb, 0.95, dim=64).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert all(2 not in p for p in pairs)
