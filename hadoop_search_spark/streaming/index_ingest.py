@@ -1,0 +1,120 @@
+"""Streaming index maintenance — continuous corpus ingestion feeding
+the incremental index path (`operators/index.py:merge_index`).
+
+The reference's index is a batch artifact rebuilt from scratch
+(SURVEY.md §3.2); here a document stream keeps the published index
+current: each micro-batch tokenizes only its own documents, merges
+their (term, doc_id, tf, positions) rows with the published index,
+rescores df/idf over the union, and atomically republishes.
+
+``foreachBatch`` + versioned output directories gives idempotent
+exactly-once semantics on replay (an epoch that re-runs overwrites
+its own version); readers follow the ``_CURRENT`` pointer.
+
+At scale the same loop runs against Kafka (`streaming/kafka.py`) with
+the publish step writing to a transactional table format instead of
+a pointer file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_search_spark.operators.index import (
+    NUM_INDEX_PARTITIONS,
+    merge_index,
+    rescore,
+    term_doc_stats,
+    write_index,
+)
+
+DOCS_SCHEMA = "doc_id BIGINT, text STRING"
+
+
+def read_docs_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Documents arriving as parquet files in a directory."""
+    return spark.readStream.schema(DOCS_SCHEMA).parquet(path)
+
+
+class StreamingIndexer:
+    """Maintains a published index under ``index_root`` from a
+    document stream.
+
+    Layout: ``{index_root}/v{epoch}/`` per published version plus a
+    ``_CURRENT`` pointer file; ``current_postings()`` reads the live
+    version. State (doc count) persists in the published index itself
+    (doc ids are distinct across batches by contract)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_root: str,
+        num_partitions: int = NUM_INDEX_PARTITIONS,
+        stem: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.index_root = index_root
+        self.num_partitions = num_partitions
+        self.stem = stem
+        os.makedirs(index_root, exist_ok=True)
+
+    # -- published-state accessors ------------------------------------
+
+    def _current_path(self) -> str | None:
+        ptr = os.path.join(self.index_root, "_CURRENT")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return os.path.join(self.index_root, f.read().strip())
+
+    def current_postings(self) -> DataFrame | None:
+        path = self._current_path()
+        if path is None:
+            return None
+        return self.spark.read.parquet(os.path.join(path, "postings"))
+
+    def current_num_docs(self) -> int:
+        path = self._current_path()
+        if path is None:
+            return 0
+        with open(os.path.join(path, "NUM_DOCS")) as f:
+            return int(f.read().strip())
+
+    # -- the merge step -----------------------------------------------
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        """foreachBatch body: merge the micro-batch into the index and
+        republish. Idempotent per epoch (same-version overwrite)."""
+        existing = self.current_postings()
+        if existing is None:
+            n = batch.count()
+            if n == 0:
+                return
+            postings = rescore(term_doc_stats(batch, stem=self.stem), n)
+        else:
+            postings, n = merge_index(
+                existing, self.current_num_docs(), batch, stem=self.stem
+            )
+            if n == self.current_num_docs():
+                return  # empty batch
+        version = f"v{epoch_id}"
+        out = os.path.join(self.index_root, version)
+        write_index(postings, os.path.join(out, "postings"), self.num_partitions)
+        with open(os.path.join(out, "NUM_DOCS"), "w") as f:
+            f.write(str(n))
+        # pointer flip is the atomic publish
+        tmp = os.path.join(self.index_root, "_CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(self.index_root, "_CURRENT"))
+
+    def start(self, docs_stream: DataFrame, checkpoint: str):
+        """Attach to a stream; returns the StreamingQuery."""
+        return (
+            docs_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .start()
+        )

@@ -1,0 +1,57 @@
+"""Streaming index maintenance: documents arriving over time keep the
+published index current, equal to a batch rebuild at each point."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_search_spark.operators.index import build_postings
+from hadoop_search_spark.plans.planner import SearchEngine
+from hadoop_search_spark.streaming.index_ingest import StreamingIndexer, read_docs_stream
+
+
+def test_streaming_index_ingest(spark, documents, tmp_path):
+    ingest_dir = str(tmp_path / "incoming")
+    os.makedirs(ingest_dir)
+    index_root = str(tmp_path / "index")
+    checkpoint = str(tmp_path / "ckpt")
+
+    indexer = StreamingIndexer(spark, index_root, num_partitions=4)
+    stream = read_docs_stream(spark, ingest_dir)
+    q = indexer.start(stream, checkpoint)
+    try:
+        # batch 1 arrives
+        documents.filter(F.col("doc_id") < 300).select("doc_id", "text").coalesce(
+            1
+        ).write.mode("append").parquet(ingest_dir)
+        q.processAllAvailable()
+        assert indexer.current_num_docs() == 300
+
+        eng1 = SearchEngine(spark, indexer.current_postings(), documents=documents)
+        hits1 = {r.doc_id for r in eng1.search("spark and stream").collect()}
+        assert hits1 and max(hits1) < 300
+
+        # batch 2 arrives later
+        documents.filter(F.col("doc_id") >= 300).select("doc_id", "text").coalesce(
+            1
+        ).write.mode("append").parquet(ingest_dir)
+        q.processAllAvailable()
+        assert indexer.current_num_docs() == 500
+    finally:
+        q.stop()
+
+    # live index == full batch rebuild
+    live = {
+        (r.term, r.doc_id): (r.tf, r.df, round(r.score, 10))
+        for r in indexer.current_postings().collect()
+    }
+    full = {
+        (r.term, r.doc_id): (r.tf, r.df, round(r.score, 10))
+        for r in build_postings(documents, num_docs=500, stem=True).collect()
+    }
+    assert live == full
+
+    # queries now see the later docs
+    eng2 = SearchEngine(spark, indexer.current_postings(), documents=documents)
+    hits2 = {r.doc_id for r in eng2.search("spark and stream").collect()}
+    assert hits1 < hits2 and any(d >= 300 for d in hits2)

@@ -160,3 +160,15 @@ def test_pagination_partition(ids):
     if sr.pages:
         assert sr.page(10**6) == sr.pages[-1]
         assert sr.page(-5) == sr.pages[0]
+
+
+# ---- parser fuzz: never crashes, always yields the 3-level shape -----
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=60))
+def test_parser_total_on_arbitrary_input(q):
+    tree = P.parse_query(q)
+    assert isinstance(tree, P.And)
+    terms = P.query_terms(tree)
+    assert all(isinstance(t, str) for t in terms)

@@ -116,3 +116,60 @@ def test_stateful_running_totals(spark, events_stream, events_batch):
     for u, (n, tv) in want.items():
         assert got[u][0] == n
         assert got[u][1] == pytest.approx(tv, rel=1e-9)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    import os
+
+    from hadoop_search_spark.streaming.events import hourly_counts
+
+    d = str(tmp_path / "late_events")
+    os.makedirs(d)
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING",
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    H = 3_600 * 1_000_000_000  # an hour of nanos
+    base = 1_700_000_000 * 1_000_000_000
+    # batch 1: events at hour 0 and hour 6 → watermark ends up at h6-1h
+    write_batch([(1, base, 1, "view", 1.0, "{}"), (2, base + 6 * H, 1, "view", 1.0, "{}")])
+
+    # direct file stream (read_events_stream glob-filters to the
+    # fixture's events.parquet; these batches are part-* files)
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING"
+        )
+        .parquet(d)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    q = (
+        hourly_counts(stream, watermark="1 hour")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one on-time event (hour 6) and one far-late event (hour 0)
+        write_batch([(3, base + 6 * H + 60_000_000_000, 1, "view", 1.0, "{}"),
+                     (4, base + 1, 1, "view", 1.0, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.hour_us: r.n for r in spark.sql(
+        "SELECT hour_us, max(n) AS n FROM late_out GROUP BY hour_us").collect()}
+    hour_us = 3_600 * 1_000_000
+    hour0 = (base // 1000) // hour_us * hour_us  # window starts floor to the hour
+    hour6 = ((base + 6 * H) // 1000) // hour_us * hour_us
+    assert rows[hour6] == 2       # on-time event counted
+    assert rows[hour0] == 1       # far-late event DROPPED by the watermark
