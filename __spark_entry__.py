@@ -45,10 +45,10 @@ def _ensure_workers(spark: SparkSession) -> None:
                         full = os.path.join(dirpath, f)
                         z.write(full, os.path.relpath(full, _REPO_ROOT))
         _PKG_ZIP = zp
-    try:
-        spark.sparkContext.addPyFile(_PKG_ZIP)
-    except Exception:
-        pass  # already registered on this context
+    # re-adding the same path on a context is a harmless no-op in
+    # Spark; genuine failures (stopped context, vanished zip) should
+    # surface here rather than as a ModuleNotFoundError on a worker
+    spark.sparkContext.addPyFile(_PKG_ZIP)
 
 
 def entry(spark: SparkSession) -> DataFrame:

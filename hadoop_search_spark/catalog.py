@@ -1294,7 +1294,8 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c.c_custkey, c.c_acctbal
 FROM customer c
 WHERE c.c_acctbal > (
-  SELECT avg(c2.c_acctbal) FROM customer c2
+  SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+  FROM customer c2
   WHERE c2.c_nationkey = c.c_nationkey)
 """,
     note="correlated scalar subquery: customers above their nation's mean balance",
@@ -1303,8 +1304,10 @@ def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     # decorrelated form: per-nation mean joined back (what Catalyst
     # rewrites the subquery to); comparison on the same double avg
+    # DECIMAL-exact sum then one double division: a raw float sum's
+    # partial-agg order could flip the boundary comparison vs DuckDB
     nation_avg = c.groupBy("c_nationkey").agg(
-        (F.sum("c_acctbal") / F.count("*")).alias("avg_bal")
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
     )
     return (
         c.join(F.broadcast(nation_avg), "c_nationkey")

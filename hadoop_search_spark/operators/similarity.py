@@ -50,6 +50,13 @@ def _norm(a: F.Column) -> F.Column:
     )
 
 
+def _cosine(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine rounded to 9dp — the rounding is load-bearing for oracle
+    bit-parity (partial-sum order of the dot product differs across
+    engines); every similarity path must use this one definition."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 9)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -69,12 +76,11 @@ def cosine_topk(
     )
     corpus = spread(embeddings, "vec_id")
     pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    cos = F.round(
-        _dot(F.col("embedding"), F.col("q_emb"))
-        / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
-        9,
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        _cosine(F.col("embedding"), F.col("q_emb")).alias("cosine"),
     )
-    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
@@ -144,12 +150,11 @@ def ann_lsh_topk(
         F.broadcast(q),
         (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
     )
-    cos = F.round(
-        _dot(F.col("embedding"), F.col("q_emb"))
-        / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
-        9,
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        _cosine(F.col("embedding"), F.col("q_emb")).alias("cosine"),
     )
-    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
@@ -173,8 +178,13 @@ def embedding_dedup_pairs(
     approximation, same as :func:`ann_lsh_topk`)."""
     from hadoop_search_spark.partitioning import spread
 
-    bucketed = spread(embeddings, "vec_id").withColumn(
-        "bucket", lsh_bucket(F.col("embedding"), num_planes, dim)
+    # bucket table materializes once via a lazy local checkpoint: both
+    # self-join sides reference it, and without truncation Catalyst
+    # would recompute the num_planes x dim hash expressions per side
+    bucketed = (
+        spread(embeddings, "vec_id")
+        .withColumn("bucket", lsh_bucket(F.col("embedding"), num_planes, dim))
+        .localCheckpoint(eager=False)
     )
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
@@ -183,12 +193,9 @@ def embedding_dedup_pairs(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
     )
     pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(
-        _dot(F.col("emb_a"), F.col("emb_b"))
-        / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
-        9,
-    )
     return (
-        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        pairs.select(
+            "vec_a", "vec_b", _cosine(F.col("emb_a"), F.col("emb_b")).alias("cosine")
+        )
         .filter(F.col("cosine") >= threshold)
     )

@@ -86,7 +86,23 @@ class StreamingIndexer:
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         """foreachBatch body: merge the micro-batch into the index and
-        republish. Idempotent per epoch (same-version overwrite)."""
+        republish.
+
+        Replay-idempotent across both crash windows: if the pointer
+        already names this epoch's version, the publish completed
+        before the crash and the replay is a no-op (re-merging would
+        double the batch AND overwrite the parquet path being read);
+        if the version directory exists unpublished, it is a partial
+        write from a crash before the pointer flip and is rebuilt."""
+        version = f"v{epoch_id}"
+        cur = self._current_path()
+        if cur is not None and os.path.basename(cur) == version:
+            return  # epoch already merged and published; replay no-op
+        out = os.path.join(self.index_root, version)
+        if os.path.exists(out):
+            import shutil
+
+            shutil.rmtree(out)  # partial write from a pre-publish crash
         existing = self.current_postings()
         if existing is None:
             n = batch.count()
@@ -99,8 +115,6 @@ class StreamingIndexer:
             )
             if n == self.current_num_docs():
                 return  # empty batch
-        version = f"v{epoch_id}"
-        out = os.path.join(self.index_root, version)
         write_index(postings, os.path.join(out, "postings"), self.num_partitions)
         with open(os.path.join(out, "NUM_DOCS"), "w") as f:
             f.write(str(n))

@@ -55,3 +55,26 @@ def test_streaming_index_ingest(spark, documents, tmp_path):
     eng2 = SearchEngine(spark, indexer.current_postings(), documents=documents)
     hits2 = {r.doc_id for r in eng2.search("spark and stream").collect()}
     assert hits1 < hits2 and any(d >= 300 for d in hits2)
+
+
+def test_process_batch_replay_idempotent(spark, documents, tmp_path):
+    # simulate foreachBatch replaying an epoch after a successful
+    # publish (crash between pointer flip and checkpoint commit)
+    indexer = StreamingIndexer(spark, str(tmp_path / "idx"), num_partitions=4)
+    batch = documents.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    indexer.process_batch(batch, epoch_id=0)
+    n1 = indexer.current_num_docs()
+    rows1 = indexer.current_postings().count()
+
+    indexer.process_batch(batch, epoch_id=0)  # replay: must be a no-op
+    assert indexer.current_num_docs() == n1
+    assert indexer.current_postings().count() == rows1
+
+    # next epoch still merges normally
+    indexer.process_batch(
+        documents.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).select(
+            "doc_id", "text"
+        ),
+        epoch_id=1,
+    )
+    assert indexer.current_num_docs() == 150
