@@ -20,6 +20,11 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO_ROOT)
 
 _PKG_ZIP: str | None = None
+_REGISTERED: set[str] = set()
+
+import threading as _threading
+
+_REG_LOCK = _threading.Lock()
 
 
 def _ensure_workers(spark: SparkSession) -> None:
@@ -45,10 +50,16 @@ def _ensure_workers(spark: SparkSession) -> None:
                         full = os.path.join(dirpath, f)
                         z.write(full, os.path.relpath(full, _REPO_ROOT))
         _PKG_ZIP = zp
-    # re-adding the same path on a context is a harmless no-op in
-    # Spark; genuine failures (stopped context, vanished zip) should
-    # surface here rather than as a ModuleNotFoundError on a worker
-    spark.sparkContext.addPyFile(_PKG_ZIP)
+    # register once per SparkContext, under a lock: addPyFile calls
+    # importlib.invalidate_caches(), which is not thread-safe, and the
+    # catalog's queries may run from concurrent threads; genuine
+    # failures (stopped context, vanished zip) still surface here
+    # rather than as a ModuleNotFoundError on a worker
+    app = spark.sparkContext.applicationId
+    with _REG_LOCK:
+        if app not in _REGISTERED:
+            spark.sparkContext.addPyFile(_PKG_ZIP)
+            _REGISTERED.add(app)
 
 
 def entry(spark: SparkSession) -> DataFrame:

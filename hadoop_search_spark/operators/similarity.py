@@ -199,3 +199,24 @@ def embedding_dedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_planes: int = NUM_HYPERPLANES,
+    dim: int = 64,
+) -> float:
+    """Measured recall@k of the LSH path against the exact top-k —
+    turns the documented "recall < 1" into a number for tuning
+    ``num_planes`` (fewer planes → bigger buckets → higher recall,
+    more verify work)."""
+    exact = {
+        (r.query_id, r.vec_id) for r in cosine_topk(embeddings, query_ids, k).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ann_lsh_topk(embeddings, query_ids, k, num_planes, dim).collect()
+    }
+    return len(exact & approx) / len(exact) if exact else 1.0

@@ -132,3 +132,25 @@ class StreamingIndexer:
             .outputMode("update")
             .start()
         )
+
+
+def vacuum(index_root: str, keep: int = 2) -> list[str]:
+    """Delete all but the newest ``keep`` published versions (never the
+    one ``_CURRENT`` points at). Returns the removed version names."""
+    import shutil
+
+    ptr = os.path.join(index_root, "_CURRENT")
+    current = None
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            current = f.read().strip()
+    versions = sorted(
+        (d for d in os.listdir(index_root) if d.startswith("v")),
+        key=lambda d: int(d[1:]),
+    )
+    removable = [v for v in versions[:-keep] if v != current] if keep else [
+        v for v in versions if v != current
+    ]
+    for v in removable:
+        shutil.rmtree(os.path.join(index_root, v))
+    return removable

@@ -78,3 +78,20 @@ def test_process_batch_replay_idempotent(spark, documents, tmp_path):
         epoch_id=1,
     )
     assert indexer.current_num_docs() == 150
+
+
+def test_vacuum_keeps_current(spark, documents, tmp_path):
+    from hadoop_search_spark.streaming.index_ingest import vacuum
+
+    indexer = StreamingIndexer(spark, str(tmp_path / "idx"), num_partitions=2)
+    for e in range(4):
+        indexer.process_batch(
+            documents.filter(
+                (F.col("doc_id") >= e * 50) & (F.col("doc_id") < (e + 1) * 50)
+            ).select("doc_id", "text"),
+            epoch_id=e,
+        )
+    removed = vacuum(str(tmp_path / "idx"), keep=2)
+    assert removed == ["v0", "v1"]
+    assert indexer.current_num_docs() == 200  # pointer target untouched
+    assert indexer.current_postings().count() > 0

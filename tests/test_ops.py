@@ -163,3 +163,13 @@ def test_embedding_dedup_finds_planted_near_dups(spark):
     pairs = {(r.vec_a, r.vec_b): r.cosine for r in embedding_dedup_pairs(emb, 0.95, dim=64).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert all(2 not in p for p in pairs)
+
+
+def test_ann_recall_tunable(spark):
+    from hadoop_search_spark.operators.similarity import ann_recall
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    r8 = ann_recall(emb, [0, 1, 2], k=5, num_planes=8)
+    r2 = ann_recall(emb, [0, 1, 2], k=5, num_planes=2)
+    assert 0.0 <= r8 <= 1.0
+    assert r2 >= r8  # fewer planes -> bigger buckets -> recall no worse
