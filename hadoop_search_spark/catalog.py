@@ -388,15 +388,12 @@ WHERE rn > 20 AND rn <= 30
     note="O5 pagination: page 3 of size 10, bounded-prefix implementation",
 )
 def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.plans.results import page_slice
+
     docs = _t(spark, sf_dir, "documents")
-    # distributed page fetch: top page*size via limit, then window the prefix
-    prefix = docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(30)
-    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    return (
-        prefix.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") > 20)
-        .select("doc_id", "n_chars")
-    )
+    return page_slice(
+        docs, page=3, order_by=[F.desc("n_chars"), F.asc("doc_id")]
+    ).select("doc_id", "n_chars")
 
 
 # ======================================================================
@@ -440,6 +437,10 @@ postings AS (
 # index instead of re-running tokenize/stem per query.
 _ENGINE_CACHE: dict = {}
 
+import threading as _threading
+
+_CACHE_LOCK = _threading.Lock()
+
 
 def _session_key(spark: SparkSession) -> str:
     # applicationId is unique per SparkContext lifetime; id(spark) can
@@ -456,16 +457,20 @@ def _plain_engine(spark: SparkSession, sf_dir: str):
     from pyspark import StorageLevel
 
     key = (_session_key(spark), sf_dir, "plain")
-    if key not in _ENGINE_CACHE:
-        docs = _t(spark, sf_dir, "documents")
-        # DISK_ONLY: the columnar in-memory cache is pathologically slow
-        # building batches for the positions ARRAY column (~7x the cost
-        # of computing the pipeline); row-serialized disk cache is not.
-        postings = build_postings(docs, num_docs=None, stem=False).persist(
-            StorageLevel.DISK_ONLY
-        )
-        _ENGINE_CACHE[key] = SearchEngine(spark, postings, documents=docs, stem=None)
-    return _ENGINE_CACHE[key]
+    with _CACHE_LOCK:  # concurrent cold calls must not double-persist
+        if key not in _ENGINE_CACHE:
+            docs = _t(spark, sf_dir, "documents")
+            # DISK_ONLY: the columnar in-memory cache is pathologically
+            # slow building batches for the positions ARRAY column (~7x
+            # the cost of computing the pipeline); row-serialized disk
+            # cache is not.
+            postings = build_postings(docs, num_docs=None, stem=False).persist(
+                StorageLevel.DISK_ONLY
+            )
+            _ENGINE_CACHE[key] = SearchEngine(
+                spark, postings, documents=docs, stem=None
+            )
+        return _ENGINE_CACHE[key]
 
 
 @register(
@@ -665,18 +670,20 @@ def search_stemmed_cnf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     key = (_session_key(spark), sf_dir, "stemmed")
-    if key not in _ENGINE_CACHE:
-        docs = _t(spark, sf_dir, "documents")
-        stopword_list = [r.word for r in stop_words(docs, k=2).collect()]
-        sw = spark.createDataFrame([(w,) for w in stopword_list], "word STRING")
-        # DISK_ONLY — see _plain_engine (array-column columnar cache cost)
-        postings = build_postings(
-            docs, stopwords=sw, num_docs=None, stem=True
-        ).persist(StorageLevel.DISK_ONLY)
-        _ENGINE_CACHE[key] = SearchEngine(
-            spark, postings, documents=docs, stopwords=stopword_list
-        )
-    return _ENGINE_CACHE[key].search("(sparks or streaming) and not tables")
+    with _CACHE_LOCK:
+        if key not in _ENGINE_CACHE:
+            docs = _t(spark, sf_dir, "documents")
+            stopword_list = [r.word for r in stop_words(docs, k=2).collect()]
+            sw = spark.createDataFrame([(w,) for w in stopword_list], "word STRING")
+            # DISK_ONLY — see _plain_engine (array-column cache cost)
+            postings = build_postings(
+                docs, stopwords=sw, num_docs=None, stem=True
+            ).persist(StorageLevel.DISK_ONLY)
+            _ENGINE_CACHE[key] = SearchEngine(
+                spark, postings, documents=docs, stopwords=stopword_list
+            )
+        engine = _ENGINE_CACHE[key]
+    return engine.search("(sparks or streaming) and not tables")
 
 
 # ======================================================================
@@ -822,11 +829,12 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.operators.dedup import word_shingles
 
     key = (_session_key(spark), sf_dir, "shingles")
-    if key not in _ENGINE_CACHE:
-        _ENGINE_CACHE[key] = word_shingles(_t(spark, sf_dir, "documents")).persist(
-            StorageLevel.DISK_ONLY
-        )
-    return _ENGINE_CACHE[key]
+    with _CACHE_LOCK:
+        if key not in _ENGINE_CACHE:
+            _ENGINE_CACHE[key] = word_shingles(
+                _t(spark, sf_dir, "documents")
+            ).persist(StorageLevel.DISK_ONLY)
+        return _ENGINE_CACHE[key]
 
 
 @register(
@@ -933,13 +941,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash_pairs",
     oracle=_SIMHASH_CTE
     + """
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+, banded AS (
+  SELECT doc_id, simhash, bb.band,
+         (simhash >> (bb.band * 10)) & 1023 AS chunk
+  FROM sims CROSS JOIN (SELECT unnest(range(4)) AS band) bb
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM sims a JOIN sims b
-  ON (a.simhash >> 20) = (b.simhash >> 20) AND a.doc_id < b.doc_id
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
-    note="SimHash near-dup pairs, Hamming ≤ 3, banded on top 20 bits",
+    note="SimHash near-dup pairs, Hamming ≤ 3; 4x10-bit bands guarantee "
+    "every Hamming≤3 pair is a candidate (pigeonhole)",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.operators.dedup import simhash, simhash_pairs

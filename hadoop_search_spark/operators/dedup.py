@@ -139,14 +139,21 @@ def minhash_bands_wide(
         for i in range(num_hashes)
     ]
     wide = shingles.groupBy("doc_id").agg(*aggs)
-    n_bands = num_hashes // band_rows
+    # ceil-divide so a trailing partial band is emitted, matching
+    # lsh_bands (seed // band_rows) when band_rows doesn't divide k
+    n_bands = -(-num_hashes // band_rows)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws(
                     ",",
-                    *[F.col(f"mh{b * band_rows + j}") for j in range(band_rows)],
+                    *[
+                        F.col(f"mh{i}")
+                        for i in range(
+                            b * band_rows, min((b + 1) * band_rows, num_hashes)
+                        )
+                    ],
                 ).alias("band_key"),
             )
             for b in range(n_bands)
@@ -260,17 +267,38 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
 
 
 def simhash_pairs(
-    sims: DataFrame, max_hamming: int = 3, prefix_shift: int = SIMHASH_PREFIX_SHIFT
+    sims: DataFrame,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Near-dup pairs by Hamming distance, banded on the hash's top
-    bits so the self-join is per-bucket, never all-pairs."""
-    banded = sims.withColumn("bucket", F.expr(f"simhash >> {prefix_shift}"))
+    """Near-dup pairs by Hamming distance, candidate-generated over
+    ``num_bands`` bit-bands: a pair differing in ≤ ``num_bands``-1
+    bits must agree on at least one whole band (pigeonhole), so with
+    the default 4 bands every Hamming ≤ 3 pair is guaranteed to be
+    found — never an all-pairs join."""
+    band_bits = bits // num_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    f"(simhash >> {b * band_bits}) & {(1 << band_bits) - 1}"
+                ).alias("chunk"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    banded = sims.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -279,6 +307,7 @@ def simhash_pairs(
             F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

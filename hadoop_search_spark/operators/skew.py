@@ -19,11 +19,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, salt_n: int) -> Column:
+    """Deterministic per-row salt: a hash over every column mod salt_n.
+
+    Determinism matters under task retries — a salt derived from
+    partition ids or monotonically_increasing_id changes when a lost
+    task recomputes, which can double-count or drop rows in the
+    two-phase aggregate. The trade-off: rows identical in every
+    column share a salt (a hot key of *byte-identical* rows still
+    funnels); real data distinguishes rows by some column."""
+    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_n))
+
+
 def salted_count(df: DataFrame, key_cols: list[str], salt_n: int = 16) -> DataFrame:
     """groupBy(key).count() with two-phase salting: phase one counts
     per (key, salt) — hot keys spread over ``salt_n`` reducers — phase
     two sums the ≤``salt_n`` partials per key."""
-    salt = (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_n
+    salt = _row_salt(df, salt_n)
     phase1 = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")
@@ -36,7 +48,7 @@ def salted_sum(
     df: DataFrame, key_cols: list[str], value: Column, salt_n: int = 16
 ) -> DataFrame:
     """Two-phase salted sum; same shape as :func:`salted_count`."""
-    salt = (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_n
+    salt = _row_salt(df, salt_n)
     phase1 = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")
@@ -63,9 +75,6 @@ def salted_join(
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     salts = F.array(*[F.lit(i) for i in range(salt_n)])
-    big_salted = big.withColumn(
-        "_salt",
-        (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_n,
-    )
+    big_salted = big.withColumn("_salt", _row_salt(big, salt_n))
     small_salted = small.withColumn("_salt", F.explode(salts))
     return big_salted.join(small_salted, [key, "_salt"], how).drop("_salt")

@@ -45,13 +45,21 @@ def rank(results: DataFrame) -> DataFrame:
     return results.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
-def page_slice(ranked: DataFrame, page: int, page_size: int = PAGE_SIZE) -> DataFrame:
+def page_slice(
+    ranked: DataFrame,
+    page: int,
+    page_size: int = PAGE_SIZE,
+    order_by: list | None = None,
+) -> DataFrame:
     """Rows of 1-based ``page``. Distributed: top ``page*size`` via
     limit (per-partition heaps + merge), then a window over that
-    bounded prefix only."""
+    bounded prefix only. ``order_by`` defaults to the search ranking
+    (score desc, doc_id asc); pass explicit orderings for other
+    paginations."""
     page = max(page, 1)
-    prefix = ranked.limit(page * page_size)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    order = order_by or [F.desc("score"), F.asc("doc_id")]
+    prefix = ranked.orderBy(*order).limit(page * page_size)
+    w = Window.orderBy(*order)
     return (
         prefix.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") > (page - 1) * page_size)
@@ -68,11 +76,27 @@ class SearchResult:
     count: int
     pages: list[list[int]]
 
+    # driver-side id materialization is capped: the exact total still
+    # comes from a distributed count, but only the first max_ids ids
+    # (1000 pages) ever reach the driver / the query cache — nobody
+    # pages past that, and an unbounded collect would reintroduce the
+    # reference's single-reducer materialization this port removes
+    MAX_IDS = 10_000
+
     @classmethod
-    def from_ranked(cls, ranked: DataFrame, page_size: int = PAGE_SIZE) -> "SearchResult":
-        ids = [r.doc_id for r in ranked.select("doc_id").collect()]
+    def from_ranked(
+        cls,
+        ranked: DataFrame,
+        page_size: int = PAGE_SIZE,
+        max_ids: int = MAX_IDS,
+    ) -> "SearchResult":
+        ids = [r.doc_id for r in ranked.select("doc_id").limit(max_ids + 1).collect()]
+        count = len(ids)
+        if count > max_ids:
+            ids = ids[:max_ids]
+            count = ranked.count()  # exact total, ids truncated
         pages = [ids[i : i + page_size] for i in range(0, len(ids), page_size)]
-        return cls(count=len(ids), pages=pages)
+        return cls(count=count, pages=pages)
 
     def page(self, n: int) -> list[int]:
         """1-based page fetch, clamped to the last page
@@ -118,31 +142,25 @@ def highlight_words(query: str) -> list[str]:
     positive clause highlights; a ``not`` literal highlights only
     inside a ``not (...)`` clause (double negation).
 
-    Deviation: clause/literal splits use word boundaries
-    (``\\band\\b``/``\\bor\\b``) — the reference splits on the bare
-    substrings here, corrupting words like "normal"/"android" that its
-    own query parser handles correctly.
-    """
+    Derived from the real query parser (unstemmed, no stop words)
+    rather than a re-implementation of the grammar — the reference's
+    separate hand-rolled split diverges from its own parser on
+    no-space negations like ``not(...)`` and on words containing
+    "and"/"or"."""
+    from hadoop_search_spark.plans import parser as P
+
+    tree = P.parse_query(query, stem=lambda w: w)
     out: list[str] = []
-    for clause in re.split(r"\band\b", query.lower()):
-        clause = clause.strip()
-        neg = clause.startswith("not ")
-        if neg:
-            clause = clause[3:].strip()
-        if clause.startswith("(") and clause.endswith(")"):
-            clause = clause[1:-1].strip()
-        for literal in re.split(r"\bor\b", clause):
-            literal = literal.strip()
-            if literal.startswith("not "):
-                if not neg:
-                    continue
-                words = literal[3:].strip().split(" ")
-            else:
-                if neg:
-                    continue
-                words = literal.split(" ")
-            out.extend(w for w in words if w)
-    return out
+    for clause in tree.children:
+        neg = isinstance(clause, P.Or) and clause.negated
+        for operand in clause.children:
+            leaves = operand.children if isinstance(operand, P.And) else (operand,)
+            for leaf in leaves:
+                if isinstance(leaf, P.Word) and not neg:
+                    out.append(leaf.term)
+                elif isinstance(leaf, P.ExceptWord) and neg:
+                    out.append(leaf.term)
+    return [w for w in out if w]
 
 
 # ---------- snippets (P11) + highlighting (P12) -----------------------
@@ -209,15 +227,19 @@ def make_snippet(content: str, highlights: list[str], snippet_range: int = SNIPP
 
 def highlight(text: str, words: list[str]) -> str:
     """Wrap each word (and its Capitalized form) in the highlight span
-    (`util/CorpusFetcher.java:186-190`)."""
-    for w in words:
-        if not w:
-            continue
-        for form in (w, w[0].upper() + w[1:]):
-            text = re.sub(
-                rf"\b{re.escape(form)}\b", f"{HIGHLIGHT_START}{form}{HIGHLIGHT_END}", text
-            )
-    return text
+    (`util/CorpusFetcher.java:186-190`).
+
+    Single pass over the text with one alternation — sequential
+    re-substitution (the reference's approach) re-scans its own
+    injected markup, so a query word like "span" or "color" would
+    corrupt previously inserted tags."""
+    forms = {f for w in words if w for f in (w, w[0].upper() + w[1:])}
+    if not forms:
+        return text
+    pattern = r"\b(" + "|".join(
+        re.escape(f) for f in sorted(forms, key=len, reverse=True)
+    ) + r")\b"
+    return re.sub(pattern, rf"{HIGHLIGHT_START}\1{HIGHLIGHT_END}", text)
 
 
 # ---------- end-to-end page rendering ---------------------------------

@@ -68,6 +68,19 @@ def test_highlight_words_not_aware():
     assert highlight_words("normal and android") == ["normal", "android"]
 
 
+def test_highlight_markup_words_not_corrupted():
+    # query words matching the injected markup must not rewrite it
+    got = highlight("the span has color here", ["span", "color", "has"])
+    assert got.count("<span style=") == 3
+    assert "<<" not in got and got.count("</span>") == 3
+
+
+def test_highlight_words_no_space_negation():
+    # 'not(...)' (no space) must follow parser semantics: double
+    # negation highlights the inner not-word
+    assert highlight_words("x and not(not y or z)") == ["x", "y"]
+
+
 def test_highlight_wraps_word_and_capitalized():
     got = highlight("Cake and cake and cupcake", ["cake"])
     assert got.count('<span style="background-color: #FFFF00">') == 2

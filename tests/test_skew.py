@@ -31,10 +31,11 @@ def test_salted_sum_equals_plain(spark):
 
 
 def test_salted_count_spreads_hot_key(spark):
+    from hadoop_search_spark.operators.skew import _row_salt
+
     df = _skewed(spark)
-    salt = (F.spark_partition_id() + F.monotonically_increasing_id()) % 16
     partials = (
-        df.withColumn("_salt", salt)
+        df.withColumn("_salt", _row_salt(df, 16))
         .groupBy("k", "_salt")
         .count()
         .filter(F.col("k") == "hot")
