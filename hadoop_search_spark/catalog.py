@@ -1070,6 +1070,64 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_ivf_topk",
+    oracle=_EMB_CTE
+    + """
+, cdots AS (
+  SELECT a.vec_id, c.vec_id AS cell, sum(a.x * c.x) AS dot
+  FROM exp_e a JOIN exp_e c ON c.vec_id < 8 AND c.i = a.i
+  GROUP BY a.vec_id, c.vec_id
+),
+ccos AS (
+  SELECT d.vec_id, d.cell,
+         row_number() OVER (
+           PARTITION BY d.vec_id
+           ORDER BY round(d.dot / (na.nrm * nc.nrm), 9) DESC, d.cell) AS crn
+  FROM cdots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cell
+),
+assign AS (SELECT vec_id, cell FROM ccos WHERE crn = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM ccos
+           WHERE crn <= 2 AND vec_id IN (0, 1, 2, 3, 4)),
+cand AS (
+  SELECT a.vec_id, p.query_id
+  FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT c.vec_id, c.query_id, sum(a.x * b.x) AS dot
+  FROM cand c
+  JOIN exp_e a ON a.vec_id = c.vec_id
+  JOIN exp_q b ON b.query_id = c.query_id AND b.i = a.i
+  GROUP BY c.vec_id, c.query_id
+),
+cos AS (
+  SELECT d.query_id, d.vec_id, round(d.dot / (na.nrm * nq.nrm), 9) AS cosine
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN norms nq ON nq.vec_id = d.query_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM cos) t
+WHERE rn <= 10
+""",
+    note="IVF ANN top-10: 8 deterministic coarse cells, nprobe=2 — "
+    "map-only cell assignment (no shuffle), probe-cells candidate join; "
+    "recall < 1 by design, identical across engines",
+)
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10,
+        num_centroids=8, nprobe=2,
+    )
+
+
+@register(
     "text_script_counts",
     oracle="""
 SELECT script, count(*) AS n FROM (

@@ -162,6 +162,98 @@ def ann_lsh_topk(
     )
 
 
+NUM_CENTROIDS = 8
+NPROBE = 2
+
+
+def ivf_centroids(embeddings: DataFrame, num_centroids: int = NUM_CENTROIDS):
+    """Coarse-quantizer centroids for the IVF index: the vectors with
+    the ``num_centroids`` smallest vec_ids — deterministic, so the
+    DuckDB oracle can reproduce the cell structure exactly. At scale
+    the selection is pluggable (train k-means offline, store the
+    centroid table); everything downstream only sees (cell, vector)
+    pairs. Returns a driver-side list — centroids are a *model
+    parameter* (a few KB for any realistic C), not data, so collecting
+    them is the scale-correct move: assignment becomes a map-only
+    expression instead of an explode + window shuffle."""
+    rows = (
+        embeddings.filter(F.col("vec_id") < num_centroids)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
+
+
+def _cell_ranking(emb: F.Column, centroids) -> F.Column:
+    """ARRAY<STRUCT<neg_cos, cell>> sorted best-first: cosine against
+    each centroid (rounded to 9dp — see :func:`_cosine`), ties to the
+    lowest cell id. ``array_sort`` on structs orders by fields
+    lexicographically, so (-cos, cell) ascending = (cos desc, cell
+    asc). Pure expression — whole-stage codegen, no shuffle."""
+    scored = [
+        F.struct(
+            (-_cosine(emb, F.array(*[F.lit(x) for x in vec]))).alias("neg_cos"),
+            F.lit(cell).cast("bigint").alias("cell"),
+        )
+        for cell, vec in centroids
+    ]
+    return F.array_sort(F.array(*scored))
+
+
+def ivf_assign(
+    embeddings: DataFrame, centroids, out_col: str = "cell"
+) -> DataFrame:
+    """Adds the IVF cell id (nearest centroid by cosine) as a map-only
+    projection — the 100 TB path: one narrow scan, no join, no
+    shuffle; cells then act like partitions for probing."""
+    ranking = _cell_ranking(F.col("embedding"), centroids)
+    return embeddings.withColumn(out_col, ranking.getItem(0).getField("cell"))
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted into
+    ``num_centroids`` cells; each query searches only its ``nprobe``
+    nearest cells. Same output shape as :func:`cosine_topk`
+    (query_id, vec_id, cosine, rn); recall < 1 by design.
+
+    Scale shape: assignment is map-only (see :func:`ivf_assign`), the
+    probe list is queries × nprobe (tiny, broadcast), and the only
+    wide ops are the candidate broadcast-join and the per-query top-k
+    window — candidate count ~ corpus × nprobe/num_centroids."""
+    from hadoop_search_spark.partitioning import spread
+
+    cents = ivf_centroids(embeddings, num_centroids)
+    corpus = ivf_assign(spread(embeddings, "vec_id"), cents)
+    q = embeddings.filter(
+        F.col("vec_id").isin(*[int(i) for i in query_ids])
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ranking = _cell_ranking(F.col("q_emb"), cents)
+    probes = q.select(
+        "query_id",
+        "q_emb",
+        F.explode(F.slice(ranking, 1, nprobe)).alias("probe"),
+    ).select("query_id", "q_emb", F.col("probe.cell").alias("cell"))
+    pairs = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        _cosine(F.col("embedding"), F.col("q_emb")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def embedding_dedup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -212,11 +304,28 @@ def ann_recall(
     turns the documented "recall < 1" into a number for tuning
     ``num_planes`` (fewer planes → bigger buckets → higher recall,
     more verify work)."""
+    approx = ann_lsh_topk(embeddings, query_ids, k, num_planes, dim)
+    return _recall_vs_exact(embeddings, query_ids, k, approx)
+
+
+def ivf_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NPROBE,
+) -> float:
+    """Measured recall@k of the IVF path against the exact top-k —
+    the nprobe/num_centroids tuning knob made observable."""
+    approx = ann_ivf_topk(embeddings, query_ids, k, num_centroids, nprobe)
+    return _recall_vs_exact(embeddings, query_ids, k, approx)
+
+
+def _recall_vs_exact(
+    embeddings: DataFrame, query_ids: list[int], k: int, approx: DataFrame
+) -> float:
     exact = {
         (r.query_id, r.vec_id) for r in cosine_topk(embeddings, query_ids, k).collect()
     }
-    approx = {
-        (r.query_id, r.vec_id)
-        for r in ann_lsh_topk(embeddings, query_ids, k, num_planes, dim).collect()
-    }
-    return len(exact & approx) / len(exact) if exact else 1.0
+    got = {(r.query_id, r.vec_id) for r in approx.collect()}
+    return len(exact & got) / len(exact) if exact else 1.0

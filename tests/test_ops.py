@@ -173,3 +173,33 @@ def test_ann_recall_tunable(spark):
     r2 = ann_recall(emb, [0, 1, 2], k=5, num_planes=2)
     assert 0.0 <= r8 <= 1.0
     assert r2 >= r8  # fewer planes -> bigger buckets -> recall no worse
+
+
+def test_ivf_assign_and_probe(spark):
+    from hadoop_search_spark.operators.similarity import (
+        ann_ivf_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivf_recall,
+    )
+
+    # two well-separated clusters; centroids = vec_ids 0 and 1
+    a, b = [1.0] * 64, [(-1.0) ** i * 1.0 for i in range(64)]
+    rows = [(0, a), (1, b)] + [
+        (i, [x + (0.01 * (i % 3)) for x in (a if i % 2 == 0 else b)])
+        for i in range(2, 12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    cents = ivf_centroids(emb, 2)
+    assert [c for c, _ in cents] == [0, 1]
+    cells = {r.vec_id: r.cell for r in ivf_assign(emb, cents).collect()}
+    # even ids cluster with centroid 0, odd with centroid 1
+    assert all(cell == (vid % 2) for vid, cell in cells.items())
+
+    # nprobe=1 on clean clusters finds the exact in-cluster neighbors
+    got = ann_ivf_topk(emb, [0], k=3, num_centroids=2, nprobe=1).collect()
+    assert {r.vec_id for r in got} <= {v for v in cells if cells[v] == 0}
+    assert all(r.rn <= 3 for r in got)
+
+    # probing every cell makes IVF exact
+    assert ivf_recall(emb, [0, 1], k=3, num_centroids=2, nprobe=2) == 1.0
