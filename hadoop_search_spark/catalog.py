@@ -1127,6 +1127,64 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_score_sql() -> str:
+    """CASE arm per language, generated from the same
+    ``LANG_NGRAM_PROFILES`` the Spark operator uses — one source of
+    truth for the weights, so oracle and engine cannot drift."""
+    from hadoop_search_spark.operators.textstats import LANG_NGRAM_PROFILES
+
+    arms = []
+    for lang, profile in sorted(LANG_NGRAM_PROFILES.items()):
+        terms = " + ".join(
+            f"CAST((length(pt) - length(replace(pt, '{g}', ''))) / {len(g)} AS BIGINT) * {w}"
+            for g, w in profile.items()
+        )
+        arms.append(f"WHEN '{lang}' THEN {terms}")
+    return "CASE cand " + " ".join(arms) + " END"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS pt FROM documents
+),
+scores AS (
+  SELECT doc_id, lang, cand, {_lang_score_sql()} AS score
+  FROM p CROSS JOIN (SELECT unnest(['de', 'en', 'es', 'fr']) AS cand) langs
+),
+best AS (
+  SELECT doc_id, cand, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS rn
+  FROM scores
+),
+pred AS (
+  SELECT p.lang,
+         CASE WHEN regexp_matches(p.text, '[一-鿿]') THEN 'zh'
+              WHEN regexp_matches(p.text, '[Ѐ-ӿ]') THEN 'ru'
+              WHEN b.score > 0 THEN b.cand
+              ELSE 'und' END AS lang_pred
+  FROM p JOIN best b ON b.doc_id = p.doc_id AND b.rn = 1
+)
+SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY lang, lang_pred
+""",
+    note="n-gram-profile language ID (integer-weighted char n-grams, "
+    "charset fast-path for CJK/Cyrillic) rolled up against the "
+    "fixture's lang label",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        lang_id(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 @register(
     "text_script_counts",
     oracle="""

@@ -41,6 +41,65 @@ def script_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Characteristic character n-grams per language with integer weights —
+# the classic n-gram-profile language-ID heuristic (Cavnar & Trenkle
+# style, reduced to a fixed discriminative profile so scoring is a
+# pure expression). Weights are integers and counts are exact, so the
+# winning language is engine-independent (no float comparisons).
+LANG_NGRAM_PROFILES: dict[str, dict[str, int]] = {
+    "en": {" the ": 3, " and ": 3, " of ": 2, " is ": 2, "ing ": 1, "th": 1},
+    "de": {" der ": 3, " und ": 3, " die ": 3, " ist ": 2, "sch": 1, "ich": 1},
+    "es": {" el ": 3, " que ": 3, " los ": 2, " es ": 2, "ción": 3, " una ": 1},
+    "fr": {" le ": 3, " les ": 3, " des ": 3, " est ": 2, " une ": 1, "eau": 1},
+}
+
+
+def _ngram_count(padded: F.Column, gram: str) -> F.Column:
+    """Occurrences of ``gram`` via the length-difference trick —
+    stays inside whole-stage codegen; identical semantics in DuckDB."""
+    return (
+        F.length(padded) - F.length(F.replace(padded, F.lit(gram), F.lit("")))
+    ) / F.lit(len(gram))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-heuristic language ID → (doc_id, lang_pred, lang_score).
+
+    CJK and Cyrillic are decided by charset (no useful char n-grams at
+    this profile size); Latin-script text is scored against each
+    language's weighted n-gram profile and the argmax wins (ties to
+    the alphabetically first language; all-zero → 'und'). Scoring is
+    map-only — no shuffle, no UDF; at 100 TB this is a narrow
+    projection pipelined into whatever consumes it."""
+    t = F.col(text_col)
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    scored = [
+        F.struct(
+            (-sum(
+                (_ngram_count(padded, g) * F.lit(w)).cast("bigint")
+                for g, w in profile.items()
+            )).alias("neg_score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, profile in sorted(LANG_NGRAM_PROFILES.items())
+    ]
+    best = F.array_sort(F.array(*scored)).getItem(0)
+    latin_pred = F.when(best.getField("neg_score") < 0, best.getField("lang")).otherwise(
+        "und"
+    )
+    lang_pred = (
+        F.when(t.rlike("[一-鿿]"), "zh")
+        .when(t.rlike("[Ѐ-ӿ]"), "ru")
+        .otherwise(latin_pred)
+    )
+    lang_score = F.when(
+        t.rlike("[一-鿿]") | t.rlike("[Ѐ-ӿ]"), F.lit(0).cast("bigint")
+    ).otherwise((-best.getField("neg_score")).cast("bigint"))
+    return docs.select(
+        "doc_id", lang_pred.alias("lang_pred"), lang_score.alias("lang_score")
+    )
+
+
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features + a single blended score:
     token count, mean token length, stop-word ratio, digit ratio.

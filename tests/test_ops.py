@@ -122,6 +122,26 @@ def test_quality_and_tokens(spark):
     assert t.n_tokens == 7 and t.n_subword_est == 7  # all tokens ≤ 4 chars
 
 
+def test_lang_id_ngram_profiles(spark):
+    from hadoop_search_spark.operators.textstats import lang_id
+
+    rows = [
+        (1, "the cat and the dog are of interest, this thing is running"),
+        (2, "der Hund und die Katze sind schön, ich bin müde und das ist gut"),
+        (3, "el perro que corre es una canción de los niños"),
+        (4, "le chat est sur les toits des maisons, une belle eau"),
+        (5, "这是一个中文句子"),
+        (6, "это русский текст"),
+        (7, "xxxx yyyy zzzz"),  # no profile hits -> undetermined
+    ]
+    df = _docs(spark, rows)
+    got = {r.doc_id: (r.lang_pred, r.lang_score) for r in lang_id(df).collect()}
+    assert {d: p for d, (p, _) in got.items()} == {
+        1: "en", 2: "de", 3: "es", 4: "fr", 5: "zh", 6: "ru", 7: "und"
+    }
+    assert got[1][1] > 0 and got[7][1] == 0
+
+
 def test_fingerprint_order_sensitive(spark):
     df = _docs(spark, [(1, "a b"), (2, "b a"), (3, "a b")])
     fp = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
