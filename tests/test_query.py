@@ -133,6 +133,37 @@ def test_root_negation_materializes_complement(harness_engine):
     assert [(r.doc_id, r.score) for r in rows] == [(4, 0.0)]
 
 
+def test_min_distance_duplicate_interposition(spark):
+    """The merged-sort min-distance must survive equal positions from
+    both sides sitting *between* the optimal cross pair (the offset-2
+    cases), and adjacent cross pairs in either side order."""
+    cases = [
+        # (pos_a, pos_b, expected nonzero min distance)
+        ([5], [5, 7], 2),          # b duplicates a's position
+        ([5, 7], [5], 2),          # a duplicates b's position
+        ([5, 7], [5, 7], 2),       # both duplicated -> inner pair wins
+        ([6], [5], 1),             # b just below a (encoded gap tests)
+        ([5], [6], 1),             # a just below b
+        ([1, 100], [50], 49),      # interior optimum
+    ]
+    postings = spark.createDataFrame(
+        [
+            row
+            for i, (pa, pb, _) in enumerate(cases)
+            for row in [
+                ("alpha", i, 1, pa, 2.0),
+                ("beta", i, 1, pb, 2.0),
+            ]
+        ],
+        "term STRING, doc_id BIGINT, tf INT, positions ARRAY<INT>, score DOUBLE",
+    )
+    docs = spark.createDataFrame([(i,) for i in range(len(cases))], "doc_id BIGINT")
+    eng = SearchEngine(spark, postings, documents=docs)
+    rows = {r.doc_id: r.score for r in eng.search("alpha beta").collect()}
+    for i, (_, _, dist) in enumerate(cases):
+        assert rows[i] == pytest.approx(4.0 ** (1 + 1 / dist)), (i, dist)
+
+
 def test_repeated_word_phrase_no_div_by_zero(harness_engine):
     # "vanilla vanilla": identical position arrays -> zero distances
     # skipped; min nonzero dist is |1-5|=4 (doc1), |4-10|=6 (doc2)
