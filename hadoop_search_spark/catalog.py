@@ -854,15 +854,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(_t(spark, sf_dir, "documents"))
 
 
+def _minhash_salts_values() -> str:
+    """``(seed, salt)`` VALUES rows from the operator's own
+    ``SEED_SALTS`` — one source of truth for the XOR-salt family."""
+    from hadoop_search_spark.operators.dedup import SEED_SALTS
+
+    return ", ".join(f"({i}, {s})" for i, s in enumerate(SEED_SALTS))
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=_SHINGLES_CTE
-    + """
-, seeds AS (SELECT unnest(range(16)) AS seed),
+    + f"""
+, hs AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h FROM sh
+),
 mh AS (
-  SELECT doc_id, seed,
-         min(('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 12))::BIGINT) AS minhash
-  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+  SELECT doc_id, s.seed, min(xor(h, s.salt)) AS minhash
+  FROM hs CROSS JOIN (SELECT * FROM (VALUES {_minhash_salts_values()}) v(seed, salt)) s
+  GROUP BY doc_id, s.seed
 ),
 bands AS (
   SELECT doc_id, (seed // 4)::INT AS band,

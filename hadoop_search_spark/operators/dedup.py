@@ -26,6 +26,8 @@ by AQE skew-join splitting.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -36,6 +38,24 @@ _SH_HEX = 10
 
 NUM_MINHASHES = 16
 LSH_BAND_ROWS = 4  # 4 bands of 4 rows
+
+# Per-seed XOR salts for the min-hash family: one md5 per *shingle*
+# (uniform 48-bit h), then seed i's hash is ``h XOR SEED_SALTS[i]`` —
+# a permutation of the hash space per seed. This is the standard
+# "one strong hash + k cheap salts" MinHash construction: at corpus
+# scale the signature stage hashes terabytes of shingle strings, and
+# salting cuts the string-hash work k-fold versus md5(seed||shingle)
+# per seed. Salts are themselves md5-derived so the oracle SQL can
+# embed the same constants (generated from this list — one source of
+# truth, see catalog._minhash_salts_sql).
+def seed_salts(k: int) -> list[int]:
+    return [
+        int(hashlib.md5(f"seed:{i}".encode()).hexdigest()[:_MH_HEX], 16)
+        for i in range(k)
+    ]
+
+
+SEED_SALTS: list[int] = seed_salts(NUM_MINHASHES)
 SHINGLE_SIZE = 3
 SIMHASH_BITS = 40
 SIMHASH_PREFIX_SHIFT = 20  # band on top 20 bits for pair generation
@@ -88,20 +108,26 @@ def word_shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_SIZE
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = NUM_MINHASHES
 ) -> DataFrame:
-    """(doc_id, seed, minhash): k md5-derived min-hashes per doc.
+    """(doc_id, seed, minhash): k salted min-hashes per doc.
 
-    One explode over a k-element seed array then a (doc, seed) min —
-    a single shuffle; k is a column constant, not a Python loop over
-    jobs."""
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    One explode over a k-element (seed, salt) array then a
+    (doc, seed) min — a single shuffle; the shingle string is md5'd
+    once and re-permuted per seed via XOR (see :data:`SEED_SALTS`)."""
+    ss = seed_salts(num_hashes)
+    salts = F.array(
+        *[
+            F.struct(F.lit(i).alias("seed"), F.lit(ss[i]).alias("salt"))
+            for i in range(num_hashes)
+        ]
+    )
     per_seed = shingles.select(
         "doc_id",
-        F.explode(seeds).alias("seed"),
-        F.col("shingle"),
+        _md5_int(F.col("shingle"), _MH_HEX).alias("h"),
+        F.explode(salts).alias("ss"),
     ).select(
         "doc_id",
-        "seed",
-        _md5_int(F.concat_ws(":", F.col("seed"), F.col("shingle")), _MH_HEX).alias("h"),
+        F.col("ss.seed").alias("seed"),
+        F.col("h").bitwiseXOR(F.col("ss.salt")).alias("h"),
     )
     return per_seed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
 
@@ -131,11 +157,13 @@ def minhash_bands_wide(
 
     Produces byte-identical band keys to :func:`lsh_bands` ∘
     :func:`minhash_signatures`; this is the scale path — shuffle
-    volume is |shingles|, not k·|shingles|."""
+    volume is |shingles|, not k·|shingles|, and the shingle string is
+    md5'd ONCE with per-seed XOR salts (:data:`SEED_SALTS`) instead of
+    k string hashes."""
+    ss = seed_salts(num_hashes)
+    h = _md5_int(F.col("shingle"), _MH_HEX)
     aggs = [
-        F.min(
-            _md5_int(F.concat_ws(":", F.lit(i), F.col("shingle")), _MH_HEX)
-        ).alias(f"mh{i}")
+        F.min(h.bitwiseXOR(F.lit(ss[i]))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     wide = shingles.groupBy("doc_id").agg(*aggs)

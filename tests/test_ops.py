@@ -44,6 +44,31 @@ def test_word_shingles(spark):
     assert got == {(1, "a b c"), (1, "b c d")}
 
 
+def test_minhash_narrow_wide_band_keys_identical(spark):
+    from hadoop_search_spark.operators.dedup import (
+        lsh_bands,
+        minhash_bands_wide,
+        minhash_signatures,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+        ],
+    )
+    sh = word_shingles(df)
+    narrow = {
+        (r.doc_id, r.band, r.band_key)
+        for r in lsh_bands(minhash_signatures(sh)).collect()
+    }
+    wide = {
+        (r.doc_id, r.band, r.band_key) for r in minhash_bands_wide(sh).collect()
+    }
+    assert narrow == wide and len(wide) == 8  # 2 docs x 4 bands
+
+
 def test_minhash_identical_docs_pair(spark):
     df = _docs(
         spark,
