@@ -1534,6 +1534,136 @@ def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cube_grouping",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+    note="full cube with grouping_id — all 2^2 aggregation levels in one pass",
+)
+def q_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "q_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend
+FROM orders
+""",
+    note="cumulative windowed sum (running customer spend) — frame-based "
+    "window; decimal accumulation so partial order cannot diverge",
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_utc(spark)
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_us"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "q_median_per_group",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+    note="exact interpolated percentiles per group (median + p90); "
+    "rounded to 6dp to absorb interpolation-formula ulp differences",
+)
+def q_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+SELECT n.n_name,
+       string_agg(c.c_name, ',' ORDER BY c.c_name) AS members,
+       count(*) AS n
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal >= 9000
+GROUP BY n.n_name
+""",
+    note="ordered string aggregation (collect_list -> sort -> join) per group",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= 9000)
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("members"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q_argmin_join_back",
+    oracle="""
+SELECT o_custkey, o_orderkey AS first_orderkey,
+       epoch_us(o_orderdate) AS first_order_us,
+       CAST(o_totalprice AS DOUBLE) AS first_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn = 1
+""",
+    note="earliest order per customer via min(struct) single-pass "
+    "aggregation — no window sort, partial aggregation applies; the "
+    "oracle uses the equivalent row_number formulation",
+)
+def q_argmin_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_utc(spark)
+    o = _t(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(
+            F.struct("o_orderdate", "o_orderkey", "o_totalprice")
+        ).alias("f")
+    )
+    return first.select(
+        "o_custkey",
+        F.col("f.o_orderkey").alias("first_orderkey"),
+        F.unix_micros(F.col("f.o_orderdate").cast("timestamp")).alias("first_order_us"),
+        F.col("f.o_totalprice").cast("double").alias("first_totalprice"),
+    )
+
+
+@register(
     "sim_embedding_dedup",
     oracle=_EMB_CTE
     + """
