@@ -1153,6 +1153,15 @@ def _lang_score_sql() -> str:
     return "CASE cand " + " ".join(arms) + " END"
 
 
+def _lang_candidates_sql() -> str:
+    """The candidate-language list for the oracle's cross join — from
+    the same profile table as the CASE arms, so adding a language
+    updates both."""
+    from hadoop_search_spark.operators.textstats import LANG_NGRAM_PROFILES
+
+    return ", ".join(f"'{lang}'" for lang in sorted(LANG_NGRAM_PROFILES))
+
+
 @register(
     "text_lang_id",
     oracle=f"""
@@ -1161,7 +1170,7 @@ WITH p AS (
 ),
 scores AS (
   SELECT doc_id, lang, cand, {_lang_score_sql()} AS score
-  FROM p CROSS JOIN (SELECT unnest(['de', 'en', 'es', 'fr']) AS cand) langs
+  FROM p CROSS JOIN (SELECT unnest([{_lang_candidates_sql()}]) AS cand) langs
 ),
 best AS (
   SELECT doc_id, cand, score,

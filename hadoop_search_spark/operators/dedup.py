@@ -47,7 +47,7 @@ LSH_BAND_ROWS = 4  # 4 bands of 4 rows
 # salting cuts the string-hash work k-fold versus md5(seed||shingle)
 # per seed. Salts are themselves md5-derived so the oracle SQL can
 # embed the same constants (generated from this list — one source of
-# truth, see catalog._minhash_salts_sql).
+# truth, see catalog._minhash_salts_values).
 def seed_salts(k: int) -> list[int]:
     return [
         int(hashlib.md5(f"seed:{i}".encode()).hexdigest()[:_MH_HEX], 16)

@@ -57,6 +57,23 @@ def _cosine(a: F.Column, b: F.Column) -> F.Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 9)
 
 
+def _topk_per_query(pairs: DataFrame, k: int) -> DataFrame:
+    """Shared (query_id, vec_id, cosine, rn) top-k tail for the exact,
+    LSH, and IVF paths — one definition of the scoring projection and
+    tie-breaking (cosine desc, vec_id asc) so the three paths cannot
+    drift from the shared oracle contract."""
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        _cosine(F.col("embedding"), F.col("q_emb")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -76,16 +93,7 @@ def cosine_topk(
     )
     corpus = spread(embeddings, "vec_id")
     pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
-        "vec_id",
-        _cosine(F.col("embedding"), F.col("q_emb")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= k)
-    )
+    return _topk_per_query(pairs, k)
 
 
 def hyperplane_sign(emb: F.Column, plane: int, dim: int) -> F.Column:
@@ -150,16 +158,7 @@ def ann_lsh_topk(
         F.broadcast(q),
         (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
     )
-    scored = pairs.select(
-        "query_id",
-        "vec_id",
-        _cosine(F.col("embedding"), F.col("q_emb")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= k)
-    )
+    return _topk_per_query(pairs, k)
 
 
 NUM_CENTROIDS = 8
@@ -179,20 +178,38 @@ def ivf_centroids(embeddings: DataFrame, num_centroids: int = NUM_CENTROIDS):
     rows = (
         embeddings.filter(F.col("vec_id") < num_centroids)
         .select("vec_id", "embedding")
+        .orderBy("vec_id")  # collect() order is otherwise partition-dependent
         .collect()
     )
     return [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
 
 
-def _cell_ranking(emb: F.Column, centroids) -> F.Column:
+def _cell_ranking(
+    emb: F.Column, centroids, row_norm: F.Column | None = None
+) -> F.Column:
     """ARRAY<STRUCT<neg_cos, cell>> sorted best-first: cosine against
     each centroid (rounded to 9dp — see :func:`_cosine`), ties to the
     lowest cell id. ``array_sort`` on structs orders by fields
     lexicographically, so (-cos, cell) ascending = (cos desc, cell
-    asc). Pure expression — whole-stage codegen, no shuffle."""
+    asc). Pure expression — whole-stage codegen, no shuffle.
+
+    Per-row work is kept to the C dot products: centroid norms are
+    Python-side constants (sequential left-to-right float64 sums,
+    matching the Spark aggregate's fold order bit-for-bit), and the
+    row's own norm is computed once outside the per-centroid structs
+    (pass ``row_norm`` as a materialized column; defaults to the
+    inline expression)."""
+    if row_norm is None:
+        row_norm = _norm(emb)
     scored = [
         F.struct(
-            (-_cosine(emb, F.array(*[F.lit(x) for x in vec]))).alias("neg_cos"),
+            (
+                -F.round(
+                    _dot(emb, F.array(*[F.lit(x) for x in vec]))
+                    / (row_norm * F.lit(_py_norm(vec))),
+                    9,
+                )
+            ).alias("neg_cos"),
             F.lit(cell).cast("bigint").alias("cell"),
         )
         for cell, vec in centroids
@@ -200,14 +217,28 @@ def _cell_ranking(emb: F.Column, centroids) -> F.Column:
     return F.array_sort(F.array(*scored))
 
 
+def _py_norm(vec: list[float]) -> float:
+    """sqrt of a left-to-right float64 sum of squares — the same fold
+    order as :func:`_norm`'s aggregate, so the constant equals what
+    the engine would have computed."""
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    return acc**0.5
+
+
 def ivf_assign(
     embeddings: DataFrame, centroids, out_col: str = "cell"
 ) -> DataFrame:
     """Adds the IVF cell id (nearest centroid by cosine) as a map-only
     projection — the 100 TB path: one narrow scan, no join, no
-    shuffle; cells then act like partitions for probing."""
-    ranking = _cell_ranking(F.col("embedding"), centroids)
-    return embeddings.withColumn(out_col, ranking.getItem(0).getField("cell"))
+    shuffle; cells then act like partitions for probing. The row norm
+    is materialized once per row, not once per centroid."""
+    with_norm = embeddings.withColumn("_nrm", _norm(F.col("embedding")))
+    ranking = _cell_ranking(F.col("embedding"), centroids, F.col("_nrm"))
+    return with_norm.withColumn(out_col, ranking.getItem(0).getField("cell")).drop(
+        "_nrm"
+    )
 
 
 def ann_ivf_topk(
@@ -242,16 +273,7 @@ def ann_ivf_topk(
     pairs = corpus.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    scored = pairs.select(
-        "query_id",
-        "vec_id",
-        _cosine(F.col("embedding"), F.col("q_emb")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= k)
-    )
+    return _topk_per_query(pairs, k)
 
 
 def embedding_dedup_pairs(

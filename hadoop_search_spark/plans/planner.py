@@ -169,9 +169,14 @@ class SearchEngine:
             n = F.size(tagged)
 
             def _cross_gaps(off: int) -> F.Column:
+                # greatest(..., 0): a tf-only side (empty positions
+                # array, e.g. an externally built index) makes the
+                # merged array shorter than the offset — slice must
+                # see length 0, not a negative length (error)
+                length = F.greatest(n - off, F.lit(0))
                 return F.zip_with(
-                    F.slice(tagged, 1, n - off),
-                    F.slice(tagged, off + 1, n - off),
+                    F.slice(tagged, 1, length),
+                    F.slice(tagged, off + 1, length),
                     lambda u, v: F.when(
                         ((u + v) % 2 == 1)  # low bits differ -> cross-side
                         & (F.shiftright(v, 1) != F.shiftright(u, 1)),

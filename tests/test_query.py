@@ -164,6 +164,26 @@ def test_min_distance_duplicate_interposition(spark):
         assert rows[i] == pytest.approx(4.0 ** (1 + 1 / dist)), (i, dist)
 
 
+def test_phrase_with_empty_positions_side_falls_back_to_product(spark):
+    """A tf-only posting side (empty positions array — e.g. an
+    externally built index without position data) must degrade to the
+    plain score product, not crash the slice-based merge."""
+    postings = spark.createDataFrame(
+        [
+            ("alpha", 1, 1, [], 2.0),
+            ("beta", 1, 1, [3, 7], 2.0),
+            ("gamma", 1, 1, [], 3.0),
+        ],
+        "term STRING, doc_id BIGINT, tf INT, positions ARRAY<INT>, score DOUBLE",
+    )
+    docs = spark.createDataFrame([(1,)], "doc_id BIGINT")
+    eng = SearchEngine(spark, postings, documents=docs)
+    rows = {r.doc_id: r.score for r in eng.search("alpha beta").collect()}
+    assert rows == {1: pytest.approx(4.0)}
+    rows = {r.doc_id: r.score for r in eng.search("alpha gamma").collect()}
+    assert rows == {1: pytest.approx(6.0)}
+
+
 def test_repeated_word_phrase_no_div_by_zero(harness_engine):
     # "vanilla vanilla": identical position arrays -> zero distances
     # skipped; min nonzero dist is |1-5|=4 (doc1), |4-10|=6 (doc2)
