@@ -103,6 +103,53 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """At-least-once-delivery dedup for an event stream: keep the
+    first occurrence of each key within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state to the
+    watermark window — the 100 TB-stream answer to replayed /
+    re-delivered events, where an unbounded ``dropDuplicates`` state
+    would grow forever. Keys default to the event id."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def enriched_segment_counts(
+    events: DataFrame, customers: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each event is
+    joined to the static customer dimension (broadcast — the static
+    side is planned per micro-batch, never shuffled with the stream)
+    and counted per (hour, market segment).
+
+    The static side joins on ``user_id = c_custkey``; unmatched users
+    fall into segment 'unknown' (left join) so event counts are
+    conserved."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = events.withWatermark("ts", watermark).join(
+        F.broadcast(dim), "user_id", "left"
+    )
+    return (
+        joined.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.coalesce("c_mktsegment", F.lit("unknown")).alias("segment"),
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_us"),
+            "segment",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 RUNNING_TOTALS_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
 _STATE_SCHEMA = "n BIGINT, total DOUBLE"
 

@@ -118,6 +118,68 @@ def test_stateful_running_totals(spark, events_stream, events_batch):
         assert got[u][1] == pytest.approx(tv, rel=1e-9)
 
 
+def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
+    import os
+
+    from hadoop_search_spark.streaming.events import dedup_stream
+
+    d = str(tmp_path / "dup_events")
+    os.makedirs(d)
+    schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    base = 1_700_000_000 * 1_000_000_000
+    MIN = 60 * 1_000_000_000
+    rows = [(i, base + i * MIN, 1, "view", 1.0, "{}") for i in range(5)]
+    # at-least-once delivery: events 1 and 3 arrive twice
+    spark.createDataFrame(rows + [rows[1], rows[3]], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    run_to_memory(dedup_stream(stream), "dedup_out", "append")
+    got = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_out").collect()]
+    assert sorted(got) == [0, 1, 2, 3, 4]  # one row per id, duplicates dropped
+
+
+def test_stream_static_enrichment_counts(spark, events_stream, events_batch):
+    from hadoop_search_spark.streaming.events import enriched_segment_counts
+
+    customers = spark.read.parquet(f"{SF}/customer.parquet")
+    run_to_memory(
+        enriched_segment_counts(events_stream, customers), "enriched_out", "complete"
+    )
+    got = {
+        (r.hour_us, r.segment): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM enriched_out").collect()
+    }
+    dim = customers.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    want = {
+        (r.hour_us, r.segment): (r.n, r.sum_value)
+        for r in (
+            events_batch.join(dim, "user_id", "left")
+            .groupBy(
+                F.window("ts", "1 hour").alias("w"),
+                F.coalesce("c_mktsegment", F.lit("unknown")).alias("segment"),
+            )
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+            .select(
+                F.unix_micros(F.col("w.start")).alias("hour_us"),
+                "segment", "n", "sum_value",
+            )
+            .collect()
+        )
+    }
+    assert got.keys() == want.keys()
+    assert sum(n for n, _ in got.values()) == events_batch.count()  # conservation
+    for k, (n, sv) in want.items():
+        assert got[k][0] == n and got[k][1] == pytest.approx(sv, rel=1e-9)
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     import os
 
