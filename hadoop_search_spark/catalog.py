@@ -1542,6 +1542,154 @@ def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stopwords_sql() -> str:
+    from hadoop_search_spark.operators.textstats import STOPWORDS_EN
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+
+def _curation_sql() -> str:
+    """The full curation pipeline as one WITH query — every stage's
+    SQL is the same text the standalone oracles use (salts, language
+    profiles, and stop words generated from the operators' own
+    constant tables)."""
+    return f"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+surv AS (SELECT d.doc_id, d.text FROM documents d
+         JOIN keepers k ON k.doc_id = d.doc_id),
+rawtoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos
+  FROM surv
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM rawtoks a
+  JOIN rawtoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN rawtoks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h FROM sh),
+mh AS (
+  SELECT doc_id, s.seed, min(xor(h, s.salt)) AS minhash
+  FROM hs CROSS JOIN (SELECT * FROM (VALUES {_minhash_salts_values()}) v(seed, salt)) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, (seed // 4)::INT AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
+  FROM mh GROUP BY doc_id, (seed // 4)::INT
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+drop_near AS (
+  SELECT DISTINCT s.doc_b AS doc_id
+  FROM shared s
+  JOIN sizes za ON za.doc_id = s.doc_a
+  JOIN sizes zb ON zb.doc_id = s.doc_b
+  WHERE round(s.shared / (za.n_sh + zb.n_sh - s.shared), 9) >= 0.8
+),
+after AS (
+  SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)
+),
+feats AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         ' ' || lower(text) || ' ' AS pt
+  FROM after
+),
+qual AS (
+  SELECT doc_id,
+    round(
+      (len(list_filter(toks, x -> list_contains([{_stopwords_sql()}], x)))::DOUBLE / len(toks)) * 0.4
+      + least((list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)) / 10.0, 1.0) * 0.3
+      + (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)) * 0.3
+    , 9) AS quality
+  FROM feats
+),
+lscores AS (
+  SELECT doc_id, cand, {_lang_score_sql()} AS score
+  FROM feats CROSS JOIN (SELECT unnest([{_lang_candidates_sql()}]) AS cand) langs
+),
+lbest AS (
+  SELECT doc_id, cand, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+  FROM lscores
+),
+lpred AS (
+  SELECT f.doc_id,
+         CASE WHEN regexp_matches(f.text, '[一-鿿]') THEN 'zh'
+              WHEN regexp_matches(f.text, '[Ѐ-ӿ]') THEN 'ru'
+              WHEN b.score > 0 THEN b.cand
+              ELSE 'und' END AS lang_pred
+  FROM feats f JOIN lbest b ON b.doc_id = f.doc_id AND b.rn = 1
+),
+tcnt AS (SELECT doc_id, len(toks) AS n_tokens FROM feats)
+SELECT q.doc_id, q.quality, p.lang_pred, t.n_tokens
+FROM qual q
+JOIN lpred p ON p.doc_id = q.doc_id
+JOIN tcnt t ON t.doc_id = q.doc_id
+WHERE q.quality >= 0.46 AND p.lang_pred IN ('en')
+"""
+
+
+@register(
+    "curation_pipeline",
+    oracle=_curation_sql(),
+    note="composed training-data curation: exact dedup -> MinHash-LSH "
+    "near-dup removal (J>=0.8) -> quality floor (>=0.46) -> language "
+    "allowlist (en) -> per-doc token accounting; one lazy plan, every "
+    "stage a tested standalone operator",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.curation import curate
+
+    return curate(
+        _t(spark, sf_dir, "documents"),
+        jaccard_threshold=0.8,
+        min_quality=0.46,
+        langs=("en",),
+    )
+
+
+@register(
+    "curation_summary",
+    oracle=f"""
+SELECT count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       sum(n_tokens)::DOUBLE / count(*) AS mean_tokens,
+       CAST(sum(CAST(quality AS DECIMAL(12,9))) AS DOUBLE) / count(*) AS mean_quality
+FROM ({_curation_sql()}) t
+""",
+    note="one-row corpus accounting over the curated set (docs, token "
+    "budget, mean quality) — exact decimal averaging",
+)
+def curation_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.curation import curate, curation_summary
+
+    return curation_summary(
+        curate(
+            _t(spark, sf_dir, "documents"),
+            jaccard_threshold=0.8,
+            min_quality=0.46,
+            langs=("en",),
+        )
+    )
+
+
 @register(
     "q_cube_grouping",
     oracle="""

@@ -1,0 +1,109 @@
+"""End-to-end corpus curation — the composed training-data pipeline
+(SURVEY.md §7 phase 5): exact dedup → near-dup removal → quality
+filter → language filter → token accounting.
+
+This is the operator a 100 TB pretraining-data run actually executes:
+each stage is one of the already-tested primitives from
+``operators/dedup.py`` / ``operators/textstats.py``, composed as a
+single lazy DataFrame plan. Nothing materializes driver-side; the
+stages that shuffle do so on content-hash / LSH-band keys exactly as
+their standalone forms do, so the composition inherits their scale
+behavior.
+
+Stage semantics (deterministic, so the whole pipeline has an exact
+DuckDB oracle in the catalog):
+
+1. **exact dedup** — keep the min doc_id of each md5(text) group;
+2. **near-dup removal** — MinHash-LSH pairs at the given Jaccard
+   threshold; for each pair the higher doc_id is dropped (union-free
+   approximation of clustering: a doc is dropped if it is the greater
+   id of ANY surviving pair, which is order-independent);
+3. **quality floor** — blended quality score ≥ ``min_quality``;
+4. **language allowlist** — n-gram language ID in ``langs``;
+5. **token accounting** — per-doc token counts and a corpus total,
+   the number a data-mixing plan actually needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_search_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_dedup,
+)
+from hadoop_search_spark.operators.textstats import lang_exprs, quality_exprs
+
+
+def curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """Returns the curated corpus: (doc_id, n_tokens, lang_pred,
+    quality) for every surviving document.
+
+    The dedup stages are semi/anti joins on doc_id; the feature
+    stages (quality, language, tokens) are one combined projection
+    over a single scan of the survivor set — no joins, no extra
+    scans."""
+    base = docs.select("doc_id", text_col)
+
+    # 1. exact dedup: survivors are each hash-group's keeper
+    exact = exact_dedup_groups(docs, text_col)
+    keep_exact = exact.filter(F.col("doc_id") == F.col("keeper_id")).select("doc_id")
+
+    # 2. near-dup removal among exact survivors: drop the greater id
+    # of every near-dup pair (pairs among dropped exact dups are
+    # irrelevant — they are already gone). The shingle set is
+    # referenced four times inside the LSH pipeline (signatures,
+    # sizes, both verify sides); a lazy local checkpoint materializes
+    # it once instead of re-tokenizing per reference (blocks are
+    # released when the plan is garbage-collected — same pattern as
+    # similarity.embedding_dedup_pairs)
+    survivors = base.join(keep_exact, "doc_id", "left_semi")
+    from hadoop_search_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(survivors, text_col).localCheckpoint(eager=False)
+    near_pairs = minhash_lsh_dedup(
+        survivors, text_col, threshold=jaccard_threshold, shingles=sh
+    )
+    drop_near = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    after_near = survivors.join(drop_near, "doc_id", "left_anti")
+
+    # 3-5. quality floor, language allowlist, and token accounting as
+    # ONE projection over one scan of the survivor set — the feature
+    # families are pure expressions (quality_exprs / lang_exprs), so
+    # composing them costs no extra scans and no joins
+    t = F.col(text_col)
+    qe = quality_exprs(t)
+    le = lang_exprs(t)
+    feats = after_near.select(
+        "doc_id",
+        qe["quality"].alias("quality"),
+        le["lang_pred"].alias("lang_pred"),
+        qe["n_tokens"].alias("n_tokens"),
+    )
+    return feats.filter(
+        (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*langs)
+    )
+
+
+def curation_summary(curated: DataFrame) -> DataFrame:
+    """One-row corpus accounting: surviving docs, total/mean tokens —
+    the budget numbers a data-mixing plan consumes. Averages are an
+    exact decimal sum followed by one double division, so partial-agg
+    order cannot perturb the result (same convention as the q1
+    catalog entry)."""
+    return curated.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("mean_tokens"),
+        (
+            F.sum(F.col("quality").cast("decimal(12,9)")).cast("double")
+            / F.count("*")
+        ).alias("mean_quality"),
+    )

@@ -62,16 +62,10 @@ def _ngram_count(padded: F.Column, gram: str) -> F.Column:
     ) / F.lit(len(gram))
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """N-gram-heuristic language ID → (doc_id, lang_pred, lang_score).
-
-    CJK and Cyrillic are decided by charset (no useful char n-grams at
-    this profile size); Latin-script text is scored against each
-    language's weighted n-gram profile and the argmax wins (ties to
-    the alphabetically first language; all-zero → 'und'). Scoring is
-    map-only — no shuffle, no UDF; at 100 TB this is a narrow
-    projection pipelined into whatever consumes it."""
-    t = F.col(text_col)
+def lang_exprs(t: F.Column) -> dict[str, F.Column]:
+    """lang_pred / lang_score as pure expressions over a text column —
+    composable into a wider single-scan projection (see
+    ``operators/curation.py``)."""
     padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
     scored = [
         F.struct(
@@ -95,17 +89,26 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     lang_score = F.when(
         t.rlike("[一-鿿]") | t.rlike("[Ѐ-ӿ]"), F.lit(0).cast("bigint")
     ).otherwise((-best.getField("neg_score")).cast("bigint"))
+    return {"lang_pred": lang_pred, "lang_score": lang_score}
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-heuristic language ID → (doc_id, lang_pred, lang_score).
+
+    CJK and Cyrillic are decided by charset (no useful char n-grams at
+    this profile size); Latin-script text is scored against each
+    language's weighted n-gram profile and the argmax wins (ties to
+    the alphabetically first language; all-zero → 'und'). Scoring is
+    map-only — no shuffle, no UDF; at 100 TB this is a narrow
+    projection pipelined into whatever consumes it."""
+    e = lang_exprs(F.col(text_col))
     return docs.select(
-        "doc_id", lang_pred.alias("lang_pred"), lang_score.alias("lang_score")
+        "doc_id", e["lang_pred"].alias("lang_pred"), e["lang_score"].alias("lang_score")
     )
 
 
-def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-doc quality features + a single blended score:
-    token count, mean token length, stop-word ratio, digit ratio.
-    quality = stop_ratio·0.4 + clamp(mean_len/10)·0.3 + (1-digit_ratio)·0.3
-    (an interpretable heuristic in [0,1], monotone in 'looks like prose')."""
-    t = F.col(text_col)
+def quality_exprs(t: F.Column) -> dict[str, F.Column]:
+    """Quality features as pure expressions over a text column."""
     toks = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
     n_tokens = F.size(toks)
     mean_len = (
@@ -127,13 +130,24 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least(mean_len / 10.0, F.lit(1.0)) * 0.3
         + (1.0 - digit_ratio) * 0.3
     )
+    return {
+        "n_tokens": n_tokens.cast("bigint"),
+        "mean_token_len": F.round(mean_len, 9),
+        "stop_ratio": F.round(stop_ratio, 9),
+        "digit_ratio": F.round(digit_ratio, 9),
+        "quality": F.round(quality, 9),
+    }
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + a single blended score:
+    token count, mean token length, stop-word ratio, digit ratio.
+    quality = stop_ratio·0.4 + clamp(mean_len/10)·0.3 + (1-digit_ratio)·0.3
+    (an interpretable heuristic in [0,1], monotone in 'looks like prose')."""
+    e = quality_exprs(F.col(text_col))
     return docs.select(
-        "doc_id",
-        n_tokens.cast("bigint").alias("n_tokens"),
-        F.round(mean_len, 9).alias("mean_token_len"),
-        F.round(stop_ratio, 9).alias("stop_ratio"),
-        F.round(digit_ratio, 9).alias("digit_ratio"),
-        F.round(quality, 9).alias("quality"),
+        "doc_id", *[e[k].alias(k) for k in
+                    ("n_tokens", "mean_token_len", "stop_ratio", "digit_ratio", "quality")]
     )
 
 

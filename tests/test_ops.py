@@ -220,6 +220,30 @@ def test_ann_recall_tunable(spark):
     assert r2 >= r8  # fewer planes -> bigger buckets -> recall no worse
 
 
+def test_curation_pipeline_stages(spark):
+    from hadoop_search_spark.operators.curation import curate, curation_summary
+
+    good = (
+        "the cat and the dog are of interest to the reader and the story "
+        "is long enough to shingle properly and the quality is fine"
+    )
+    rows = [
+        (1, good),
+        (2, good),                                   # exact dup of 1 -> dropped
+        (3, good + " extra tail"),                   # near dup (J≈0.92) -> dropped
+        (4, "x1 y2 z3 " * 8),                        # digit-heavy -> low quality
+        (5, "der Hund und die Katze sind schön ich bin müde und das ist gut "
+            "aber der Tag ist lang und die Nacht ist kurz"),  # German -> filtered
+    ]
+    df = _docs(spark, rows)
+    got = {r.doc_id: r for r in curate(df, min_quality=0.46, langs=("en",)).collect()}
+    assert set(got) == {1}
+    assert got[1].lang_pred == "en" and got[1].quality >= 0.46
+    s = curation_summary(curate(df, min_quality=0.46, langs=("en",))).collect()[0]
+    assert s.n_docs == 1 and s.total_tokens == got[1].n_tokens
+    assert s.mean_quality == pytest.approx(float(got[1].quality))
+
+
 def test_ivf_assign_and_probe(spark):
     from hadoop_search_spark.operators.similarity import (
         ann_ivf_topk,
