@@ -241,17 +241,73 @@ def ivf_assign(
     )
 
 
+def ivf_train_kmeans(
+    embeddings: DataFrame,
+    k: int = NUM_CENTROIDS,
+    iterations: int = 3,
+):
+    """Lloyd's k-means for the IVF coarse quantizer, as DataFrame ops.
+
+    Init = the deterministic seed centroids (:func:`ivf_centroids`);
+    each iteration assigns every vector to its nearest centroid
+    (map-only, see :func:`ivf_assign`) and recomputes per-cell means.
+    The per-dimension mean uses posexplode → groupBy(cell, dim) —
+    k·dim result rows (a few KB) come back to the driver, which is
+    where the model lives between iterations; the corpus itself never
+    leaves the cluster. An emptied cell keeps its previous centroid.
+
+    Returns the same ``[(cell_id, vector)]`` shape as
+    :func:`ivf_centroids`, so trained centroids drop into
+    :func:`ann_ivf_topk` / :func:`ivf_assign` unchanged."""
+    cents = ivf_centroids(embeddings, k)
+    for _ in range(iterations):
+        assigned = ivf_assign(embeddings, cents)
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r.cell), {})[int(r.dim)] = float(r.m)
+        dim = len(cents[0][1])
+        cents = [
+            (
+                cell,
+                [by_cell[cell][d] for d in range(dim)]
+                if cell in by_cell
+                else old_vec,
+            )
+            for cell, old_vec in cents
+        ]
+    return cents
+
+
+def ivf_cell_sizes(embeddings: DataFrame, centroids) -> DataFrame:
+    """(cell, n) occupancy histogram — the balance diagnostic for a
+    trained quantizer (a skewed cell is a hot partition at probe
+    time)."""
+    return ivf_assign(embeddings, centroids).groupBy("cell").agg(
+        F.count("*").alias("n")
+    )
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
     num_centroids: int = NUM_CENTROIDS,
     nprobe: int = NPROBE,
+    centroids=None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are inverted into
     ``num_centroids`` cells; each query searches only its ``nprobe``
     nearest cells. Same output shape as :func:`cosine_topk`
     (query_id, vec_id, cosine, rn); recall < 1 by design.
+
+    Pass ``centroids`` (e.g. from :func:`ivf_train_kmeans`) to use a
+    trained quantizer; defaults to the deterministic seed centroids.
 
     Scale shape: assignment is map-only (see :func:`ivf_assign`), the
     probe list is queries × nprobe (tiny, broadcast), and the only
@@ -259,7 +315,9 @@ def ann_ivf_topk(
     window — candidate count ~ corpus × nprobe/num_centroids."""
     from hadoop_search_spark.partitioning import spread
 
-    cents = ivf_centroids(embeddings, num_centroids)
+    cents = centroids if centroids is not None else ivf_centroids(
+        embeddings, num_centroids
+    )
     corpus = ivf_assign(spread(embeddings, "vec_id"), cents)
     q = embeddings.filter(
         F.col("vec_id").isin(*[int(i) for i in query_ids])

@@ -272,3 +272,30 @@ def test_ivf_assign_and_probe(spark):
 
     # probing every cell makes IVF exact
     assert ivf_recall(emb, [0, 1], k=3, num_centroids=2, nprobe=2) == 1.0
+
+
+def test_ivf_kmeans_training(spark):
+    from hadoop_search_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+        ivf_cell_sizes,
+        ivf_train_kmeans,
+    )
+
+    # two clusters of 6; seeds 0 and 1 both start inside cluster A's
+    # id range but training must separate them onto the two clusters
+    a = [1.0] * 64
+    b = [(-1.0) ** i * 1.0 for i in range(64)]
+    rows = [(i, [x + 0.01 * (i % 3) for x in (a if i < 6 else b)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    cents = ivf_train_kmeans(emb, k=2, iterations=3)
+    sizes = {r.cell: r.n for r in ivf_cell_sizes(emb, cents).collect()}
+    assert sorted(sizes.values()) == [6, 6]  # balanced cells after training
+
+    # with a trained quantizer, nprobe=1 is exact inside each cluster
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, [2, 8], k=3).collect()}
+    trained = {
+        (r.query_id, r.vec_id)
+        for r in ann_ivf_topk(emb, [2, 8], k=3, nprobe=1, centroids=cents).collect()
+    }
+    assert trained == exact
