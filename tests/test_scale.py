@@ -100,6 +100,50 @@ def test_search_plan_is_join_dag_not_collect(spark, documents):
     assert "Join" in plan
 
 
+def test_ivf_assignment_is_map_only(spark):
+    from hadoop_search_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, 4)
+    plan = ivf_assign(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    # cell assignment must be a narrow projection: no shuffle, no
+    # join, no Python — the property that makes IVF viable at 100 TB
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_probe_broadcasts_queries(spark):
+    from hadoop_search_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        ann_ivf_topk(emb, [0, 1], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the probe side joins in as a broadcast; the corpus never
+    # shuffles for the candidate join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_curation_single_feature_scan(spark, documents):
+    from hadoop_search_spark.operators.curation import curate
+
+    df = curate(documents)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # feature stages are fused: the quality/lang/token expressions sit
+    # in one projection, so no Python eval and no cartesian anywhere
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the documents relation feeds dedup (2 sides), LSH verify (2) and
+    # the feature projection — bounded number of scans, not one per
+    # feature family (3 families share a single scan)
+    assert plan.count("Scan parquet") <= 8
+
+
 def test_bucketed_index_aggregates_without_shuffle(spark, documents, tmp_path):
     from hadoop_search_spark.operators.index import write_index_bucketed
 
