@@ -86,13 +86,30 @@ def split_corrupt(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return clean, quarantine
 
 
-def with_content_ids(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Fill missing doc_ids with a 60-bit content hash — deterministic
-    across re-runs and partitionings (unlike
-    ``monotonically_increasing_id``), collision probability ~n²/2⁶¹.
-    Existing ids are kept."""
-    h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast("bigint")
-    return docs.withColumn("doc_id", F.coalesce(F.col("doc_id"), h))
+def with_content_ids(docs: DataFrame) -> DataFrame:
+    """Fill missing doc_ids with a 60-bit hash of the FULL row —
+    deterministic across re-runs and partitionings (unlike
+    ``monotonically_increasing_id``). Existing ids are kept.
+
+    Hashing every column (not just the text) means two id-less rows
+    share an id only when they are identical in every field — and
+    such full-row duplicates are then collapsed, deterministically,
+    since the surviving row is bit-identical whichever one it is.
+    This preserves the unique-doc_id invariant downstream operators
+    (exact dedup, joins on doc_id) rely on; text-duplicates that
+    differ in any other field keep distinct ids and are left for the
+    dedup operators to judge. Rows with conflicting PRE-EXISTING ids
+    are deliberately not collapsed (the survivor would be arbitrary);
+    only bit-identical rows are. Random collision probability across
+    distinct rows is ~n²/2⁶¹."""
+    cols = [c for c in docs.columns if c != "doc_id"]
+    payload = F.concat_ws(
+        "\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
+    return docs.withColumn(
+        "doc_id", F.coalesce(F.col("doc_id"), h)
+    ).dropDuplicates()
 
 
 def write_jsonl_corpus(docs: DataFrame, path: str, mode: str = "overwrite") -> None:

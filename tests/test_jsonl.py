@@ -43,6 +43,28 @@ def test_jsonl_content_ids_deterministic(spark, tmp_path):
     assert once["alpha beta"] is not None and once["alpha beta"] > 0
 
 
+def test_jsonl_content_ids_collapse_only_bit_identical_rows(spark, tmp_path):
+    p = tmp_path / "dups.jsonl"
+    p.write_text(
+        # two bit-identical id-less rows -> one row, one synthesized id
+        '{"text": "same doc", "lang": "en", "source": "s1"}\n'
+        '{"text": "same doc", "lang": "en", "source": "s1"}\n'
+        # same text, different source -> distinct ids, both kept
+        '{"text": "same doc", "lang": "en", "source": "s2"}\n'
+        # same text under two conflicting pre-existing ids -> both kept
+        '{"doc_id": 10, "text": "claimed", "lang": "en", "source": "s"}\n'
+        '{"doc_id": 11, "text": "claimed", "lang": "en", "source": "s"}\n'
+    )
+    clean, _ = split_corrupt(read_jsonl_corpus(spark, str(p)))
+    rows = with_content_ids(clean).collect()
+    by_source = {(r.text, r.source): r.doc_id for r in rows}
+    assert len(rows) == 4  # only the bit-identical pair collapsed
+    assert by_source[("same doc", "s1")] != by_source[("same doc", "s2")]
+    assert {r.doc_id for r in rows if r.text == "claimed"} == {10, 11}
+    ids = [r.doc_id for r in rows]
+    assert len(set(ids)) == len(ids)  # unique-doc_id invariant holds
+
+
 def test_jsonl_roundtrip_feeds_operators(spark, tmp_path):
     from hadoop_search_spark.operators.textstats import token_counts
 
