@@ -786,12 +786,20 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared SQL fragments. Hash parity: ('0x'||substr(md5(x),1,N))::BIGINT
 # in DuckDB == conv(substring(md5(x),1,N),16,10)::bigint in Spark.
-_SHINGLES_CTE = """
-WITH rawtoks AS (
+# Each fragment below is the SINGLE source of truth for its stage's
+# semantics — the standalone dedup oracles and the composed
+# curation-pipeline oracle all build from these, so a change to
+# shingle/hash/band structure cannot drift between them.
+
+
+def _shingles_ctes(src: str = "documents") -> str:
+    """rawtoks/sh/sizes CTE bodies (no leading WITH) over relation
+    ``src``: distinct word 3-gram shingles per doc + shingle counts."""
+    return f"""rawtoks AS (
   SELECT doc_id,
          unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
          generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos
-  FROM documents
+  FROM {src}
 ),
 sh AS (
   SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
@@ -799,24 +807,57 @@ sh AS (
   JOIN rawtoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
   JOIN rawtoks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
-"""
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
 
-_JACCARD_TAIL = """
-, shared AS (
+
+def _lsh_band_ctes() -> str:
+    """hs/mh/bands/cand CTE bodies: 12-hex-digit shingle hashes,
+    XOR-salted MinHash signatures over ``sh``, 4x4 banded keys, and
+    the LSH candidate-pair self-join."""
+    return f"""hs AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h FROM sh
+),
+mh AS (
+  SELECT doc_id, s.seed, min(xor(h, s.salt)) AS minhash
+  FROM hs CROSS JOIN (SELECT * FROM (VALUES {_minhash_salts_values()}) v(seed, salt)) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, (seed // 4)::INT AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
+  FROM mh GROUP BY doc_id, (seed // 4)::INT
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+
+_SHARED_CTE = """shared AS (
   SELECT c.doc_a, c.doc_b, count(*) AS shared
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.doc_a
   JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
   GROUP BY c.doc_a, c.doc_b
-)
+)"""
+
+
+def _jaccard_tail(threshold: float) -> str:
+    """shared-shingle count + final exact-Jaccard verified pair
+    SELECT at ``threshold``."""
+    return f"""
+, {_SHARED_CTE}
 SELECT s.doc_a, s.doc_b,
        round(s.shared / (za.n_sh + zb.n_sh - s.shared), 9) AS jaccard
 FROM shared s
 JOIN sizes za ON za.doc_id = s.doc_a
 JOIN sizes zb ON zb.doc_id = s.doc_b
-WHERE round(s.shared / (za.n_sh + zb.n_sh - s.shared), 9) >= 0.5
+WHERE round(s.shared / (za.n_sh + zb.n_sh - s.shared), 9) >= {threshold}
 """
+
+
+_SHINGLES_CTE = "\nWITH " + _shingles_ctes() + "\n"
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -864,28 +905,7 @@ def _minhash_salts_values() -> str:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=_SHINGLES_CTE
-    + f"""
-, hs AS (
-  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h FROM sh
-),
-mh AS (
-  SELECT doc_id, s.seed, min(xor(h, s.salt)) AS minhash
-  FROM hs CROSS JOIN (SELECT * FROM (VALUES {_minhash_salts_values()}) v(seed, salt)) s
-  GROUP BY doc_id, s.seed
-),
-bands AS (
-  SELECT doc_id, (seed // 4)::INT AS band,
-         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
-  FROM mh GROUP BY doc_id, (seed // 4)::INT
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
-"""
-    + _JACCARD_TAIL,
+    oracle=_SHINGLES_CTE + ",\n" + _lsh_band_ctes() + _jaccard_tail(0.5),
     note="MinHash(16)+LSH(4x4 bands) near-dup with exact-Jaccard verify ≥ 0.5",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,9 +923,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 , cand AS (
   SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
   FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
-)
-"""
-    + _JACCARD_TAIL,
+)"""
+    + _jaccard_tail(0.5),
     note="exact 3-gram Jaccard ≥ 0.5 via shared-shingle candidate join",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1559,42 +1578,9 @@ WITH keepers AS (
 ),
 surv AS (SELECT d.doc_id, d.text FROM documents d
          JOIN keepers k ON k.doc_id = d.doc_id),
-rawtoks AS (
-  SELECT doc_id,
-         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
-         generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos
-  FROM surv
-),
-sh AS (
-  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
-  FROM rawtoks a
-  JOIN rawtoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-  JOIN rawtoks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h FROM sh),
-mh AS (
-  SELECT doc_id, s.seed, min(xor(h, s.salt)) AS minhash
-  FROM hs CROSS JOIN (SELECT * FROM (VALUES {_minhash_salts_values()}) v(seed, salt)) s
-  GROUP BY doc_id, s.seed
-),
-bands AS (
-  SELECT doc_id, (seed // 4)::INT AS band,
-         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
-  FROM mh GROUP BY doc_id, (seed // 4)::INT
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-shared AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS shared
-  FROM cand c
-  JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-  GROUP BY c.doc_a, c.doc_b
-),
+{_shingles_ctes("surv")},
+{_lsh_band_ctes()},
+{_SHARED_CTE},
 drop_near AS (
   SELECT DISTINCT s.doc_b AS doc_id
   FROM shared s

@@ -29,10 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hadoop_search_spark.operators.dedup import (
-    exact_dedup_groups,
-    minhash_lsh_dedup,
-)
+from hadoop_search_spark.operators.dedup import minhash_lsh_dedup
 from hadoop_search_spark.operators.textstats import lang_exprs, quality_exprs
 
 
@@ -50,11 +47,20 @@ def curate(
     stages (quality, language, tokens) are one combined projection
     over a single scan of the survivor set — no joins, no extra
     scans."""
-    base = docs.select("doc_id", text_col)
-
-    # 1. exact dedup: survivors are each hash-group's keeper
-    exact = exact_dedup_groups(docs, text_col)
-    keep_exact = exact.filter(F.col("doc_id") == F.col("keeper_id")).select("doc_id")
+    # 1. exact dedup: one aggregate yields each md5(text) group's
+    # keeper row directly — min(struct(doc_id, text)) orders by
+    # doc_id (unique, so text never breaks a tie) and carries the
+    # keeper's text out of the aggregate, replacing the earlier
+    # annotate-then-join-back shape (one shuffle, no join)
+    survivors = (
+        docs.select(
+            F.md5(F.col(text_col)).alias("h"),
+            F.struct("doc_id", text_col).alias("s"),
+        )
+        .groupBy("h")
+        .agg(F.min("s").alias("s"))
+        .select("s.doc_id", f"s.{text_col}")
+    )
 
     # 2. near-dup removal among exact survivors: drop the greater id
     # of every near-dup pair (pairs among dropped exact dups are
@@ -64,7 +70,6 @@ def curate(
     # it once instead of re-tokenizing per reference (blocks are
     # released when the plan is garbage-collected — same pattern as
     # similarity.embedding_dedup_pairs)
-    survivors = base.join(keep_exact, "doc_id", "left_semi")
     from hadoop_search_spark.operators.dedup import word_shingles
 
     sh = word_shingles(survivors, text_col).localCheckpoint(eager=False)

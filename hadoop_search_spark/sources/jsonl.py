@@ -98,18 +98,27 @@ def with_content_ids(docs: DataFrame) -> DataFrame:
     This preserves the unique-doc_id invariant downstream operators
     (exact dedup, joins on doc_id) rely on; text-duplicates that
     differ in any other field keep distinct ids and are left for the
-    dedup operators to judge. Rows with conflicting PRE-EXISTING ids
-    are deliberately not collapsed (the survivor would be arbitrary);
-    only bit-identical rows are. Random collision probability across
-    distinct rows is ~n²/2⁶¹."""
+    dedup operators to judge. Rows with PRE-EXISTING ids pass through
+    untouched (map-only — the collapse shuffle is paid only by the
+    id-less slice, so a corpus that ships with ids costs nothing
+    here). Random collision probability across distinct rows is
+    ~n²/2⁶¹.
+
+    The hash payload is ``to_json(struct(cols))`` — an injection-proof
+    encoding (field names kept, strings escaped, null fields omitted
+    by name), so no choice of field *values* can make two distinct
+    rows serialize identically; a delimiter-joined concat would
+    collide on values containing the delimiter."""
     cols = [c for c in docs.columns if c != "doc_id"]
-    payload = F.concat_ws(
-        "\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cols]
-    )
+    payload = F.to_json(F.struct(*[F.col(c) for c in cols]))
     h = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
-    return docs.withColumn(
-        "doc_id", F.coalesce(F.col("doc_id"), h)
-    ).dropDuplicates()
+    with_id = docs.filter(F.col("doc_id").isNotNull())
+    synthesized = (
+        docs.filter(F.col("doc_id").isNull())
+        .withColumn("doc_id", h)
+        .dropDuplicates()
+    )
+    return with_id.unionByName(synthesized)
 
 
 def write_jsonl_corpus(docs: DataFrame, path: str, mode: str = "overwrite") -> None:

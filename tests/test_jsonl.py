@@ -65,6 +65,25 @@ def test_jsonl_content_ids_collapse_only_bit_identical_rows(spark, tmp_path):
     assert len(set(ids)) == len(ids)  # unique-doc_id invariant holds
 
 
+def test_jsonl_content_ids_injection_proof(spark):
+    # field values crafted so a naive delimiter-joined hash payload
+    # would collide across columns ("a\x00b","c") vs ("a","b\x00c"),
+    # or confuse null with a null-marker string
+    docs = spark.createDataFrame(
+        [
+            (None, "a\x00b", "c", "s"),
+            (None, "a", "b\x00c", "s"),
+            (None, None, "\x01", "s"),
+            (None, "\x01", None, "s"),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING",
+    )
+    rows = with_content_ids(docs).collect()
+    assert len(rows) == 4  # nothing falsely collapsed
+    ids = [r.doc_id for r in rows]
+    assert len(set(ids)) == 4  # all ids distinct
+
+
 def test_jsonl_roundtrip_feeds_operators(spark, tmp_path):
     from hadoop_search_spark.operators.textstats import token_counts
 
