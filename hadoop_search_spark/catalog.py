@@ -860,6 +860,25 @@ WHERE round(s.shared / (za.n_sh + zb.n_sh - s.shared), 9) >= {threshold}
 _SHINGLES_CTE = "\nWITH " + _shingles_ctes() + "\n"
 
 
+def _stopwords_sql() -> str:
+    from hadoop_search_spark.operators.textstats import STOPWORDS_EN
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+
+def _quality_expr_sql() -> str:
+    """The blended quality score as one SQL expression (9dp-rounded),
+    over in-scope columns ``toks`` (filtered lowercase tokens) and
+    ``text`` — shared by the text_quality, curation, and
+    token-budget-mix oracles so the score cannot drift between
+    them."""
+    return f"""round(
+    (len(list_filter(toks, x -> list_contains([{_stopwords_sql()}], x)))::DOUBLE / len(toks)) * 0.4
+    + least((list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)) / 10.0, 1.0) * 0.3
+    + (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)) * 0.3
+  , 9)"""
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized persisted shingle set per (session, sf_dir): dedup
     queries share one materialization instead of stacking a new cache
@@ -1245,17 +1264,13 @@ def text_script_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality",
-    oracle="""
+    oracle=f"""
 SELECT doc_id,
   len(toks) AS n_tokens,
   round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 9) AS mean_token_len,
-  round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x)))::DOUBLE / len(toks), 9) AS stop_ratio,
+  round(len(list_filter(toks, x -> list_contains([{_stopwords_sql()}], x)))::DOUBLE / len(toks), 9) AS stop_ratio,
   round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text), 9) AS digit_ratio,
-  round(
-    (len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x)))::DOUBLE / len(toks)) * 0.4
-    + least((list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)) / 10.0, 1.0) * 0.3
-    + (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)) * 0.3
-  , 9) AS quality
+  {_quality_expr_sql()} AS quality
 FROM (SELECT doc_id, text,
              list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
       FROM documents) t
@@ -1303,6 +1318,119 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.operators.textstats import doc_fingerprint
 
     return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _pii_res() -> tuple[str, str, str]:
+    from hadoop_search_spark.operators.mixing import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return EMAIL_RE, IPV4_RE, PHONE_RE
+
+
+# synthesized deterministic PII appended to each fixture doc so the
+# scrubber is exercised for real (the fixture text itself is clean);
+# same expression in Spark and SQL
+_PII_SYNTH_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example or +1415555' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH synth AS (
+  SELECT doc_id, {_PII_SYNTH_SQL} AS text FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{_pii_res()[0]}', '<EMAIL>', 'g'),
+      '{_pii_res()[1]}', '<IP>', 'g'),
+      '{_pii_res()[2]}', '<PHONE>', 'g') AS text_scrubbed,
+  CAST(len(regexp_extract_all(text, '{_pii_res()[0]}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{_pii_res()[1]}')) AS INT) AS n_ip,
+  CAST(len(regexp_extract_all(text, '{_pii_res()[2]}')) AS INT) AS n_phone
+FROM synth
+""",
+    note="PII redaction (email/IPv4/phone) over deterministically "
+    "synthesized contact lines; map-only regex, per-category audit counts",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.mixing import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or +1415555"),
+            F.pmod(F.col("doc_id"), 100).cast("string"),
+            F.lit(" at 10.0."),
+            F.pmod(F.col("doc_id"), 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return pii_scrub(synth)
+
+
+_SAMPLE_RATES = {"src0": 0.2, "src1": 0.5, "src2": 0.8, "src3": 1.0}
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, source, bucket FROM b
+WHERE bucket < CASE source {" ".join(f"WHEN '{s}' THEN {int(round(r * 10000))}" for s, r in sorted(_SAMPLE_RATES.items()))} ELSE 0 END
+""",
+    note="deterministic per-source hash sampling (rates 0.2/0.5/0.8/1.0, "
+    "other sources dropped); map-only, reproducible across runs/partitionings",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.mixing import stratified_sample
+
+    return stratified_sample(_t(spark, sf_dir, "documents"), _SAMPLE_RATES).select(
+        "doc_id", "source", "bucket"
+    )
+
+
+_MIX_BUDGETS = {f"src{i}": 1000 for i in range(0, 20, 2)}
+
+
+@register(
+    "mix_token_budget",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source, {_quality_expr_sql()} AS quality, len(toks) AS n_tokens
+  FROM (SELECT doc_id, source, text,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents) t
+),
+cum AS (
+  SELECT *,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, quality, n_tokens, cum_tokens
+FROM cum
+WHERE (CASE source {" ".join(f"WHEN '{s}' THEN {b}" for s, b in sorted(_MIX_BUDGETS.items()))} ELSE NULL END) IS NULL
+   OR cum_tokens <= (CASE source {" ".join(f"WHEN '{s}' THEN {b}" for s, b in sorted(_MIX_BUDGETS.items()))} ELSE NULL END)
+""",
+    note="per-source token-budget mix: quality-ranked greedy prefix under "
+    "a 1000-token budget for even sources, odd sources unlimited; one "
+    "shuffle (window on source)",
+)
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.mixing import token_budget_mix
+
+    return token_budget_mix(_t(spark, sf_dir, "documents"), _MIX_BUDGETS)
 
 
 @register(
@@ -1561,12 +1689,6 @@ def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stopwords_sql() -> str:
-    from hadoop_search_spark.operators.textstats import STOPWORDS_EN
-
-    return ", ".join(f"'{w}'" for w in STOPWORDS_EN)
-
-
 def _curation_sql() -> str:
     """The full curation pipeline as one WITH query — every stage's
     SQL is the same text the standalone oracles use (salts, language
@@ -1598,12 +1720,7 @@ feats AS (
   FROM after
 ),
 qual AS (
-  SELECT doc_id,
-    round(
-      (len(list_filter(toks, x -> list_contains([{_stopwords_sql()}], x)))::DOUBLE / len(toks)) * 0.4
-      + least((list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)) / 10.0, 1.0) * 0.3
-      + (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)) * 0.3
-    , 9) AS quality
+  SELECT doc_id, {_quality_expr_sql()} AS quality
   FROM feats
 ),
 lscores AS (

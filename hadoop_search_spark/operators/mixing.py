@@ -1,0 +1,130 @@
+"""Data-mixing and redaction operators for training-data pipelines
+(SURVEY.md §7 phase 5 family): PII scrubbing, deterministic
+stratified sampling, and per-source token-budget selection — the
+three knobs a 100 TB pretraining-data run turns between "curated
+corpus" and "training mix".
+
+All three are pure Catalyst expressions (regex / hash / window), no
+UDFs, with exact DuckDB oracles in the catalog:
+
+* :func:`pii_scrub` is map-only — a narrow projection that pipelines
+  into whatever consumes it;
+* :func:`stratified_sample` is map-only — the keep/drop decision is a
+  hash of the row's own key, so no shuffle, and the SAME rows are
+  kept on every run and every partitioning (unlike ``df.sample``,
+  whose output depends on partition layout);
+* :func:`token_budget_mix` shuffles once on the stratum key for its
+  window — the minimum possible for a per-stratum running total.
+
+Regex patterns stick to constructs with identical semantics in Java
+regex (Spark) and RE2 (DuckDB oracle): explicit character classes
+(``[0-9]``, never ``\\d``/``\\s``, whose class membership differs
+between the engines), ``(?:...)``, ``\\b``, bounded repetition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hadoop_search_spark.operators.textstats import quality_exprs
+
+# Leftmost non-overlapping matching is identical in Java regex and
+# RE2 for these patterns (no backtracking-dependent constructs).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9]{7,15}|\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b"
+
+SAMPLE_SCALE = 10_000  # rate resolution: 1/10000
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone numbers →
+    ``(doc_id, text_scrubbed, n_email, n_ip, n_phone)``.
+
+    Replacement order is email → IP → phone so an IP-like fragment
+    inside an email is counted once as email. Counts are per-category
+    leftmost non-overlapping matches on the RAW text (a redaction
+    audit, not a parse). Map-only: no shuffle, no UDF."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, IPV4_RE, "<IP>")
+    scrubbed = F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_email"),
+        F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ip"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phone"),
+    )
+
+
+def _bucket(key_col: str) -> F.Column:
+    """Deterministic uniform bucket in [0, SAMPLE_SCALE) from the
+    row's own key — md5-hex-prefix → BIGINT, the same recipe (and
+    bit-identical value) as every other cross-engine hash here."""
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
+    return F.pmod(h.cast("bigint"), F.lit(SAMPLE_SCALE))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each stratum at its configured rate, deterministically:
+    a row survives iff ``hash(key) mod 10000 < rate*10000``. Strata
+    absent from ``rates`` are dropped (rate 0).
+
+    Because the decision is a pure function of the row's key, the
+    sample is reproducible across runs, partitionings, and engines,
+    and raising a stratum's rate strictly grows its kept set
+    (monotone — an 0.2 sample is a subset of the 0.5 sample), which
+    is what makes mixing-ratio sweeps comparable run-to-run."""
+    thresh = None
+    for stratum, rate in sorted(rates.items()):
+        t = int(round(rate * SAMPLE_SCALE))
+        cond = F.col(strata_col) == stratum
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = F.lit(0) if thresh is None else thresh.otherwise(F.lit(0))
+    return docs.withColumn("bucket", _bucket(key_col)).filter(F.col("bucket") < thresh)
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Per-stratum greedy selection under a token budget →
+    ``(doc_id, <strata_col>, quality, n_tokens, cum_tokens)``.
+
+    Docs in each stratum are ranked by blended quality (desc, doc_id
+    tie-break) and kept while the stratum's RUNNING token total stays
+    within budget — prefix-cutoff semantics: a doc that overflows the
+    budget is dropped and its tokens still count against the prefix
+    (deterministic; not a knapsack re-pack). Strata absent from
+    ``budgets`` are unlimited. One shuffle (the window's partition by
+    stratum); quality/token features are the same expressions the
+    curation pipeline uses, so ranking agrees across operators."""
+    qe = quality_exprs(F.col(text_col))
+    scored = docs.select(
+        "doc_id",
+        strata_col,
+        qe["quality"].alias("quality"),
+        qe["n_tokens"].alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cap = None
+    for stratum, budget in sorted(budgets.items()):
+        cond = F.col(strata_col) == stratum
+        cap = F.when(cond, budget) if cap is None else cap.when(cond, budget)
+    cap = F.lit(None).cast("bigint") if cap is None else cap.otherwise(F.lit(None))
+    return scored.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        cap.isNull() | (F.col("cum_tokens") <= cap)
+    )

@@ -1,0 +1,72 @@
+"""Data-mixing operators: PII scrubbing, deterministic stratified
+sampling, per-source token-budget selection."""
+
+from pyspark.sql import functions as F
+
+from hadoop_search_spark.operators.mixing import (
+    pii_scrub,
+    stratified_sample,
+    token_budget_mix,
+)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+spam@sub.example.org or bob@x.io thanks"),
+            (2, "server 192.168.0.1 and 10.0.255.7 are up"),
+            (3, "call +14155551234 or 415-555-1234 today"),
+            (4, "clean text with no contact info at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[1].text_scrubbed == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (2, 0, 0)
+    assert out[2].text_scrubbed == "server <IP> and <IP> are up"
+    assert out[2].n_ip == 2
+    assert out[3].text_scrubbed == "call <PHONE> or <PHONE> today"
+    assert out[3].n_phone == 2
+    assert out[4].text_scrubbed == out[4].text_scrubbed == docs.collect()[3].text
+    assert (out[4].n_email, out[4].n_ip, out[4].n_phone) == (0, 0, 0)
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "a" if i % 2 == 0 else "b") for i in range(200)],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    low = stratified_sample(docs, {"a": 0.3})
+    ids_low = {r.doc_id for r in low.collect()}
+    # deterministic across runs and partitionings
+    assert {r.doc_id for r in stratified_sample(docs.repartition(7), {"a": 0.3}).collect()} == ids_low
+    # raising the rate keeps a superset; stratum b (no rate) is dropped
+    ids_high = {r.doc_id for r in stratified_sample(docs, {"a": 0.8, "b": 0.5}).collect()}
+    assert ids_low <= ids_high
+    assert all(i % 2 == 0 for i in ids_low)
+    assert any(i % 2 == 1 for i in ids_high)
+    # rate 1.0 keeps everything in the stratum
+    assert len({r.doc_id for r in stratified_sample(docs, {"a": 1.0}).collect()}) == 100
+
+
+def test_token_budget_mix_greedy_prefix(spark):
+    # stratum "s": qualities rank doc 1 > 2 > 3 by construction
+    # (more stopwords => higher stop_ratio => higher quality)
+    docs = spark.createDataFrame(
+        [
+            (1, "the of and to in is it for on a", "s"),       # 10 tokens, top quality
+            (2, "the of and to word word word word", "s"),      # 8 tokens
+            (3, "word word word word word word", "s"),          # 6 tokens, lowest
+            (4, "the of and unlimited stratum here", "u"),      # no budget
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    out = token_budget_mix(docs, {"s": 18})
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc1 (cum 10) and doc2 (cum 18) fit; doc3 (cum 24) overflows
+    assert set(rows) == {1, 2, 4}
+    assert rows[1].cum_tokens == 10 and rows[2].cum_tokens == 18
+    # unlimited stratum passes through regardless of budget dict
+    assert rows[4].source == "u"
+    # quality ordering drove the prefix
+    assert rows[1].quality > rows[2].quality
