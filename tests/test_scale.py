@@ -162,3 +162,34 @@ def test_bucketed_index_aggregates_without_shuffle(spark, documents, tmp_path):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS postings_bucketed")
+
+
+def test_pii_scrub_and_sample_are_map_only(spark, documents):
+    from hadoop_search_spark.operators.mixing import pii_scrub, stratified_sample
+
+    for df in (
+        pii_scrub(documents),
+        stratified_sample(documents, {"src0": 0.5, "src1": 1.0}),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # redaction and hash sampling are narrow projections/filters:
+        # no shuffle, no join, no Python — they pipeline into any
+        # consumer unchanged at 100 TB
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_token_budget_mix_single_shuffle(spark, documents):
+    from hadoop_search_spark.operators.mixing import token_budget_mix
+
+    plan = (
+        token_budget_mix(documents, {"src0": 1000})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly one shuffle — the window's partition on the stratum key;
+    # quality/token features fuse into the scan-side projection
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
