@@ -779,6 +779,51 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_asof_attribution",
+    oracle="""
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+       r.event_id AS click_event_id,
+       epoch_us(r.ts) AS click_ts_us,
+       r.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+    note="as-of join (purchase <- latest prior click per user) via "
+    "union+window — one shuffle, O(L+R), no range-join blowup; oracle "
+    "is DuckDB's native ASOF JOIN",
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.asof import asof_join_prior
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join_prior(
+        purchases,
+        clicks,
+        on="user_id",
+        ts_col="ts",
+        right_cols=["event_id", "ts", "value"],
+        suffix="_click",
+        right_tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.col("event_id_click").alias("click_event_id"),
+        F.unix_micros("ts_click").alias("click_ts_us"),
+        F.col("value_click").alias("click_value"),
+    )
+
+
 # ======================================================================
 # LLM-data-pipeline operators: dedup / similarity / text analysis /
 # multimodal (SURVEY.md §7 phase 5, BASELINE.json north star)

@@ -1,0 +1,78 @@
+"""As-of join: at-or-before semantics, left-join nulls, same-row
+payload integrity, tie-breaking."""
+
+from pyspark.sql import functions as F
+
+from hadoop_search_spark.operators.asof import asof_join_prior
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 50, "d")],
+        "k LONG, t LONG, tag STRING",
+    )
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    right = spark.createDataFrame(
+        [(1, 3, 30.0), (1, 10, 100.0), (1, 15, 150.0), (2, 60, 600.0)],
+        "k LONG, t LONG, v DOUBLE",
+    )
+    out = {
+        r.tag: r.v_prior
+        for r in asof_join_prior(
+            _left(spark), right, on="k", ts_col="t", right_cols=["v"]
+        ).collect()
+    }
+    assert out["c"] == 30.0    # only t=3 precedes t=5
+    assert out["a"] == 100.0   # equal timestamp is visible (<=)
+    assert out["b"] == 150.0   # latest of 3,10,15
+    assert out["d"] is None    # right row at t=60 is in the future
+
+
+def test_asof_payload_comes_from_one_row(spark):
+    # the latest right row has a NULL field: it must be attached as
+    # NULL, not back-filled from an older row (struct payload, not
+    # per-column last(ignorenulls))
+    right = spark.createDataFrame(
+        [(1, 2, 20.0, "x"), (1, 8, None, "y")],
+        "k LONG, t LONG, v DOUBLE, s STRING",
+    )
+    out = {
+        r.tag: (r.v_prior, r.s_prior)
+        for r in asof_join_prior(
+            _left(spark), right, on="k", ts_col="t", right_cols=["v", "s"]
+        ).collect()
+    }
+    assert out["a"] == (None, "y")   # t=8 row wins; its v is genuinely NULL
+    assert out["c"] == (20.0, "x")
+
+
+def test_asof_tiebreak_on_equal_timestamps(spark):
+    right = spark.createDataFrame(
+        [(1, 10, 1, 111.0), (1, 10, 2, 222.0)],
+        "k LONG, t LONG, seq LONG, v DOUBLE",
+    )
+    out = {
+        r.tag: r.v_prior
+        for r in asof_join_prior(
+            _left(spark),
+            right,
+            on="k",
+            ts_col="t",
+            right_cols=["v"],
+            right_tiebreak="seq",
+        ).collect()
+    }
+    assert out["a"] == 222.0  # highest tiebreak wins among equal ts
+    assert out["b"] == 222.0
+
+
+def test_asof_plan_is_single_shuffle_no_range_join(spark):
+    right = spark.createDataFrame([(1, 3, 30.0)], "k LONG, t LONG, v DOUBLE")
+    df = asof_join_prior(_left(spark), right, on="k", ts_col="t", right_cols=["v"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # union+window: no join operator of any kind, exactly one shuffle
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1
