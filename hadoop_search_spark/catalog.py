@@ -824,6 +824,48 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCIDENT_WINDOW_US = 21_600_000_000  # 6 hours
+
+
+@register(
+    "events_interval_join",
+    oracle=f"""
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       e.event_id AS error_event_id, epoch_us(e.ts) AS error_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'click') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND epoch_us(p.ts) BETWEEN epoch_us(e.ts)
+                        AND epoch_us(e.ts) + {_INCIDENT_WINDOW_US}
+""",
+    note="interval join (clicks within 6h after a same-user error) "
+    "via time-binning: equi-join on (user, bin) + exact range filter — "
+    "no nested-loop/cartesian plan",
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.interval import interval_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_event_id"),
+        F.unix_micros("ts").alias("error_ts_us"),
+        (F.unix_micros("ts") + _INCIDENT_WINDOW_US).alias("_end_us"),
+    )
+    return interval_join(
+        clicks,
+        errors,
+        on="user_id",
+        ts_col="ts_us",
+        start_col="error_ts_us",
+        end_col="_end_us",
+        bin_width=_INCIDENT_WINDOW_US,
+    ).select("event_id", "user_id", "ts_us", "error_event_id", "error_ts_us")
+
+
 # ======================================================================
 # LLM-data-pipeline operators: dedup / similarity / text analysis /
 # multimodal (SURVEY.md §7 phase 5, BASELINE.json north star)
