@@ -1041,6 +1041,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    oracle="\nWITH RECURSIVE "
+    + _shingles_ctes()
+    + ",\n"
+    + _lsh_band_ctes()
+    + ",\n"
+    + _SHARED_CTE
+    + """,
+pairs AS (
+  SELECT s.doc_a, s.doc_b
+  FROM shared s
+  JOIN sizes za ON za.doc_id = s.doc_a
+  JOIN sizes zb ON zb.doc_id = s.doc_b
+  WHERE round(s.shared / (za.n_sh + zb.n_sh - s.shared), 9) >= 0.5
+),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node
+)
+SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
+""",
+    note="near-dup CLUSTERS: connected components (min-label, pointer "
+    "doubling, O(log diameter) rounds) over the MinHash-LSH pair graph; "
+    "every doc labeled, singletons included; oracle is a recursive CTE "
+    "over the same pair SQL",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.dedup import minhash_lsh_dedup
+    from hadoop_search_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, threshold=0.5, shingles=_shingles(spark, sf_dir)
+    ).select("doc_a", "doc_b")
+    comp = connected_components(
+        pairs, nodes=docs.select("doc_id"), src="doc_a", dst="doc_b"
+    )
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
 _SIMHASH_CTE = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents

@@ -1,0 +1,43 @@
+"""Connected components: transitive closure, singletons, chain
+convergence (pointer doubling), determinism across partitionings."""
+
+from hadoop_search_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges, nodes=None):
+    e = spark.createDataFrame(edges, "a LONG, b LONG")
+    n = spark.createDataFrame([(x,) for x in nodes], "id LONG") if nodes else None
+    return {
+        r.node: r.component for r in connected_components(e, nodes=n).collect()
+    }
+
+
+def test_cc_transitive_closure(spark):
+    # A~B, B~C => one cluster, even though A,C never paired directly
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_singletons_from_node_universe(spark):
+    got = _cc(spark, [(5, 6)], nodes=[5, 6, 7, 8])
+    assert got == {5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_cc_long_chain_converges(spark):
+    # path graph 0-1-2-...-19: diameter 19, must converge well within
+    # max_iter thanks to pointer doubling
+    got = _cc(spark, [(i, i + 1) for i in range(19)])
+    assert set(got.values()) == {0}
+    assert len(got) == 20
+
+
+def test_cc_deterministic_across_partitionings(spark):
+    edges = [(i, i + 1) for i in range(0, 30, 3)]  # 10 two-node comps
+    e1 = spark.createDataFrame(edges, "a LONG, b LONG")
+    got1 = {r.node: r.component for r in connected_components(e1).collect()}
+    got2 = {
+        r.node: r.component
+        for r in connected_components(e1.repartition(13)).collect()
+    }
+    assert got1 == got2
+    assert all(c == min(a, a + 1) for a, c in ((a, got1[a]) for a, _ in edges))
