@@ -37,15 +37,19 @@ def connected_components(
 ) -> DataFrame:
     """(node, component): every node labeled with the smallest node id
     reachable from it (undirected reachability over ``edges``;
-    isolated ``nodes`` form singleton components). ``nodes`` defaults
-    to the endpoints of ``edges``."""
+    isolated ``nodes`` form singleton components). ``nodes``, when
+    given, is the output universe (edge endpoints outside it are used
+    for connectivity but not emitted); it defaults to the endpoints
+    of ``edges``."""
     sym = edges.select(F.col(src).alias("n"), F.col(dst).alias("m")).unionByName(
         edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
     )
-    if nodes is None:
-        base = sym.select(F.col("n").alias("node")).distinct()
-    else:
-        base = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    # Iterate ONLY over edge-touched nodes: isolated nodes are
+    # fixpoints from round zero, and in a deduped corpus they are the
+    # overwhelming majority — keeping them out of the loop turns
+    # rounds x |corpus| shuffle volume into rounds x |pair subgraph|,
+    # with one left join at the end to label the untouched rest.
+    base = sym.select(F.col("n").alias("node")).distinct()
 
     lbl = base.withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
     prev_sum = None
@@ -76,4 +80,11 @@ def connected_components(
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return lbl.select("node", F.col("lbl").alias("component"))
+
+    out = lbl.select("node", F.col("lbl").alias("component"))
+    if nodes is not None:
+        universe = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+        out = universe.join(out, "node", "left").select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    return out
