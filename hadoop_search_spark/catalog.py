@@ -1042,6 +1042,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_decontaminate",
+    oracle="\nWITH "
+    + _shingles_ctes()
+    + """,
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+cand AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+SELECT c.doc_id, count(*) AS n_shared
+FROM cand c JOIN bench b ON b.shingle = c.shingle
+GROUP BY c.doc_id
+HAVING count(*) >= 3
+""",
+    note="benchmark decontamination: flag training docs sharing >= 3 "
+    "distinct 3-gram shingles with the eval set (doc_id % 50 = 0); "
+    "benchmark shingles broadcast — the corpus never shuffles on shingle",
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    cand = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(cand, bench, min_shared=3)
+
+
+@register(
     "dedup_clusters",
     oracle="\nWITH RECURSIVE "
     + _shingles_ctes()

@@ -363,3 +363,31 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return jaccard_verify(cand, sh, threshold)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = SHINGLE_SIZE,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination — flag training docs whose n-gram
+    shingles collide with an evaluation set: ``(doc_id, n_shared)``
+    for every doc sharing >= ``min_shared`` distinct shingles with
+    ANY benchmark doc. The flagged ids are then dropped from the
+    training mix (anti-join) before training.
+
+    Scale shape: benchmark suites are tiny next to a 100 TB corpus,
+    so the benchmark shingle set is collected into a broadcast — the
+    corpus-side join is map-only, and the only shuffle is the
+    per-doc count aggregation (partial aggs apply). The corpus is
+    never shuffled on shingle."""
+    doc_sh = word_shingles(docs, text_col, n)
+    bench_sh = word_shingles(benchmark, text_col, n).select("shingle").distinct()
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))  # shingles are distinct per doc
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -70,3 +70,42 @@ def test_token_budget_mix_greedy_prefix(spark):
     assert rows[4].source == "u"
     # quality ordering drove the prefix
     assert rows[1].quality > rows[2].quality
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from hadoop_search_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id LONG, text STRING",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),   # shares 3-grams
+            (2, "a completely different sentence entirely"),
+            (3, "quick brown fox jumps over the lazy dog today"),  # shares many
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r.n_shared for r in decontaminate(docs, bench).collect()}
+    assert 2 not in out
+    assert out[1] >= 2 and out[3] > out[1]
+    # threshold filters low-overlap docs
+    strict = {r.doc_id for r in decontaminate(docs, bench, min_shared=5).collect()}
+    assert strict == {3}
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    from hadoop_search_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame([(9, "a b c d")], "doc_id LONG, text STRING")
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id LONG, text STRING")
+    plan = (
+        decontaminate(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # benchmark side broadcasts; the corpus is never shuffled on shingle
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
