@@ -76,3 +76,33 @@ def test_asof_plan_is_single_shuffle_no_range_join(spark):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_asof_randomized_against_brute_force(spark):
+    import random
+
+    rng = random.Random(42)
+    left = [(rng.randint(1, 5), rng.randint(0, 1000), i) for i in range(200)]
+    right = [
+        (rng.randint(1, 5), rng.randint(0, 1000), 10_000 + i, float(i))
+        for i in range(200)
+    ]
+    ldf = spark.createDataFrame(left, "k LONG, t LONG, lid LONG")
+    rdf = spark.createDataFrame(right, "k LONG, t LONG, rid LONG, v DOUBLE")
+    got = {
+        r.lid: (r.rid_prior, r.v_prior)
+        for r in asof_join_prior(
+            ldf, rdf, on="k", ts_col="t", right_cols=["rid", "v"],
+            right_tiebreak="rid",
+        ).collect()
+    }
+
+    def brute(k, t):
+        cands = [r for r in right if r[0] == k and r[1] <= t]
+        if not cands:
+            return (None, None)
+        best = max(cands, key=lambda r: (r[1], r[2]))  # latest ts, then tiebreak
+        return (best[2], best[3])
+
+    want = {lid: brute(k, t) for k, t, lid in left}
+    assert got == want

@@ -54,3 +54,31 @@ def test_interval_join_plan_is_equi_join(spark):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_interval_randomized_against_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    points = [(rng.randint(1, 4), rng.randint(0, 500), i) for i in range(300)]
+    intervals = []
+    for i in range(60):
+        s = rng.randint(0, 500)
+        intervals.append((rng.randint(1, 4), s, s + rng.randint(0, 80), 1000 + i))
+    p = spark.createDataFrame(points, "k LONG, t LONG, pid LONG")
+    iv = spark.createDataFrame(intervals, "k LONG, s LONG, e LONG, iid LONG")
+    for bin_width in (1, 7, 40, 200):  # correct for any bin choice
+        got = {
+            (r.pid, r.iid)
+            for r in interval_join(
+                p, iv, on="k", ts_col="t", start_col="s", end_col="e",
+                bin_width=bin_width,
+            ).collect()
+        }
+        want = {
+            (pid, iid)
+            for k, t, pid in points
+            for ik, s, e, iid in intervals
+            if k == ik and s <= t <= e
+        }
+        assert got == want
