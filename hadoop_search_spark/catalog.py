@@ -1063,7 +1063,16 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     cand = docs.filter(F.col("doc_id") % 50 != 0)
-    return decontaminate(cand, bench, min_shared=3)
+    # both sides are slices of the memoized corpus shingle set — one
+    # tokenization shared with every other dedup entry
+    sh = _shingles(spark, sf_dir)
+    return decontaminate(
+        cand,
+        bench,
+        min_shared=3,
+        doc_shingles=sh.filter(F.col("doc_id") % 50 != 0),
+        bench_shingles=sh.filter(F.col("doc_id") % 50 == 0),
+    )
 
 
 @register(

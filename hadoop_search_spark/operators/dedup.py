@@ -371,6 +371,8 @@ def decontaminate(
     text_col: str = "text",
     n: int = SHINGLE_SIZE,
     min_shared: int = 1,
+    doc_shingles: DataFrame | None = None,
+    bench_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination — flag training docs whose n-gram
     shingles collide with an evaluation set: ``(doc_id, n_shared)``
@@ -382,9 +384,20 @@ def decontaminate(
     so the benchmark shingle set is collected into a broadcast — the
     corpus-side join is map-only, and the only shuffle is the
     per-doc count aggregation (partial aggs apply). The corpus is
-    never shuffled on shingle."""
-    doc_sh = word_shingles(docs, text_col, n)
-    bench_sh = word_shingles(benchmark, text_col, n).select("shingle").distinct()
+    never shuffled on shingle.
+
+    ``doc_shingles`` / ``bench_shingles`` accept precomputed
+    ``word_shingles``-shaped frames (caller-owned persistence, same
+    pattern as :func:`minhash_lsh_dedup`) so a pipeline that already
+    materialized the corpus shingle set doesn't re-tokenize."""
+    doc_sh = (
+        doc_shingles if doc_shingles is not None else word_shingles(docs, text_col, n)
+    )
+    bench_sh = (
+        bench_shingles
+        if bench_shingles is not None
+        else word_shingles(benchmark, text_col, n)
+    ).select("shingle").distinct()
     return (
         doc_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy("doc_id")
