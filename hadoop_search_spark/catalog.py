@@ -1506,19 +1506,23 @@ _PII_SYNTH_SQL = (
     oracle=f"""
 WITH synth AS (
   SELECT doc_id, {_PII_SYNTH_SQL} AS text FROM documents
+), s1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{_pii_res()[0]}', '<EMAIL>', 'g') AS t1
+  FROM synth
+), s2 AS (
+  SELECT *, regexp_replace(t1, '{_pii_res()[1]}', '<IP>', 'g') AS t2 FROM s1
 )
 SELECT doc_id,
-  regexp_replace(regexp_replace(regexp_replace(text,
-      '{_pii_res()[0]}', '<EMAIL>', 'g'),
-      '{_pii_res()[1]}', '<IP>', 'g'),
-      '{_pii_res()[2]}', '<PHONE>', 'g') AS text_scrubbed,
+  regexp_replace(t2, '{_pii_res()[2]}', '<PHONE>', 'g') AS text_scrubbed,
   CAST(len(regexp_extract_all(text, '{_pii_res()[0]}')) AS INT) AS n_email,
-  CAST(len(regexp_extract_all(text, '{_pii_res()[1]}')) AS INT) AS n_ip,
-  CAST(len(regexp_extract_all(text, '{_pii_res()[2]}')) AS INT) AS n_phone
-FROM synth
+  CAST(len(regexp_extract_all(t1, '{_pii_res()[1]}')) AS INT) AS n_ip,
+  CAST(len(regexp_extract_all(t2, '{_pii_res()[2]}')) AS INT) AS n_phone
+FROM s2
 """,
     note="PII redaction (email/IPv4/phone) over deterministically "
-    "synthesized contact lines; map-only regex, per-category audit counts",
+    "synthesized contact lines; map-only regex, sequential audit counts "
+    "that reconcile with the placeholders in the scrubbed text",
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.operators.mixing import pii_scrub

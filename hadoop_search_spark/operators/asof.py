@@ -48,7 +48,14 @@ def asof_join_prior(
     timestamps are unique)."""
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("_r")
     tb = (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).alias("_tb")
-    r2 = right.select(F.col(on), F.col(ts_col), F.lit(0).alias("_side"), payload, tb)
+    # A NULL-ts right row satisfies no "<= left.ts" predicate (SQL
+    # three-valued logic, and DuckDB ASOF agrees) — but Spark's ASC
+    # sort is NULLS FIRST, which would put it at the head of the
+    # window where last(ignorenulls) attaches it to EVERY left row.
+    # Drop such rows before the union.
+    r2 = right.filter(F.col(ts_col).isNotNull()).select(
+        F.col(on), F.col(ts_col), F.lit(0).alias("_side"), payload, tb
+    )
 
     left_only = [c for c in left.columns if c not in (on, ts_col)]
     l2 = left.select(

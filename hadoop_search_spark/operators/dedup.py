@@ -61,7 +61,10 @@ SIMHASH_BITS = 40
 SIMHASH_PREFIX_SHIFT = 20  # band on top 20 bits for pair generation
 
 
-def _md5_int(col: F.Column, hex_digits: int) -> F.Column:
+def md5_int(col: F.Column, hex_digits: int) -> F.Column:
+    """The cross-engine deterministic hash: md5-hex-prefix → BIGINT.
+    Bit-identical in Spark and DuckDB; the single shared recipe for
+    MinHash, SimHash token hashing, and stratified sampling."""
     return F.conv(F.substring(F.md5(col), 1, hex_digits), 16, 10).cast("bigint")
 
 
@@ -122,7 +125,7 @@ def minhash_signatures(
     )
     per_seed = shingles.select(
         "doc_id",
-        _md5_int(F.col("shingle"), _MH_HEX).alias("h"),
+        md5_int(F.col("shingle"), _MH_HEX).alias("h"),
         F.explode(salts).alias("ss"),
     ).select(
         "doc_id",
@@ -161,7 +164,7 @@ def minhash_bands_wide(
     md5'd ONCE with per-seed XOR salts (:data:`SEED_SALTS`) instead of
     k string hashes."""
     ss = seed_salts(num_hashes)
-    h = _md5_int(F.col("shingle"), _MH_HEX)
+    h = md5_int(F.col("shingle"), _MH_HEX)
     aggs = [
         F.min(h.bitwiseXOR(F.lit(ss[i]))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -272,7 +275,7 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
         "doc_id", F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    hashed = tf.select("doc_id", "tf", _md5_int(F.col("tok"), _SH_HEX).alias("h"))
+    hashed = tf.select("doc_id", "tf", md5_int(F.col("tok"), _SH_HEX).alias("h"))
     bit_idx = F.array(*[F.lit(b) for b in range(bits)])
     votes = hashed.select(
         "doc_id",

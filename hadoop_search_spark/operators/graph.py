@@ -41,8 +41,14 @@ def connected_components(
     given, is the output universe (edge endpoints outside it are used
     for connectivity but not emitted); it defaults to the endpoints
     of ``edges``."""
-    sym = edges.select(F.col(src).alias("n"), F.col(dst).alias("m")).unionByName(
-        edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
+    # Materialize the symmetrized edge set ONCE: the loop below unions
+    # it into every round's plan, and without this its whole upstream
+    # lineage (for dedup_clusters, the LSH band join + Jaccard verify)
+    # would re-execute at every localCheckpoint.
+    sym = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        .localCheckpoint(eager=True)
     )
     # Iterate ONLY over edge-touched nodes: isolated nodes are
     # fixpoints from round zero, and in a deduped corpus they are the
@@ -52,6 +58,8 @@ def connected_components(
     base = sym.select(F.col("n").alias("node")).distinct()
 
     lbl = base.withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
+    if not lbl.head(1):  # no edges: every node is a singleton fixpoint
+        max_iter = 0
     prev_sum = None
     for _ in range(max_iter):
         # pointer edges node<->label make label paths double each round

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hadoop_search_spark.operators.dedup import md5_int
 from hadoop_search_spark.operators.textstats import quality_exprs
 
 # Leftmost non-overlapping matching is identical in Java regex and
@@ -42,29 +43,30 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails, IPv4 addresses, and phone numbers →
     ``(doc_id, text_scrubbed, n_email, n_ip, n_phone)``.
 
-    Replacement order is email → IP → phone so an IP-like fragment
-    inside an email is counted once as email. Counts are per-category
-    leftmost non-overlapping matches on the RAW text (a redaction
-    audit, not a parse). Map-only: no shuffle, no UDF."""
+    Replacement order is email → IP → phone, and each count is taken
+    on the text AFTER the earlier categories were redacted — so an
+    IP-like fragment inside an email is counted once as email, and
+    ``n_email + n_ip + n_phone`` equals the number of placeholder
+    tokens in ``text_scrubbed`` exactly (a reconcilable redaction
+    audit). Map-only: no shuffle, no UDF."""
     t = F.col(text_col)
-    scrubbed = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
-    scrubbed = F.regexp_replace(scrubbed, IPV4_RE, "<IP>")
-    scrubbed = F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    scrubbed = F.regexp_replace(after_ip, PHONE_RE, "<PHONE>")
     return docs.select(
         "doc_id",
         scrubbed.alias("text_scrubbed"),
         F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_email"),
-        F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ip"),
-        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phone"),
+        F.regexp_count(after_email, F.lit(IPV4_RE)).alias("n_ip"),
+        F.regexp_count(after_ip, F.lit(PHONE_RE)).alias("n_phone"),
     )
 
 
 def _bucket(key_col: str) -> F.Column:
     """Deterministic uniform bucket in [0, SAMPLE_SCALE) from the
-    row's own key — md5-hex-prefix → BIGINT, the same recipe (and
-    bit-identical value) as every other cross-engine hash here."""
-    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
-    return F.pmod(h.cast("bigint"), F.lit(SAMPLE_SCALE))
+    row's own key — the shared cross-engine :func:`md5_int` recipe."""
+    h = md5_int(F.col(key_col).cast("string"), 4)
+    return F.pmod(h, F.lit(SAMPLE_SCALE))
 
 
 def stratified_sample(

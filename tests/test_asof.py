@@ -106,3 +106,19 @@ def test_asof_randomized_against_brute_force(spark):
 
     want = {lid: brute(k, t) for k, t, lid in left}
     assert got == want
+
+
+def test_asof_null_ts_right_rows_never_match(spark):
+    # a NULL-ts right row satisfies no "<= left.ts" predicate; it must
+    # not be attached (it would otherwise sort NULLS FIRST to the head
+    # of the window and attribute to every left row)
+    ldf = spark.createDataFrame([(1, 5, 100)], "k LONG, t LONG, lid LONG")
+    rdf = spark.createDataFrame(
+        [(1, None, 30.0), (1, 2, 7.0)], "k LONG, t LONG, v DOUBLE"
+    )
+    rows = asof_join_prior(ldf, rdf, on="k", ts_col="t", right_cols=["v"]).collect()
+    assert [(r.lid, r.v_prior) for r in rows] == [(100, 7.0)]
+    # with ONLY a null-ts right row, the left row keeps a NULL payload
+    rdf2 = spark.createDataFrame([(1, None, 30.0)], "k LONG, t LONG, v DOUBLE")
+    rows2 = asof_join_prior(ldf, rdf2, on="k", ts_col="t", right_cols=["v"]).collect()
+    assert [(r.lid, r.v_prior) for r in rows2] == [(100, None)]

@@ -41,3 +41,14 @@ def test_cc_deterministic_across_partitionings(spark):
     }
     assert got1 == got2
     assert all(c == min(a, a + 1) for a, c in ((a, got1[a]) for a, _ in edges))
+
+
+def test_cc_empty_edges_short_circuits(spark):
+    # no edges: all universe nodes are singletons, and the propagation
+    # loop must not spin max_iter rounds looking for a fixpoint
+    import time
+
+    t0 = time.monotonic()
+    got = _cc(spark, [], nodes=[1, 2, 3])
+    assert got == {1: 1, 2: 2, 3: 3}
+    assert time.monotonic() - t0 < 30  # 25 rounds of jobs would blow this

@@ -27,8 +27,20 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert out[2].n_ip == 2
     assert out[3].text_scrubbed == "call <PHONE> or <PHONE> today"
     assert out[3].n_phone == 2
-    assert out[4].text_scrubbed == out[4].text_scrubbed == docs.collect()[3].text
+    assert out[4].text_scrubbed == "clean text with no contact info at all"
     assert (out[4].n_email, out[4].n_ip, out[4].n_phone) == (0, 0, 0)
+
+
+def test_pii_scrub_nested_counts_reconcile(spark):
+    # an IP-like fragment inside an email must be counted once, as
+    # email: the counts reconcile with the placeholder tokens
+    docs = spark.createDataFrame(
+        [(1, "mail bob@10.0.0.7.example.com and host 10.0.0.9 up")],
+        "doc_id LONG, text STRING",
+    )
+    r = pii_scrub(docs).collect()[0]
+    assert r.text_scrubbed == "mail <EMAIL> and host <IP> up"
+    assert (r.n_email, r.n_ip, r.n_phone) == (1, 1, 0)
 
 
 def test_stratified_sample_deterministic_and_monotone(spark):
