@@ -674,6 +674,30 @@ def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_exact_phrase",
+    oracle=POSTINGS_CTE
+    + """
+, pa AS (SELECT doc_id, positions FROM postings WHERE term = 'table'),
+pb AS (SELECT doc_id, positions FROM postings WHERE term = 'scan')
+SELECT doc_id,
+       CAST(len(list_filter(pa.positions,
+                p -> list_contains(pb.positions, p + 1))) AS INT) AS n_phrase
+FROM pa JOIN pb USING (doc_id)
+WHERE len(list_filter(pa.positions,
+          p -> list_contains(pb.positions, p + 1))) > 0
+""",
+    note="beyond-reference strict \"quoted phrase\": docs where "
+    "'table scan' is exactly adjacent, with occurrence counts "
+    "(reference phrases are soft proximity-weighted ANDs)",
+)
+def search_exact_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.plans.planner import exact_phrase_docs
+
+    eng = _plain_engine(spark, sf_dir)
+    return exact_phrase_docs(eng.postings, ["table", "scan"])
+
+
+@register(
     "search_not_clause",
     oracle=POSTINGS_CTE
     + """

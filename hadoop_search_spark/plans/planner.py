@@ -375,3 +375,46 @@ class SearchEngine:
         """Ranked results: (doc_id, score), score desc / doc_id asc
         (reference O2, ties broken deterministically)."""
         return self.plan(query).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def exact_phrase_docs(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Exact-adjacency phrase match → ``(doc_id, n_phrase)`` for docs
+    where ``terms`` occur at consecutive positions, with the
+    occurrence count. Beyond the reference, whose phrases are *soft*
+    proximity-weighted ANDs (`util/QueryParser.java:357-368`,
+    SURVEY.md §2.4) — this is the strict complement users of a search
+    engine also expect ("quoted" phrase semantics).
+
+    Plan shape: one doc_id equi-join per phrase word over the
+    term-pruned index scan (term predicates reach parquet min/max
+    pruning), then a pure higher-order-function count — for each
+    start position p of the first term, every later term i must hold
+    p+i. No UDF, no explode: position arrays never leave the JVM and
+    the join fan-in per doc is exactly ``len(terms)`` rows. At scale
+    this is the same distributed join shape as the engine's AND path;
+    rare-term-first join ordering falls out of AQE runtime stats."""
+    from functools import reduce
+
+    if not terms:
+        raise ValueError("empty phrase")
+    base = postings.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("positions").alias("p0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        base = base.join(
+            postings.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"p{i}")
+            ),
+            "doc_id",
+        )
+    starts = F.filter(
+        F.col("p0"),
+        lambda p: reduce(
+            lambda acc, i: acc & F.exists(F.col(f"p{i}"), lambda q: q == p + i),
+            range(1, len(terms)),
+            F.lit(True),
+        ),
+    )
+    return base.select("doc_id", F.size(starts).alias("n_phrase")).filter(
+        F.col("n_phrase") > 0
+    )

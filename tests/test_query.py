@@ -243,3 +243,35 @@ def test_corpus_query_matches_brute_force(corpus_setup, query):
         assert math.isclose(got[d], s, rel_tol=1e-9, abs_tol=1e-12), (
             f"score mismatch for {query!r} doc {d}: {got[d]} vs {s}"
         )
+
+
+def test_exact_phrase_docs(spark):
+    from hadoop_search_spark.plans.planner import exact_phrase_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big table scan now"),          # one occurrence
+            (2, "table scan and table scan"),   # two occurrences
+            (3, "table big scan"),              # not adjacent
+            (4, "scan table"),                  # wrong order
+            (5, "full table scan table scan table"),  # two occurrences
+        ],
+        "doc_id LONG, text STRING",
+    )
+    postings = build_postings(docs, num_docs=1, stem=False)
+    got = {
+        r.doc_id: r.n_phrase
+        for r in exact_phrase_docs(postings, ["table", "scan"]).collect()
+    }
+    assert got == {1: 1, 2: 2, 5: 2}
+    # three-word phrase, and single-word degenerates to tf
+    got3 = {
+        r.doc_id: r.n_phrase
+        for r in exact_phrase_docs(postings, ["full", "table", "scan"]).collect()
+    }
+    assert got3 == {5: 1}
+    got1 = {
+        r.doc_id: r.n_phrase
+        for r in exact_phrase_docs(postings, ["table"]).collect()
+    }
+    assert got1 == {1: 1, 2: 2, 3: 1, 4: 1, 5: 3}
