@@ -698,6 +698,91 @@ def search_exact_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_suggest_terms",
+    oracle=POSTINGS_CTE
+    + """
+SELECT term, df, dist FROM (
+  SELECT term, max(df) AS df,
+         CAST(levenshtein(term, 'tabel') AS INT) AS dist
+  FROM postings GROUP BY term)
+WHERE dist <= 2
+ORDER BY dist, df DESC, term LIMIT 5
+""",
+    note="beyond-reference \"did you mean\": edit-distance term "
+    "suggestion for the misspelling 'tabel' against the index "
+    "vocabulary — map-only JVM levenshtein + bounded top-k",
+)
+def search_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.vocab import suggest_terms
+
+    eng = _plain_engine(spark, sf_dir)
+    return suggest_terms(eng.postings, "tabel", max_dist=2, k=5)
+
+
+@register(
+    "terms_related",
+    oracle=POSTINGS_CTE
+    + """
+, base AS (SELECT term, doc_id, df FROM postings WHERE df <= 390),
+pairs AS (
+  SELECT a.term AS t1, b.term AS t2, count(*) AS n_docs,
+         max(a.df) AS df1, max(b.df) AS df2
+  FROM base a JOIN base b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+)
+SELECT t1, t2, n_docs,
+       round(CAST((SELECT n FROM nd) AS DOUBLE) * n_docs / (df1 * df2), 9) AS lift
+FROM pairs
+ORDER BY n_docs DESC, t1, t2 LIMIT 20
+""",
+    note="beyond-reference related-terms: document co-occurrence with "
+    "lift = N*c12/(c1*c2); ubiquitous terms pruned by max_df BEFORE "
+    "the doc_id self-join (bounds the per-doc fan-out at scale)",
+)
+def terms_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.vocab import related_terms
+
+    eng = _plain_engine(spark, sf_dir)
+    n = _t(spark, sf_dir, "documents").count()
+    out = related_terms(eng.postings, n, max_df=390, min_pair_count=2, k=20)
+    return out.withColumn("lift", F.round("lift", 9))
+
+
+@register(
+    "search_render_page",
+    # no oracle: snippet windowing/merging + highlight markup is the
+    # reference's presentation layer (P10-P12), not SQL-expressible;
+    # exactness is pinned by tests/test_results.py golden cases
+    note="P11+P12 through the gate: page 1 of '(table) and (scan)' "
+    "with snippet + highlight rendered distributively (UDF only over "
+    "the 10 served rows, never the corpus)",
+)
+def search_render_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.plans.results import (
+        highlight,
+        highlight_words,
+        make_snippet,
+        page_slice,
+        rank,
+    )
+
+    query = "(table) and (scan)"
+    eng = _plain_engine(spark, sf_dir)
+    page = page_slice(rank(eng.plan(query)), 1)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = highlight_words(query)
+    snip = F.udf(
+        lambda text: highlight(make_snippet(text or "", words), words), "string"
+    )
+    return page.join(docs, "doc_id").select(
+        "doc_id",
+        F.round("score", 9).alias("score"),
+        snip("text").alias("snippet"),
+    )
+
+
+@register(
     "search_not_clause",
     oracle=POSTINGS_CTE
     + """
