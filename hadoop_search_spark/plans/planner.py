@@ -85,6 +85,13 @@ class SearchEngine:
         (`code/query/QueryMapred.java:103-122`).
     """
 
+    # Bound on the driver-cached vocabulary. Heaps' law keeps real
+    # vocabularies far below this at fixture scale; at 100 TB the cap
+    # keeps only the most frequent terms — exactly the ones whose df
+    # matters for J6 ordering. A term absent from the cache estimates
+    # df=0, i.e. "rare, evaluate first", which is the right bias.
+    _VOCAB_CACHE_MAX = 1_000_000
+
     def __init__(
         self,
         spark: SparkSession,
@@ -94,31 +101,45 @@ class SearchEngine:
         stem=P.porter_stem,
     ) -> None:
         import threading
-        from collections import deque
 
         self.spark = spark
         self.postings = postings
         self.documents = documents
         self.stem = stem or (lambda w: w)
         self.stopwords = frozenset(self.stem(w) for w in stopwords)
-        self._prune_cache: deque[DataFrame] = deque()
-        self._prune_lock = threading.Lock()
+        self._vocab: dict[str, int] | None = None
+        self._vocab_lock = threading.Lock()
 
     # ---- statistics (J6 ordering) ------------------------------------
 
-    def _term_stats(self, postings: DataFrame, terms: set[str]) -> dict[str, int]:
-        """Document frequency per query term — one tiny aggregate over
-        the term-pruned index scan; replaces the reference's
-        materialized-size sort with a statistics lookup."""
+    def _df_stats(self, terms: set[str]) -> dict[str, int]:
+        """Document frequency per query term from a driver-cached
+        vocabulary — the Spark form of the reference's materialized
+        ``list.size()`` sort (`QueryParser.java:159-164`), but with
+        ZERO Spark actions at query time: the (term, df) vocabulary is
+        collected once per engine lifetime (one tiny term-keyed
+        aggregate — vocabulary stats, the table an index build
+        publishes anyway) and every subsequent ``plan()`` orders its
+        joins from the in-memory dict. Estimation error only ever
+        affects join order, never results."""
         if not terms:
             return {}
-        rows = (
-            postings.filter(F.col("term").isin(*terms))
-            .groupBy("term")
-            .agg(F.count("*").alias("df"))
-            .collect()
-        )
-        return {r.term: r.df for r in rows}
+        if self._vocab is None:
+            with self._vocab_lock:
+                if self._vocab is None:
+                    p = self.postings
+                    if "df" in p.columns:
+                        vocab = p.groupBy("term").agg(F.max("df").alias("df"))
+                    else:
+                        vocab = p.groupBy("term").agg(F.count("*").alias("df"))
+                    rows = (
+                        vocab.orderBy(F.desc("df"), F.asc("term"))
+                        .limit(self._VOCAB_CACHE_MAX)
+                        .collect()
+                    )
+                    self._vocab = {r.term: r.df for r in rows}
+        v = self._vocab
+        return {t: v.get(t, 0) for t in terms}
 
     # ---- leaves ------------------------------------------------------
 
@@ -320,41 +341,28 @@ class SearchEngine:
 
     # ---- public API --------------------------------------------------
 
-    # bound on live per-query pruned-postings caches; older entries
-    # evict (their plans stay valid — they just recompute if re-run)
-    _PRUNE_CACHE_MAX = 8
-
     def plan(self, query: str) -> DataFrame:
-        """Lower ``query`` to a (doc_id, score) DataFrame, unranked.
+        """Lower ``query`` to a (doc_id, score) DataFrame, unranked —
+        with ZERO blocking Spark actions on the query path (after the
+        engine's one-time vocabulary collect): parse, order, and wire
+        the join DAG entirely on the driver, lazily.
 
-        The index is first pruned to the query's term set and
-        persisted — the Spark form of the reference's map-side
-        semi-join (J8, `code/query/QueryMapred.java:56-61`): every
-        leaf then reads the (tiny) cached posting subset instead of
-        re-running the index scan per operand. The subsequent
-        ``_term_stats`` action materializes the cache.
+        Each leaf filters the shared postings frame on its own term —
+        the Spark form of the reference's map-side semi-join (J8,
+        `code/query/QueryMapred.java:56-61`): a published index scan
+        sees ``term = 'w'`` pushed to parquet (file-level range
+        pruning + row-group min/max), and a caller-persisted postings
+        frame serves the filter from its local cache. Nothing is
+        persisted or collected per query — per-query state lives only
+        in the returned plan.
 
-        Thread-safe: the pruned subset is a local, never assigned to
-        ``self`` (one engine instance serves concurrent queries — the
-        bench drives exactly that), and per-query persists are bounded
-        by an eviction deque rather than leaking one cache entry per
-        query for the life of the session."""
+        Thread-safe: one engine instance serves concurrent queries
+        (the bench drives exactly that); the only shared mutable state
+        is the once-initialized vocabulary dict."""
         tree = P.parse_query(query, self.stopwords, stem=self.stem)
         terms = P.query_terms(tree)
         postings = self.postings
-        if terms:
-            from pyspark import StorageLevel
-
-            # DISK_ONLY: columnar caching of the positions ARRAY column
-            # costs multiples of computing it (see catalog._plain_engine)
-            postings = postings.filter(F.col("term").isin(*terms)).persist(
-                StorageLevel.DISK_ONLY
-            )
-            with self._prune_lock:
-                self._prune_cache.append(postings)
-                while len(self._prune_cache) > self._PRUNE_CACHE_MAX:
-                    self._prune_cache.popleft().unpersist(blocking=False)
-        stats = self._term_stats(postings, terms)
+        stats = self._df_stats(terms)
         result = self._evaluate(tree, postings, stats)
         if result.type == P.IGNORED:
             return self._empty().select("doc_id", "score")
