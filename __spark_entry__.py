@@ -78,7 +78,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     _ensure_workers(spark)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    postings = build_postings(docs, num_docs=500, stem=True)
+    postings = build_postings(docs, num_docs=docs.count(), stem=True)
     engine = SearchEngine(spark, postings, documents=docs)
     ranked = engine.search("(spark or streams) and window and not dup")
     return (

@@ -533,20 +533,42 @@ def postings_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("term", "doc_id", "tf", "df", F.round("score", 9).alias("score"))
 
 
+def _bm25_idf_values() -> str:
+    """``(n, df, idf)`` VALUES rows with idf precomputed in Python for
+    every possible df at each fixture corpus size — the same constants
+    :func:`operators.index.bm25_idf_lookup` broadcasts into the Spark
+    plan, so NEITHER engine evaluates ``ln`` (JVM vs DuckDB libm can
+    differ by 1 ulp, which lands on the round(…, 9) boundary often
+    enough to flake an exact-hash gate; same pattern as
+    ``_minhash_salts_values``). Python float repr round-trips
+    exactly, so both engines see identical IEEE-754 doubles."""
+    import math
+
+    rows = []
+    for n in (500, 5000):  # documents.count() at sf0.001/sf0.01, sf0.1
+        for df in range(1, n + 1):
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            rows.append(f"({n},{df},{idf!r})")
+    return ",".join(rows)
+
+
 # BM25 over the same tf/df stats — constants written in exponent
 # notation (2.2e0, …) so DuckDB parses them as DOUBLE, not DECIMAL,
-# keeping both engines in double arithmetic end-to-end.
+# keeping both engines in double arithmetic end-to-end. idf comes
+# from the precomputed (n, df, idf) literal table, not ln().
 BM25_CTE = POSTINGS_CTE + """
 , dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
 stats AS (SELECT sum(tf) * 1e0 / count(DISTINCT doc_id) AS avgdl FROM tf),
+idf_tab AS (SELECT * FROM (VALUES __IDF_VALUES__) t(n, df, idf)),
 bm25 AS (
   SELECT tf.term, tf.doc_id, tf.tf, dfreq.df, dl.dl,
-         ln(1e0 + (nd.n - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0)) *
+         it.idf *
          (tf.tf * 2.2e0 / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / stats.avgdl))) AS bm25
   FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
   CROSS JOIN nd CROSS JOIN stats
+  JOIN idf_tab it ON it.n = nd.n AND it.df = dfreq.df
 )
-"""
+""".replace("__IDF_VALUES__", _bm25_idf_values())
 
 
 @register(
@@ -557,11 +579,11 @@ bm25 AS (
     "from the same stored index stats — no re-tokenization",
 )
 def postings_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hadoop_search_spark.operators.index import bm25_scores
+    from hadoop_search_spark.operators.index import bm25_idf_lookup, bm25_scores
 
     eng = _plain_engine(spark, sf_dir)
     n = _t(spark, sf_dir, "documents").count()
-    return bm25_scores(eng.postings, n).select(
+    return bm25_scores(eng.postings, n, idf_lookup=bm25_idf_lookup(spark, n)).select(
         "term", "doc_id", "tf", "df", "dl", F.round("bm25", 9).alias("bm25")
     )
 
@@ -579,11 +601,11 @@ GROUP BY doc_id
     "term filter",
 )
 def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hadoop_search_spark.operators.index import bm25_scores
+    from hadoop_search_spark.operators.index import bm25_idf_lookup, bm25_scores
 
     eng = _plain_engine(spark, sf_dir)
     n = _t(spark, sf_dir, "documents").count()
-    scored = bm25_scores(eng.postings, n)
+    scored = bm25_scores(eng.postings, n, idf_lookup=bm25_idf_lookup(spark, n))
     return (
         scored.filter(F.col("term").isin("table", "scan"))
         .groupBy("doc_id")
@@ -760,7 +782,6 @@ def terms_related(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def search_render_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.plans.results import (
-        highlight,
         highlight_words,
         make_snippet,
         page_slice,
@@ -772,9 +793,9 @@ def search_render_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     page = page_slice(rank(eng.plan(query)), 1)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     words = highlight_words(query)
-    snip = F.udf(
-        lambda text: highlight(make_snippet(text or "", words), words), "string"
-    )
+    # make_snippet() already highlights its window (plans/results.py);
+    # wrapping it in highlight() again nested the <span> markup.
+    snip = F.udf(lambda text: make_snippet(text or "", words), "string")
     return page.join(docs, "doc_id").select(
         "doc_id",
         F.round("score", 9).alias("score"),

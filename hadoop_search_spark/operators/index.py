@@ -179,11 +179,32 @@ def rescore(tf_stats: DataFrame, num_docs: int) -> DataFrame:
     return scored.select("term", "doc_id", "tf", "df", "positions", score.alias("score"))
 
 
+def bm25_idf_lookup(spark, num_docs: int) -> DataFrame:
+    """``(df, idf)`` lookup with idf precomputed in Python for every
+    possible document frequency ``1..num_docs``.
+
+    Exists so the SAME IEEE-754 constants can be embedded in a Spark
+    plan and in an oracle SQL string — ``ln`` is the one transcendental
+    in BM25, and JVM/DuckDB libm may differ by 1 ulp, which lands on a
+    round(…, 9) boundary often enough to flake an exact-hash gate.
+    At fixture scale the table is ≤ corpus size; at production scale
+    prefer the closed-form default in :func:`bm25_scores` (a lookup
+    over millions of distinct df values stops being "tiny")."""
+    import math
+
+    rows = [
+        (df, math.log(1.0 + (num_docs - df + 0.5) / (df + 0.5)))
+        for df in range(1, num_docs + 1)
+    ]
+    return spark.createDataFrame(rows, "df long, idf double")
+
+
 def bm25_scores(
     postings: DataFrame,
     num_docs: int,
     k1: float = 1.2,
     b: float = 0.75,
+    idf_lookup: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 over per-(term, doc) stats → adds ``dl`` (document
     length) and ``bm25`` columns. A beyond-reference extension: the
@@ -210,16 +231,24 @@ def bm25_scores(
         (F.sum("tf") * F.lit(1.0) / F.countDistinct("doc_id")).alias("avgdl")
     )
     p = p.crossJoin(F.broadcast(avgdl))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(num_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
+    if idf_lookup is not None:
+        # Parity mode: idf comes from a broadcast (df, idf) table of
+        # Python-precomputed constants (see bm25_idf_lookup) so no ln
+        # is evaluated engine-side at all.
+        p = p.join(F.broadcast(idf_lookup), "df")
+        idf = F.col("idf")
+    else:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(num_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
     tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf")
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
-    return p.withColumn("bm25", idf * tfn).drop("avgdl")
+    out = p.withColumn("bm25", idf * tfn).drop("avgdl")
+    return out.drop("idf") if idf_lookup is not None else out
 
 
 def merge_index(

@@ -132,3 +132,18 @@ def test_query_cache_roundtrip(spark, tmp_path):
     assert cache.get("q1") == "12;1,2;3"
     cache.put("q1", "13;1,2,4;5")  # newest wins
     assert cache.get("q1") == "13;1,2,4;5"
+
+
+def test_catalog_render_page_no_nested_spans(spark):
+    """search_render_page must highlight once — make_snippet() already
+    applies highlight() internally, so the catalog entry must not wrap
+    it again (ADVICE r1: nested '<span ...><span ...>' markup)."""
+    import re
+
+    from hadoop_search_spark.catalog import CATALOG
+
+    rows = CATALOG["search_render_page"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    assert any("FFFF00" in r.snippet for r in rows)
+    for r in rows:
+        assert re.search(r"<span[^>]*>\s*<span", r.snippet) is None
