@@ -67,20 +67,13 @@ def _ensure_utc(spark: SparkSession) -> None:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as a proper timestamp.
+    """events with ``ts`` as a proper timestamp — see
+    :func:`hadoop_search_spark.sources.tables.normalize_event_ts` for
+    the cross-version TIMESTAMP(NANOS) handling."""
+    from hadoop_search_spark.sources.tables import read_events
 
-    The fixture stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read nanos as long and convert with exact
-    integer division (``div`` — a double division would lose precision
-    on 19-digit nanos). Truncation direction matches DuckDB's
-    nanos→micros read.
-    """
     _ensure_utc(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return ev
+    return read_events(spark, sf_dir)
 
 
 def _dec(c: str) -> F.Column:
@@ -773,12 +766,20 @@ def terms_related(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "search_render_page",
-    # no oracle: snippet windowing/merging + highlight markup is the
-    # reference's presentation layer (P10-P12), not SQL-expressible;
-    # exactness is pinned by tests/test_results.py golden cases
+    # snippet windowing/merging + highlight markup is the reference's
+    # presentation layer (P10-P12), not SQL-expressible — the oracle is
+    # a GOLDEN parquet generated by an independent evaluator
+    # (scripts/make_goldens.py: pure-Python tokenizer + brute-force
+    # algebra, scale-factor keyed by the n_docs column)
+    oracle="""
+SELECT doc_id, score, snippet
+FROM read_parquet('/root/repo/tests/golden/search_render_page.parquet')
+WHERE corpus_bytes = (SELECT CAST(sum(strlen(text)) AS BIGINT) FROM documents)
+""",
     note="P11+P12 through the gate: page 1 of '(table) and (scan)' "
     "with snippet + highlight rendered distributively (UDF only over "
-    "the 10 served rows, never the corpus)",
+    "the 10 served rows, never the corpus); golden-parquet oracle "
+    "(independent generator), valid at the gate SFs sf0.001/sf0.01",
 )
 def search_render_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.plans.results import (
@@ -847,9 +848,16 @@ def search_cnf_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "search_stemmed_cnf",
-    oracle=None,
-    note="full stemmed engine with computed stop words — stemming is not "
-    "SQL-expressible, rows-only check (P6/P7 + J1-J8)",
+    # stemming is not SQL-expressible — golden parquet from the
+    # independent generator (scripts/make_goldens.py), n_docs-keyed
+    oracle="""
+SELECT doc_id, score
+FROM read_parquet('/root/repo/tests/golden/search_stemmed_cnf.parquet')
+WHERE corpus_bytes = (SELECT CAST(sum(strlen(text)) AS BIGINT) FROM documents)
+""",
+    note="full stemmed engine with computed stop words (P6/P7 + J1-J8); "
+    "golden-parquet oracle (pure-Python tokenizer + Porter + brute-force "
+    "algebra), valid at the gate SFs sf0.001/sf0.01",
 )
 def search_stemmed_cnf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.operators.index import build_postings, stop_words
@@ -871,7 +879,9 @@ def search_stemmed_cnf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, postings, documents=docs, stopwords=stopword_list
             )
         engine = _ENGINE_CACHE[key]
-    return engine.search("(sparks or streaming) and not tables")
+    return engine.search("(sparks or streaming) and not tables").select(
+        "doc_id", F.round("score", 9).alias("score")
+    )
 
 
 # ======================================================================
@@ -1808,11 +1818,37 @@ def media_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(synthesize_media(_t(spark, sf_dir, "documents")))
 
 
+def _hex8_to_int(expr: str) -> str:
+    """DuckDB SQL for int(md5_hex[:8], 16): positional digit sum —
+    mirrors the stub decoder's ``int(digest[:8], 16)`` exactly."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
 @register(
     "media_decode",
-    oracle=None,
-    note="Arrow-batched media decode via mapInPandas (decoder stubbed "
-    "deterministically — libs not in container); rows-only check",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    CAST(strlen(text) AS BIGINT) AS n_bytes,
+    md5(text) AS checksum
+  FROM documents
+), h AS (
+  SELECT *, {_hex8_to_int('checksum')} AS hv FROM m
+)
+SELECT media_id, kind, n_bytes,
+  CAST(64 + hv % 1024 AS INT) AS width,
+  CAST(64 + (hv // 1024) % 1024 AS INT) AS height,
+  CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + hv % 120 END AS INT) AS n_frames,
+  checksum
+FROM h
+""",
+    note="Arrow-batched media decode via mapInPandas; decoder is a "
+    "deterministic md5-feature stub (libs not in container), so the "
+    "oracle reproduces the features exactly from md5(text)",
 )
 def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.operators.multimodal import decode_media, synthesize_media
@@ -1905,16 +1941,55 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_stats",
-    oracle=None,
-    note="sketch aggregates (HLL distinct, approximate quantiles) — "
-    "engine-specific algorithms, rows-only check",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p99_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    note="sketch aggregates with bounded-error verification: the Spark side "
+    "computes HLL distinct and approx quantiles AND checks them against the "
+    "exact answers (HLL within 15% rel — default rsd is 5%, measured ~2.7% "
+    "on the fixtures; quantile value within rank tolerance 0.01 + 1/n). The "
+    "oracle pins the exact distinct count and the tolerance booleans as "
+    "literal TRUE, so a sketch accuracy regression fails the driver hash.",
 )
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    stats = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99"),
+        F.count("*").alias("n"),
+    )
+    # rank check: the fraction of rows ≤ the sketch's quantile value
+    # must sit within tolerance of the requested quantile — the
+    # standard rank-error contract for quantile sketches
+    ranks = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(stats.select("l_returnflag", "p50", "p99")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum((F.col("l_extendedprice") <= F.col("p50")).cast("long")).alias(
+                "n_le_p50"
+            ),
+            F.sum((F.col("l_extendedprice") <= F.col("p99")).cast("long")).alias(
+                "n_le_p99"
+            ),
+        )
+    )
+    tol = F.lit(0.01) + F.lit(1.0) / F.col("n")
+    return stats.join(ranks, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.15 * F.col("exact_parts")
+        ).alias("hll_ok"),
+        (F.abs(F.col("n_le_p50") / F.col("n") - 0.5) <= tol).alias("p50_ok"),
+        (F.abs(F.col("n_le_p99") / F.col("n") - 0.99) <= tol).alias("p99_ok"),
     )
 
 

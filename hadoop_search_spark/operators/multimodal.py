@@ -59,27 +59,32 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         img = PIL.Image.open(io.BytesIO(payload))
         width, height = img.size
 
+    Columnar over the Arrow batch: only the per-item hash (the stand-in
+    for the per-item decode) touches Python objects; every derived
+    feature is a vectorized frame operation — the template a real
+    decoder should follow (decode per item, featurize per column).
+
     Raises NotImplementedError for kinds a decoder doesn't support,
     exactly as a real one would."""
-    out = []
-    for _, row in pdf.iterrows():
-        payload = bytes(row["payload"])
-        if row["kind"] not in ("image", "audio", "video"):
-            raise NotImplementedError(f"no decoder for kind {row['kind']!r}")
-        digest = hashlib.md5(payload).hexdigest()
-        h = int(digest[:8], 16)
-        out.append(
-            {
-                "media_id": row["media_id"],
-                "kind": row["kind"],
-                "n_bytes": len(payload),
-                "width": 64 + h % 1024,
-                "height": 64 + (h >> 10) % 1024,
-                "n_frames": 1 if row["kind"] == "image" else 1 + h % 120,
-                "checksum": digest,
-            }
-        )
-    return pd.DataFrame(out, columns=[c.split()[0] for c in DECODED_SCHEMA.split(", ")])
+    bad = ~pdf["kind"].isin(("image", "audio", "video"))
+    if bad.any():
+        kind = pdf["kind"][bad].iloc[0]
+        raise NotImplementedError(f"no decoder for kind {kind!r}")
+    digest = pdf["payload"].map(lambda p: hashlib.md5(bytes(p)).hexdigest())
+    h = digest.str[:8].map(lambda s: int(s, 16))
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"].astype("int64"),
+            "kind": pdf["kind"],
+            "n_bytes": pdf["payload"].map(len).astype("int64"),
+            "width": (64 + h % 1024).astype("int32"),
+            "height": (64 + (h // 1024) % 1024).astype("int32"),
+            "n_frames": (1 + (h % 120).where(pdf["kind"] != "image", 0)).astype(
+                "int32"
+            ),
+            "checksum": digest,
+        }
+    )
 
 
 def decode_media(media: DataFrame) -> DataFrame:

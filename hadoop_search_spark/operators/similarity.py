@@ -176,12 +176,18 @@ def ivf_centroids(embeddings: DataFrame, num_centroids: int = NUM_CENTROIDS):
     them is the scale-correct move: assignment becomes a map-only
     expression instead of an explode + window shuffle."""
     rows = (
-        embeddings.filter(F.col("vec_id") < num_centroids)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")  # collect() order is otherwise partition-dependent
+        embeddings.select("vec_id", "embedding")
+        # first k by vec_id (not `vec_id < k`): identical on the full
+        # corpus, but also yields exactly k seeds on a sampled frame
+        # where small ids may be absent; ordered collect — plain
+        # collect() order is partition-dependent
+        .orderBy("vec_id")
+        .limit(num_centroids)
         .collect()
     )
-    return [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows]
+    return [
+        (cell, [float(x) for x in r.embedding]) for cell, r in enumerate(rows)
+    ]
 
 
 def _cell_ranking(
@@ -245,6 +251,8 @@ def ivf_train_kmeans(
     embeddings: DataFrame,
     k: int = NUM_CENTROIDS,
     iterations: int = 3,
+    sample_fraction: float | None = None,
+    seed: int = 7,
 ):
     """Lloyd's k-means for the IVF coarse quantizer, as DataFrame ops.
 
@@ -256,12 +264,21 @@ def ivf_train_kmeans(
     where the model lives between iterations; the corpus itself never
     leaves the cluster. An emptied cell keeps its previous centroid.
 
+    ``sample_fraction`` is the production path at 100 TB: a coarse
+    quantizer needs only a representative sample (k-means converges on
+    the cluster *shape*, not the row count), so training scans
+    ``corpus × fraction`` per iteration while assignment/probing still
+    cover the full corpus. Deterministic under a fixed ``seed``.
+
     Returns the same ``[(cell_id, vector)]`` shape as
     :func:`ivf_centroids`, so trained centroids drop into
     :func:`ann_ivf_topk` / :func:`ivf_assign` unchanged."""
-    cents = ivf_centroids(embeddings, k)
+    train = embeddings
+    if sample_fraction is not None:
+        train = embeddings.sample(fraction=sample_fraction, seed=seed)
+    cents = ivf_centroids(train, k)
     for _ in range(iterations):
-        assigned = ivf_assign(embeddings, cents)
+        assigned = ivf_assign(train, cents)
         means = (
             assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
             .groupBy("cell", "dim")
@@ -394,10 +411,14 @@ def ivf_recall(
     k: int = 10,
     num_centroids: int = NUM_CENTROIDS,
     nprobe: int = NPROBE,
+    centroids=None,
 ) -> float:
     """Measured recall@k of the IVF path against the exact top-k —
-    the nprobe/num_centroids tuning knob made observable."""
-    approx = ann_ivf_topk(embeddings, query_ids, k, num_centroids, nprobe)
+    the nprobe/num_centroids tuning knob made observable. Pass
+    ``centroids`` to measure a trained quantizer."""
+    approx = ann_ivf_topk(
+        embeddings, query_ids, k, num_centroids, nprobe, centroids=centroids
+    )
     return _recall_vs_exact(embeddings, query_ids, k, approx)
 
 

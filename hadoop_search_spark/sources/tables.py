@@ -33,6 +33,34 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events fixture's TIMESTAMP(NANOS) ``ts`` to a
+    session-zoned TIMESTAMP, across PySpark versions:
+
+    * ≤4.0 with ``spark.sql.legacy.parquet.nanosAsLong=true``: nanos
+      surface as BIGINT → exact integer ``div 1000`` to micros
+      (truncation direction matches DuckDB's nanos→micros read);
+    * ≥4.1: nanos read natively as TIMESTAMP_NTZ (already truncated to
+      micros) → cast through the UTC session zone, which is epoch-
+      preserving and bit-equal to DuckDB's zone-naive arithmetic.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def read_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """events with ``ts`` as a proper session-zoned timestamp (the
+    session must be UTC for oracle parity — see catalog._ensure_utc)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(load_table(spark, "events", sf_dir))
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, name, sf_dir) for name in TABLES}
 

@@ -30,9 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# events fixture schema with ts as raw TIMESTAMP(NANOS)-as-long
+# events fixture schema: TIMESTAMP(NANOS) surfaces as TIMESTAMP_NTZ
+# (PySpark ≥4.1 reads nanos natively, truncated to micros; an explicit
+# BIGINT schema would expose Spark's *internal micros*, not the file's
+# nanos, so NTZ is the only representation stable across versions)
 EVENTS_RAW_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
 
@@ -43,13 +46,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the events file. The TIMESTAMP(NANOS) column reads as long
     nanos (same workaround as the batch path) and converts via exact
     integer division."""
+    from hadoop_search_spark.sources.tables import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(raw)
 
 
 def hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -1,0 +1,228 @@
+#!/usr/bin/env python3
+"""Generate golden-parquet oracles for the non-SQL-expressible search
+entries (``search_stemmed_cnf``, ``search_render_page``).
+
+The goldens are generated INDEPENDENTLY of the Spark engine:
+
+* pure-Python tokenizer reimplementing the reference's StringTokenizer
+  semantics (P2-P5, P8) directly from the published delimiter set —
+  not by calling the Spark expressions under test;
+* wordcount / stop-word selection / tf-idf computed with plain Python
+  dict arithmetic;
+* query evaluation via the brute-force posting-list algebra in
+  ``tests/brute_force.py`` (the same independent evaluator the
+  differential tests use);
+* only the snippet/highlight presentation helpers are the shared
+  plain-Python functions from ``plans/results.py`` (themselves pinned
+  by golden unit tests ported from the reference's presentation code).
+
+Each golden row carries a ``corpus_bytes`` tag (= total utf-8 text
+bytes, a corpus fingerprint — doc COUNT collides: sf0.001 and sf0.01
+both have 500 docs) so ONE static oracle SQL string serves every
+scale factor:
+
+    SELECT ... FROM read_parquet('tests/golden/<q>.parquet')
+    WHERE corpus_bytes = (SELECT sum(strlen(text)) FROM documents)
+
+After generating, the script runs the real Spark catalog entries and
+aborts WITHOUT writing if any row differs — a golden that disagrees
+with the engine is never committed silently.
+
+Usage: python scripts/make_goldens.py [--check-only]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+from collections import Counter
+
+import duckdb
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from hadoop_search_spark.functions.porter import porter_stem  # noqa: E402
+from hadoop_search_spark.plans import parser as P  # noqa: E402
+from hadoop_search_spark.plans.results import (  # noqa: E402
+    highlight_words,
+    make_snippet,
+)
+from tests import brute_force as bf  # noqa: E402
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+GOLDEN_DIR = os.path.join(ROOT, "tests", "golden")
+
+# P2: the reference's StringTokenizer delimiter set, as a Python regex
+# (independent re-expression of functions/tokenize.DELIM_REGEX).
+_DELIMS = " \t\r\n,.:;'\"()[]{}/<>!?\\|-—–#$&=_*+"
+_SPLIT_RE = re.compile("[" + re.escape(_DELIMS) + "]+")
+_NUM_RE = re.compile(r"^[0-9]+$")
+_ALNUM_RE = re.compile(r"^[a-z0-9]+$")
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in _SPLIT_RE.split(text.lower()) if t]
+
+
+def _load_docs(sf_dir: str) -> list[tuple[int, str]]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return [(int(d), t) for d, t in rows]
+
+
+def _stop_words(docs: list[tuple[int, str]], k: int) -> list[str]:
+    """Top-k by (count desc, word desc) — the reference's bounded
+    TreeSet tie order (A6). Wordcount path: drop numeric only (P4)."""
+    wc: Counter[str] = Counter()
+    for _, text in docs:
+        for tok in _tokens(text):
+            if not _NUM_RE.match(tok):
+                wc[tok] += 1
+    ranked = sorted(wc.items(), key=lambda kv: (kv[1], kv[0]), reverse=True)
+    return [w for w, _ in ranked[:k]]
+
+
+def _build_postings(
+    docs: list[tuple[int, str]],
+    stopwords: set[str],
+    stem: bool,
+) -> bf.PL | dict:
+    """term -> {doc_id: (score, positions)} with the reference formula
+    ``(1 + log10(tf)) * ln(N / df)`` (mixed bases, A5). Positions are
+    1-based over the raw token stream before filtering (P8)."""
+    occurrences: dict[str, dict[int, list[int]]] = {}
+    for doc_id, text in docs:
+        for pos, tok in enumerate(_tokens(text), start=1):
+            if _NUM_RE.match(tok) or not _ALNUM_RE.match(tok):
+                continue
+            if tok in stopwords:  # P6: unstemmed stop-word filter
+                continue
+            term = porter_stem(tok) if stem else tok
+            occurrences.setdefault(term, {}).setdefault(doc_id, []).append(pos)
+    n = float(len(docs))
+    out: dict[str, dict[int, tuple[float, list[int]]]] = {}
+    for term, dmap in occurrences.items():
+        df = len(dmap)
+        for doc_id, positions in dmap.items():
+            tf = len(positions)
+            score = (1.0 + math.log10(tf)) * math.log(n / df)
+            out.setdefault(term, {})[doc_id] = (score, positions)
+    return out
+
+
+def golden_stemmed_cnf(docs: list[tuple[int, str]]) -> list[tuple]:
+    """(doc_id, score) for the catalog's stemmed-engine query."""
+    stopword_list = _stop_words(docs, k=2)
+    terms = _build_postings(docs, set(stopword_list), stem=True)
+    universe = {d for d, _ in docs}
+    result = bf.search(
+        "(sparks or streaming) and not tables",
+        terms,
+        universe,
+        stopwords=stopword_list,
+    )
+    return sorted((d, round(s, 9)) for d, s in result.items())
+
+
+def golden_render_page(docs: list[tuple[int, str]]) -> list[tuple]:
+    """(doc_id, score, snippet) for page 1 of '(table) and (scan)' on
+    the plain (un-stemmed, no-stop-word) engine."""
+    query = "(table) and (scan)"
+    terms = _build_postings(docs, set(), stem=False)
+    tree = P.parse_query(query, stem=lambda w: w)
+    t, pl = bf.evaluate(tree, terms)
+    assert t == 0, "render query must be positive"
+    ranked = sorted(
+        ((d, s) for d, (s, _p) in pl.items()), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    words = highlight_words(query)
+    text_by_id = dict(docs)
+    return [
+        (d, round(s, 9), make_snippet(text_by_id[d], words)) for d, s in ranked
+    ]
+
+
+def _spark_rows(sf_dir: str):
+    """The real catalog entries' output, for the abort-on-divergence
+    cross-check."""
+    from hadoop_search_spark.catalog import CATALOG
+    from hadoop_search_spark.session import get_spark
+
+    spark = get_spark(app_name="make_goldens", cpus=8, shuffle_partitions=8)
+    stemmed = sorted(
+        (r.doc_id, r.score)
+        for r in CATALOG["search_stemmed_cnf"].fn(spark, sf_dir).collect()
+    )
+    render = sorted(
+        (r.doc_id, r.score, r.snippet)
+        for r in CATALOG["search_render_page"].fn(spark, sf_dir).collect()
+    )
+    return stemmed, sorted(render)
+
+
+def main() -> int:
+    check_only = "--check-only" in sys.argv
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    stemmed_rows: list[tuple] = []
+    render_rows: list[tuple] = []
+    ok = True
+    for sf_dir in SF_DIRS:
+        docs = _load_docs(sf_dir)
+        tag = sum(len(t.encode("utf-8")) for _, t in docs)
+        stemmed = golden_stemmed_cnf(docs)
+        render = golden_render_page(docs)
+        got_stemmed, got_render = _spark_rows(sf_dir)
+        if got_stemmed != stemmed:
+            print(f"DIVERGENCE search_stemmed_cnf @ {sf_dir}")
+            print("  golden:", stemmed[:3], "...")
+            print("  spark :", got_stemmed[:3], "...")
+            ok = False
+        if got_render != sorted(render):
+            print(f"DIVERGENCE search_render_page @ {sf_dir}")
+            for g, s in zip(sorted(render), got_render):
+                if g != s:
+                    print("  golden:", g)
+                    print("  spark :", s)
+                    break
+            ok = False
+        stemmed_rows += [(d, s, tag) for d, s in stemmed]
+        render_rows += [(d, s, sn, tag) for d, s, sn in render]
+        print(f"{sf_dir}: stemmed={len(stemmed)} rows, render={len(render)} rows")
+    if not ok:
+        print("ABORTING — goldens not written")
+        return 1
+    if check_only:
+        print("check-only: engine matches independent generation")
+        return 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE stemmed (doc_id BIGINT, score DOUBLE, corpus_bytes BIGINT)"
+    )
+    con.executemany("INSERT INTO stemmed VALUES (?, ?, ?)", stemmed_rows)
+    con.execute(
+        f"COPY stemmed TO '{GOLDEN_DIR}/search_stemmed_cnf.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        "CREATE TABLE render (doc_id BIGINT, score DOUBLE, snippet VARCHAR, "
+        "corpus_bytes BIGINT)"
+    )
+    con.executemany("INSERT INTO render VALUES (?, ?, ?, ?)", render_rows)
+    con.execute(
+        f"COPY render TO '{GOLDEN_DIR}/search_render_page.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    print(f"wrote {GOLDEN_DIR}/search_stemmed_cnf.parquet "
+          f"({len(stemmed_rows)} rows) and search_render_page.parquet "
+          f"({len(render_rows)} rows)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,11 +24,10 @@ def events_stream(spark):
 
 @pytest.fixture(scope="module")
 def events_batch(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    from hadoop_search_spark.sources.tables import read_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return read_events(spark, SF)
 
 
 def test_stream_hourly_equals_batch(spark, events_stream, events_batch):
