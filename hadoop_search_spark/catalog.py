@@ -770,7 +770,7 @@ def terms_related(spark: SparkSession, sf_dir: str) -> DataFrame:
     # presentation layer (P10-P12), not SQL-expressible — the oracle is
     # a GOLDEN parquet generated by an independent evaluator
     # (scripts/make_goldens.py: pure-Python tokenizer + brute-force
-    # algebra, scale-factor keyed by the n_docs column)
+    # algebra, keyed by a corpus-bytes fingerprint per scale factor)
     oracle="""
 SELECT doc_id, score, snippet
 FROM read_parquet('/root/repo/tests/golden/search_render_page.parquet')
@@ -849,7 +849,7 @@ def search_cnf_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "search_stemmed_cnf",
     # stemming is not SQL-expressible — golden parquet from the
-    # independent generator (scripts/make_goldens.py), n_docs-keyed
+    # independent generator (scripts/make_goldens.py), corpus-bytes keyed
     oracle="""
 SELECT doc_id, score
 FROM read_parquet('/root/repo/tests/golden/search_stemmed_cnf.parquet')

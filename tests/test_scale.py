@@ -193,3 +193,53 @@ def test_token_budget_mix_single_shuffle(spark, documents):
     # quality/token features fuse into the scan-side projection
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_viral_term_and_join_broadcasts_small_side(spark):
+    """Skewed-corpus stress for the search path: one viral term with
+    df ≈ corpus ANDed with a rare term. The AND is a doc_id equi-join;
+    AQE must pick a broadcast of the tiny side at runtime (the viral
+    postings then never shuffle), which is exactly the plan that keeps
+    a hot term from becoming the straggler partition at 100 TB."""
+    from hadoop_search_spark.operators.index import build_postings
+    from hadoop_search_spark.plans.planner import SearchEngine
+
+    rows = [
+        (i, "viral " + ("rare " if i % 400 == 0 else "") + f"w{i % 7}")
+        for i in range(2000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    postings = build_postings(docs, num_docs=2000, stem=False).persist()
+    try:
+        engine = SearchEngine(spark, postings, documents=docs, stem=None)
+        res = engine.search("viral and rare")
+        assert {r.doc_id for r in res.collect()} == {0, 400, 800, 1200, 1600}
+        # executed (post-AQE) plan: the 5-row side broadcasts
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        postings.unpersist()
+
+
+def test_ivf_trained_recall_sf01(spark):
+    """Sample-trained IVF quantizer on the sf0.1 embeddings: recall is
+    monotone in nprobe and full probing equals exact search. The
+    synthetic embeddings are near-random (no cluster structure), which
+    bounds low-nprobe recall well under what real embedding corpora
+    give — the floor asserts the trained quantizer still beats the
+    probed-mass baseline (~nprobe/C = 0.25), measured 0.46 here."""
+    from hadoop_search_spark.operators.similarity import (
+        ivf_recall,
+        ivf_train_kmeans,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    cents = ivf_train_kmeans(emb, k=8, iterations=3, sample_fraction=0.25)
+    qids = [3, 17, 42, 99, 123]
+    r2 = ivf_recall(emb, qids, k=10, num_centroids=8, nprobe=2, centroids=cents)
+    r4 = ivf_recall(emb, qids, k=10, num_centroids=8, nprobe=4, centroids=cents)
+    r8 = ivf_recall(emb, qids, k=10, num_centroids=8, nprobe=8, centroids=cents)
+    assert r2 >= 0.35
+    assert r2 <= r4 <= r8
+    assert r8 == 1.0  # probing every cell covers the whole corpus
