@@ -43,15 +43,64 @@ def read_wiki_xml(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# Non-content block elements whose *contents* must be dropped, not
+# just the tags (rendered text never contains them).
+_BLOCK_TAGS = "ref|nowiki|math|gallery|source|syntaxhighlight|pre|code|timeline|score"
+# Bounded iteration depth for nested constructs ({{t|{{u}}}}, a table
+# inside a table, a link inside an image caption). Each pass removes
+# the innermost level; real wiki text virtually never nests deeper.
+_NEST_DEPTH = 4
+
+
 def strip_wiki_markup(text: Column) -> Column:
-    """Approximate the reference's cloud9 ``getContent()`` clean-up:
-    drop templates, xml/html tags, refs; unwrap [[links]] and quotes."""
+    """Wiki markup → clean text, the role of the reference's external
+    cloud9 ``WikipediaPage.getContent()``
+    (`util/WikipediaPageInputFormat.java:134`), re-expressed from the
+    published MediaWiki syntax as a Catalyst regex chain (whole-stage
+    codegen, no UDF):
+
+    * comments, ``<ref>``/``<math>``/``<nowiki>``/… blocks dropped
+      with their contents; other tags stripped to their text;
+    * templates ``{{…}}`` and tables ``{|…|}`` removed innermost-out
+      (bounded nesting depth — see ``_NEST_DEPTH``);
+    * ``[[ns:target]]`` namespace/interwiki links removed, piped links
+      keep their label, image captions survive as text;
+    * external links keep their label, bare ones are dropped;
+    * headings/lists/rules/bold-italics reduce to their text; magic
+      words dropped; common HTML entities unescaped.
+
+    Remaining fidelity gap vs a full parser: template *expansion*
+    (a transcluded infobox contributes no text here) and exotic parser
+    functions — both are also absent from the reference's cleaned
+    corpus, which drops template output too.
+    """
     t = F.coalesce(text.cast("string"), F.lit(""))
-    t = F.regexp_replace(t, r"\{\{[^{}]*\}\}", " ")  # templates
-    t = F.regexp_replace(t, r"<ref[^>]*>.*?</ref>", " ")  # refs
-    t = F.regexp_replace(t, r"<[^>]+>", " ")  # tags
-    t = F.regexp_replace(t, r"\[\[(?:[^\[\]|]*\|)?([^\[\]]*)\]\]", r"$1")  # links
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, rf"(?si)<({_BLOCK_TAGS})\b[^>]*>.*?</\1\s*>", " ")
+    t = F.regexp_replace(t, r"(?i)<ref\b[^>/]*/>", " ")  # self-closing refs
+    for _ in range(_NEST_DEPTH):
+        t = F.regexp_replace(t, r"(?s)\{\|(?:(?!\{\|).)*?\|\}", " ")  # tables
+        t = F.regexp_replace(t, r"\{\{[^{}]*\}\}", " ")  # templates
+    for _ in range(2):  # links: second pass unwraps captions' leftovers
+        # [[Namespace:target]] (File/Image/Category/interwiki) — drop
+        t = F.regexp_replace(t, r"\[\[[^\[\]|]*:[^\[\]|]*\]\]", " ")
+        # [[target|…|label]] — keep the last (rendered) segment
+        t = F.regexp_replace(t, r"\[\[[^\[\]]*\|([^\[\]|]*)\]\]", r"$1")
+        # [[target]] — keep the target text
+        t = F.regexp_replace(t, r"\[\[([^\[\]|]*)\]\]", r"$1")
+    t = F.regexp_replace(t, r"\[[a-z]+://[^\s\]]*\s+([^\]]*)\]", r"$1")
+    t = F.regexp_replace(t, r"\[[a-z]+://[^\s\]]*\]", " ")
+    t = F.regexp_replace(t, r"(?m)^=+\s*(.*?)\s*=+\s*$", r"$1")  # headings
+    t = F.regexp_replace(t, r"<[^>]+>", " ")  # remaining tags
     t = F.regexp_replace(t, r"'{2,}", "")  # bold/italic quotes
+    t = F.regexp_replace(t, r"(?m)^[\*#:;]+\s*", "")  # list markers
+    t = F.regexp_replace(t, r"(?m)^-{4,}\s*$", " ")  # horizontal rules
+    t = F.regexp_replace(t, r"__[A-Z]+__", " ")  # magic words
+    t = F.regexp_replace(t, "&nbsp;", " ")
+    t = F.regexp_replace(t, "&lt;", "<")
+    t = F.regexp_replace(t, "&gt;", ">")
+    t = F.regexp_replace(t, "&quot;", "\"")
+    t = F.regexp_replace(t, "&amp;", "&")
     return F.regexp_replace(t, r"\s+", " ")
 
 

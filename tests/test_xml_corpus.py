@@ -92,3 +92,38 @@ def test_strip_wiki_markup_expr(spark):
     )
     got = df.select(strip_wiki_markup(F.col("t")).alias("s")).collect()[0].s
     assert got.strip() == "a label it q b"
+
+
+@pytest.mark.parametrize(
+    "markup,expect",
+    [
+        # nested templates drop innermost-out
+        ("x {{outer|{{inner|1}}|2}} y", "x y"),
+        # ref blocks lose their CONTENT, other tags only their markup
+        ("a<ref name=n>cited text</ref> b <b>bold</b>", "a b bold"),
+        ("a<ref name=n/> b", "a b"),
+        # comments (multi-line) vanish
+        ("a <!-- hidden\ntext --> b", "a b"),
+        # tables, including a nested one
+        ("pre {| class=x\n|cell\n{|\n|inner\n|}\n|} post", "pre post"),
+        # namespace links drop; piped keep label; plain keep target
+        ("see [[Category:Things]] [[fr:Chose]] ok", "see ok"),
+        ("a [[Page|the label]] and [[Other]] b", "a the label and Other b"),
+        # image with caption containing a nested link: caption survives
+        ("x [[File:pic.jpg|thumb|a [[cap|tion]] here]] y", "x a tion here y"),
+        # external links
+        ("q [http://e.com label text] r [http://bare.com] s", "q label text r s"),
+        # headings, lists, rules, magic words
+        ("== Head ==\n* item one\n# item two\n----\n__TOC__ tail", "Head item one item two tail"),
+        # math/nowiki/code contents dropped
+        ("a <math>\\frac{1}{2}</math> b <nowiki>[[x]]</nowiki> c", "a b c"),
+        # entities
+        ("x &amp;&nbsp;&lt;tag&gt; &quot;v&quot; y", 'x & <tag> "v" y'),
+        # bold/italics
+        ("'''''both''''' '''bold''' ''it''", "both bold it"),
+    ],
+)
+def test_strip_wiki_markup_cases(spark, markup, expect):
+    df = spark.createDataFrame([(markup,)], "t STRING")
+    got = df.select(strip_wiki_markup(F.col("t")).alias("s")).collect()[0].s
+    assert got.strip() == expect
