@@ -76,9 +76,18 @@ def entry(spark: SparkSession) -> DataFrame:
     from hadoop_search_spark.operators.index import build_postings
     from hadoop_search_spark.plans.planner import SearchEngine
 
+    from pyspark import StorageLevel
+
     _ensure_workers(spark)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    postings = build_postings(docs, num_docs=docs.count(), stem=True)
+    # DISK_ONLY persist: the query DAG references the postings frame
+    # once per leaf term (plus the engine's one-time vocabulary
+    # collect); without materialization the whole tokenize/stem/score
+    # build would re-execute per reference (columnar memory cache is
+    # pathologically slow for the positions array — see catalog)
+    postings = build_postings(docs, num_docs=docs.count(), stem=True).persist(
+        StorageLevel.DISK_ONLY
+    )
     engine = SearchEngine(spark, postings, documents=docs)
     ranked = engine.search("(spark or streams) and window and not dup")
     return (

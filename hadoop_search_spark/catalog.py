@@ -526,6 +526,30 @@ def postings_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("term", "doc_id", "tf", "df", F.round("score", 9).alias("score"))
 
 
+@register(
+    "postings_incremental_merge",
+    oracle=POSTINGS_CTE
+    + "SELECT term, doc_id, tf, df, round(score, 9) AS score FROM postings",
+    note="incremental index maintenance through the gate: full build over "
+    "the even-doc_id half, merge_index() of the odd half — must equal a "
+    "from-scratch full-corpus build exactly (same oracle as "
+    "postings_tfidf): only new docs tokenize, df/score rescore over the "
+    "union",
+)
+def postings_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.index import build_postings, merge_index
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    n_old = old.count()
+    base = build_postings(old, num_docs=n_old, stem=False)
+    merged, _n = merge_index(base, n_old, new, stem=False)
+    return merged.select(
+        "term", "doc_id", "tf", "df", F.round("score", 9).alias("score")
+    )
+
+
 def _bm25_idf_values() -> str:
     """``(n, df, idf)`` VALUES rows with idf precomputed in Python for
     every possible df at each fixture corpus size — the same constants
@@ -2438,6 +2462,7 @@ _DRIVER_FRONT = [
     "q_string_agg",
     "q_argmin_join_back",
     "sim_embedding_dedup",
+    "postings_incremental_merge",
     # (b) changed since r1: bm25 idf-literal parity, snippet fix,
     # planner vocabulary cache (all search_* route through plan())
     "postings_bm25",
@@ -2455,10 +2480,11 @@ _DRIVER_FRONT = [
     "terms_related",
     "postings_tf",
     "postings_tfidf",
-    "wc_top100",
-    "doc_count",
-    # operator families anchoring SURVEY §2 / LLM-pipeline coverage
-    "dedup_exact",
+    # operator families anchoring SURVEY §2 / LLM-pipeline coverage.
+    # The list must stay ≤50 entries (the driver records only the
+    # first 50): wc_top100 / doc_count / dedup_exact are r1-green and
+    # untouched, so they rotate to the tail to keep the changed
+    # events_* entries (ts-read path rework) inside the cap.
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_decontaminate",

@@ -18,10 +18,35 @@ import os
 
 from pyspark.sql import DataFrame
 
-# memo: frozenset of input files -> estimated scan partitions. The
-# same fixture tables are scanned by many operators per session; the
-# estimate is a pure function of the file set.
-_SPLIT_EST_CACHE: dict[frozenset[str], int] = {}
+# memo: (file set, maxPartitionBytes) -> estimated scan partitions.
+# The same fixture tables are scanned by many operators per session;
+# the estimate is a pure function of the file set and the split conf.
+# (A file overwritten in place with a different size would go stale —
+# fixture files are immutable within a session, and a wrong estimate
+# only mis-sizes one repartition decision.)
+_SPLIT_EST_CACHE: dict[tuple[frozenset[str], int], int] = {}
+
+_SIZE_SUFFIXES = {
+    "k": 10, "kb": 10,
+    "m": 20, "mb": 20,
+    "g": 30, "gb": 30,
+    "t": 40, "tb": 40,
+    "b": 0, "": 0,
+}
+
+
+def _parse_bytes(raw: str) -> int:
+    """Spark byte-string (``134217728``, ``128m``, ``1g``, ``512kb``…)
+    → bytes; falls back to the 128 MB default on anything unparseable."""
+    s = raw.strip().lower()
+    num = s.rstrip("kmgtb")
+    shift = _SIZE_SUFFIXES.get(s[len(num):])
+    try:
+        if shift is None:
+            raise ValueError(s)
+        return int(num) << shift
+    except ValueError:
+        return 128 << 20
 
 
 def _estimated_scan_partitions(df: DataFrame) -> int:
@@ -33,28 +58,21 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
     analyzed plan. Split count is at least the file count; for local
     files (the test/bench fixtures) large files are credited with
     ``size / maxPartitionBytes`` splits, matching Spark's file
-    partitioning. Non-file sources return 0 ("unknown, assume
-    narrow") — callers then repartition, which is the safe direction.
+    partitioning. Non-file frames return -1 ("no scan under this
+    plan") — callers fall back to the physical partition count.
     """
     try:
         files = df.inputFiles()
     except Exception:
-        return 0
+        return -1
     if not files:
-        return 0
-    key = frozenset(files)
+        return -1
+    max_bytes = _parse_bytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    key = (frozenset(files), max_bytes)
     est = _SPLIT_EST_CACHE.get(key)
     if est is None:
-        raw = df.sparkSession.conf.get(
-            "spark.sql.files.maxPartitionBytes", "134217728"
-        ).lower()
-        try:
-            if raw.endswith("mb"):
-                max_bytes = int(raw[:-2]) << 20
-            else:
-                max_bytes = int(raw.removesuffix("b"))
-        except ValueError:
-            max_bytes = 128 << 20
         est = 0
         for f in files:
             splits = 1
@@ -71,10 +89,16 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
 
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:
-    """Repartition up to ``defaultParallelism`` iff the scan plans
-    fewer input partitions than cores; otherwise return unchanged."""
+    """Repartition up to ``defaultParallelism`` iff the frame plans
+    fewer partitions than cores; otherwise return unchanged."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if _estimated_scan_partitions(df) >= target:
+    est = _estimated_scan_partitions(df)
+    if est < 0:
+        # in-memory / non-file frame: no file index to estimate from —
+        # pay the one-off physical translation rather than forcing an
+        # unconditional shuffle on an already-wide frame
+        est = df.rdd.getNumPartitions()
+    if est >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)

@@ -76,8 +76,11 @@ def strip_wiki_markup(text: Column) -> Column:
     """
     t = F.coalesce(text.cast("string"), F.lit(""))
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
-    t = F.regexp_replace(t, rf"(?si)<({_BLOCK_TAGS})\b[^>]*>.*?</\1\s*>", " ")
-    t = F.regexp_replace(t, r"(?i)<ref\b[^>/]*/>", " ")  # self-closing refs
+    # self-closing block tags FIRST — the paired-block pattern below
+    # must never treat '<ref …/>' as an opening tag (it would then
+    # consume all text through the next real '</ref>')
+    t = F.regexp_replace(t, rf"(?i)<(?:{_BLOCK_TAGS})\b[^>]*/>", " ")
+    t = F.regexp_replace(t, rf"(?si)<({_BLOCK_TAGS})\b[^>]*?>.*?</\1\s*>", " ")
     for _ in range(_NEST_DEPTH):
         t = F.regexp_replace(t, r"(?s)\{\|(?:(?!\{\|).)*?\|\}", " ")  # tables
         t = F.regexp_replace(t, r"\{\{[^{}]*\}\}", " ")  # templates

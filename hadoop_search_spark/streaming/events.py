@@ -43,12 +43,14 @@ EVENTS_RAW_SCHEMA = (
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a bounded file stream. The file-stream
     source requires a directory, so read the sf dir with a glob filter
-    for the events file. The TIMESTAMP(NANOS) column reads as long
-    nanos (same workaround as the batch path) and converts via exact
-    integer division."""
+    for the events file. The TIMESTAMP(NANOS) column is declared
+    TIMESTAMP_NTZ in the stream schema (PySpark ≥4.1 reads nanos
+    natively, truncated to micros) and normalizes to a session-zoned
+    timestamp — no legacy conf: the fixed stream schema cannot serve
+    both representations, so the streaming path requires ≥4.1 (the
+    batch helper handles both)."""
     from hadoop_search_spark.sources.tables import normalize_event_ts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")

@@ -102,6 +102,8 @@ def test_strip_wiki_markup_expr(spark):
         # ref blocks lose their CONTENT, other tags only their markup
         ("a<ref name=n>cited text</ref> b <b>bold</b>", "a b bold"),
         ("a<ref name=n/> b", "a b"),
+        # self-closing ref must not swallow text up to a later paired ref
+        ("a<ref name=n/> middle <ref>cite</ref> b", "a middle b"),
         # comments (multi-line) vanish
         ("a <!-- hidden\ntext --> b", "a b"),
         # tables, including a nested one
