@@ -550,6 +550,35 @@ def postings_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_edit_distance",
+    oracle="""
+WITH k AS (
+  SELECT doc_id,
+         regexp_replace(lower(substr(text, 1, 40)), '[^ -~]', '', 'g') AS key
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.key, b.key) AS INT) AS dist
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.key, b.key) <= 2
+""",
+    note="fuzzy-key near-dup: all pairs within 2 Levenshtein edits on the "
+    "ASCII-normalized 40-char text prefix (titles/URLs mode). Spark side "
+    "is the sound banded join (shared-q-gram candidates + short-key "
+    "length band, never all-pairs); the oracle brute-forces all pairs — "
+    "equality proves candidate generation is complete. Keys are "
+    "ASCII-filtered because DuckDB's levenshtein counts UTF-8 bytes "
+    "where Spark counts characters.",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.regexp_replace(F.lower(F.substring("text", 1, 40)), "[^ -~]", "")
+    return edit_distance_pairs(docs, key, max_distance=2)
+
+
 def _bm25_idf_values() -> str:
     """``(n, df, idf)`` VALUES rows with idf precomputed in Python for
     every possible df at each fixture corpus size — the same constants
@@ -2463,6 +2492,7 @@ _DRIVER_FRONT = [
     "q_argmin_join_back",
     "sim_embedding_dedup",
     "postings_incremental_merge",
+    "dedup_edit_distance",
     # (b) changed since r1: bm25 idf-literal parity, snippet fix,
     # planner vocabulary cache (all search_* route through plan())
     "postings_bm25",

@@ -407,3 +407,103 @@ def decontaminate(
         .agg(F.count("*").alias("n_shared"))  # shingles are distinct per doc
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ------------------------------------------- edit-distance similarity join
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    key: F.Column,
+    max_distance: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """All pairs of docs whose ``key`` strings are within ``max_distance``
+    Levenshtein edits — the fuzzy-title/URL dedup mode of a training-data
+    pipeline. Returns (doc_a, doc_b, dist), doc_a < doc_b.
+
+    The candidate join is SOUND (no qualifying pair is ever missed) and
+    never all-pairs:
+
+    * long keys (length ≥ q·(d+1)) pair through a shared-q-gram join —
+      d edits destroy at most d·q of the L-q+1 q-grams, so two strings
+      within d edits share at least one exact q-gram when
+      L-q+1 > d·q (the classic count/prefix-filtering bound from the
+      string-similarity-join literature);
+    * keys too short for that bound live in a tiny length band (one key
+      ≤ q·(d+1)-1 chars, the other within +d of it) joined directly.
+
+    The two candidate sets are disjoint by construction; both verify
+    with the exact ``levenshtein`` (JVM codegen, character-level).
+    At scale the q-gram join shuffles |docs|·(L-q+1) small rows keyed
+    by q-gram — linear in input, skew-bounded by hot q-grams (viral
+    prefixes), which AQE's skew-join split handles like any hot key.
+    """
+    lc = q * (max_distance + 1)  # minimum length for the q-gram bound
+    keys = docs.select("doc_id", key.alias("key"))
+    long_keys = keys.filter(F.length("key") >= lc)
+    # (q-gram, position) pairs, deduped per doc: joining on the gram
+    # ALONE floods hot grams (every common trigram pairs all its docs);
+    # d edits shift a surviving gram's position by at most d, so the
+    # join can also require |pos_a - pos_b| ≤ d — sound, and it cuts a
+    # hot gram's bucket from (docs sharing it)² to a narrow diagonal.
+    grams = long_keys.select(
+        "doc_id",
+        "key",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(key) - {q - 1}),"
+                f" i -> substring(key, i, {q}))"
+            )
+        ).alias("p", "g"),
+    ).distinct()  # (doc_id, key, g, p): hash-agg dedup, no first() sort-agg
+    a = grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("key").alias("ka"),
+        F.col("g").alias("ga"), F.col("p").alias("pa"),
+    )
+    b = grams.select(
+        F.col("doc_id").alias("doc_b"), F.col("key").alias("kb"),
+        F.col("g").alias("gb"), F.col("p").alias("pb"),
+    )
+    cand_long = (
+        a.join(
+            b,
+            (F.col("ga") == F.col("gb"))  # equi-key → hash join
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("pa") - F.col("pb")) <= max_distance)
+            & (F.abs(F.length("ka") - F.length("kb")) <= max_distance),
+        )
+        .select("doc_a", "ka", "doc_b", "kb")
+        .distinct()
+    )
+    short = keys.filter(F.length("key") < lc)
+    near = keys.filter(F.length("key") < lc + max_distance)
+    sa = short.select(F.col("doc_id").alias("doc_a"), F.col("key").alias("ka"))
+    sb = near.select(F.col("doc_id").alias("doc_b"), F.col("key").alias("kb"))
+    cand_short = (
+        sa.join(sb, F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.when(F.col("doc_a") < F.col("doc_b"), F.col("ka"))
+            .otherwise(F.col("kb"))
+            .alias("ka"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            F.when(F.col("doc_a") < F.col("doc_b"), F.col("kb"))
+            .otherwise(F.col("ka"))
+            .alias("kb"),
+        )
+        .distinct()
+    )
+    # lazy localCheckpoint = lineage cut: without it Catalyst pushes
+    # the levenshtein verify INTO the candidate join condition and
+    # evaluates the O(L²) distance on every raw gram-bucket pair
+    # before the cheap positional/length conjuncts prune them
+    # (measured 35 s vs ~2 s at 500 docs). The checkpointed frame is
+    # the distinct candidate set — output-bound, tiny relative to the
+    # corpus, same pattern as embedding_dedup_pairs.
+    cand = cand_long.unionByName(cand_short).localCheckpoint(eager=False)
+    return (
+        cand.withColumn("dist", F.levenshtein("ka", "kb"))
+        .filter(F.col("dist") <= max_distance)
+        .select("doc_a", "doc_b", "dist")
+    )

@@ -299,3 +299,50 @@ def test_ivf_kmeans_training(spark):
         for r in ann_ivf_topk(emb, [2, 8], k=3, nprobe=1, centroids=cents).collect()
     }
     assert trained == exact
+
+
+def test_edit_distance_pairs_matches_brute_force(spark):
+    """Differential: the banded candidate join must find EXACTLY the
+    pairs a brute-force O(n^2) Levenshtein scan finds — including
+    short keys (below the q-gram soundness bound) and cross-band
+    short/long pairs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hadoop_search_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(11)
+    alphabet = "abcd"
+    base = ["".join(rng.choice(alphabet) for _ in range(rng.randint(2, 15)))
+            for _ in range(40)]
+    keys = []
+    for s in base:
+        keys.append(s)
+        # a 1-2 edit mutation of some keys
+        if rng.random() < 0.5:
+            i = rng.randrange(len(s))
+            keys.append(s[:i] + rng.choice(alphabet) + s[i:])
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j, lev(keys[i], keys[j]))
+        for i in range(len(keys))
+        for j in range(i + 1, len(keys))
+        if lev(keys[i], keys[j]) <= 2
+    }
+    df = spark.createDataFrame(list(enumerate(keys)), "doc_id LONG, key STRING")
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in edit_distance_pairs(df, F.col("key"), max_distance=2).collect()
+    }
+    assert got == want
