@@ -551,6 +551,80 @@ def postings_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_heavy_hitters",
+    oracle="""
+SELECT word, count(*) AS n FROM (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+WHERE NOT regexp_matches(word, '^[0-9]+$')
+GROUP BY word
+HAVING count(*) >= 0.02 * (
+  SELECT count(*) FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) u
+  WHERE NOT regexp_matches(word, '^[0-9]+$'))
+""",
+    note="two-pass heavy hitters: pass 1 collects candidate tokens via the "
+    "freqItems sketch (false positives possible, no false negatives at "
+    "this support — the candidate list is model-sized, like centroids), "
+    "pass 2 exact-counts ONLY the candidates and applies the support "
+    "threshold — so the output equals the plain exact computation the "
+    "oracle runs, while the token stream is never fully aggregated when "
+    "distinct tokens outnumber memory",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.functions.tokenize import tokenize_with_positions
+
+    support = 0.02
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_with_positions(
+        docs, drop_numeric=True, require_alnum=False
+    ).select(F.col("token").alias("word"))
+    cands = toks.freqItems(["word"], support).collect()[0][0]
+    total = toks.agg(F.count("*").alias("tot"))
+    if not cands:  # no token reaches the sketch threshold
+        return toks.limit(0).withColumn("n", F.lit(0).cast("bigint"))
+    return (
+        toks.filter(F.col("word").isin(*cands))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") >= F.lit(support) * F.col("tot"))
+        .select("word", "n")
+    )
+
+
+@register(
+    "doc_keywords",
+    oracle=POSTINGS_CTE
+    + """
+SELECT doc_id, term, score, rn FROM (
+  SELECT doc_id, term, round(score, 9) AS score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY round(score, 9) DESC, term ASC
+         ) AS rn
+  FROM postings) r
+WHERE rn <= 3
+""",
+    note="per-document keyword extraction: top-3 terms by tf-idf — one "
+    "doc-keyed window over the stored index, no re-tokenization; ranked "
+    "on the ROUNDED score (repo float-parity rule: near-ties must order "
+    "identically in both engines)",
+)
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.index import build_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    p = build_postings(docs, num_docs=None, stem=False)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("score", 9)), F.asc("term")
+    )
+    return (
+        p.select("doc_id", "term", F.round("score", 9).alias("score"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
     "dedup_edit_distance",
     oracle="""
 WITH k AS (
@@ -2493,6 +2567,8 @@ _DRIVER_FRONT = [
     "sim_embedding_dedup",
     "postings_incremental_merge",
     "dedup_edit_distance",
+    "text_heavy_hitters",
+    "doc_keywords",
     # (b) changed since r1: bm25 idf-literal parity, snippet fix,
     # planner vocabulary cache (all search_* route through plan())
     "postings_bm25",
@@ -2519,8 +2595,6 @@ _DRIVER_FRONT = [
     "dedup_ngram_jaccard",
     "dedup_decontaminate",
     "dedup_clusters",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
     "sim_cosine_topk",
     "sim_ann_lsh_topk",
     "sim_ann_ivf_topk",
