@@ -1984,6 +1984,35 @@ def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_frames",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    md5(text) AS checksum
+  FROM documents
+), h AS (
+  SELECT *, {_hex8_to_int('checksum')} AS hv FROM m
+)
+SELECT media_id, CAST(unnest(range(0, 1 + hv % 120, 30)) AS INT) AS frame_idx
+FROM h WHERE kind = 'video'
+""",
+    note="video frame sampling over the decoded media table (every 30th "
+    "frame index) — explode stays pure Catalyst; the oracle re-derives "
+    "n_frames from the same md5 feature constants as media_decode",
+)
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.multimodal import (
+        decode_media,
+        frame_sample,
+        synthesize_media,
+    )
+
+    decoded = decode_media(synthesize_media(_t(spark, sf_dir, "documents")))
+    return frame_sample(decoded, every_n=30)
+
+
+@register(
     "q_scalar_functions",
     oracle="""
 SELECT p_partkey,
@@ -2548,6 +2577,7 @@ _DRIVER_FRONT = [
     "mix_token_budget",
     "media_stats",
     "media_decode",
+    "media_frames",
     "q_scalar_functions",
     "q_date_parts",
     "q_set_ops",
