@@ -578,7 +578,11 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize_with_positions(
         docs, drop_numeric=True, require_alnum=False
     ).select(F.col("token").alias("word"))
-    cands = toks.freqItems(["word"], support).collect()[0][0]
+    # sketch at 0.9×support: freqItems' no-false-negative guarantee is
+    # for items with frequency STRICTLY ABOVE the sketch support, so
+    # the candidate pass must run below the filter threshold or an
+    # item sitting exactly on support·N could be missed
+    cands = toks.freqItems(["word"], support * 0.9).collect()[0][0]
     total = toks.agg(F.count("*").alias("tot"))
     if not cands:  # no token reaches the sketch threshold
         return toks.limit(0).withColumn("n", F.lit(0).cast("bigint"))

@@ -52,7 +52,11 @@ from hadoop_search_spark.plans.results import (  # noqa: E402
 )
 from tests import brute_force as bf  # noqa: E402
 
-SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
 GOLDEN_DIR = os.path.join(ROOT, "tests", "golden")
 
 # P2: the reference's StringTokenizer delimiter set, as a Python regex

@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""Scale smoke: replicate the sf0.1 documents fixture N× (shifted
+doc_ids, mutated text prefixes so replicas aren't byte-identical) and
+drive the heaviest pipelines at ~100k docs on local[32]:
+
+* offline index build + range-partitioned publish + point search
+* incremental merge of a 5% tail (only the tail tokenizes)
+* MinHash-LSH near-dup pairs
+* edit-distance similarity join on the 40-char prefix key
+* two-pass heavy hitters
+
+Prints one JSON line with per-stage wall seconds. This is a
+does-it-still-scale check (plan shape + absence of blowups), not a
+micro-benchmark; see bench.py for the recorded profile.
+
+Usage: python scripts/scale_smoke.py [replicas=20]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark import StorageLevel
+from pyspark.sql import functions as F
+
+
+def main() -> int:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    from hadoop_search_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_smoke")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n_base = base.count()
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
+    docs = (
+        base.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_base).alias("doc_id"),
+            # shift a replica-dependent token into the text so replicas
+            # are near-dups, not exact dups (exercises verify paths)
+            F.concat(F.format_string("rep%d ", "rep"), F.col("text")).alias("text"),
+        )
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    n = docs.count()
+    timings: dict[str, float] = {"n_docs": n}
+
+    def stage(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 1)
+        print(f"# {name}: {timings[name]}s -> {out}", file=sys.stderr)
+
+    from hadoop_search_spark.operators.index import (
+        build_postings,
+        merge_index,
+        write_index,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="scale_smoke_")
+    postings = build_postings(docs, num_docs=n, stem=True)
+
+    def build_and_publish():
+        write_index(postings, f"{workdir}/index", num_partitions=32)
+        return "published"
+
+    stage("index_build_publish", build_and_publish)
+
+    published = spark.read.parquet(f"{workdir}/index")
+
+    def point_search():
+        from hadoop_search_spark.plans.planner import SearchEngine
+
+        eng = SearchEngine(spark, published, documents=docs)
+        return eng.search("(table or scan) and not stream").count()
+
+    stage("search_cnf", point_search)
+
+    def incremental():
+        head = docs.filter(F.col("doc_id") < int(n * 0.95))
+        tail = docs.filter(F.col("doc_id") >= int(n * 0.95))
+        n_head = head.count()
+        base_p = build_postings(head, num_docs=n_head, stem=True)
+        merged, total = merge_index(base_p, n_head, tail, stem=True)
+        return merged.count()
+
+    stage("incremental_merge", incremental)
+
+    def minhash():
+        from hadoop_search_spark.operators.dedup import minhash_lsh_dedup, word_shingles
+
+        sh = word_shingles(docs).persist(StorageLevel.DISK_ONLY)
+        try:
+            return minhash_lsh_dedup(docs, shingles=sh).count()
+        finally:
+            sh.unpersist()
+
+    stage("minhash_lsh_pairs", minhash)
+
+    def edit_distance():
+        from hadoop_search_spark.operators.dedup import edit_distance_pairs
+
+        key = F.regexp_replace(F.lower(F.substring("text", 1, 40)), "[^ -~]", "")
+        return edit_distance_pairs(docs, key, max_distance=2).count()
+
+    stage("edit_distance_pairs", edit_distance)
+
+    def heavy_hitters():
+        from hadoop_search_spark.functions.tokenize import tokenize_with_positions
+
+        toks = tokenize_with_positions(
+            docs, drop_numeric=True, require_alnum=False
+        ).select(F.col("token").alias("word"))
+        cands = toks.freqItems(["word"], 0.02 * 0.9).collect()[0][0]
+        total = toks.agg(F.count("*").alias("tot"))
+        return (
+            toks.filter(F.col("word").isin(*cands))
+            .groupBy("word")
+            .agg(F.count("*").alias("n"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("n") >= 0.02 * F.col("tot"))
+            .count()
+        )
+
+    stage("heavy_hitters", heavy_hitters)
+
+    print(json.dumps(timings))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
