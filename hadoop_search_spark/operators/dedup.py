@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # 12 hex digits < 2^48: min-hash values
@@ -425,39 +425,53 @@ def edit_distance_pairs(
     The candidate join is SOUND (no qualifying pair is ever missed) and
     never all-pairs:
 
-    * long keys (length ≥ q·(d+1)) pair through a shared-q-gram join —
-      d edits destroy at most d·q of the L-q+1 q-grams, so two strings
-      within d edits share at least one exact q-gram when
-      L-q+1 > d·q (the classic count/prefix-filtering bound from the
-      string-similarity-join literature);
-    * keys too short for that bound live in a tiny length band (one key
-      ≤ q·(d+1)-1 chars, the other within +d of it) joined directly.
+    * long keys (length ≥ q·(d+1)) pair through an ASYMMETRIC prefix-
+      filtered q-gram join: each key INDEXES only its d·q+1 globally
+      rarest grams, while the probe side keeps all grams. d edits
+      destroy at most q grams each of ANY fixed (d·q+1)-subset, so at
+      least one indexed gram of either key survives unedited and must
+      occur (within ±d positions) in the other key's full gram list —
+      soundness needs only one join direction to fire, and pairs are
+      normalized afterwards. Rarest-first selection keeps a viral
+      shared prefix (every key starting "http://www.") off the index
+      side entirely: the hot gram appears only on the probe side, so
+      its bucket never self-joins;
+    * a surviving gram's position shifts by at most d, so the join also
+      requires |pos_a − pos_b| ≤ d, plus a ±d length band;
+    * keys too short for the q-gram bound live in a tiny length band
+      (one key ≤ q·(d+1)-1 chars, the other within +d) joined directly.
 
     The two candidate sets are disjoint by construction; both verify
     with the exact ``levenshtein`` (JVM codegen, character-level).
-    At scale the q-gram join shuffles |docs|·(L-q+1) small rows keyed
-    by q-gram — linear in input, skew-bounded by hot q-grams (viral
-    prefixes), which AQE's skew-join split handles like any hot key.
+    At scale this shuffles |docs|·(L-q+1) gram rows for the global
+    frequency table and the per-key prefix window, then joins with
+    |docs|·(d·q+1) index rows — all linear in input, hot-gram-proof.
     """
     lc = q * (max_distance + 1)  # minimum length for the q-gram bound
+    prefix_len = max_distance * q + 1
     keys = docs.select("doc_id", key.alias("key"))
     long_keys = keys.filter(F.length("key") >= lc)
-    # (q-gram, position) pairs, deduped per doc: joining on the gram
-    # ALONE floods hot grams (every common trigram pairs all its docs);
-    # d edits shift a surviving gram's position by at most d, so the
-    # join can also require |pos_a - pos_b| ≤ d — sound, and it cuts a
-    # hot gram's bucket from (docs sharing it)² to a narrow diagonal.
-    grams = long_keys.select(
-        "doc_id",
-        "key",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(key) - {q - 1}),"
-                f" i -> substring(key, i, {q}))"
-            )
-        ).alias("p", "g"),
-    ).distinct()  # (doc_id, key, g, p): hash-agg dedup, no first() sort-agg
-    a = grams.select(
+    # explode 1-based start positions, then slice — NOT a
+    # transform(sequence, i -> substring) array lambda: that nested
+    # higher-order expression costs ~16 s of whole-stage-codegen
+    # compilation per fresh plan (measured), vs ~1 s for this shape
+    grams = (
+        long_keys.select(
+            "doc_id",
+            "key",
+            F.explode(F.sequence(F.lit(1), F.length("key") - (q - 1))).alias("p"),
+        )
+        .withColumn("g", F.expr(f"substring(key, p, {q})"))
+        .distinct()  # (doc_id, key, g, p) hash-agg dedup
+    )
+    gram_freq = grams.groupBy("g").agg(F.count("*").alias("gf"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("gf"), F.asc("g"), F.asc("p"))
+    prefix = (
+        grams.join(gram_freq, "g")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+    )
+    a = prefix.select(
         F.col("doc_id").alias("doc_a"), F.col("key").alias("ka"),
         F.col("g").alias("ga"), F.col("p").alias("pa"),
     )
@@ -469,11 +483,20 @@ def edit_distance_pairs(
         a.join(
             b,
             (F.col("ga") == F.col("gb"))  # equi-key → hash join
-            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("doc_a") != F.col("doc_b"))
             & (F.abs(F.col("pa") - F.col("pb")) <= max_distance)
             & (F.abs(F.length("ka") - F.length("kb")) <= max_distance),
         )
-        .select("doc_a", "ka", "doc_b", "kb")
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.when(F.col("doc_a") < F.col("doc_b"), F.col("ka"))
+            .otherwise(F.col("kb"))
+            .alias("ka"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            F.when(F.col("doc_a") < F.col("doc_b"), F.col("kb"))
+            .otherwise(F.col("ka"))
+            .alias("kb"),
+        )
         .distinct()
     )
     short = keys.filter(F.length("key") < lc)
