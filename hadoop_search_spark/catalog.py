@@ -551,6 +551,144 @@ def postings_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_priority_check",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+    note="TPC-H Q4 shape: correlated EXISTS → left-semi join on "
+    "(orderkey, shipdate > orderdate), then priority counts",
+)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum({_REVENUE_DEC}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier s ON s.s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+""",
+    note="TPC-H Q7 shape: cross-nation trade volume by year — five-way "
+    "join tree, dims broadcast by AQE, decimal-exact revenue",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    oracle=f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum({_REVENUE_DEC}) AS DOUBLE) AS revenue
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    note="TPC-H Q10 shape: top-20 customers by returned-item revenue — "
+    "multi-join + decimal-exact aggregate + deterministic top-k "
+    "(revenue is an exact decimal→double, so ordering cannot diverge)",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_DEC} END) AS DOUBLE)
+            / CAST(sum({_REVENUE_DEC}) AS DOUBLE) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+    note="TPC-H Q14 shape: promo revenue share in one month — conditional "
+    "decimal aggregate (CASE with no ELSE: both engines skip nulls, no "
+    "0-literal type-coercion divergence), ratio taken in double with "
+    "identical operation order",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", _revenue_col())).alias("_promo"),
+        F.sum(_revenue_col()).alias("_total"),
+    )
+    return agg.select(
+        (
+            F.lit(100.0) * F.col("_promo").cast("double")
+            / F.col("_total").cast("double")
+        )
+        .cast("double")
+        .alias("promo_pct")
+    )
+
+
+@register(
     "text_heavy_hitters",
     oracle="""
 SELECT word, count(*) AS n FROM (

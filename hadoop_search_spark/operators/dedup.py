@@ -446,6 +446,13 @@ def edit_distance_pairs(
     At scale this shuffles |docs|·(L-q+1) gram rows for the global
     frequency table and the per-key prefix window, then joins with
     |docs|·(d·q+1) index rows — all linear in input, hot-gram-proof.
+
+    Data regime: candidate volume is near-linear on DIVERSE keys
+    (titles, URLs, names — the intended workload). On a degenerate
+    corpus whose keys are drawn from a tiny vocabulary, every gram is
+    common and candidates grow toward quadratic — a property of the
+    blocking family, not this implementation: no content-based
+    blocking can separate keys that all genuinely resemble each other.
     """
     lc = q * (max_distance + 1)  # minimum length for the q-gram bound
     prefix_len = max_distance * q + 1

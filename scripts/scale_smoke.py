@@ -104,12 +104,18 @@ def main() -> int:
     stage("minhash_lsh_pairs", minhash)
 
     def edit_distance():
+        # capped to ~20k docs: the fixture's ~31-word vocabulary makes
+        # every q-gram common, so ANY content-based blocking yields
+        # near-quadratic candidates on it (a data property — real
+        # title/URL keys are diverse and block near-linearly); the cap
+        # keeps the stage a completes-at-scale check, not a grind
         from hadoop_search_spark.operators.dedup import edit_distance_pairs
 
+        subset = docs.filter(F.col("doc_id") < n_base * 4)
         key = F.regexp_replace(F.lower(F.substring("text", 1, 40)), "[^ -~]", "")
-        return edit_distance_pairs(docs, key, max_distance=2).count()
+        return edit_distance_pairs(subset, key, max_distance=2).count()
 
-    stage("edit_distance_pairs", edit_distance)
+    stage("edit_distance_pairs_20k", edit_distance)
 
     def heavy_hitters():
         from hadoop_search_spark.functions.tokenize import tokenize_with_positions
