@@ -41,6 +41,7 @@ def cmd_index(args) -> int:
     tabs["corpus_stats"].coalesce(1).write.mode("overwrite").parquet(
         f"{args.out}/corpus_stats"
     )
+    tabs["vocab"].coalesce(1).write.mode("overwrite").parquet(f"{args.out}/vocab")
     n = spark.read.parquet(f"{args.out}/postings").count()
     print(f"indexed: {n} postings -> {args.out}")
     spark.stop()
@@ -48,19 +49,29 @@ def cmd_index(args) -> int:
 
 
 def _engine(spark, args):
+    import os
+
     from hadoop_search_spark.operators.index import build_postings
     from hadoop_search_spark.plans.planner import SearchEngine
 
     docs = spark.read.parquet(args.corpus)
+    vocab = None
     if args.index:
         postings = spark.read.parquet(f"{args.index}/postings")
         stopwords = [
             r.word for r in spark.read.parquet(f"{args.index}/stopwords").collect()
         ]
+        if os.path.isdir(f"{args.index}/vocab"):
+            vocab = spark.read.parquet(f"{args.index}/vocab")
     else:
         postings = build_postings(docs, num_docs=None, stem=True)
         stopwords = []
-    return SearchEngine(spark, postings, documents=docs, stopwords=stopwords), docs
+    return (
+        SearchEngine(
+            spark, postings, documents=docs, stopwords=stopwords, vocab=vocab
+        ),
+        docs,
+    )
 
 
 def cmd_search(args) -> int:

@@ -136,7 +136,17 @@ def build_index_tables(
     n = doc_count(documents)
     postings = build_postings(documents, stopwords=sw, num_docs=n, stem=stem)
     corpus_stats = spark.createDataFrame([(n,)], "doc_num BIGINT")
-    return {"postings": postings, "stopwords": sw, "corpus_stats": corpus_stats}
+    # vocabulary stats: the (term, df) table the query planner's J6
+    # join ordering reads — publishing it here means a serving engine
+    # seeds its driver cache from a tiny table scan instead of
+    # aggregating the postings on first query
+    vocab = postings.groupBy("term").agg(F.max("df").alias("df"))
+    return {
+        "postings": postings,
+        "stopwords": sw,
+        "corpus_stats": corpus_stats,
+        "vocab": vocab,
+    }
 
 
 def term_doc_stats(

@@ -99,6 +99,7 @@ class SearchEngine:
         documents: DataFrame | None = None,
         stopwords=(),
         stem=P.porter_stem,
+        vocab: DataFrame | dict | None = None,
     ) -> None:
         import threading
 
@@ -107,7 +108,19 @@ class SearchEngine:
         self.documents = documents
         self.stem = stem or (lambda w: w)
         self.stopwords = frozenset(self.stem(w) for w in stopwords)
-        self._vocab: dict[str, int] | None = None
+        # ``vocab``: a published (term, df) stats table (see
+        # build_index_tables) or a prebuilt dict — seeds the J6 join-
+        # ordering cache so the engine's first query pays no collect;
+        # omitted → collected lazily from the postings on first use.
+        if vocab is None:
+            self._vocab: dict[str, int] | None = None
+        elif isinstance(vocab, dict):
+            self._vocab = {str(t): int(d) for t, d in vocab.items()}
+        else:
+            self._vocab = {
+                r[0]: int(r[1])
+                for r in vocab.limit(self._VOCAB_CACHE_MAX).collect()
+            }
         self._vocab_lock = threading.Lock()
 
     # ---- statistics (J6 ordering) ------------------------------------

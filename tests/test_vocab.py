@@ -56,3 +56,26 @@ def test_related_terms_lift_and_pruning(spark):
         for r in related_terms(p, num_docs=4, max_df=3, min_pair_count=2).collect()
     }
     assert pruned == {("alpha", "beta")}
+
+
+def test_engine_seeds_from_published_vocab(spark, documents):
+    """build_index_tables publishes (term, df) vocabulary stats; an
+    engine constructed with it has its J6 ordering cache populated
+    up-front (no first-query collect) and answers identically to a
+    lazily-seeded engine."""
+    from hadoop_search_spark.operators.index import build_index_tables
+    from hadoop_search_spark.plans.planner import SearchEngine
+
+    tabs = build_index_tables(spark, documents, num_stop_words=2)
+    seeded = SearchEngine(
+        spark,
+        tabs["postings"],
+        documents=documents,
+        vocab=tabs["vocab"],
+    )
+    assert seeded._vocab is not None  # populated before any query
+    lazy = SearchEngine(spark, tabs["postings"], documents=documents)
+    q = "(table or scan) and not stream"
+    got = {(r.doc_id, r.score) for r in seeded.search(q).collect()}
+    want = {(r.doc_id, r.score) for r in lazy.search(q).collect()}
+    assert got == want and got
