@@ -41,7 +41,18 @@ def cmd_index(args) -> int:
     tabs["corpus_stats"].coalesce(1).write.mode("overwrite").parquet(
         f"{args.out}/corpus_stats"
     )
-    tabs["vocab"].coalesce(1).write.mode("overwrite").parquet(f"{args.out}/vocab")
+    # aggregate the just-published parquet, not the lazy build plan —
+    # the plan would re-run the whole tokenize/stem pipeline
+    from pyspark.sql import functions as F
+
+    (
+        spark.read.parquet(f"{args.out}/postings")
+        .groupBy("term")
+        .agg(F.max("df").alias("df"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{args.out}/vocab")
+    )
     n = spark.read.parquet(f"{args.out}/postings").count()
     print(f"indexed: {n} postings -> {args.out}")
     spark.stop()

@@ -710,28 +710,13 @@ HAVING count(*) >= 0.02 * (
 )
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.functions.tokenize import tokenize_with_positions
+    from hadoop_search_spark.operators.textstats import heavy_hitters
 
-    support = 0.02
     docs = _t(spark, sf_dir, "documents")
     toks = tokenize_with_positions(
         docs, drop_numeric=True, require_alnum=False
     ).select(F.col("token").alias("word"))
-    # sketch at 0.9×support: freqItems' no-false-negative guarantee is
-    # for items with frequency STRICTLY ABOVE the sketch support, so
-    # the candidate pass must run below the filter threshold or an
-    # item sitting exactly on support·N could be missed
-    cands = toks.freqItems(["word"], support * 0.9).collect()[0][0]
-    total = toks.agg(F.count("*").alias("tot"))
-    if not cands:  # no token reaches the sketch threshold
-        return toks.limit(0).withColumn("n", F.lit(0).cast("bigint"))
-    return (
-        toks.filter(F.col("word").isin(*cands))
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("n") >= F.lit(support) * F.col("tot"))
-        .select("word", "n")
-    )
+    return heavy_hitters(toks, "word", support=0.02)
 
 
 @register(
@@ -1048,7 +1033,7 @@ WHERE corpus_bytes = (SELECT CAST(sum(strlen(text)) AS BIGINT) FROM documents)
     note="P11+P12 through the gate: page 1 of '(table) and (scan)' "
     "with snippet + highlight rendered distributively (UDF only over "
     "the 10 served rows, never the corpus); golden-parquet oracle "
-    "(independent generator), valid at the gate SFs sf0.001/sf0.01",
+    "(independent generator), valid at sf0.001/sf0.01/sf0.1",
 )
 def search_render_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.plans.results import (
@@ -1126,7 +1111,7 @@ WHERE corpus_bytes = (SELECT CAST(sum(strlen(text)) AS BIGINT) FROM documents)
 """,
     note="full stemmed engine with computed stop words (P6/P7 + J1-J8); "
     "golden-parquet oracle (pure-Python tokenizer + Porter + brute-force "
-    "algebra), valid at the gate SFs sf0.001/sf0.01",
+    "algebra), valid at sf0.001/sf0.01/sf0.1",
 )
 def search_stemmed_cnf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.operators.index import build_postings, stop_words

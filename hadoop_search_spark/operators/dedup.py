@@ -462,15 +462,13 @@ def edit_distance_pairs(
     # transform(sequence, i -> substring) array lambda: that nested
     # higher-order expression costs ~16 s of whole-stage-codegen
     # compilation per fresh plan (measured), vs ~1 s for this shape
-    grams = (
-        long_keys.select(
-            "doc_id",
-            "key",
-            F.explode(F.sequence(F.lit(1), F.length("key") - (q - 1))).alias("p"),
-        )
-        .withColumn("g", F.expr(f"substring(key, p, {q})"))
-        .distinct()  # (doc_id, key, g, p) hash-agg dedup
-    )
+    # no dedup needed: p is unique per doc_id by construction (one row
+    # per start position), so the stream is already distinct
+    grams = long_keys.select(
+        "doc_id",
+        "key",
+        F.explode(F.sequence(F.lit(1), F.length("key") - (q - 1))).alias("p"),
+    ).withColumn("g", F.expr(f"substring(key, p, {q})"))
     gram_freq = grams.groupBy("g").agg(F.count("*").alias("gf"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("gf"), F.asc("g"), F.asc("p"))
     prefix = (

@@ -198,3 +198,31 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("bigint")
         .alias("fingerprint")
     )
+
+
+def heavy_hitters(tokens, col: str = "word", support: float = 0.02):
+    """Two-pass exact heavy hitters over a token stream: pass 1
+    collects candidates via the ``freqItems`` sketch, pass 2 exact-
+    counts ONLY the candidates and applies the support threshold — the
+    output equals the plain exact computation while the stream is
+    never fully aggregated (the candidate list is model-sized, ≤1/s).
+
+    The sketch runs at 0.9×``support``: freqItems' no-false-negative
+    guarantee covers items with frequency STRICTLY ABOVE the sketch
+    support, so the candidate pass must run below the filter threshold
+    or an item sitting exactly on support·N could be missed.
+    """
+    from pyspark.sql import functions as F
+
+    cands = tokens.freqItems([col], support * 0.9).collect()[0][0]
+    total = tokens.agg(F.count("*").alias("tot"))
+    if not cands:  # no token reaches the sketch threshold
+        return tokens.limit(0).withColumn("n", F.lit(0).cast("bigint"))
+    return (
+        tokens.filter(F.col(col).isin(*cands))
+        .groupBy(col)
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") >= F.lit(support) * F.col("tot"))
+        .select(col, "n")
+    )

@@ -117,9 +117,14 @@ class SearchEngine:
         elif isinstance(vocab, dict):
             self._vocab = {str(t): int(d) for t, d in vocab.items()}
         else:
+            # same cap policy as the lazy path: keep the HIGHEST-df
+            # terms — they're the ones whose ordering matters for J6;
+            # an unordered limit() would keep an arbitrary subset
             self._vocab = {
                 r[0]: int(r[1])
-                for r in vocab.limit(self._VOCAB_CACHE_MAX).collect()
+                for r in vocab.orderBy(F.desc(vocab.columns[1]))
+                .limit(self._VOCAB_CACHE_MAX)
+                .collect()
             }
         self._vocab_lock = threading.Lock()
 

@@ -119,20 +119,12 @@ def main() -> int:
 
     def heavy_hitters():
         from hadoop_search_spark.functions.tokenize import tokenize_with_positions
+        from hadoop_search_spark.operators.textstats import heavy_hitters as hh
 
         toks = tokenize_with_positions(
             docs, drop_numeric=True, require_alnum=False
         ).select(F.col("token").alias("word"))
-        cands = toks.freqItems(["word"], 0.02 * 0.9).collect()[0][0]
-        total = toks.agg(F.count("*").alias("tot"))
-        return (
-            toks.filter(F.col("word").isin(*cands))
-            .groupBy("word")
-            .agg(F.count("*").alias("n"))
-            .crossJoin(F.broadcast(total))
-            .filter(F.col("n") >= 0.02 * F.col("tot"))
-            .count()
-        )
+        return hh(toks, "word", support=0.02).count()
 
     stage("heavy_hitters", heavy_hitters)
 
