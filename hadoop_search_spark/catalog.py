@@ -1318,6 +1318,117 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts_us", "error_event_id", "error_ts_us")
 
 
+@register(
+    "events_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t2
+  GROUP BY e.user_id
+)
+SELECT stage, count(*) AS n_users,
+       CAST(sum(lag_us) AS BIGINT) AS total_conversion_lag_us
+FROM (
+  SELECT v.user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2
+              ELSE 1 END AS stage,
+         coalesce(p.t3, v.t1) - v.t1 AS lag_us
+  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+) s GROUP BY stage
+""",
+    note="event funnel: deepest ordered view→click→purchase stage per "
+    "user (first view, first click at-or-after it, first purchase "
+    "at-or-after that — min-timestamps make it deterministic), stage "
+    "population counts plus the exact integer sum of view→purchase "
+    "conversion lag (micros — far more hash-discriminative than the "
+    "count alone); each step is one aggregate + one user-keyed join, "
+    "no window over the full event stream",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    staged = (
+        v.join(c.select("user_id", F.lit(1).alias("_c")), "user_id", "left")
+        .join(p.select("user_id", "t3"), "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("_c").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage"),
+            (F.coalesce("t3", "t1") - F.col("t1")).alias("lag_us"),
+        )
+    )
+    return staged.groupBy("stage").agg(
+        F.count("*").alias("n_users"),
+        F.sum("lag_us").cast("bigint").alias("total_conversion_lag_us"),
+    )
+
+
+@register(
+    "text_zipf_histogram",
+    oracle="""
+SELECT CAST(length(bin(cnt)) - 1 AS INT) AS freq_bucket,
+       count(*) AS n_words, CAST(sum(cnt) AS BIGINT) AS n_tokens
+FROM (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+  WHERE NOT regexp_matches(word, '^[0-9]+$')
+  GROUP BY word) c
+GROUP BY 1
+""",
+    note="corpus frequency-distribution profile (Zipf check): words and "
+    "token mass per log2-frequency bucket — the one-glance diagnostic "
+    "for vocabulary skew. The bucket is floor(log2(cnt)) computed "
+    "INTEGER-exactly as binary-digit-count minus one on both engines — "
+    "a float log2 can land 1 ulp under an exact power of two and "
+    "floor() then mis-buckets it",
+)
+def text_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.index import word_counts
+
+    wc = word_counts(_t(spark, sf_dir, "documents"))
+    return (
+        wc.select(
+            (F.length(F.bin("cnt")) - 1).cast("int").alias("freq_bucket"), "cnt"
+        )
+        .groupBy("freq_bucket")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
 # ======================================================================
 # LLM-data-pipeline operators: dedup / similarity / text analysis /
 # multimodal (SURVEY.md §7 phase 5, BASELINE.json north star)
