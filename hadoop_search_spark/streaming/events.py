@@ -196,6 +196,85 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+FUNNEL_SCHEMA = "user_id BIGINT, stage INT, t1_us BIGINT, t3_us BIGINT"
+_FUNNEL_STATE_SCHEMA = "t1 BIGINT, t2 BIGINT, t3 BIGINT"
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel state machine: earliest 'view', earliest 'click'
+    at-or-after it, earliest 'purchase' at-or-after that. State is
+    three timestamps — O(1) per user."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    t1, t2, t3 = state.get if state.exists else (None, None, None)
+    for pdf in pdfs:
+        # event-time order within the batch; cross-batch order is the
+        # operator's documented replay contract (see funnel_stages).
+        # Ties process earlier funnel steps first — the batch SQL's
+        # `>=` comparisons count a click at exactly t1, so the view
+        # must register before a same-timestamp click is examined.
+        pdf = pdf.assign(
+            _rank=pdf["event_type"].map(
+                {s: i for i, s in enumerate(_FUNNEL_STEPS)}
+            ).fillna(len(_FUNNEL_STEPS))
+        ).sort_values(["ts", "_rank"], kind="mergesort")
+        for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+            us = int(ts.value) // 1_000  # pandas Timestamp nanos → micros
+            if etype == _FUNNEL_STEPS[0]:
+                if t1 is None or us < t1:
+                    t1 = us
+            elif etype == _FUNNEL_STEPS[1]:
+                if t1 is not None and us >= t1 and (t2 is None or us < t2):
+                    t2 = us
+            elif etype == _FUNNEL_STEPS[2]:
+                if t2 is not None and us >= t2 and (t3 is None or us < t3):
+                    t3 = us
+    state.update((t1, t2, t3))
+    if t1 is None:
+        return
+    stage = 3 if t3 is not None else (2 if t2 is not None else 1)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "stage": [stage],
+            "t1_us": [t1],
+            "t3_us": [t3 if t3 is not None else None],
+        }
+    )
+
+
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """Streaming funnel progression per user — the online twin of the
+    batch ``events_funnel`` catalog entry, as a custom stateful
+    operator (``applyInPandasWithState``, update mode): each batch
+    emits the user's current deepest stage and conversion endpoints.
+
+    Replay contract: per-user events must replay in event-time order
+    ACROSS batches (within a batch the operator sorts). That is the
+    standard contract for ordered-state machines fed from a replayed
+    log (time-ordered files / a time-partitioned topic); a fully
+    out-of-order-proof exact funnel needs unbounded per-user state, so
+    the bounded state machine documents the ordering assumption
+    instead. Stream/batch equivalence under the contract is pinned by
+    ``tests/test_streaming.py``."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a bounded stream to completion into an in-memory table;
     returns the started-and-stopped query. For tests/smoke."""

@@ -234,3 +234,73 @@ def test_watermark_drops_late_events(spark, tmp_path):
     hour6 = ((base + 6 * H) // 1000) // hour_us * hour_us
     assert rows[hour6] == 2       # on-time event counted
     assert rows[hour0] == 1       # far-late event DROPPED by the watermark
+
+
+def test_streaming_funnel_equals_batch(spark, tmp_path):
+    """The stateful streaming funnel must agree with the batch
+    events_funnel stages when events replay in event-time order
+    (the operator's documented contract): split the fixture into
+    three time-ordered files and compare final per-user stages."""
+    import os
+
+    from hadoop_search_spark.sources.tables import read_events
+    from hadoop_search_spark.streaming.events import funnel_stages, run_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_events(spark, SF).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # three event-time-ordered batches
+    bounds = ev.selectExpr(
+        "percentile(unix_micros(ts), 0.33) AS a",
+        "percentile(unix_micros(ts), 0.66) AS b",
+    ).collect()[0]
+    d = str(tmp_path / "funnel_events")
+    os.makedirs(d)
+    parts = [
+        ev.filter(F.unix_micros("ts") <= bounds.a),
+        ev.filter(
+            (F.unix_micros("ts") > bounds.a) & (F.unix_micros("ts") <= bounds.b)
+        ),
+        ev.filter(F.unix_micros("ts") > bounds.b),
+    ]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(f"{d}/batch={i}")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("latestFirst", "false")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/batch=*")
+    )
+    run_to_memory(funnel_stages(stream), "funnel_out", "update")
+    # update mode: last emitted row per user is the final stage
+    got = {
+        r.user_id: r.stage
+        for r in spark.sql(
+            "SELECT user_id, stage FROM ("
+            "  SELECT *, row_number() OVER ("
+            "    PARTITION BY user_id ORDER BY _batch_rn DESC) rn FROM ("
+            "    SELECT user_id, stage, row_number() OVER ("
+            "      ORDER BY monotonically_increasing_id()) AS _batch_rn"
+            "    FROM funnel_out))"
+            " WHERE rn = 1"
+        ).collect()
+    }
+    # batch reference: the events_funnel staging logic
+    v = (ev.filter(F.col("event_type") == "view").groupBy("user_id")
+         .agg(F.min(F.unix_micros("ts")).alias("t1")))
+    c = (ev.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter(F.unix_micros("ts") >= F.col("t1")).groupBy("user_id")
+         .agg(F.min(F.unix_micros("ts")).alias("t2")))
+    p = (ev.filter(F.col("event_type") == "purchase").join(c, "user_id")
+         .filter(F.unix_micros("ts") >= F.col("t2")).groupBy("user_id")
+         .agg(F.min(F.unix_micros("ts")).alias("t3")))
+    want = {
+        r.user_id: (3 if r.t3 is not None else (2 if r.t2 is not None else 1))
+        for r in v.join(c, "user_id", "left").join(p, "user_id", "left").collect()
+    }
+    assert got == want and len(want) > 0
