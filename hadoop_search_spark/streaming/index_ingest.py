@@ -116,6 +116,20 @@ class StreamingIndexer:
             if n == self.current_num_docs():
                 return  # empty batch
         write_index(postings, os.path.join(out, "postings"), self.num_partitions)
+        # vocabulary stats ride every publish: aggregated from the
+        # just-written parquet (tiny term-keyed scan), so a serving
+        # engine seeds its join-ordering cache without touching the
+        # postings — same contract as build_index_tables / the CLI
+        from pyspark.sql import functions as F
+
+        (
+            self.spark.read.parquet(os.path.join(out, "postings"))
+            .groupBy("term")
+            .agg(F.max("df").alias("df"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "vocab"))
+        )
         with open(os.path.join(out, "NUM_DOCS"), "w") as f:
             f.write(str(n))
         # pointer flip is the atomic publish

@@ -95,3 +95,33 @@ def test_vacuum_keeps_current(spark, documents, tmp_path):
     assert removed == ["v0", "v1"]
     assert indexer.current_num_docs() == 200  # pointer target untouched
     assert indexer.current_postings().count() > 0
+
+
+def test_publish_includes_vocab_table(spark, tmp_path):
+    """Every published version carries the (term, df) vocab table, and
+    it agrees with the published postings."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_search_spark.streaming.index_ingest import StreamingIndexer
+
+    root = str(tmp_path / "idx")
+    ix = StreamingIndexer(spark, root, stem=False)
+    batch = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "beta gamma")], "doc_id BIGINT, text STRING"
+    )
+    ix.process_batch(batch, epoch_id=0)
+    cur = ix._current_path()
+    vocab = {
+        r.term: r.df
+        for r in spark.read.parquet(os.path.join(cur, "vocab")).collect()
+    }
+    want = {
+        r.term: r.df
+        for r in ix.current_postings()
+        .groupBy("term")
+        .agg(F.max("df").alias("df"))
+        .collect()
+    }
+    assert vocab == want and vocab["beta"] == 2
