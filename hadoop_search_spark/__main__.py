@@ -43,12 +43,10 @@ def cmd_index(args) -> int:
     )
     # aggregate the just-published parquet, not the lazy build plan —
     # the plan would re-run the whole tokenize/stem pipeline
-    from pyspark.sql import functions as F
+    from hadoop_search_spark.operators.index import vocab_stats
 
     (
-        spark.read.parquet(f"{args.out}/postings")
-        .groupBy("term")
-        .agg(F.max("df").alias("df"))
+        vocab_stats(spark.read.parquet(f"{args.out}/postings"))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{args.out}/vocab")

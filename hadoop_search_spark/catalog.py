@@ -1355,42 +1355,14 @@ FROM (
     "no window over the full event stream",
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).select(
-        "user_id", "event_type", F.unix_micros("ts").alias("us")
-    )
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t1"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("us") >= F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("us") >= F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("t3"))
-    )
-    staged = (
-        v.join(c.select("user_id", F.lit(1).alias("_c")), "user_id", "left")
-        .join(p.select("user_id", "t3"), "user_id", "left")
-        .select(
-            F.when(F.col("t3").isNotNull(), 3)
-            .when(F.col("_c").isNotNull(), 2)
-            .otherwise(1)
-            .alias("stage"),
-            (F.coalesce("t3", "t1") - F.col("t1")).alias("lag_us"),
-        )
-    )
+    from hadoop_search_spark.operators.funnel import funnel_user_stages
+
+    staged = funnel_user_stages(_events(spark, sf_dir))
     return staged.groupBy("stage").agg(
         F.count("*").alias("n_users"),
-        F.sum("lag_us").cast("bigint").alias("total_conversion_lag_us"),
+        F.sum(F.coalesce("t3_us", "t1_us") - F.col("t1_us"))
+        .cast("bigint")
+        .alias("total_conversion_lag_us"),
     )
 
 

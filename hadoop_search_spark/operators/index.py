@@ -121,6 +121,17 @@ def write_index(
     )
 
 
+def vocab_stats(postings: DataFrame) -> DataFrame:
+    """The ``(term, df)`` vocabulary-stats table derived from a
+    postings frame — THE single definition of that contract (used by
+    the offline build, the CLI, the streaming republisher, the query
+    planner's join-ordering cache, and term suggestion). Falls back to
+    counting rows per term when the frame carries no ``df`` column."""
+    if "df" in postings.columns:
+        return postings.groupBy("term").agg(F.max("df").alias("df"))
+    return postings.groupBy("term").agg(F.count("*").alias("df"))
+
+
 def build_index_tables(
     spark: SparkSession,
     documents: DataFrame,
@@ -140,7 +151,7 @@ def build_index_tables(
     # join ordering reads — publishing it here means a serving engine
     # seeds its driver cache from a tiny table scan instead of
     # aggregating the postings on first query
-    vocab = postings.groupBy("term").agg(F.max("df").alias("df"))
+    vocab = vocab_stats(postings)
     return {
         "postings": postings,
         "stopwords": sw,

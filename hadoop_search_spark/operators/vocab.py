@@ -40,7 +40,9 @@ def suggest_terms(
     ``levenshtein`` is a JVM built-in, so the scan is map-only with
     no Python. ``TakeOrderedAndProject`` gives the bounded top-k
     without a global sort."""
-    vocab = postings.groupBy("term").agg(F.max("df").alias("df"))
+    from hadoop_search_spark.operators.index import vocab_stats
+
+    vocab = vocab_stats(postings)
     dist = F.levenshtein(F.col("term"), F.lit(word))
     return (
         vocab.withColumn("dist", dist)

@@ -145,11 +145,9 @@ class SearchEngine:
         if self._vocab is None:
             with self._vocab_lock:
                 if self._vocab is None:
-                    p = self.postings
-                    if "df" in p.columns:
-                        vocab = p.groupBy("term").agg(F.max("df").alias("df"))
-                    else:
-                        vocab = p.groupBy("term").agg(F.count("*").alias("df"))
+                    from hadoop_search_spark.operators.index import vocab_stats
+
+                    vocab = vocab_stats(self.postings)
                     rows = (
                         vocab.orderBy(F.desc("df"), F.asc("term"))
                         .limit(self._VOCAB_CACHE_MAX)

@@ -213,12 +213,15 @@ def _funnel_fn(
         state.remove()
         return
     t1, t2, t3 = state.get if state.exists else (None, None, None)
-    for pdf in pdfs:
-        # event-time order within the batch; cross-batch order is the
-        # operator's documented replay contract (see funnel_stages).
-        # Ties process earlier funnel steps first — the batch SQL's
-        # `>=` comparisons count a click at exactly t1, so the view
-        # must register before a same-timestamp click is examined.
+    # ONE sort over the whole group: the iterator yields Arrow chunks
+    # in shuffle order, so sorting each chunk independently would let
+    # a later chunk's earlier event arrive after a dependent step.
+    # Ties process earlier funnel steps first — the batch SQL's `>=`
+    # comparisons count a click at exactly t1, so the view must
+    # register before a same-timestamp click is examined.
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.assign(
             _rank=pdf["event_type"].map(
                 {s: i for i, s in enumerate(_FUNNEL_STEPS)}
@@ -235,9 +238,12 @@ def _funnel_fn(
             elif etype == _FUNNEL_STEPS[2]:
                 if t2 is not None and us >= t2 and (t3 is None or us < t3):
                     t3 = us
-    state.update((t1, t2, t3))
     if t1 is None:
+        # no funnel entry yet: write NO state — an all-null entry is
+        # indistinguishable from absent state but would pin every
+        # never-viewing user in the state store forever
         return
+    state.update((t1, t2, t3))
     stage = 3 if t3 is not None else (2 if t2 is not None else 1)
     yield pd.DataFrame(
         {
@@ -256,9 +262,12 @@ def funnel_stages(events: DataFrame) -> DataFrame:
     emits the user's current deepest stage and conversion endpoints.
 
     Replay contract: per-user events must replay in event-time order
-    ACROSS batches (within a batch the operator sorts). That is the
-    standard contract for ordered-state machines fed from a replayed
-    log (time-ordered files / a time-partitioned topic); a fully
+    ACROSS batches, and same-timestamp funnel steps must not straddle
+    a batch boundary in reverse step order (a click@T closing batch N
+    with its tied view@T opening batch N+1 would under-stage — within
+    one batch the operator orders ties itself). That is the standard
+    contract for ordered-state machines fed from a replayed log
+    (time-ordered files / a time-partitioned topic); a fully
     out-of-order-proof exact funnel needs unbounded per-user state, so
     the bounded state machine documents the ordering assumption
     instead. Stream/batch equivalence under the contract is pinned by

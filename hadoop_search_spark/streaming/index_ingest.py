@@ -116,16 +116,15 @@ class StreamingIndexer:
             if n == self.current_num_docs():
                 return  # empty batch
         write_index(postings, os.path.join(out, "postings"), self.num_partitions)
-        # vocabulary stats ride every publish: aggregated from the
-        # just-written parquet (tiny term-keyed scan), so a serving
-        # engine seeds its join-ordering cache without touching the
-        # postings — same contract as build_index_tables / the CLI
-        from pyspark.sql import functions as F
+        # vocabulary stats ride every publish, aggregated from the
+        # just-written parquet (a column-pruned (term, df) scan —
+        # strictly cheaper than the full-index rewrite write_index just
+        # performed, so it does not change publish asymptotics; an
+        # incremental-format publish would derive vocab incrementally)
+        from hadoop_search_spark.operators.index import vocab_stats
 
         (
-            self.spark.read.parquet(os.path.join(out, "postings"))
-            .groupBy("term")
-            .agg(F.max("df").alias("df"))
+            vocab_stats(self.spark.read.parquet(os.path.join(out, "postings")))
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(os.path.join(out, "vocab"))

@@ -277,30 +277,17 @@ def test_streaming_funnel_equals_batch(spark, tmp_path):
         .parquet(f"{d}/batch=*")
     )
     run_to_memory(funnel_stages(stream), "funnel_out", "update")
-    # update mode: last emitted row per user is the final stage
+    # update mode: a user's stage is monotonically non-decreasing, so
+    # max(stage) is the final stage with no assumption about the
+    # memory sink's scan order
     got = {
         r.user_id: r.stage
         for r in spark.sql(
-            "SELECT user_id, stage FROM ("
-            "  SELECT *, row_number() OVER ("
-            "    PARTITION BY user_id ORDER BY _batch_rn DESC) rn FROM ("
-            "    SELECT user_id, stage, row_number() OVER ("
-            "      ORDER BY monotonically_increasing_id()) AS _batch_rn"
-            "    FROM funnel_out))"
-            " WHERE rn = 1"
+            "SELECT user_id, max(stage) AS stage FROM funnel_out GROUP BY user_id"
         ).collect()
     }
-    # batch reference: the events_funnel staging logic
-    v = (ev.filter(F.col("event_type") == "view").groupBy("user_id")
-         .agg(F.min(F.unix_micros("ts")).alias("t1")))
-    c = (ev.filter(F.col("event_type") == "click").join(v, "user_id")
-         .filter(F.unix_micros("ts") >= F.col("t1")).groupBy("user_id")
-         .agg(F.min(F.unix_micros("ts")).alias("t2")))
-    p = (ev.filter(F.col("event_type") == "purchase").join(c, "user_id")
-         .filter(F.unix_micros("ts") >= F.col("t2")).groupBy("user_id")
-         .agg(F.min(F.unix_micros("ts")).alias("t3")))
-    want = {
-        r.user_id: (3 if r.t3 is not None else (2 if r.t2 is not None else 1))
-        for r in v.join(c, "user_id", "left").join(p, "user_id", "left").collect()
-    }
+    # batch reference: the SAME staging logic the catalog entry uses
+    from hadoop_search_spark.operators.funnel import funnel_user_stages
+
+    want = {r.user_id: r.stage for r in funnel_user_stages(ev).collect()}
     assert got == want and len(want) > 0
