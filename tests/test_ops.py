@@ -346,3 +346,51 @@ def test_edit_distance_pairs_matches_brute_force(spark):
         for r in edit_distance_pairs(df, F.col("key"), max_distance=2).collect()
     }
     assert got == want
+
+
+def test_funnel_stages_match_brute_force(spark):
+    """Randomized differential for the funnel staging helper, with
+    deliberate timestamp collisions (the `>=` tie semantics are the
+    subtle part): Spark result == plain-Python reference."""
+    import random
+
+    from hadoop_search_spark.operators.funnel import funnel_user_stages
+
+    rng = random.Random(23)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = []
+    for user in range(40):
+        for _ in range(rng.randint(0, 12)):
+            # coarse timestamp grid → frequent exact ties
+            us = rng.randint(0, 9) * 1_000_000
+            rows.append((user, rng.choice(types), us))
+
+    def brute(evts):
+        out = {}
+        for u in {r[0] for r in evts}:
+            mine = [(t, e) for (uu, e, t) in evts if uu == u]
+            views = [t for t, e in mine if e == "view"]
+            if not views:
+                continue
+            t1 = min(views)
+            clicks = [t for t, e in mine if e == "click" and t >= t1]
+            t2 = min(clicks) if clicks else None
+            t3 = None
+            if t2 is not None:
+                purch = [t for t, e in mine if e == "purchase" and t >= t2]
+                t3 = min(purch) if purch else None
+            out[u] = (3 if t3 is not None else 2 if t2 is not None else 1,
+                      t1, t3)
+        return out
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(u, e, t) for (u, e, t) in rows],
+        "user_id LONG, event_type STRING, us LONG",
+    ).withColumn("ts", F.expr("timestamp_micros(us)"))
+    got = {
+        r.user_id: (r.stage, r.t1_us, r.t3_us)
+        for r in funnel_user_stages(df).collect()
+    }
+    assert got == brute(rows) and got
