@@ -29,6 +29,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
+import pandas as pd  # noqa: F401 — pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1043,14 +1044,23 @@ def search_render_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank,
     )
 
+    from pyspark.sql.functions import pandas_udf
+
     query = "(table) and (scan)"
     eng = _plain_engine(spark, sf_dir)
     page = page_slice(rank(eng.plan(query)), 1)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     words = highlight_words(query)
+
     # make_snippet() already highlights its window (plans/results.py);
     # wrapping it in highlight() again nested the <span> markup.
-    snip = F.udf(lambda text: make_snippet(text or "", words), "string")
+    # Arrow-batched (pandas) UDF: only ever runs over the ≤10 served
+    # rows, but keeps the whole catalog free of row-at-a-time Python
+    # (tests/test_catalog_contract.py audits every plan for it).
+    @pandas_udf("string")
+    def snip(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: make_snippet(t or "", words))
+
     return page.join(docs, "doc_id").select(
         "doc_id",
         F.round("score", 9).alias("score"),

@@ -46,3 +46,23 @@ def test_oracle_sql_is_duckdb_parsable():
         con.execute(f"PREPARE _q AS {stmt}")
         con.execute("DEALLOCATE _q")
     con.close()
+
+
+def test_no_scale_killers_in_any_catalog_plan(spark):
+    """Every catalog entry's optimized physical plan must be free of
+    the two universal scale-killers: CartesianProduct (unbounded pair
+    blowup — the intended non-equi broadcasts compile to
+    BroadcastNestedLoopJoin instead) and BatchEvalPython (row-at-a-time
+    Python; vectorized Arrow UDFs show as ArrowEvalPython/MapInPandas
+    and are allowed)."""
+    from hadoop_search_spark import catalog
+
+    sf_dir = "/root/testdata/sf0.001"
+    bad: dict[str, list[str]] = {}
+    for name, fn in catalog.queries().items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = [k for k in ("CartesianProduct", "BatchEvalPython") if k in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"scale-killer operators in plans: {bad}"
