@@ -2834,8 +2834,14 @@ _DRIVER_FRONT = [
     "search_cnf_mixed",
     "search_suggest_terms",
     "terms_related",
-    "postings_tf",
-    "postings_tfidf",
+    # events_hourly/json/sessionize route through the reworked
+    # TIMESTAMP(NANOS) read path (the exact thing the 4.1.2 env change
+    # broke) — they need fresh driver rows more than postings_tf/tfidf
+    # or dedup_clusters, whose values are invariant to this round's
+    # partitioning-only changes (r1-green, rotated to the tail)
+    "events_hourly",
+    "events_json",
+    "events_sessionize",
     # operator families anchoring SURVEY §2 / LLM-pipeline coverage.
     # The list must stay ≤50 entries (the driver records only the
     # first 50): wc_top100 / doc_count / dedup_exact are r1-green and
@@ -2844,7 +2850,6 @@ _DRIVER_FRONT = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_decontaminate",
-    "dedup_clusters",
     "sim_cosine_topk",
     "sim_ann_lsh_topk",
     "sim_ann_ivf_topk",
