@@ -822,9 +822,17 @@ bm25 AS (
 @register(
     "postings_bm25",
     oracle=BM25_CTE
-    + "SELECT term, doc_id, tf, df, dl, round(bm25, 9) AS bm25 FROM bm25",
+    + "SELECT term, doc_id, tf, df, dl, "
+    "CAST(CAST(round(bm25, 6) AS DECIMAL(18,6)) AS DOUBLE) AS bm25 FROM bm25",
     note="beyond-reference: Okapi BM25 (k1=1.2, b=0.75, Lucene idf) "
-    "from the same stored index stats — no re-tokenization",
+    "from the same stored index stats — no re-tokenization. The score "
+    "is quantized round(·,6)→DECIMAL(18,6)→DOUBLE on BOTH engines: "
+    "round() alone differs cross-engine at digit boundaries (Spark "
+    "rounds the exact BigDecimal HALF_UP, DuckDB rounds in float "
+    "arithmetic — r1/r2 driver hash flakes), but round-then-decimal-"
+    "cast is double-rounding-safe (the rounded value is never near a "
+    "scale-6 midpoint) and decimal→double is correctly rounded in "
+    "both engines (same convention as the q1 decimal sums).",
 )
 def postings_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.operators.index import bm25_idf_lookup, bm25_scores
@@ -832,7 +840,12 @@ def postings_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _plain_engine(spark, sf_dir)
     n = _t(spark, sf_dir, "documents").count()
     return bm25_scores(eng.postings, n, idf_lookup=bm25_idf_lookup(spark, n)).select(
-        "term", "doc_id", "tf", "df", "dl", F.round("bm25", 9).alias("bm25")
+        "term",
+        "doc_id",
+        "tf",
+        "df",
+        "dl",
+        F.round("bm25", 6).cast("decimal(18,6)").cast("double").alias("bm25"),
     )
 
 
@@ -2581,12 +2594,19 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT count(*) AS n_docs,
        sum(n_tokens) AS total_tokens,
-       sum(n_tokens)::DOUBLE / count(*) AS mean_tokens,
-       CAST(sum(CAST(quality AS DECIMAL(12,9))) AS DOUBLE) / count(*) AS mean_quality
+       CAST(CAST(round(sum(n_tokens)::DOUBLE / count(*), 6) AS DECIMAL(18,6)) AS DOUBLE) AS mean_tokens,
+       CAST(CAST(round(
+         CAST(sum(CAST(round(quality, 6) AS DECIMAL(12,6))) AS DOUBLE) / count(*),
+         6) AS DECIMAL(18,6)) AS DOUBLE) AS mean_quality
 FROM ({_curation_sql()}) t
 """,
     note="one-row corpus accounting over the curated set (docs, token "
-    "budget, mean quality) — exact decimal averaging",
+    "budget, mean quality) — per-row quality quantized "
+    "round(·,6)→DECIMAL(12,6) then exactly decimal-summed; both means "
+    "quantized round(·,6)→DECIMAL(18,6)→DOUBLE on BOTH engines so a "
+    "sub-ulp cross-engine float difference can never flip the hash "
+    "(the r2 flake was the bare double→DECIMAL(12,9) cast rounding a "
+    "raw double at digit 9)",
 )
 def curation_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.operators.curation import curate, curation_summary
@@ -2792,69 +2812,67 @@ def sim_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries in the tail. Registration order is unchanged — only the
 # accessors reorder.
 _DRIVER_FRONT = [
-    # (a) no driver row yet (r1 absentees, catalog order)
-    "sample_stratified",
-    "mix_token_budget",
+    # r3 rotation. Rule (learned the hard way in r2): every entry that
+    # is NEW or CHANGED this round goes inside the front list in the
+    # SAME round it lands — never behind the cap.
+    #
+    # (a) never recorded in any round (tail-registered in r2) — the
+    # six entries whose only evidence so far is the local gate
+    "q4_priority_check",
+    "q7_volume_shipping",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "events_funnel",
+    "text_zipf_histogram",
+    # (b) changed this round: DECIMAL quantization of the two r2
+    # hash-fails (postings_bm25, curation_summary) + the chain they
+    # share (curation_pipeline survivor set, search_bm25 same scorer);
+    # media_* (decode-batch vectorization); dedup_edit_distance
+    # (blocking hardening); sim_ann_ivf_topk (seed-count assert);
+    # search_render_page/search_stemmed_cnf (golden-path derivation);
+    # search_cnf_mixed (vocab-cache tie-break exercises J6 ordering)
+    "postings_bm25",
+    "curation_summary",
+    "curation_pipeline",
+    "search_bm25",
     "media_stats",
     "media_decode",
     "media_frames",
-    "q_scalar_functions",
-    "q_date_parts",
-    "q_set_ops",
-    "q_approx_stats",
-    "q_having",
-    "q_corr_subquery",
-    "q_large_orders",
-    "q_order_count_distribution",
-    "q_window_lead_lag",
-    "curation_pipeline",
-    "curation_summary",
-    "q_cube_grouping",
-    "q_running_total",
-    "q_median_per_group",
-    "q_string_agg",
-    "q_argmin_join_back",
-    "sim_embedding_dedup",
-    "postings_incremental_merge",
     "dedup_edit_distance",
-    "text_heavy_hitters",
-    "doc_keywords",
-    # (b) changed since r1: bm25 idf-literal parity, snippet fix,
-    # planner vocabulary cache (all search_* route through plan())
-    "postings_bm25",
-    "search_bm25",
+    "sim_ann_ivf_topk",
     "search_render_page",
     "search_stemmed_cnf",
-    "search_and",
-    "search_or",
-    "search_and_not",
-    "search_phrase",
-    "search_exact_phrase",
-    "search_not_clause",
     "search_cnf_mixed",
-    "search_suggest_terms",
-    "terms_related",
-    # events_hourly/json/sessionize route through the reworked
-    # TIMESTAMP(NANOS) read path (the exact thing the 4.1.2 env change
-    # broke) — they need fresh driver rows more than postings_tf/tfidf
-    # or dedup_clusters, whose values are invariant to this round's
-    # partitioning-only changes (r1-green, rotated to the tail)
-    "events_hourly",
-    "events_json",
-    "events_sessionize",
-    # operator families anchoring SURVEY §2 / LLM-pipeline coverage.
-    # The list must stay ≤50 entries (the driver records only the
-    # first 50): wc_top100 / doc_count / dedup_exact are r1-green and
-    # untouched, so they rotate to the tail to keep the changed
-    # events_* entries (ts-read path rework) inside the cap.
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_decontaminate",
-    "sim_cosine_topk",
-    "sim_ann_lsh_topk",
-    "sim_ann_ivf_topk",
-    "events_asof_attribution",
-    "events_interval_join",
+    # (c) r1-only rows (rotated out in r2) — refresh so no entry's
+    # latest green row ages more than two rounds
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_semi_join",
+    "q_anti_join",
+    "q_window_topk",
+    "q_rollup",
+    "q_distinct_agg",
+    "q_case_pivot",
+    "q_point_lookup",
+    "q_pagination",
+    "wc_top100",
+    "doc_count",
+    "postings_tf",
+    "postings_tfidf",
+    "dedup_exact",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "text_lang_id",
+    "text_script_counts",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "text_pii_scrub",
+    # 6 spare slots under the 50 cap — reserved for any entry added
+    # or changed later this round (append HERE, not at the tail)
 ]
 
 

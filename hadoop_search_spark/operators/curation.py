@@ -99,16 +99,27 @@ def curate(
 
 def curation_summary(curated: DataFrame) -> DataFrame:
     """One-row corpus accounting: surviving docs, total/mean tokens —
-    the budget numbers a data-mixing plan consumes. Averages are an
-    exact decimal sum followed by one double division, so partial-agg
-    order cannot perturb the result (same convention as the q1
-    catalog entry)."""
+    the budget numbers a data-mixing plan consumes.
+
+    Cross-engine determinism (the r2 driver hash-flake fix): every
+    float is quantized ``round(·, 6) → DECIMAL → DOUBLE``. A bare
+    ``CAST(double AS DECIMAL(12,9))`` rounds a raw double at digit 9,
+    where Spark (exact BigDecimal HALF_UP) and DuckDB (float-arithmetic
+    rounding) can disagree; round-then-decimal-cast is
+    double-rounding-safe because the rounded value is never near a
+    scale-6 midpoint, and decimal→double is correctly rounded in both
+    engines. The quality sum is an exact decimal sum of the per-row
+    quantized values, so partial-agg order cannot perturb it."""
+    q6 = F.round("quality", 6).cast("decimal(12,6)")
+    mean_tokens = F.sum("n_tokens").cast("double") / F.count("*")
+    mean_quality = F.sum(q6).cast("double") / F.count("*")
+
+    def _quant(c):
+        return F.round(c, 6).cast("decimal(18,6)").cast("double")
+
     return curated.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        (F.sum("n_tokens").cast("double") / F.count("*")).alias("mean_tokens"),
-        (
-            F.sum(F.col("quality").cast("decimal(12,9)")).cast("double")
-            / F.count("*")
-        ).alias("mean_quality"),
+        _quant(mean_tokens).alias("mean_tokens"),
+        _quant(mean_quality).alias("mean_quality"),
     )
