@@ -412,52 +412,28 @@ def decontaminate(
 # ------------------------------------------- edit-distance similarity join
 
 
-def edit_distance_pairs(
-    docs: DataFrame,
-    key: F.Column,
-    max_distance: int = 2,
-    q: int = 3,
+def _norm_key_pairs(cands: DataFrame) -> DataFrame:
+    """Normalize candidate (doc_a, ka, doc_b, kb) rows so doc_a < doc_b,
+    carrying each side's key along, and dedupe."""
+    return cands.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.when(F.col("doc_a") < F.col("doc_b"), F.col("ka"))
+        .otherwise(F.col("kb"))
+        .alias("ka"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+        F.when(F.col("doc_a") < F.col("doc_b"), F.col("kb"))
+        .otherwise(F.col("ka"))
+        .alias("kb"),
+    ).distinct()
+
+
+def _qgram_candidates(
+    long_keys: DataFrame, max_distance: int, q: int
 ) -> DataFrame:
-    """All pairs of docs whose ``key`` strings are within ``max_distance``
-    Levenshtein edits — the fuzzy-title/URL dedup mode of a training-data
-    pipeline. Returns (doc_a, doc_b, dist), doc_a < doc_b.
-
-    The candidate join is SOUND (no qualifying pair is ever missed) and
-    never all-pairs:
-
-    * long keys (length ≥ q·(d+1)) pair through an ASYMMETRIC prefix-
-      filtered q-gram join: each key INDEXES only its d·q+1 globally
-      rarest grams, while the probe side keeps all grams. d edits
-      destroy at most q grams each of ANY fixed (d·q+1)-subset, so at
-      least one indexed gram of either key survives unedited and must
-      occur (within ±d positions) in the other key's full gram list —
-      soundness needs only one join direction to fire, and pairs are
-      normalized afterwards. Rarest-first selection keeps a viral
-      shared prefix (every key starting "http://www.") off the index
-      side entirely: the hot gram appears only on the probe side, so
-      its bucket never self-joins;
-    * a surviving gram's position shifts by at most d, so the join also
-      requires |pos_a − pos_b| ≤ d, plus a ±d length band;
-    * keys too short for the q-gram bound live in a tiny length band
-      (one key ≤ q·(d+1)-1 chars, the other within +d) joined directly.
-
-    The two candidate sets are disjoint by construction; both verify
-    with the exact ``levenshtein`` (JVM codegen, character-level).
-    At scale this shuffles |docs|·(L-q+1) gram rows for the global
-    frequency table and the per-key prefix window, then joins with
-    |docs|·(d·q+1) index rows — all linear in input, hot-gram-proof.
-
-    Data regime: candidate volume is near-linear on DIVERSE keys
-    (titles, URLs, names — the intended workload). On a degenerate
-    corpus whose keys are drawn from a tiny vocabulary, every gram is
-    common and candidates grow toward quadratic — a property of the
-    blocking family, not this implementation: no content-based
-    blocking can separate keys that all genuinely resemble each other.
-    """
-    lc = q * (max_distance + 1)  # minimum length for the q-gram bound
+    """Asymmetric rarest-prefix q-gram candidate join over keys of
+    length ≥ q·(d+1) — see :func:`edit_distance_pairs` for the
+    soundness argument and the data-regime caveat."""
     prefix_len = max_distance * q + 1
-    keys = docs.select("doc_id", key.alias("key"))
-    long_keys = keys.filter(F.length("key") >= lc)
     # explode 1-based start positions, then slice — NOT a
     # transform(sequence, i -> substring) array lambda: that nested
     # higher-order expression costs ~16 s of whole-stage-codegen
@@ -484,7 +460,7 @@ def edit_distance_pairs(
         F.col("doc_id").alias("doc_b"), F.col("key").alias("kb"),
         F.col("g").alias("gb"), F.col("p").alias("pb"),
     )
-    cand_long = (
+    return _norm_key_pairs(
         a.join(
             b,
             (F.col("ga") == F.col("gb"))  # equi-key → hash join
@@ -492,36 +468,176 @@ def edit_distance_pairs(
             & (F.abs(F.col("pa") - F.col("pb")) <= max_distance)
             & (F.abs(F.length("ka") - F.length("kb")) <= max_distance),
         )
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.when(F.col("doc_a") < F.col("doc_b"), F.col("ka"))
-            .otherwise(F.col("kb"))
-            .alias("ka"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
-            F.when(F.col("doc_a") < F.col("doc_b"), F.col("kb"))
-            .otherwise(F.col("ka"))
-            .alias("kb"),
-        )
-        .distinct()
     )
+
+
+def _segment_candidates(
+    long_keys: DataFrame, max_distance: int, min_len: int
+) -> DataFrame:
+    """Partition-based (segment) candidate join over keys of length ≥
+    ``min_len`` — the second blocking family, robust where q-gram
+    prefixes degenerate.
+
+    Soundness (the PassJoin partition lemma — Li, Deng, Wang & Feng,
+    "PASS-JOIN: a partition-based method for similarity joins",
+    PVLDB 5(3), 2011): split each indexed key A into d+1 contiguous
+    segments. d edit operations can touch at most d segments, so at
+    least one segment of A survives UNEDITED in any B with
+    edit(A,B) ≤ d, and its occurrence in B starts within ±d of its
+    start in A (each insertion/deletion before it shifts it by one).
+    The probe side therefore enumerates, for every key B, every
+    partner length La ∈ [|B|−d, |B|+d] (∩ ≥ min_len), every segment
+    index i of the canonical La-partition, and every start offset
+    within the ±d window — O((2d+1)²·(d+1)) ≈ 75 probe substrings per
+    key at d=2 — and the join is pure equi (segment string, segment
+    index, partner length): one candidate pair per surviving segment,
+    direction (A indexed, B probes) fires for every qualifying pair.
+
+    Why a second family: 3-gram buckets collapse on low-diversity
+    vocabularies (every gram common → quadratic candidates), while a
+    segment is ~L/(d+1) ≥ q characters long — on the same degenerate
+    corpus, distinct segment strings stay numerous and buckets small,
+    so candidate volume stays near output-bound. Index side is d+1
+    rows per key vs the prefix family's d·q+1.
+
+    Canonical partition of length L into k = d+1 segments: the first
+    k − (L mod k) segments have length ⌊L/k⌋, the rest ⌊L/k⌋+1
+    (min_len ≥ q·(d+1) keeps every segment ≥ q chars)."""
+    d = max_distance
+    k = d + 1
+    # index side: the d+1 canonical segments of each key
+    seg = (
+        long_keys.withColumn("L", F.length("key"))
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(d))))
+        .withColumn("_base", (F.col("L") / k).cast("int"))
+        .withColumn("_nshort", F.lit(k) - F.col("L") % k)
+        .withColumn(
+            "slen",
+            F.col("_base")
+            + F.when(F.col("i") >= F.col("_nshort"), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "sstart",
+            F.lit(1)
+            + F.col("i") * F.col("_base")
+            + F.greatest(F.col("i") - F.col("_nshort"), F.lit(0)),
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("key").alias("ka"),
+            F.col("L").alias("La"),
+            F.col("i").alias("ia"),
+            F.expr("substring(key, sstart, slen)").alias("ga"),
+        )
+    )
+    # probe side: for every partner length and segment spec, the
+    # substrings of B inside the ±d start window
+    probe = (
+        long_keys.withColumn(
+            "La",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.length("key") - d, F.lit(min_len)),
+                    F.length("key") + d,
+                )
+            ),
+        )
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(d))))
+        .withColumn("_base", (F.col("La") / k).cast("int"))
+        .withColumn("_nshort", F.lit(k) - F.col("La") % k)
+        .withColumn(
+            "slen",
+            F.col("_base")
+            + F.when(F.col("i") >= F.col("_nshort"), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "sstart",
+            F.lit(1)
+            + F.col("i") * F.col("_base")
+            + F.greatest(F.col("i") - F.col("_nshort"), F.lit(0)),
+        )
+        .withColumn("_lo", F.greatest(F.col("sstart") - d, F.lit(1)))
+        .withColumn(
+            "_hi",
+            F.least(F.col("sstart") + d, F.length("key") - F.col("slen") + 1),
+        )
+        # sequence(lo, hi) with lo > hi counts DOWN — filter the empty
+        # windows out instead of generating inverted ranges
+        .filter(F.col("_lo") <= F.col("_hi"))
+        .withColumn("s", F.explode(F.sequence(F.col("_lo"), F.col("_hi"))))
+        .select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("key").alias("kb"),
+            F.col("La").alias("Lb_partner"),
+            F.col("i").alias("ib"),
+            F.expr("substring(key, s, slen)").alias("gb"),
+        )
+    )
+    return _norm_key_pairs(
+        seg.join(
+            probe,
+            (F.col("ga") == F.col("gb"))  # equi keys → hash join
+            & (F.col("ia") == F.col("ib"))
+            & (F.col("La") == F.col("Lb_partner"))
+            & (F.col("doc_a") != F.col("doc_b")),
+        )
+    )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    key: F.Column,
+    max_distance: int = 2,
+    q: int = 3,
+    blocking: str = "segment",
+) -> DataFrame:
+    """All pairs of docs whose ``key`` strings are within ``max_distance``
+    Levenshtein edits — the fuzzy-title/URL dedup mode of a training-data
+    pipeline. Returns (doc_a, doc_b, dist), doc_a < doc_b.
+
+    Long keys (length ≥ q·(d+1)) pair through one of two SOUND
+    candidate families (no qualifying pair is ever missed; never
+    all-pairs), selected by ``blocking``:
+
+    * ``"segment"`` (default) — partition-based blocking
+      (:func:`_segment_candidates`, PassJoin partition lemma): each
+      key indexes its d+1 canonical segments; probes enumerate partner
+      lengths and ±d start windows. Segments are ~L/(d+1) chars, so
+      buckets stay small even on LOW-DIVERSITY vocabularies — the
+      regime where q-gram blocking degrades (see below);
+    * ``"qgram"`` — asymmetric rarest-prefix q-gram blocking
+      (:func:`_qgram_candidates`): each key INDEXES only its d·q+1
+      globally rarest grams while the probe side keeps all grams;
+      d edits destroy at most q grams each of ANY fixed
+      (d·q+1)-subset, so an indexed gram of either key survives
+      unedited within ±d positions — soundness needs only one join
+      direction to fire. Rarest-first keeps viral shared prefixes off
+      the index side. Near-linear on DIVERSE keys (titles, URLs,
+      names); on a degenerate tiny-vocabulary corpus every gram is
+      common and candidates grow toward quadratic — which is why
+      "segment" is the default.
+
+    Keys too short for either bound live in a tiny length band (one
+    key ≤ q·(d+1)-1 chars, the other within +d) joined directly; the
+    candidate sets are disjoint by construction, and every candidate
+    verifies with the exact ``levenshtein`` (JVM codegen,
+    character-level). At scale both families shuffle O(|docs|·L) rows
+    and join on selective equi keys — all linear in input,
+    hot-key-proof."""
+    if blocking not in ("segment", "qgram"):
+        raise ValueError(f"unknown blocking family {blocking!r}")
+    lc = q * (max_distance + 1)  # minimum length for the gram/segment bound
+    keys = docs.select("doc_id", key.alias("key"))
+    long_keys = keys.filter(F.length("key") >= lc)
+    if blocking == "segment":
+        cand_long = _segment_candidates(long_keys, max_distance, lc)
+    else:
+        cand_long = _qgram_candidates(long_keys, max_distance, q)
     short = keys.filter(F.length("key") < lc)
     near = keys.filter(F.length("key") < lc + max_distance)
     sa = short.select(F.col("doc_id").alias("doc_a"), F.col("key").alias("ka"))
     sb = near.select(F.col("doc_id").alias("doc_b"), F.col("key").alias("kb"))
-    cand_short = (
-        sa.join(sb, F.col("doc_a") != F.col("doc_b"))
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.when(F.col("doc_a") < F.col("doc_b"), F.col("ka"))
-            .otherwise(F.col("kb"))
-            .alias("ka"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
-            F.when(F.col("doc_a") < F.col("doc_b"), F.col("kb"))
-            .otherwise(F.col("ka"))
-            .alias("kb"),
-        )
-        .distinct()
-    )
+    cand_short = _norm_key_pairs(sa.join(sb, F.col("doc_a") != F.col("doc_b")))
     # lazy localCheckpoint = lineage cut: without it Catalyst pushes
     # the levenshtein verify INTO the candidate join condition and
     # evaluates the O(L²) distance on every raw gram-bucket pair

@@ -301,10 +301,11 @@ def test_ivf_kmeans_training(spark):
     assert trained == exact
 
 
-def test_edit_distance_pairs_matches_brute_force(spark):
-    """Differential: the banded candidate join must find EXACTLY the
+@pytest.mark.parametrize("blocking", ["segment", "qgram"])
+def test_edit_distance_pairs_matches_brute_force(spark, blocking):
+    """Differential: BOTH candidate families must find EXACTLY the
     pairs a brute-force O(n^2) Levenshtein scan finds — including
-    short keys (below the q-gram soundness bound) and cross-band
+    short keys (below the gram/segment soundness bound) and cross-band
     short/long pairs."""
     import random
 
@@ -343,9 +344,50 @@ def test_edit_distance_pairs_matches_brute_force(spark):
     df = spark.createDataFrame(list(enumerate(keys)), "doc_id LONG, key STRING")
     got = {
         (r.doc_a, r.doc_b, r.dist)
-        for r in edit_distance_pairs(df, F.col("key"), max_distance=2).collect()
+        for r in edit_distance_pairs(
+            df, F.col("key"), max_distance=2, blocking=blocking
+        ).collect()
     }
     assert got == want
+
+
+def test_edit_distance_segment_blocking_bounds_degenerate_vocab(spark):
+    """The r2 hardening: on a LOW-DIVERSITY vocabulary (every 3-gram
+    common) the q-gram prefix family degrades toward quadratic
+    candidates, while the segment (PassJoin) family stays near
+    output-bound — its ~L/(d+1)-char segments keep buckets small.
+    Pins (a) a linear absolute bound on segment candidates and (b) a
+    large margin over the q-gram family on the same fixture; the
+    parametrized brute-force differential above keeps both families
+    complete."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hadoop_search_spark.operators.dedup import (
+        _qgram_candidates,
+        _segment_candidates,
+    )
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta",
+             "epsilon", "zeta", "eta", "theta"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(10))[:40])
+        for i in range(120)
+    ]
+    n0 = len(docs)
+    for i in range(30):  # 1-char mutations → genuine near-dup pairs
+        base = docs[rng.randrange(n0)][1]
+        j = rng.randrange(len(base))
+        docs.append((n0 + i, base[:j] + rng.choice("xy") + base[j + 1:]))
+    df = spark.createDataFrame(docs, "doc_id LONG, key STRING")
+    long_keys = df.filter(F.length("key") >= 9)
+    seg = _segment_candidates(long_keys, 2, 9).count()
+    qg = _qgram_candidates(long_keys, 2, 3).count()
+    # measured: segment 199 vs qgram 4362 at n=150 (all-pairs 11175)
+    assert seg <= 5 * len(docs), (seg, len(docs))
+    assert seg * 10 <= qg, (seg, qg)
 
 
 def test_funnel_stages_match_brute_force(spark):
