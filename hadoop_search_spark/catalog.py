@@ -26,12 +26,20 @@ the driver sorts columns by name before hashing.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
 import pandas as pd  # noqa: F401 — pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# Golden parquets live in the repo checkout next to this package —
+# derive the path from the module location so the oracles survive a
+# repo relocation (a hardcoded /root/repo broke at any other root).
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden"
+)
 
 DEC = "decimal(12,2)"
 
@@ -1038,11 +1046,18 @@ def terms_related(spark: SparkSession, sf_dir: str) -> DataFrame:
     # presentation layer (P10-P12), not SQL-expressible — the oracle is
     # a GOLDEN parquet generated by an independent evaluator
     # (scripts/make_goldens.py: pure-Python tokenizer + brute-force
-    # algebra, keyed by a corpus-bytes fingerprint per scale factor)
-    oracle="""
-SELECT doc_id, score, snippet
-FROM read_parquet('/root/repo/tests/golden/search_render_page.parquet')
-WHERE corpus_bytes = (SELECT CAST(sum(strlen(text)) AS BIGINT) FROM documents)
+    # algebra, keyed by a corpus-bytes fingerprint per scale factor).
+    # Goldens exist for sf0.001/0.01/0.1 only; at any other scale the
+    # fingerprint misses and the sentinel branch returns ONE explicit
+    # GOLDEN-MISS row (instead of silently comparing against 0 rows)
+    oracle=f"""
+WITH g AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/search_render_page.parquet')),
+fp AS (SELECT CAST(sum(strlen(text)) AS BIGINT) AS cb FROM documents)
+SELECT doc_id, score, snippet FROM g, fp WHERE g.corpus_bytes = fp.cb
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-1.0 AS DOUBLE) AS score,
+       'GOLDEN-MISS: no golden rows for corpus_bytes=' || CAST(fp.cb AS VARCHAR) AS snippet
+FROM fp WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.corpus_bytes = fp.cb)
 """,
     note="P11+P12 through the gate: page 1 of '(table) and (scan)' "
     "with snippet + highlight rendered distributively (UDF only over "
@@ -1126,11 +1141,16 @@ def search_cnf_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "search_stemmed_cnf",
     # stemming is not SQL-expressible — golden parquet from the
-    # independent generator (scripts/make_goldens.py), corpus-bytes keyed
-    oracle="""
-SELECT doc_id, score
-FROM read_parquet('/root/repo/tests/golden/search_stemmed_cnf.parquet')
-WHERE corpus_bytes = (SELECT CAST(sum(strlen(text)) AS BIGINT) FROM documents)
+    # independent generator (scripts/make_goldens.py), corpus-bytes
+    # keyed (sf0.001/0.01/0.1); fingerprint miss → explicit sentinel
+    # row, same pattern as search_render_page
+    oracle=f"""
+WITH g AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/search_stemmed_cnf.parquet')),
+fp AS (SELECT CAST(sum(strlen(text)) AS BIGINT) AS cb FROM documents)
+SELECT doc_id, score FROM g, fp WHERE g.corpus_bytes = fp.cb
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-1.0 AS DOUBLE) AS score
+FROM fp WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.corpus_bytes = fp.cb)
 """,
     note="full stemmed engine with computed stop words (P6/P7 + J1-J8); "
     "golden-parquet oracle (pure-Python tokenizer + Porter + brute-force "

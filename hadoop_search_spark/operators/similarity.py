@@ -277,6 +277,27 @@ def ivf_train_kmeans(
     if sample_fraction is not None:
         train = embeddings.sample(fraction=sample_fraction, seed=seed)
     cents = ivf_centroids(train, k)
+    if len(cents) < k:
+        # the sample came back with < k rows — a silent smaller
+        # quantizer would change the index geometry; top the seeds up
+        # from the full frame (deterministic: next-smallest vec_ids
+        # not already sampled)
+        have = {tuple(v) for _, v in cents}
+        extra = [
+            r
+            for r in embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(k + len(cents))
+            .collect()
+            if tuple(float(x) for x in r.embedding) not in have
+        ]
+        for r in extra[: k - len(cents)]:
+            cents.append((len(cents), [float(x) for x in r.embedding]))
+        if len(cents) < k:
+            raise ValueError(
+                f"cannot seed {k} centroids: corpus has only {len(cents)} "
+                "distinct seed vectors (reduce k or raise sample_fraction)"
+            )
     for _ in range(iterations):
         assigned = ivf_assign(train, cents)
         means = (

@@ -211,6 +211,15 @@ def heavy_hitters(tokens, col: str = "word", support: float = 0.02):
     guarantee covers items with frequency STRICTLY ABOVE the sketch
     support, so the candidate pass must run below the filter threshold
     or an item sitting exactly on support·N could be missed.
+
+    NOTE the candidate pass (``freqItems(...).collect()``) runs EAGERLY
+    at call time — merely building the returned frame triggers one
+    Spark job, and the embedded candidate list snapshots the token
+    source as of that moment (a mutated source would need a fresh
+    call). Deliberate: the list is bounded by 1/support and embedding
+    it keeps the exact pass a single broadcast-filter job; folding it
+    into execution would add a join against a sketch-side frame for no
+    gain on an immutable corpus.
     """
     from pyspark.sql import functions as F
 

@@ -117,12 +117,17 @@ class SearchEngine:
         elif isinstance(vocab, dict):
             self._vocab = {str(t): int(d) for t, d in vocab.items()}
         else:
-            # same cap policy as the lazy path: keep the HIGHEST-df
-            # terms — they're the ones whose ordering matters for J6;
-            # an unordered limit() would keep an arbitrary subset
+            # same cap policy AND tie-break as the lazy path: keep the
+            # HIGHEST-df terms (they're the ones whose ordering matters
+            # for J6), term-ascending within equal df — without the
+            # tie-break, the subset kept at the cap boundary would be
+            # nondeterministic and could differ between a seeded and a
+            # lazily-seeded engine
             self._vocab = {
                 r[0]: int(r[1])
-                for r in vocab.orderBy(F.desc(vocab.columns[1]))
+                for r in vocab.orderBy(
+                    F.desc(vocab.columns[1]), F.asc(vocab.columns[0])
+                )
                 .limit(self._VOCAB_CACHE_MAX)
                 .collect()
             }

@@ -48,8 +48,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     natively, truncated to micros) and normalizes to a session-zoned
     timestamp — no legacy conf: the fixed stream schema cannot serve
     both representations, so the streaming path requires ≥4.1 (the
-    batch helper handles both)."""
+    batch helper handles both) and fails fast below it rather than
+    surfacing an opaque runtime schema mismatch."""
+    import pyspark
+
     from hadoop_search_spark.sources.tables import normalize_event_ts
+
+    if tuple(int(p) for p in pyspark.__version__.split(".")[:2]) < (4, 1):
+        raise RuntimeError(
+            "the streaming events path requires PySpark >= 4.1 (the "
+            "TIMESTAMP(NANOS) events column is only readable as "
+            f"TIMESTAMP_NTZ there); running {pyspark.__version__} — "
+            "use the batch reader (sources.tables) instead"
+        )
 
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)

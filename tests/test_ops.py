@@ -301,6 +301,24 @@ def test_ivf_kmeans_training(spark):
     assert trained == exact
 
 
+def test_ivf_kmeans_seed_topup_on_tiny_sample(spark):
+    """A sample_fraction that yields fewer than k rows must not
+    silently train a smaller quantizer: seeds are topped up from the
+    full frame (and an impossible k raises)."""
+    import random
+
+    from hadoop_search_spark.operators.similarity import ivf_train_kmeans
+
+    rng = random.Random(3)
+    rows = [(i, [rng.random() for _ in range(8)]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = ivf_train_kmeans(emb, k=8, iterations=1, sample_fraction=0.02, seed=5)
+    assert len(cents) == 8
+    assert [c for c, _ in cents] == list(range(8))
+    with pytest.raises(ValueError, match="cannot seed"):
+        ivf_train_kmeans(emb, k=200, iterations=1, sample_fraction=0.02, seed=5)
+
+
 @pytest.mark.parametrize("blocking", ["segment", "qgram"])
 def test_edit_distance_pairs_matches_brute_force(spark, blocking):
     """Differential: BOTH candidate families must find EXACTLY the
