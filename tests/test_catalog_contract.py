@@ -4,6 +4,8 @@ decide which entries receive the per-round hard signal must hold."""
 
 import re
 
+from pyspark.sql import functions as F
+
 
 def test_every_entry_has_an_oracle():
     from hadoop_search_spark import catalog
@@ -48,21 +50,134 @@ def test_oracle_sql_is_duckdb_parsable():
     con.close()
 
 
+# BroadcastNestedLoopJoin boundedness proof (the gate below): a BNLJ
+# is only acceptable when its BUILD side is provably small — otherwise
+# it is a cartesian blowup wearing a different name. The proof walks
+# the build subtree top-down through row-NON-INCREASING operators
+# only; it succeeds on the first node whose logical link pins
+# maxRows ≤ _BNLJ_MAX_BUILD_ROWS (1-row ungrouped aggregates, limits,
+# local relations) or a Filter over a literal IN-list (a broadcast of
+# ≤ _BNLJ_MAX_IN_ITEMS picked rows). Any expanding or opaque operator
+# (Generate/explode, joins, raw scans) ends the walk unbounded.
+_BNLJ_MAX_BUILD_ROWS = 10_000
+_BNLJ_MAX_IN_ITEMS = 1_024
+_ROW_NON_INCREASING = {
+    "BroadcastExchangeExec",
+    "ShuffleExchangeExec",
+    "AQEShuffleReadExec",
+    "ProjectExec",
+    "FilterExec",
+    "SortExec",
+    "CoalesceExec",
+    "ColumnarToRowExec",
+    "InputAdapter",
+    "WholeStageCodegenExec",
+    "HashAggregateExec",
+    "ObjectHashAggregateExec",
+    "SortAggregateExec",
+    "WindowExec",
+    "WindowGroupLimitExec",
+    "TakeOrderedAndProjectExec",
+    "LocalLimitExec",
+    "GlobalLimitExec",
+}
+_LITERAL_ITEM = re.compile(r"^\s*(-?[0-9][0-9.eE+-]*|'[^']*')\s*$")
+
+
+def _literal_in_filter(cond: str) -> bool:
+    m = re.search(r"\bIN \(([^()]*)\)", cond)
+    if not m:
+        return False
+    items = m.group(1).split(",")
+    return len(items) <= _BNLJ_MAX_IN_ITEMS and all(
+        _LITERAL_ITEM.match(i) for i in items
+    )
+
+
+def _walk(n, depth=0):
+    yield n
+    ch = n.children()
+    for i in range(ch.size()):
+        yield from _walk(ch.apply(i), depth + 1)
+
+
+def _provably_bounded(node) -> bool:
+    ll = node.logicalLink()
+    if ll.isDefined():
+        mr = ll.get().maxRows()
+        if mr.isDefined() and mr.get() <= _BNLJ_MAX_BUILD_ROWS:
+            return True
+    cls = node.getClass().getSimpleName()
+    if cls == "FilterExec" and _literal_in_filter(node.condition().toString()):
+        return True
+    if cls not in _ROW_NON_INCREASING:
+        return False
+    ch = node.children()
+    return any(_provably_bounded(ch.apply(i)) for i in range(ch.size()))
+
+
 def test_no_scale_killers_in_any_catalog_plan(spark):
     """Every catalog entry's optimized physical plan must be free of
-    the two universal scale-killers: CartesianProduct (unbounded pair
-    blowup — the intended non-equi broadcasts compile to
-    BroadcastNestedLoopJoin instead) and BatchEvalPython (row-at-a-time
-    Python; vectorized Arrow UDFs show as ArrowEvalPython/MapInPandas
-    and are allowed)."""
+    the universal scale-killers: CartesianProduct (unbounded pair
+    blowup), BatchEvalPython (row-at-a-time Python; vectorized Arrow
+    UDFs show as ArrowEvalPython/MapInPandas and are allowed), and —
+    since r3 — any BroadcastNestedLoopJoin whose build side is NOT
+    provably bounded (see :func:`_provably_bounded`): the intended
+    non-equi broadcasts (1-row avgdl/total aggregates, literal query
+    pick-lists) pass the proof, an unbounded non-equi join fails."""
     from hadoop_search_spark import catalog
 
     sf_dir = "/root/testdata/sf0.001"
     bad: dict[str, list[str]] = {}
     for name, fn in catalog.queries().items():
         df = fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        root = df._jdf.queryExecution().executedPlan()
+        plan = root.toString()
         hits = [k for k in ("CartesianProduct", "BatchEvalPython") if k in plan]
+        if "BroadcastNestedLoopJoin" in plan:
+            if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+                root = root.initialPlan()
+            for n in _walk(root):
+                if n.getClass().getSimpleName() != "BroadcastNestedLoopJoinExec":
+                    continue
+                idx = 1 if n.buildSide().toString() == "BuildRight" else 0
+                if not _provably_bounded(n.children().apply(idx)):
+                    hits.append("BroadcastNestedLoopJoin[unbounded build]")
         if hits:
             bad[name] = hits
     assert not bad, f"scale-killer operators in plans: {bad}"
+
+
+def test_bnlj_gate_rejects_unbounded_build(spark):
+    """Negative control for the boundedness proof: a genuine non-equi
+    join between two unbounded frames must be flagged. The frames are
+    file scans — a local range() would (correctly) pass the proof via
+    its defined maxRows."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df_a = docs.select(F.col("doc_id").alias("a"))
+    df_b = docs.select(F.col("doc_id").alias("b"))
+    joined = df_a.join(F.broadcast(df_b), F.col("a") < F.col("b"))
+    root = joined._jdf.queryExecution().executedPlan()
+    if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        root = root.initialPlan()
+    flagged = [
+        n
+        for n in _walk(root)
+        if n.getClass().getSimpleName() == "BroadcastNestedLoopJoinExec"
+        and not _provably_bounded(
+            n.children().apply(1 if n.buildSide().toString() == "BuildRight" else 0)
+        )
+    ]
+    assert flagged, "unbounded BNLJ build side was not flagged"
+    # and the same frame with a literal pick-list IS accepted
+    picked = df_a.join(
+        F.broadcast(df_b.filter(F.col("b").isin(1, 2, 3))),
+        F.col("a") < F.col("b"),
+    )
+    root = picked._jdf.queryExecution().executedPlan()
+    if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        root = root.initialPlan()
+    for n in _walk(root):
+        if n.getClass().getSimpleName() == "BroadcastNestedLoopJoinExec":
+            idx = 1 if n.buildSide().toString() == "BuildRight" else 0
+            assert _provably_bounded(n.children().apply(idx))
