@@ -236,18 +236,23 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert rows[hour0] == 1       # far-late event DROPPED by the watermark
 
 
-def test_streaming_funnel_equals_batch(spark, tmp_path):
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+)
+def test_streaming_funnel_equals_batch(spark, tmp_path, sf_dir):
     """The stateful streaming funnel must agree with the batch
     events_funnel stages when events replay in event-time order
     (the operator's documented contract): split the fixture into
-    three time-ordered files and compare final per-user stages."""
+    three time-ordered files and compare final per-user stages.
+    Runs at sf0.001 AND sf0.1 — the large fixture exercises real
+    multi-user state volume (~10k users), not just the toy replay."""
     import os
 
     from hadoop_search_spark.sources.tables import read_events
     from hadoop_search_spark.streaming.events import funnel_stages, run_to_memory
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = read_events(spark, SF).select(
+    ev = read_events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     # three event-time-ordered batches
@@ -276,14 +281,15 @@ def test_streaming_funnel_equals_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{d}/batch=*")
     )
-    run_to_memory(funnel_stages(stream), "funnel_out", "update")
+    sink = "funnel_out_" + sf_dir.rstrip("/").rsplit("sf", 1)[1].replace(".", "_")
+    run_to_memory(funnel_stages(stream), sink, "update")
     # update mode: a user's stage is monotonically non-decreasing, so
     # max(stage) is the final stage with no assumption about the
     # memory sink's scan order
     got = {
         r.user_id: r.stage
         for r in spark.sql(
-            "SELECT user_id, max(stage) AS stage FROM funnel_out GROUP BY user_id"
+            f"SELECT user_id, max(stage) AS stage FROM {sink} GROUP BY user_id"
         ).collect()
     }
     # batch reference: the SAME staging logic the catalog entry uses
