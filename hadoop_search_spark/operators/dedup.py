@@ -85,23 +85,71 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------- shingles
 
 
-def word_shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_SIZE) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
-    from hadoop_search_spark.partitioning import spread
-
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+def shingle_array(toks: F.Column, n: int) -> F.Column:
+    """All word n-grams of a token array, in order, WITH multiplicity
+    (empty array when the doc has fewer than n tokens)."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
-    shingles = F.when(
+    return F.when(
         F.size(toks) >= n,
         F.transform(
             idx,
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_SIZE) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    from hadoop_search_spark.partitioning import spread
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
     return (
         spread(docs.select("doc_id", F.col(text_col)), "doc_id")
-        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .select("doc_id", F.explode(shingle_array(toks, n)).alias("shingle"))
         .distinct()
+    )
+
+
+def span_overlap(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+    """Cross-document duplicated-span mass, the doc-level signal behind
+    substring-dedup decisions (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): for every doc, how much of its
+    word-n-gram stream also occurs in at least one OTHER document.
+
+    Returns (doc_id, n_spans, n_shared_spans, shared_frac) where
+    ``n_spans`` counts the doc's word n-grams WITH multiplicity,
+    ``n_shared_spans`` the subset whose text appears in >=2 distinct
+    docs, and ``shared_frac`` their ratio (one double division).
+    Docs with fewer than n tokens yield no row (no spans to classify)
+    — identical semantics in the SQL oracle.
+
+    Scale shape: explode is linear in corpus tokens; the per-(doc,span)
+    count and the per-span doc-frequency window shuffle on span-derived
+    keys (the same two-exchange plan as df-based tf-idf) — never an
+    all-pairs comparison. A viral span (boilerplate header) is one hot
+    window partition; AQE skew handling applies, and the window only
+    carries the small (doc_id, m) rows, not the span text payloads.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    spans = docs.select(
+        "doc_id", F.explode(shingle_array(toks, n)).alias("span")
+    )
+    per_ds = spans.groupBy("doc_id", "span").agg(F.count("*").alias("m"))
+    # rows of per_ds are distinct (doc, span) pairs, so a plain count
+    # over the span partition IS the distinct-doc frequency
+    n_docs = F.count("*").over(Window.partitionBy("span"))
+    tagged = per_ds.withColumn("n_docs", n_docs)
+    shared_m = F.when(F.col("n_docs") >= 2, F.col("m")).otherwise(F.lit(0))
+    out = tagged.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_spans"),
+        F.sum(shared_m).cast("bigint").alias("n_shared_spans"),
+    )
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_shared_spans",
+        (F.col("n_shared_spans").cast("double") / F.col("n_spans").cast("double"))
+        .alias("shared_frac"),
     )
 
 

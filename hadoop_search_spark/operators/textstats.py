@@ -200,6 +200,75 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al.,
+    "Scaling Language Models: ... Gopher", §A1.1 repetition filters):
+    per doc, the share of the most frequent token and the fraction of
+    word bigrams that are repeats of an earlier bigram — the two
+    cheapest detectors of looped/boilerplate generations in a training
+    corpus.
+
+    Returns (doc_id, n_tokens, n_distinct_tokens, top_token_n,
+    n_bigrams, n_dup_bigrams, top_token_share, dup_bigram_ratio).
+    ``dup_bigram_ratio`` is NULL for one-token docs (no bigrams);
+    zero-token docs yield no row. Ratios are single double divisions
+    of exact integers, so the SQL oracle matches bit-for-bit.
+
+    Scale shape: tokens and bigrams explode into ONE stream tagged by
+    kind, so the per-(doc,kind,gram) count and the per-doc rollup are
+    one aggregation chain shuffling on doc-derived keys — map-side
+    partial aggregation applies, and no list is ever materialized
+    per-row (a collect_list-based formulation would hold whole docs in
+    one aggregation buffer).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    words = base.select(
+        "doc_id", F.lit("w").alias("kind"), F.explode("toks").alias("gram")
+    )
+    head = F.slice(F.col("toks"), 1, F.size("toks") - 1)
+    tail = F.slice(F.col("toks"), 2, F.size("toks") - 1)
+    bigram_arr = F.when(
+        F.size("toks") >= 2,
+        F.zip_with(head, tail, lambda a, b: F.concat_ws(" ", a, b)),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = base.select(
+        "doc_id", F.lit("b").alias("kind"), F.explode(bigram_arr).alias("gram")
+    )
+    counts = (
+        words.unionByName(bigrams)
+        .groupBy("doc_id", "kind", "gram")
+        .agg(F.count("*").alias("n"))
+    )
+    is_w = F.col("kind") == "w"
+    is_b = F.col("kind") == "b"
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is_w, F.col("n"))).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(is_w, F.lit(1))).cast("bigint").alias("n_distinct_tokens"),
+        F.max(F.when(is_w, F.col("n"))).cast("bigint").alias("top_token_n"),
+        F.coalesce(F.sum(F.when(is_b, F.col("n"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_bigrams"),
+        F.coalesce(F.sum(F.when(is_b, F.col("n") - 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_bigrams"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "top_token_n",
+        "n_bigrams",
+        "n_dup_bigrams",
+        (F.col("top_token_n").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("top_token_share"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("n_dup_bigrams").cast("double") / F.col("n_bigrams").cast("double"),
+        ).alias("dup_bigram_ratio"),
+    )
+
+
 def heavy_hitters(tokens, col: str = "word", support: float = 0.02):
     """Two-pass exact heavy hitters over a token stream: pass 1
     collects candidates via the ``freqItems`` sketch, pass 2 exact-
