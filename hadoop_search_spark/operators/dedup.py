@@ -85,27 +85,49 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------- shingles
 
 
-def shingle_array(toks: F.Column, n: int) -> F.Column:
-    """All word n-grams of a token array, in order, WITH multiplicity
-    (empty array when the doc has fewer than n tokens)."""
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+def exploded_spans(
+    docs: DataFrame, text_col: str = "text", n: int = SHINGLE_SIZE
+) -> DataFrame:
+    """(doc_id, span): every word n-gram of every doc, in stream order
+    WITH multiplicity; docs with fewer than n tokens contribute no
+    rows.
+
+    Formulation note: this explodes the START-INDEX sequence and
+    builds each n-gram with scalar ``element_at`` calls AFTER the
+    explode. The seemingly equivalent
+    ``explode(transform(sequence(...), i -> concat_ws(...)))`` puts a
+    higher-order lambda inside whole-stage codegen and costs ~10+
+    seconds of codegen COMPILATION per fresh plan at n=5 (measured;
+    same pitfall as NOTES.md round-2) — the scalar form is ~30x
+    faster end-to-end and identical in output.
+    """
+    from hadoop_search_spark.partitioning import spread
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    base = spread(docs.select("doc_id", F.col(text_col)), "doc_id").select(
+        "doc_id", toks.alias("_toks")
+    )
+    idx = base.select(
+        "doc_id",
+        "_toks",
+        F.explode(
+            F.when(
+                F.size("_toks") >= n,
+                F.sequence(F.lit(1), F.size("_toks") - n + 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_i"),
+    )
+    span = F.concat_ws(
+        " ", *[F.element_at(F.col("_toks"), F.col("_i") + j) for j in range(n)]
+    )
+    return idx.select("doc_id", span.alias("span"))
 
 
 def word_shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_SIZE) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
-    from hadoop_search_spark.partitioning import spread
-
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
     return (
-        spread(docs.select("doc_id", F.col(text_col)), "doc_id")
-        .select("doc_id", F.explode(shingle_array(toks, n)).alias("shingle"))
+        exploded_spans(docs, text_col, n)
+        .withColumnRenamed("span", "shingle")
         .distinct()
     )
 
@@ -130,10 +152,7 @@ def span_overlap(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFra
     window partition; AQE skew handling applies, and the window only
     carries the small (doc_id, m) rows, not the span text payloads.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
-    spans = docs.select(
-        "doc_id", F.explode(shingle_array(toks, n)).alias("span")
-    )
+    spans = exploded_spans(docs, text_col, n)
     per_ds = spans.groupBy("doc_id", "span").agg(F.count("*").alias("m"))
     # rows of per_ds are distinct (doc, span) pairs, so a plain count
     # over the span partition IS the distinct-doc frequency

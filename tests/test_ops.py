@@ -454,3 +454,62 @@ def test_funnel_stages_match_brute_force(spark):
         for r in funnel_user_stages(df).collect()
     }
     assert got == brute(rows) and got
+
+
+def test_repetition_stats_hand_computed(spark):
+    from hadoop_search_spark.operators.textstats import repetition_stats
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b a"),   # tokens: a×3 b×2; bigrams: "a b"×2 "b a"×2
+            (2, "x"),           # one token, no bigrams -> NULL ratio
+            (3, "c c c c"),     # c×4; bigram "c c"×3 (2 dups)
+        ],
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    r1 = got[1]
+    assert (r1.n_tokens, r1.n_distinct_tokens, r1.top_token_n) == (5, 2, 3)
+    assert (r1.n_bigrams, r1.n_dup_bigrams) == (4, 2)
+    assert r1.top_token_share == 3 / 5 and r1.dup_bigram_ratio == 2 / 4
+    r2 = got[2]
+    assert (r2.n_tokens, r2.n_bigrams, r2.dup_bigram_ratio) == (1, 0, None)
+    r3 = got[3]
+    assert (r3.top_token_n, r3.n_dup_bigrams, r3.dup_bigram_ratio) == (4, 2, 2 / 3)
+
+
+def test_span_overlap_matches_brute_force(spark):
+    import random
+
+    from hadoop_search_spark.operators.dedup import span_overlap
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+        for i in range(40)
+    ]
+
+    def spans_of(text, n=5):
+        t = [w for w in text.lower().split(" ") if w]
+        return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+
+    span_docs = {}
+    for i, text in rows:
+        for s in set(spans_of(text)):
+            span_docs.setdefault(s, set()).add(i)
+    want = {}
+    for i, text in rows:
+        sp = spans_of(text)
+        if not sp:
+            continue  # shorter than n tokens: no row expected
+        shared = sum(1 for s in sp if len(span_docs[s]) >= 2)
+        want[i] = (len(sp), shared)
+
+    got = {
+        r.doc_id: (r.n_spans, r.n_shared_spans, r.shared_frac)
+        for r in span_overlap(_docs(spark, rows)).collect()
+    }
+    assert set(got) == set(want)
+    for i, (n_sp, shared) in want.items():
+        assert got[i] == (n_sp, shared, shared / n_sp)
