@@ -2795,6 +2795,36 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_sequence_pack",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+  FROM t)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // 256 AS seq_id,
+       start_tok % 256 AS seq_off
+FROM c
+""",
+    note="concat-and-chop sequence packing (GPT-style pretraining "
+    "batcher): global token cumsum assigns each doc its training-"
+    "sequence id and offset. The oracle is the naive one-window "
+    "cumsum; the Spark plan is the two-phase distributed version "
+    "(partition-parallel in-block windows + a prefix window over "
+    "per-block totals only) — the gate proves them equal",
+)
+def mix_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.mixing import sequence_pack
+
+    return sequence_pack(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "media_stats",
     oracle="""
 SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -3492,6 +3522,7 @@ _DRIVER_FRONT = [
     "q22_dormant_balance",
     "text_repetition",
     "dedup_span_overlap",
+    "mix_sequence_pack",
     # (c) r1-only rows (rotated out in r2) — refresh the ones that fit
     # under the cap so green rows don't age; the seven dropped to make
     # room for the new entries (q_semi_join, q_anti_join, q_rollup,
@@ -3515,9 +3546,10 @@ _DRIVER_FRONT = [
     "text_quality",
     "text_token_count",
     "text_fingerprint",
-    "text_pii_scrub",
     # 0 spare slots — if another entry is added or changed this round,
     # it replaces a (c) row HERE, never lands behind the cap
+    # (text_pii_scrub dropped to the tail for mix_sequence_pack; its
+    # r1 green row stands and it passes the local gate)
 ]
 
 

@@ -130,3 +130,59 @@ def token_budget_mix(
     return scored.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
         cap.isNull() | (F.col("cum_tokens") <= cap)
     )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    seq_len: int = 256,
+    text_col: str = "text",
+    block: int = 4096,
+) -> DataFrame:
+    """Concat-and-chop sequence packing (the GPT-style pretraining
+    batcher): documents, taken in doc_id order, are virtually
+    concatenated into one token stream which is cut into fixed
+    ``seq_len``-token training sequences; each doc is assigned the
+    sequence containing its first token and its offset within it →
+    ``(doc_id, n_tokens, start_tok, seq_id, seq_off)``. All integer
+    arithmetic — exact on any engine.
+
+    Scale shape: a naive global running sum is a single-partition
+    window over EVERY doc. This is the two-phase distributed cumsum
+    instead: docs are bucketed into ``doc_id div block`` blocks, the
+    running sum inside each block is a partition-parallel window, and
+    only the per-block totals (N/block rows — thousands, not
+    billions) pass through the one-partition prefix window before
+    being joined back. The block totals join is broadcast (a few MB
+    even at 10^10 docs).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.expr(f"doc_id div {block}").alias("blk"),
+    )
+    in_blk = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("cum_in_blk", F.sum("n_tokens").over(in_blk))
+    blk_tot = d.groupBy("blk").agg(F.max("cum_in_blk").alias("blk_tokens"))
+    prefix = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_off = blk_tot.select(
+        "blk",
+        F.coalesce(F.sum("blk_tokens").over(prefix), F.lit(0)).alias("blk_offset"),
+    )
+    start = F.col("blk_offset") + F.col("cum_in_blk") - F.col("n_tokens")
+    return (
+        d.join(F.broadcast(blk_off), "blk")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_tok"),
+            F.expr(f"((blk_offset + cum_in_blk) - n_tokens) div {seq_len}").alias(
+                "seq_id"
+            ),
+            (start % seq_len).alias("seq_off"),
+        )
+    )

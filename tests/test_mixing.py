@@ -121,3 +121,30 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     # benchmark side broadcasts; the corpus is never shuffled on shingle
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sequence_pack_two_phase_matches_naive(spark):
+    import random
+
+    from hadoop_search_spark.operators.mixing import sequence_pack
+
+    rng = random.Random(11)
+    # sparse doc_ids so blocks are uneven; block=8 forces many blocks
+    ids = sorted(rng.sample(range(1000), 60))
+    rows = [(i, " ".join("w%d" % rng.randint(0, 5) for _ in range(rng.randint(0, 9)))) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    seq_len = 7
+    cum = 0
+    want = {}
+    for i, text in rows:
+        n = len([w for w in text.lower().split(" ") if w])
+        start = cum
+        cum += n
+        want[i] = (n, start, start // seq_len, start % seq_len)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.start_tok, r.seq_id, r.seq_off)
+        for r in sequence_pack(df, seq_len=seq_len, block=8).collect()
+    }
+    assert got == want
