@@ -2825,6 +2825,33 @@ def mix_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents),
+meta AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) > 64 THEN 1 + (len(t) - 64 + 47) // 48 ELSE 1 END AS k
+  FROM toks WHERE len(t) > 0)
+SELECT doc_id,
+       CAST(c AS BIGINT) AS chunk_id,
+       CAST(c * 48 AS BIGINT) AS start_tok,
+       CAST(least(64, n - c * 48) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(t, c * 48 + 1, c * 48 + 64), ' ') AS chunk_text
+FROM (SELECT doc_id, t, n, unnest(range(0, k)) AS c FROM meta) u
+""",
+    note="overlapping token-window chunking (embedding/RAG prep): "
+    "64-token windows every 48 tokens, tail always covered; map-only "
+    "index-explode + scalar slice, integer-exact ceil division",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.mixing import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "media_stats",
     oracle="""
 SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -3523,6 +3550,7 @@ _DRIVER_FRONT = [
     "text_repetition",
     "dedup_span_overlap",
     "mix_sequence_pack",
+    "doc_chunks",
     # (c) r1-only rows (rotated out in r2) — refresh the ones that fit
     # under the cap so green rows don't age; the seven dropped to make
     # room for the new entries (q_semi_join, q_anti_join, q_rollup,
@@ -3545,11 +3573,11 @@ _DRIVER_FRONT = [
     "text_script_counts",
     "text_quality",
     "text_token_count",
-    "text_fingerprint",
     # 0 spare slots — if another entry is added or changed this round,
     # it replaces a (c) row HERE, never lands behind the cap
-    # (text_pii_scrub dropped to the tail for mix_sequence_pack; its
-    # r1 green row stands and it passes the local gate)
+    # (text_pii_scrub and text_fingerprint dropped to the tail for
+    # mix_sequence_pack / doc_chunks; their r1 green rows stand and
+    # both pass the local gate)
 ]
 
 

@@ -186,3 +186,54 @@ def sequence_pack(
             (start % seq_len).alias("seq_off"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_len: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (embedding/RAG prep): each
+    doc splits into windows of ``chunk_len`` tokens starting every
+    ``stride`` tokens → ``(doc_id, chunk_id, start_tok, n_tokens,
+    chunk_text)``. A doc of n tokens yields
+    ``1 + ceil((n - chunk_len)/stride)`` chunks (one if n <=
+    chunk_len; none if empty); the last chunk may be short but always
+    holds the tail, so every token is covered and consecutive chunks
+    overlap by ``chunk_len - stride`` tokens.
+
+    Plan shape: explode of the chunk-index sequence + scalar
+    array-slice/concat after the explode (the codegen-cheap
+    formulation — see ``dedup.exploded_spans``); map-only, no
+    shuffle, pipelines straight into an embedding UDF or a writer.
+    All counts are integer-exact: the ceil-division is cross-
+    multiplied as ``(n - chunk_len + stride - 1) div stride``.
+    """
+    if stride <= 0 or chunk_len <= 0:
+        raise ValueError("chunk_len and stride must be positive")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    n = F.size("_toks")
+    extra = F.expr(
+        f"(size(_toks) - {chunk_len} + {stride} - 1) div {stride}"
+    )
+    k = F.when(n > chunk_len, extra + 1).otherwise(F.lit(1))
+    idx = base.select(
+        "doc_id",
+        "_toks",
+        F.explode(F.sequence(F.lit(0), (k - 1).cast("int"))).alias("_c"),
+    )
+    start = F.col("_c") * stride
+    piece = F.slice(F.col("_toks"), start + 1, chunk_len)
+    return idx.select(
+        "doc_id",
+        F.col("_c").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_tok"),
+        F.least(F.lit(chunk_len), F.size("_toks") - start)
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

@@ -148,3 +148,35 @@ def test_sequence_pack_two_phase_matches_naive(spark):
         for r in sequence_pack(df, seq_len=seq_len, block=8).collect()
     }
     assert got == want
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    from hadoop_search_spark.operators.mixing import chunk_documents
+
+    rows = [
+        (1, " ".join("t%d" % i for i in range(10))),  # 10 toks: 2 chunks
+        (2, "a b c"),                                 # short: 1 chunk
+        (3, ""),                                      # empty: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = chunk_documents(df, chunk_len=6, stride=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # 10 tokens, len 6 stride 4 -> chunks at 0 and 4; ceil((10-6)/4)=1
+    assert [(r.chunk_id, r.start_tok, r.n_tokens) for r in c1] == [
+        (0, 0, 6), (1, 4, 6)]
+    assert c1[0].chunk_text.split(" ")[4:] == c1[1].chunk_text.split(" ")[:2]
+    # last token is covered by the tail chunk
+    assert c1[1].chunk_text.split(" ")[-1] == "t9"
+    [c2] = by_doc[2]
+    assert (c2.chunk_id, c2.start_tok, c2.n_tokens, c2.chunk_text) == (0, 0, 3, "a b c")
+
+    # tail shorter than chunk_len: 9 tokens, len 4 stride 3 -> starts 0,3,6
+    df2 = spark.createDataFrame([(9, " ".join("x%d" % i for i in range(9)))],
+                                "doc_id LONG, text STRING")
+    got = sorted(chunk_documents(df2, chunk_len=4, stride=3).collect(),
+                 key=lambda r: r.chunk_id)
+    assert [(r.start_tok, r.n_tokens) for r in got] == [(0, 4), (3, 4), (6, 3)]
