@@ -1312,6 +1312,39 @@ def dedup_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_surprisal",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents),
+vc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM vc),
+s AS (
+  SELECT tok,
+         CAST(round(-log10(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS s6
+  FROM vc, tot)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(s6) AS DOUBLE) AS total_surprisal,
+       CAST(sum(s6) AS DOUBLE) / count(*) AS mean_surprisal
+FROM toks JOIN s USING (tok)
+GROUP BY doc_id
+""",
+    note="CCNet-style LM quality signal, LM trained on the corpus "
+    "itself: mean -log10 unigram probability per doc. Per-token "
+    "surprisal quantized to DECIMAL(18,6) BEFORE the per-doc sum "
+    "(log10 is bit-identical across engines; the decimal sum is "
+    "order-independent, the r2-verdict quantization rule), one "
+    "double division for the mean",
+)
+def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.textstats import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_heavy_hitters",
     oracle="""
 SELECT word, count(*) AS n FROM (
@@ -3551,6 +3584,7 @@ _DRIVER_FRONT = [
     "dedup_span_overlap",
     "mix_sequence_pack",
     "doc_chunks",
+    "text_surprisal",
     # (c) r1-only rows (rotated out in r2) — refresh the ones that fit
     # under the cap so green rows don't age; the seven dropped to make
     # room for the new entries (q_semi_join, q_anti_join, q_rollup,
@@ -3572,12 +3606,11 @@ _DRIVER_FRONT = [
     "text_lang_id",
     "text_script_counts",
     "text_quality",
-    "text_token_count",
     # 0 spare slots — if another entry is added or changed this round,
     # it replaces a (c) row HERE, never lands behind the cap
-    # (text_pii_scrub and text_fingerprint dropped to the tail for
-    # mix_sequence_pack / doc_chunks; their r1 green rows stand and
-    # both pass the local gate)
+    # (text_pii_scrub, text_fingerprint and text_token_count dropped
+    # to the tail for mix_sequence_pack / doc_chunks / text_surprisal;
+    # their r1 green rows stand and all pass the local gate)
 ]
 
 

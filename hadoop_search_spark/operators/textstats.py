@@ -304,3 +304,53 @@ def heavy_hitters(tokens, col: str = "word", support: float = 0.02):
         .filter(F.col("n") >= F.lit(support) * F.col("tot"))
         .select(col, "n")
     )
+
+
+def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style language-model quality signal with the LM trained
+    on the corpus itself: each token's surprisal is -log10 of its
+    corpus unigram probability, and a doc's score is the mean over
+    its token stream → ``(doc_id, n_tokens, total_surprisal,
+    mean_surprisal)``. Low mean = common boilerplate vocabulary;
+    high mean = rare/garbled tokens — the two tails a curation pass
+    trims.
+
+    Cross-engine exactness: log10 is bit-identical between the JVM
+    and DuckDB (unlike ln — see the catalog module docstring), and
+    each token's surprisal is quantized to DECIMAL(18,6) BEFORE the
+    per-doc sum, so the aggregation is exact decimal arithmetic and
+    independent of partial-agg order; the mean is one double
+    division at the end.
+
+    Scale shape: vocabulary counts are one shuffle on token; the
+    token stream then equi-joins the per-token surprisal table (the
+    same join the tf-idf df computation makes) and aggregates per
+    doc — no all-pairs, no driver-side vocabulary, the corpus total
+    is a broadcast 1-row aggregate.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    vc = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = vc.agg(F.sum("cnt").alias("total"))
+    s6 = (
+        F.round(
+            -F.log10(F.col("cnt").cast("double") / F.col("total").cast("double")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("s6")
+    )
+    surprisal = vc.crossJoin(F.broadcast(tot)).select("tok", s6)
+    return (
+        toks.join(surprisal, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("s6").cast("double").alias("total_surprisal"),
+            (F.sum("s6").cast("double") / F.count("*")).alias("mean_surprisal"),
+        )
+    )

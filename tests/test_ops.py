@@ -513,3 +513,23 @@ def test_span_overlap_matches_brute_force(spark):
     assert set(got) == set(want)
     for i, (n_sp, shared) in want.items():
         assert got[i] == (n_sp, shared, shared / n_sp)
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    import math
+    from decimal import Decimal
+
+    from hadoop_search_spark.operators.textstats import unigram_surprisal
+
+    df = _docs(spark, [(1, "a a b"), (2, "b c")])
+    # counts: a=2 b=2 c=1, total=5
+    def s6(cnt):
+        return Decimal(str(round(-math.log10(cnt / 5), 6)))
+
+    t1 = float(s6(2) + s6(2) + s6(2))
+    t2 = float(s6(2) + s6(1))
+    got = {r.doc_id: r for r in unigram_surprisal(df).collect()}
+    assert (got[1].n_tokens, got[1].total_surprisal) == (3, t1)
+    assert got[1].mean_surprisal == t1 / 3
+    assert (got[2].n_tokens, got[2].total_surprisal) == (2, t2)
+    assert got[2].mean_surprisal == t2 / 2
