@@ -86,6 +86,39 @@ COMMENTARY = {
         "one row; the freqItems sketch pass ran driver-side at plan "
         "construction."
     ),
+    "q21_sole_late_shipper": (
+        "TPC-H Q21 decorrelated: instead of the reference's two "
+        "lineitem self-joins (EXISTS + NOT EXISTS), one shuffle chain "
+        "over (orderkey, suppkey) computes distinct-supplier and "
+        "late-supplier counts per order, the sole-late filter is a "
+        "scalar predicate, and the supplier name joins broadcast. The "
+        "oracle keeps the EXISTS formulation, so the gate proves the "
+        "decorrelation equivalent on data."
+    ),
+    "dedup_span_overlap": (
+        "Cross-document duplicated-span mass: the n-gram stream comes "
+        "from an index-explode + scalar concat (a transform() lambda "
+        "here costs ~10 s of codegen compilation per fresh plan — see "
+        "NOTES.md), then one (doc,span) aggregate, one span-partition "
+        "count window for document frequency, one per-doc rollup — the "
+        "same two-exchange shape as df-based tf-idf, never all-pairs."
+    ),
+    "mix_sequence_pack": (
+        "Two-phase distributed cumsum: in-block running sums are "
+        "partition-parallel windows keyed by doc_id div 4096; ONLY the "
+        "per-block totals (rows = docs/4096) pass through the "
+        "single-partition prefix window before broadcasting back. The "
+        "naive formulation — one global ORDER BY window — would put "
+        "every doc through one partition."
+    ),
+    "text_surprisal": (
+        "Corpus-trained unigram LM scoring: vocabulary counts are one "
+        "token-keyed shuffle, the 1-row corpus total broadcast "
+        "cross-joins the vocabulary, and the token stream equi-joins "
+        "the per-token surprisal table before the per-doc aggregate. "
+        "Surprisal is quantized to DECIMAL(18,6) pre-sum, so the "
+        "aggregate is order-independent."
+    ),
 }
 
 
