@@ -128,6 +128,35 @@ def main() -> int:
 
     stage("heavy_hitters", heavy_hitters)
 
+    def span_overlap_stage():
+        from hadoop_search_spark.operators.dedup import span_overlap
+
+        return span_overlap(docs).count()
+
+    stage("span_overlap", span_overlap_stage)
+
+    def sequence_pack_stage():
+        from hadoop_search_spark.operators.mixing import sequence_pack
+
+        out = sequence_pack(docs)
+        return out.agg(F.max("seq_id")).collect()[0][0]
+
+    stage("sequence_pack", sequence_pack_stage)
+
+    def surprisal_stage():
+        from hadoop_search_spark.operators.textstats import unigram_surprisal
+
+        return unigram_surprisal(docs).count()
+
+    stage("unigram_surprisal", surprisal_stage)
+
+    def chunking_stage():
+        from hadoop_search_spark.operators.mixing import chunk_documents
+
+        return chunk_documents(docs).count()
+
+    stage("doc_chunks", chunking_stage)
+
     print(json.dumps(timings))
     spark.stop()
     return 0
