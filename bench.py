@@ -137,6 +137,19 @@ def main() -> int:
         concurrent_wall = wall if concurrent_wall is None else min(concurrent_wall, wall)
         print(f"# concurrent_x8 pass: {wall}s", file=sys.stderr)
 
+    # cold-plan concurrent wall — the r1/r2 methodology (fresh plan
+    # construction inside the timed region), kept so the headline
+    # number stays comparable across rounds: the prepared metric above
+    # measures the serving configuration, not engine speedups alone
+    cold_concurrent = None
+    for _pass in range(2):
+        t0 = time.time()
+        with ThreadPoolExecutor(8) as pool:
+            list(pool.map(lambda q: qs[q](spark, SF_DIR).collect(), HEADLINE))
+        wall = round(time.time() - t0, 3)
+        cold_concurrent = wall if cold_concurrent is None else min(cold_concurrent, wall)
+        print(f"# cold_concurrent_x8 pass: {wall}s", file=sys.stderr)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -150,8 +163,12 @@ def main() -> int:
         "sequential_total": round(sum(timings.values()), 3),
         "cold_queries": cold,
         "cold_sequential_total": round(sum(cold.values()), 3),
+        "cold_wall_concurrent_x8": cold_concurrent,
         "prepared_plans": True,
         "hot_table_cache": True,
+        "methodology": "value/queries = prepared plans over hot table "
+        "cache (serving config); cold_* = fresh plan per query, the "
+        "r1/r2-comparable numbers",
         "runs": 2,
         "agg": "min",
         "sf": sf_val,

@@ -572,22 +572,38 @@ def _segment_candidates(
     (min_len ≥ q·(d+1) keeps every segment ≥ q chars)."""
     d = max_distance
     k = d + 1
+
+    def with_geometry(df: DataFrame, length_col: str) -> DataFrame:
+        """Canonical-partition geometry (slen, sstart) for segment
+        index ``i`` of a length-``length_col`` key split into d+1
+        segments — the ONE definition shared by the index and probe
+        sides; a divergence between two hand-kept copies would break
+        the partition lemma silently (missed candidates, no error)."""
+        return (
+            df.withColumn("_base", (F.col(length_col) / k).cast("int"))
+            .withColumn("_nshort", F.lit(k) - F.col(length_col) % k)
+            .withColumn(
+                "slen",
+                F.col("_base")
+                + F.when(F.col("i") >= F.col("_nshort"), F.lit(1)).otherwise(
+                    F.lit(0)
+                ),
+            )
+            .withColumn(
+                "sstart",
+                F.lit(1)
+                + F.col("i") * F.col("_base")
+                + F.greatest(F.col("i") - F.col("_nshort"), F.lit(0)),
+            )
+        )
+
     # index side: the d+1 canonical segments of each key
     seg = (
-        long_keys.withColumn("L", F.length("key"))
-        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(d))))
-        .withColumn("_base", (F.col("L") / k).cast("int"))
-        .withColumn("_nshort", F.lit(k) - F.col("L") % k)
-        .withColumn(
-            "slen",
-            F.col("_base")
-            + F.when(F.col("i") >= F.col("_nshort"), F.lit(1)).otherwise(F.lit(0)),
-        )
-        .withColumn(
-            "sstart",
-            F.lit(1)
-            + F.col("i") * F.col("_base")
-            + F.greatest(F.col("i") - F.col("_nshort"), F.lit(0)),
+        with_geometry(
+            long_keys.withColumn("L", F.length("key")).withColumn(
+                "i", F.explode(F.sequence(F.lit(0), F.lit(d)))
+            ),
+            "L",
         )
         .select(
             F.col("doc_id").alias("doc_a"),
@@ -600,28 +616,17 @@ def _segment_candidates(
     # probe side: for every partner length and segment spec, the
     # substrings of B inside the ±d start window
     probe = (
-        long_keys.withColumn(
+        with_geometry(
+            long_keys.withColumn(
+                "La",
+                F.explode(
+                    F.sequence(
+                        F.greatest(F.length("key") - d, F.lit(min_len)),
+                        F.length("key") + d,
+                    )
+                ),
+            ).withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(d)))),
             "La",
-            F.explode(
-                F.sequence(
-                    F.greatest(F.length("key") - d, F.lit(min_len)),
-                    F.length("key") + d,
-                )
-            ),
-        )
-        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(d))))
-        .withColumn("_base", (F.col("La") / k).cast("int"))
-        .withColumn("_nshort", F.lit(k) - F.col("La") % k)
-        .withColumn(
-            "slen",
-            F.col("_base")
-            + F.when(F.col("i") >= F.col("_nshort"), F.lit(1)).otherwise(F.lit(0)),
-        )
-        .withColumn(
-            "sstart",
-            F.lit(1)
-            + F.col("i") * F.col("_base")
-            + F.greatest(F.col("i") - F.col("_nshort"), F.lit(0)),
         )
         .withColumn("_lo", F.greatest(F.col("sstart") - d, F.lit(1)))
         .withColumn(

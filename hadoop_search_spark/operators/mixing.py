@@ -212,6 +212,11 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_len <= 0:
         raise ValueError("chunk_len and stride must be positive")
+    if stride > chunk_len:
+        # a gap between windows breaks the every-token-covered
+        # guarantee, and the chunk-count formula would emit phantom
+        # chunks past the end of short docs (negative n_tokens)
+        raise ValueError("stride must be <= chunk_len (overlapping windows)")
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
     base = docs.select("doc_id", toks.alias("_toks")).filter(
         F.size("_toks") > 0

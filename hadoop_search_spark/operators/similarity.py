@@ -87,6 +87,11 @@ def cosine_topk(
 
     q = (
         embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        # no-op bound (vec_id is unique) that pins maxRows in the
+        # logical plan, so the plan-audit gate can PROVE the broadcast
+        # build side of the non-equi join is bounded instead of
+        # trusting an IN-filter heuristic
+        .limit(len(query_ids))
         .select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
         )
@@ -283,16 +288,24 @@ def ivf_train_kmeans(
         # from the full frame (deterministic: next-smallest vec_ids
         # not already sampled)
         have = {tuple(v) for _, v in cents}
-        extra = [
-            r
-            for r in embeddings.select("vec_id", "embedding")
+        # pool of DISTINCT embeddings (min-vec_id representative each,
+        # so the choice is deterministic): k + |cents| distinct rows
+        # suffice — at most |cents| of them overlap the sampled seeds
+        pool = (
+            embeddings.groupBy("embedding")
+            .agg(F.min("vec_id").alias("vec_id"))
             .orderBy("vec_id")
             .limit(k + len(cents))
             .collect()
-            if tuple(float(x) for x in r.embedding) not in have
-        ]
-        for r in extra[: k - len(cents)]:
-            cents.append((len(cents), [float(x) for x in r.embedding]))
+        )
+        for r in pool:
+            if len(cents) >= k:
+                break
+            vec = tuple(float(x) for x in r.embedding)
+            if vec in have:
+                continue
+            have.add(vec)  # guard against appending the same vector twice
+            cents.append((len(cents), list(vec)))
         if len(cents) < k:
             raise ValueError(
                 f"cannot seed {k} centroids: corpus has only {len(cents)} "

@@ -88,14 +88,21 @@ def write_csv_corpus(
     """Write a corpus as compressed headerless CSV part files —
     re-readable by :func:`read_csv_corpus` with the same schema.
     Embedded separators/quotes are quoted by the writer; embedded
-    newlines would violate the line-oriented contract above, so they
-    are escaped to literal ``\\n`` first (audit-visible, reversible
-    for text payloads that never contain the two-char sequence)."""
+    line breaks would violate the line-oriented contract above — the
+    text reader splits on LF, CR, and CRLF alike — so both are
+    escaped to literal ``\\n`` / ``\\r`` first (audit-visible,
+    reversible for text payloads that never contain the two-char
+    sequences)."""
     cleaned = docs
     for f in docs.schema.fields:
         if isinstance(f.dataType, T.StringType):
             cleaned = cleaned.withColumn(
-                f.name, F.regexp_replace(F.col(f.name), "\n", "\\\\n")
+                f.name,
+                F.regexp_replace(
+                    F.regexp_replace(F.col(f.name), "\n", "\\\\n"),
+                    "\r",
+                    "\\\\r",
+                ),
             )
     cleaned.write.mode(mode).option("compression", "gzip").option(
         "sep", sep

@@ -56,11 +56,15 @@ def test_oracle_sql_is_duckdb_parsable():
 # the build subtree top-down through row-NON-INCREASING operators
 # only; it succeeds on the first node whose logical link pins
 # maxRows ≤ _BNLJ_MAX_BUILD_ROWS (1-row ungrouped aggregates, limits,
-# local relations) or a Filter over a literal IN-list (a broadcast of
-# ≤ _BNLJ_MAX_IN_ITEMS picked rows). Any expanding or opaque operator
-# (Generate/explode, joins, raw scans) ends the walk unbounded.
+# local relations). Any expanding or opaque operator (Generate/
+# explode, joins, raw scans) ends the walk unbounded. An earlier
+# draft also accepted a Filter over a literal IN-list, but that
+# heuristic was unsound twice over — the regex matched the IN inside
+# a NOT(...), and an IN-list bounds rows only if the column is unique
+# — so operators that want a BNLJ broadcast must pin the bound
+# structurally instead (a .limit() on the already-bounded side, as
+# cosine_topk does).
 _BNLJ_MAX_BUILD_ROWS = 10_000
-_BNLJ_MAX_IN_ITEMS = 1_024
 _ROW_NON_INCREASING = {
     "BroadcastExchangeExec",
     "ShuffleExchangeExec",
@@ -81,19 +85,6 @@ _ROW_NON_INCREASING = {
     "LocalLimitExec",
     "GlobalLimitExec",
 }
-_LITERAL_ITEM = re.compile(r"^\s*(-?[0-9][0-9.eE+-]*|'[^']*')\s*$")
-
-
-def _literal_in_filter(cond: str) -> bool:
-    m = re.search(r"\bIN \(([^()]*)\)", cond)
-    if not m:
-        return False
-    items = m.group(1).split(",")
-    return len(items) <= _BNLJ_MAX_IN_ITEMS and all(
-        _LITERAL_ITEM.match(i) for i in items
-    )
-
-
 def _walk(n, depth=0):
     yield n
     ch = n.children()
@@ -108,8 +99,6 @@ def _provably_bounded(node) -> bool:
         if mr.isDefined() and mr.get() <= _BNLJ_MAX_BUILD_ROWS:
             return True
     cls = node.getClass().getSimpleName()
-    if cls == "FilterExec" and _literal_in_filter(node.condition().toString()):
-        return True
     if cls not in _ROW_NON_INCREASING:
         return False
     ch = node.children()
@@ -169,15 +158,36 @@ def test_bnlj_gate_rejects_unbounded_build(spark):
         )
     ]
     assert flagged, "unbounded BNLJ build side was not flagged"
-    # and the same frame with a literal pick-list IS accepted
+
+    def bnlj_builds_bounded(df):
+        root = df._jdf.queryExecution().executedPlan()
+        if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            root = root.initialPlan()
+        ok = True
+        for n in _walk(root):
+            if n.getClass().getSimpleName() == "BroadcastNestedLoopJoinExec":
+                idx = 1 if n.buildSide().toString() == "BuildRight" else 0
+                ok = ok and _provably_bounded(n.children().apply(idx))
+        return ok
+
+    # a structurally pinned bound (limit) IS accepted — the sanctioned
+    # way to broadcast a picked subset into a non-equi join
     picked = df_a.join(
+        F.broadcast(df_b.filter(F.col("b").isin(1, 2, 3)).limit(3)),
+        F.col("a") < F.col("b"),
+    )
+    assert bnlj_builds_bounded(picked)
+    # a bare IN-literal filter is NOT accepted: the earlier heuristic
+    # passed it, but an IN-list bounds rows only if the column is
+    # unique, and the regex also matched NOT(... IN ...) — both are
+    # unbounded in general (this pins the removal)
+    bare_in = df_a.join(
         F.broadcast(df_b.filter(F.col("b").isin(1, 2, 3))),
         F.col("a") < F.col("b"),
     )
-    root = picked._jdf.queryExecution().executedPlan()
-    if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-        root = root.initialPlan()
-    for n in _walk(root):
-        if n.getClass().getSimpleName() == "BroadcastNestedLoopJoinExec":
-            idx = 1 if n.buildSide().toString() == "BuildRight" else 0
-            assert _provably_bounded(n.children().apply(idx))
+    assert not bnlj_builds_bounded(bare_in)
+    negated = df_a.join(
+        F.broadcast(df_b.filter(~F.col("b").isin(1, 2, 3))),
+        F.col("a") < F.col("b"),
+    )
+    assert not bnlj_builds_bounded(negated)
