@@ -3396,6 +3396,68 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_trailing_window_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                  RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_30d_spend
+FROM orders
+""",
+    note="value-RANGE window frame (trailing 30 days in epoch micros) — "
+    "unlike a ROWS frame the bound is data-valued, so same-timestamp "
+    "ties land in the same frame on both engines and no within-frame "
+    "ordering can matter; decimal accumulation",
+)
+def q_trailing_window_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_utc(spark)
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_us", F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_us")
+        .rangeBetween(-30 * 86400 * 1_000_000, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "order_us",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("trailing_30d_spend"),
+    )
+
+
+@register(
+    "q_unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, CAST(value AS DOUBLE) AS value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) u
+WHERE l_orderkey % 100 = 0
+""",
+    note="UNPIVOT (wide measures -> long (measure, value) rows) via the "
+    "native DataFrame.unpivot operator — a map-only Expand, one output "
+    "row per (row, measure), no shuffle; oracle is the equivalent "
+    "UNION ALL",
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@register(
     "q_median_per_group",
     oracle="""
 SELECT o_orderpriority,
@@ -3585,6 +3647,8 @@ _DRIVER_FRONT = [
     "mix_sequence_pack",
     "doc_chunks",
     "text_surprisal",
+    "q_trailing_window_spend",
+    "q_unpivot_measures",
     # (c) r1-only rows (rotated out in r2) — refresh the ones that fit
     # under the cap so green rows don't age; the seven dropped to make
     # room for the new entries (q_semi_join, q_anti_join, q_rollup,
@@ -3602,15 +3666,14 @@ _DRIVER_FRONT = [
     "dedup_exact",
     "dedup_clusters",
     "dedup_simhash",
-    "dedup_simhash_pairs",
     "text_lang_id",
     "text_script_counts",
-    "text_quality",
     # 0 spare slots — if another entry is added or changed this round,
     # it replaces a (c) row HERE, never lands behind the cap
-    # (text_pii_scrub, text_fingerprint and text_token_count dropped
-    # to the tail for mix_sequence_pack / doc_chunks / text_surprisal;
-    # their r1 green rows stand and all pass the local gate)
+    # (text_pii_scrub, text_fingerprint, text_token_count,
+    # dedup_simhash_pairs and text_quality dropped to the tail for the
+    # round-3 additions; their r1 green rows stand and all pass the
+    # local gate)
 ]
 
 
