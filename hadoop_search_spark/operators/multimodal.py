@@ -5,13 +5,16 @@ with typed metadata — the standard large-scale layout (media bytes
 inline or as object-store references, transforms as Arrow-batched
 functions over ``mapInPandas``).
 
-The decode step is STUBBED: the image/audio libraries are not in this
-environment, so ``decode_media`` computes deterministic fake features
-(derived from payload length + md5) behind the same batch interface a
-real decoder (PIL/librosa/ffmpeg) would use — the Spark-side plumbing
-(schema, Arrow batching, partition parallelism, UDF signature) is
-real and tested. Swap ``_fake_decode_batch`` for a real decoder to
-productionize; nothing else changes.
+The default decode is STUBBED: the image/audio libraries are not in
+this environment, so ``decode_media(codec="stub")`` computes
+deterministic fake features (derived from payload length + md5)
+behind the same batch interface a real decoder would use — the
+Spark-side plumbing (schema, Arrow batching, partition parallelism,
+UDF signature) is real and tested. A REAL image path exists behind
+``codec="pil"`` / ``codec="auto"`` (executor-side import-gated, so
+this module loads without PIL); audio/video remain stubbed
+(librosa/ffmpeg likewise absent). The catalog entry pins the stub
+because its oracle reproduces the stub arithmetic exactly.
 """
 
 from __future__ import annotations
@@ -87,14 +90,60 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def _pil_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real image decode via PIL, same batch contract as the stub:
+    images get their true (width, height); audio/video still use the
+    deterministic fake features (librosa/ffmpeg are likewise absent).
+    Import happens here, EXECUTOR-side — the module must import on
+    machines without PIL."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 — executor-side, gated
+
+    out = _fake_decode_batch(pdf)
+    is_img = (pdf["kind"] == "image").to_numpy()
+    if is_img.any():
+        sizes = [
+            Image.open(io.BytesIO(bytes(p))).size
+            for p in pdf["payload"][is_img]
+        ]
+        out.loc[is_img, "width"] = pd.array(
+            [w for w, _ in sizes], dtype="int32"
+        )
+        out.loc[is_img, "height"] = pd.array(
+            [h for _, h in sizes], dtype="int32"
+        )
+    return out
+
+
+def decode_media(media: DataFrame, codec: str = "stub") -> DataFrame:
     """Arrow-batched decode over ``mapInPandas`` — partition-parallel,
     constant memory per batch; the pattern for any per-item media
-    transform (resize, feature-extract, frame-sample) at 100 TB."""
+    transform (resize, feature-extract, frame-sample) at 100 TB.
+
+    ``codec``: ``"stub"`` (default — deterministic fake features; the
+    value-checked oracle path), ``"pil"`` (real image decode, requires
+    PIL on executors), or ``"auto"`` (PIL when importable, else the
+    stub — probed per executor batch, so a heterogeneous cluster
+    degrades batch-by-batch rather than failing the job). The catalog
+    entry pins ``"stub"`` because its oracle reproduces the stub
+    arithmetic; a corpus of real images would pin ``"pil"`` and lose
+    the SQL oracle (nothing else changes — same schema, same plan)."""
+    if codec not in ("stub", "pil", "auto"):
+        raise ValueError(f"unknown codec {codec!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf):
+            if not len(pdf):
+                continue
+            if codec == "pil":
+                yield _pil_decode_batch(pdf)
+            elif codec == "auto":
+                try:
+                    yield _pil_decode_batch(pdf)
+                except ImportError:
+                    yield _fake_decode_batch(pdf)
+            else:
                 yield _fake_decode_batch(pdf)
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)

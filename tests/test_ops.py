@@ -533,3 +533,28 @@ def test_unigram_surprisal_hand_computed(spark):
     assert got[1].mean_surprisal == t1 / 3
     assert (got[2].n_tokens, got[2].total_surprisal) == (2, t2)
     assert got[2].mean_surprisal == t2 / 2
+
+
+def test_decode_media_codec_paths(spark, documents):
+    import pytest as _pytest
+
+    from hadoop_search_spark.operators.multimodal import decode_media, synthesize_media
+
+    media = synthesize_media(documents.limit(30))
+    stub = {r.media_id: r for r in decode_media(media, codec="stub").collect()}
+    # auto degrades to the stub batch-by-batch where PIL is absent
+    auto = {r.media_id: r for r in decode_media(media, codec="auto").collect()}
+    assert stub.keys() == auto.keys()
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        assert all(stub[k] == auto[k] for k in stub)
+        # explicit pil codec must FAIL loudly, not silently degrade
+        with _pytest.raises(Exception):
+            decode_media(media, codec="pil").collect()
+    with _pytest.raises(ValueError):
+        decode_media(media, codec="webp")
