@@ -419,16 +419,54 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard pairs via shingle-set self-join — the
-    no-LSH baseline. Candidate generation is the shared-shingle join
-    (docs with zero overlap never pair), so complexity is output-
-    bound, not n^2. Persistence of ``shingles`` is caller-owned (see
-    :func:`minhash_lsh_dedup`)."""
+    """Exact n-gram-Jaccard pairs with PREFIX-FILTERED candidate
+    generation (the AllPairs/PPJoin principle — Bayardo et al. WWW'07,
+    Xiao et al. WWW'08): under a global shingle order, J(A,B) >= τ
+    forces |A∩B| >= ⌈τ·|A|⌉, so the two docs must share a shingle
+    among each one's first ``|X| − ⌈τ·|X|⌉ + 1`` shingles (pigeonhole
+    — if the intersection avoided A's prefix, too few shingles remain
+    to reach the overlap bound). Candidates therefore join PREFIX to
+    PREFIX, not full set to full set.
+
+    The global order is ascending corpus frequency (rarest first, ties
+    by string), which puts exactly the hot shingles OUTSIDE prefixes —
+    on a low-diversity corpus, where the naive shared-shingle join
+    degenerates toward all-pairs (every common shingle buckets
+    everything), only the rare tail generates candidates. A partner
+    size filter (τ·|A| <= |B| <= |A|/τ, also implied by the
+    threshold) prunes further. Blocking affects performance only:
+    every candidate is verified by exact Jaccard, and the prefix
+    lemma guarantees no qualifying pair is missed (pinned by the
+    brute-force differential test). Persistence of ``shingles`` is
+    caller-owned (see :func:`minhash_lsh_dedup`)."""
     sh = shingles if shingles is not None else word_shingles(docs, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    gf = sh.groupBy("shingle").agg(F.count("*").alias("gdf"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("gdf"), F.asc("shingle"))
+    # prefix length |X| − ⌈τ|X|⌉ + 1; the 1e-9 nudge keeps a float
+    # product that lands a hair ABOVE an integer from shortening the
+    # prefix by one (which would silently drop candidates)
+    min_overlap = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+    prefix = (
+        sh.join(gf, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("n_sh") - min_overlap + 1)
+        .select("doc_id", "shingle", "n_sh")
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("_na")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("_nb")
+    )
     cand = (
-        sh.withColumnRenamed("doc_id", "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b"), "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("_nb") >= F.lit(threshold) * F.col("_na") - F.lit(1e-9))
+            & (F.col("_na") >= F.lit(threshold) * F.col("_nb") - F.lit(1e-9))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )

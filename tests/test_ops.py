@@ -558,3 +558,34 @@ def test_decode_media_codec_paths(spark, documents):
             decode_media(media, codec="pil").collect()
     with _pytest.raises(ValueError):
         decode_media(media, codec="webp")
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_ngram_jaccard_prefix_filter_matches_brute_force(spark, threshold):
+    import random
+
+    rng = random.Random(23)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 14))))
+        for i in range(50)
+    ]
+
+    def shingle_set(text, n=3):
+        t = [w for w in text.lower().split(" ") if w]
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    sets = {i: shingle_set(tx) for i, tx in rows if shingle_set(tx)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if round(j, 9) >= threshold:
+                    want.add((a, b))
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(_docs(spark, rows), threshold=threshold).collect()
+    }
+    assert got == want
