@@ -1345,6 +1345,34 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_pair_counts",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+  FROM documents),
+wc AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+pairs AS (
+  SELECT substr(w, i, 1) || substr(w, i + 1, 1) AS pair, c
+  FROM (SELECT w, c, unnest(range(1, length(w))) AS i
+        FROM wc WHERE length(w) >= 2) t)
+SELECT pair, CAST(sum(c) AS BIGINT) AS n
+FROM pairs GROUP BY 1
+ORDER BY n DESC, pair
+LIMIT 32
+""",
+    note="BPE tokenizer-induction step 1: corpus-weighted adjacent "
+    "character-pair counts over the word-frequency table, ranked with "
+    "deterministic ties — the merge-candidate list the iterative "
+    "trainer (operators/textstats.py:bpe_train, pytest differential "
+    "vs pure-Python BPE) consumes",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_heavy_hitters",
     oracle="""
 SELECT word, count(*) AS n FROM (
@@ -3649,6 +3677,7 @@ _DRIVER_FRONT = [
     "text_surprisal",
     "q_trailing_window_spend",
     "q_unpivot_measures",
+    "text_bpe_pair_counts",
     # (c) r1-only rows (rotated out in r2) — refresh the ones that fit
     # under the cap so green rows don't age; the seven dropped to make
     # room for the new entries (q_semi_join, q_anti_join, q_rollup,
@@ -3667,7 +3696,6 @@ _DRIVER_FRONT = [
     "dedup_clusters",
     "dedup_simhash",
     "text_lang_id",
-    "text_script_counts",
     # 0 spare slots — if another entry is added or changed this round,
     # it replaces a (c) row HERE, never lands behind the cap
     # (text_pii_scrub, text_fingerprint, text_token_count,

@@ -354,3 +354,99 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
             (F.sum("s6").cast("double") / F.count("*")).alias("mean_surprisal"),
         )
     )
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("w")
+    )
+    return toks.groupBy("w").agg(F.count("*").alias("c"))
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text", top: int = 32) -> DataFrame:
+    """Step 1 of BPE tokenizer training: corpus-weighted counts of
+    adjacent character pairs over the word-frequency table → the
+    merge candidates, ranked (count desc, pair asc — deterministic
+    ties). The word table, not the token stream, is what trains BPE —
+    it is orders smaller than the corpus at any scale.
+
+    Scale shape: one shuffle builds word counts (map-side combined),
+    the pair explode is index-explode + scalar substring (the
+    codegen-cheap form), and the final top-k is a bounded
+    TakeOrderedAndProject."""
+    wc = _word_counts(docs, text_col)
+    pairs = wc.filter(F.length("w") >= 2).select(
+        "c",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        "w",
+    ).select(
+        F.expr("substring(w, i, 1) || substring(w, i + 1, 1)").alias("pair"), "c"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top)
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Iterative BPE training as DataFrame ops: learn ``n_merges``
+    merges from the corpus, greedily taking the most frequent
+    adjacent symbol pair each round (count desc, ties by pair string)
+    and merging it left-to-right in every word. Returns the ordered
+    merge list (the MODEL — driver-held, like k-means centroids) and
+    the final (w, c, syms) symbol table.
+
+    The merge application is a Catalyst ``aggregate`` fold over the
+    symbol array (append, or fuse with the accumulator's last element
+    when it completes the pair) — standard BPE left-to-right greedy,
+    no Python in the loop. Each round localCheckpoints the symbol
+    table so the plan does not grow with iterations (the CC-loop
+    pattern); only the single winning pair crosses to the driver per
+    round."""
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    syms = (
+        _word_counts(docs, text_col)
+        .select("w", "c", chars.alias("syms"))
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        head = F.slice(F.col("syms"), 1, F.size("syms") - 1)
+        tail = F.slice(F.col("syms"), 2, F.size("syms") - 1)
+        pair_rows = (
+            syms.filter(F.size("syms") >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.zip_with(head, tail, lambda a, b: F.struct(a.alias("x"), b.alias("y")))
+                ).alias("p"),
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("c").alias("n"))
+            .orderBy(F.desc("n"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .collect()
+        )
+        if not pair_rows:
+            break
+        x, y = pair_rows[0].x, pair_rows[0].y
+        merges.append((x, y))
+        merged = F.lit(x + y)
+        fuse = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(x)) & (s == F.lit(y)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        syms = syms.withColumn("syms", fuse).localCheckpoint(eager=False)
+    return merges, syms

@@ -589,3 +589,51 @@ def test_ngram_jaccard_prefix_filter_matches_brute_force(spark, threshold):
         for r in ngram_jaccard_pairs(_docs(spark, rows), threshold=threshold).collect()
     }
     assert got == want
+
+
+def test_bpe_train_matches_pure_python(spark):
+    import random
+    from collections import Counter
+
+    from hadoop_search_spark.operators.textstats import bpe_train
+
+    rng = random.Random(13)
+    vocab = ["banana", "bandana", "cabana", "anna", "nab", "ban"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 6))))
+        for i in range(40)
+    ]
+
+    def py_bpe(word_counts, k):
+        syms = {w: list(w) for w in word_counts}
+        merges = []
+        for _ in range(k):
+            pc = Counter()
+            for w, c in word_counts.items():
+                s = syms[w]
+                for a, b in zip(s, s[1:]):
+                    pc[(a, b)] += c
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            x, y = best
+            for w in syms:
+                s, out = syms[w], []
+                for tok in s:
+                    if out and out[-1] == x and tok == y:
+                        out[-1] = x + y
+                    else:
+                        out.append(tok)
+                syms[w] = out
+        return merges, syms
+
+    wc = Counter(w for _, t in rows for w in t.split(" ") if w)
+    want_merges, want_syms = py_bpe(dict(wc), 6)
+
+    merges, syms = bpe_train(
+        spark.createDataFrame(rows, "doc_id LONG, text STRING"), n_merges=6
+    )
+    assert merges == want_merges
+    got = {r.w: list(r.syms) for r in syms.collect()}
+    assert got == want_syms
