@@ -464,3 +464,83 @@ def _recall_vs_exact(
     }
     got = {(r.query_id, r.vec_id) for r in approx.collect()}
     return len(exact & got) / len(exact) if exact else 1.0
+
+
+# ----------------------------------------------- IVF index persistence
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids=None,
+    num_centroids: int = NUM_CENTROIDS,
+):
+    """Build and persist the IVF index: vectors land in parquet
+    PARTITIONED BY their cell (``{path}/vectors/cell=N/``) with the
+    quantizer centroids alongside (``{path}/centroids``). Probing a
+    published index then touches only the ``nprobe`` probed cell
+    directories — partition pruning does the cell selection at the
+    FILE level, the on-disk analogue of an in-memory inverted list.
+    This is the offline-build / serve split the text index uses
+    (SURVEY.md §3.2), applied to ANN. Returns the centroid model."""
+    spark = embeddings.sparkSession
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, num_centroids)
+    )
+    ivf_assign(embeddings, cents).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
+def load_ivf_centroids(spark: SparkSession, path: str):
+    """Centroid model back from a published index (driver-side list,
+    same shape ivf_centroids/ivf_train_kmeans produce)."""
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return [(int(r.cell), [float(x) for x in r.centroid]) for r in rows]
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """Serve approximate top-k from a PUBLISHED IVF index — the
+    read-side twin of :func:`ann_ivf_topk`, identical output for the
+    same quantizer and nprobe (pinned by test).
+
+    Probe cells are chosen by running the SAME Catalyst ranking
+    expression over the tiny query frame (collecting a handful of
+    (query, cell) rows — never Python float arithmetic, which could
+    diverge from the expression by an ulp and flip a boundary cell),
+    then the vector scan filters on the LITERAL probed-cell set, so
+    only those partition directories are read (PartitionFilters in
+    the scan, asserted in tests). The query-vector lookup itself is
+    an id filter; a serving deployment would keep vectors also keyed
+    by id (the corpus sink pattern) for point fetch."""
+    vectors = spark.read.parquet(f"{path}/vectors")
+    cents = load_ivf_centroids(spark, path)
+    q = vectors.filter(
+        F.col("vec_id").isin(*[int(i) for i in query_ids])
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ranking = _cell_ranking(F.col("q_emb"), cents)
+    probes = q.select(
+        "query_id",
+        "q_emb",
+        F.explode(F.slice(ranking, 1, nprobe)).alias("probe"),
+    ).select("query_id", "q_emb", F.col("probe.cell").alias("cell"))
+    probe_rows = probes.select("query_id", "cell").collect()
+    probed_cells = sorted({int(r.cell) for r in probe_rows})
+    pruned = vectors.filter(F.col("cell").isin(probed_cells))
+    pairs = pruned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    return _topk_per_query(pairs, k)

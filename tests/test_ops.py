@@ -637,3 +637,34 @@ def test_bpe_train_matches_pure_python(spark):
     assert merges == want_merges
     got = {r.w: list(r.syms) for r in syms.collect()}
     assert got == want_syms
+
+
+def test_ivf_index_persist_and_serve(spark, tmp_path):
+    from hadoop_search_spark.operators.similarity import (
+        ann_ivf_topk,
+        ivf_index_topk,
+        load_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [3, 17, 41]
+    path = str(tmp_path / "ivf")
+    cents = write_ivf_index(emb, path)
+    assert load_ivf_centroids(spark, path) == cents
+
+    served = ivf_index_topk(spark, path, qids, k=5, nprobe=2)
+    direct = ann_ivf_topk(emb, qids, k=5, nprobe=2, centroids=cents)
+    as_set = lambda df: {
+        (r.query_id, r.vec_id, r.cosine, r.rn) for r in df.collect()
+    }
+    assert as_set(served) == as_set(direct)
+
+    # the served scan must prune to the probed cell partitions
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(([^)]*)\)", plan)
+    assert m, f"no literal cell IN partition filter in:\n{plan[:2000]}"
+    assert len(m.group(1).split(",")) < 8  # fewer than all cells read
