@@ -3678,6 +3678,11 @@ _DRIVER_FRONT = [
     "q_trailing_window_spend",
     "q_unpivot_measures",
     "text_bpe_pair_counts",
+    # (b continued) plans changed late in round 3: cosine_topk gained
+    # the structural maxRows limit, ngram_jaccard candidates are now
+    # prefix-filtered — both need fresh driver rows
+    "sim_cosine_topk",
+    "dedup_ngram_jaccard",
     # (c) r1-only rows (rotated out in r2) — refresh the ones that fit
     # under the cap so green rows don't age; the seven dropped to make
     # room for the new entries (q_semi_join, q_anti_join, q_rollup,
@@ -3694,12 +3699,11 @@ _DRIVER_FRONT = [
     "postings_tfidf",
     "dedup_exact",
     "dedup_clusters",
-    "dedup_simhash",
-    "text_lang_id",
     # 0 spare slots — if another entry is added or changed this round,
     # it replaces a (c) row HERE, never lands behind the cap
     # (text_pii_scrub, text_fingerprint, text_token_count,
-    # dedup_simhash_pairs and text_quality dropped to the tail for the
+    # dedup_simhash_pairs, text_script_counts, text_quality,
+    # dedup_simhash and text_lang_id dropped to the tail for the
     # round-3 additions; their r1 green rows stand and all pass the
     # local gate)
 ]

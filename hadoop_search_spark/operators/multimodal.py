@@ -125,7 +125,11 @@ def decode_media(media: DataFrame, codec: str = "stub") -> DataFrame:
     value-checked oracle path), ``"pil"`` (real image decode, requires
     PIL on executors), or ``"auto"`` (PIL when importable, else the
     stub — probed per executor batch, so a heterogeneous cluster
-    degrades batch-by-batch rather than failing the job). The catalog
+    degrades batch-by-batch rather than failing the job). The auto
+    fallback triggers on PIL's ABSENCE only; a corrupt/undecodable
+    payload still fails the decode in both pil and auto modes —
+    payload validation/quarantine belongs upstream (the corpus
+    connectors' pattern), not silently inside the decoder. The catalog
     entry pins ``"stub"`` because its oracle reproduces the stub
     arithmetic; a corpus of real images would pin ``"pil"`` and lose
     the SQL oracle (nothing else changes — same schema, same plan)."""

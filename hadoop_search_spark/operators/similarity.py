@@ -537,10 +537,21 @@ def ivf_index_topk(
         "q_emb",
         F.explode(F.slice(ranking, 1, nprobe)).alias("probe"),
     ).select("query_id", "q_emb", F.col("probe.cell").alias("cell"))
-    probe_rows = probes.select("query_id", "cell").collect()
+    # ONE execution of the probe subtree (it scans all cells to find
+    # the query vectors by id): collect the handful of probe rows and
+    # rebuild the broadcast side as a literal frame — reusing `probes`
+    # in the join would re-run the unpruned lookup scan a second time
+    probe_rows = probes.collect()
+    probes_lit = spark.createDataFrame(
+        [
+            (int(r.query_id), [float(x) for x in r.q_emb], int(r.cell))
+            for r in probe_rows
+        ],
+        "query_id BIGINT, q_emb ARRAY<FLOAT>, cell BIGINT",
+    )
     probed_cells = sorted({int(r.cell) for r in probe_rows})
     pruned = vectors.filter(F.col("cell").isin(probed_cells))
-    pairs = pruned.join(F.broadcast(probes), "cell").filter(
+    pairs = pruned.join(F.broadcast(probes_lit), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
     return _topk_per_query(pairs, k)

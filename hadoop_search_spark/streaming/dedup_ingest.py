@@ -30,7 +30,11 @@ greedy evaluator, which IS the contract.
 
 Scale shape: the store join is an equi-join on (band, band_key) —
 bucket-keyed like every batch LSH join, never all-pairs; per batch
-the work is O(|batch shingles| + candidates). The band store grows
+the compute is O(|batch shingles| + candidate-doc shingles) — only
+store docs the band join surfaces as candidates are re-shingled for
+verification — plus one columnar scan of the published band table
+(at real scale, a bands table bucketed by band_key turns that into
+a pruned probe as well). The band store grows
 with the accepted corpus; at 100 TB it lives in a transactional
 table partitioned by band, and the pointer flip becomes a table
 commit (same substitution as index_ingest).
@@ -99,7 +103,6 @@ class StreamingDeduper:
         # candidates against the accepted store (store side is already
         # deduped, so a match there is final)
         if accepted is not None:
-            sh_old = word_shingles(accepted)
             store_bands = self.current_bands()
             cand_old = (
                 bands_new.withColumnRenamed("doc_id", "doc_b")
@@ -110,8 +113,16 @@ class StreamingDeduper:
                 .select("doc_a", "doc_b")
                 .distinct()
             )
+            # only the CANDIDATE store docs get re-shingled — the band
+            # join already narrowed the store side, so verification
+            # work is O(candidate docs), not O(accepted corpus)
+            cand_store_docs = accepted.join(
+                cand_old.select(F.col("doc_a").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
             # verify needs both sides' shingles in ONE frame
-            sh_all = sh_old.unionByName(sh_new)
+            sh_all = word_shingles(cand_store_docs).unionByName(sh_new)
             dup_vs_store = (
                 jaccard_verify(cand_old, sh_all, self.threshold)
                 .select(F.col("doc_b").alias("doc_id"))
@@ -171,24 +182,38 @@ class StreamingDeduper:
             import shutil
 
             shutil.rmtree(out)  # partial write from a pre-publish crash
-        if batch.rdd.isEmpty():
-            return
-        keep = self._accepted_ids(batch)
-        survivors = batch.join(keep, "doc_id")
-        prev = self.current_docs()
-        docs = survivors if prev is None else prev.unionByName(survivors)
-        docs.write.parquet(os.path.join(out, "docs"))
-        # bands are derived incrementally — only the survivors'
-        # shingles hash this epoch; the store's existing bands carry
-        # over (the republish WRITE is still O(corpus), same tradeoff
-        # as index_ingest's full rewrite, swapped for a transactional
-        # table append at real scale)
-        prev_bands = self.current_bands()
-        new_bands = minhash_bands_wide(word_shingles(survivors))
-        bands = (
-            new_bands if prev_bands is None else prev_bands.unionByName(new_bands)
-        )
-        bands.write.parquet(os.path.join(out, "bands"))
+        # the batch frame is traversed several times (bands, greedy ids,
+        # survivors join, bands again) and a non-replayable source would
+        # re-read the micro-batch input on each — pin it
+        batch = batch.persist()
+        try:
+            if batch.isEmpty():
+                return
+            keep = self._accepted_ids(batch)
+            survivors = batch.join(keep, "doc_id").persist()
+            try:
+                prev = self.current_docs()
+                docs = (
+                    survivors if prev is None else prev.unionByName(survivors)
+                )
+                docs.write.parquet(os.path.join(out, "docs"))
+                # bands are derived incrementally — only the survivors'
+                # shingles hash this epoch; the store's existing bands
+                # carry over (the republish WRITE is still O(corpus),
+                # same tradeoff as index_ingest's full rewrite, swapped
+                # for a transactional table append at real scale)
+                prev_bands = self.current_bands()
+                new_bands = minhash_bands_wide(word_shingles(survivors))
+                bands = (
+                    new_bands
+                    if prev_bands is None
+                    else prev_bands.unionByName(new_bands)
+                )
+                bands.write.parquet(os.path.join(out, "bands"))
+            finally:
+                survivors.unpersist()
+        finally:
+            batch.unpersist()
         tmp = os.path.join(self.root, "_CURRENT.tmp")
         with open(tmp, "w") as f:
             f.write(version)

@@ -542,9 +542,7 @@ def test_decode_media_codec_paths(spark, documents):
 
     media = synthesize_media(documents.limit(30))
     stub = {r.media_id: r for r in decode_media(media, codec="stub").collect()}
-    # auto degrades to the stub batch-by-batch where PIL is absent
-    auto = {r.media_id: r for r in decode_media(media, codec="auto").collect()}
-    assert stub.keys() == auto.keys()
+    assert len(stub) == 30
     try:
         import PIL  # noqa: F401
 
@@ -552,6 +550,12 @@ def test_decode_media_codec_paths(spark, documents):
     except ImportError:
         has_pil = False
     if not has_pil:
+        # auto degrades to the stub batch-by-batch where PIL is absent
+        # (with PIL present the synthetic text payloads are not valid
+        # images, so auto would rightly fail in the decoder — auto
+        # degrades on ImportError, not on corrupt payloads)
+        auto = {r.media_id: r for r in decode_media(media, codec="auto").collect()}
+        assert stub.keys() == auto.keys()
         assert all(stub[k] == auto[k] for k in stub)
         # explicit pil codec must FAIL loudly, not silently degrade
         with _pytest.raises(Exception):
