@@ -2037,6 +2037,75 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rate_anomaly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+win AS (
+  SELECT event_type, hr, cnt,
+    count(*) OVER w AS win_hours,
+    sum(CAST(cnt AS DECIMAL(38,0))) OVER w AS s,
+    sum(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))) OVER w AS ss
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, hr, cnt, win_hours,
+       CAST(CAST(s AS DOUBLE) / win_hours AS DOUBLE) AS expected
+FROM win
+WHERE win_hours >= 8 AND (win_hours * cnt - s) > 0
+  AND (win_hours * cnt - s) * (win_hours * cnt - s) > 9 * (win_hours * ss - s * s)
+""",
+    note="per-type hourly rate spike detection (3-sigma over the "
+    "trailing 24h, current hour excluded): the z-score test is "
+    "CROSS-MULTIPLIED into pure integer/decimal arithmetic — "
+    "(n·x−s)² > 9(n·ss−s²) is z>3 with no mean, variance, sqrt or "
+    "division computed — so the float-free predicate is engine-exact; "
+    "sums run in DECIMAL(38,0) because the squares overflow int64 at "
+    "real per-hour volumes; one value-RANGE window per type",
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rangeBetween(-24, -1)
+    )
+    cnt_dec = F.col("cnt").cast("decimal(38,0)")
+    win = hourly.select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.count("*").over(w).alias("win_hours"),
+        F.sum(cnt_dec).over(w).alias("s"),
+        F.sum(cnt_dec * cnt_dec).over(w).alias("ss"),
+    )
+    dev = F.col("win_hours") * F.col("cnt") - F.col("s")
+    return (
+        win.filter(
+            (F.col("win_hours") >= 8)
+            & (dev > 0)
+            & (
+                dev * dev
+                > 9 * (F.col("win_hours") * F.col("ss") - F.col("s") * F.col("s"))
+            )
+        )
+        .select(
+            "event_type",
+            "hr",
+            "cnt",
+            "win_hours",
+            (F.col("s").cast("double") / F.col("win_hours"))
+            .cast("double")
+            .alias("expected"),
+        )
+    )
+
+
+@register(
     "events_funnel",
     oracle="""
 WITH v AS (
@@ -3683,6 +3752,7 @@ _DRIVER_FRONT = [
     # prefix-filtered — both need fresh driver rows
     "sim_cosine_topk",
     "dedup_ngram_jaccard",
+    "events_rate_anomaly",
     # (c) r1-only rows (rotated out in r2) — refresh the ones that fit
     # under the cap so green rows don't age; the seven dropped to make
     # room for the new entries (q_semi_join, q_anti_join, q_rollup,
@@ -3698,14 +3768,13 @@ _DRIVER_FRONT = [
     "postings_tf",
     "postings_tfidf",
     "dedup_exact",
-    "dedup_clusters",
     # 0 spare slots — if another entry is added or changed this round,
     # it replaces a (c) row HERE, never lands behind the cap
     # (text_pii_scrub, text_fingerprint, text_token_count,
     # dedup_simhash_pairs, text_script_counts, text_quality,
-    # dedup_simhash and text_lang_id dropped to the tail for the
-    # round-3 additions; their r1 green rows stand and all pass the
-    # local gate)
+    # dedup_simhash, text_lang_id and dedup_clusters dropped to the
+    # tail for the round-3 additions; their r1 green rows stand and
+    # all pass the local gate)
 ]
 
 
