@@ -138,13 +138,31 @@ def corpus_split(pages: DataFrame, corpus_type: str = "string") -> DataFrame:
     )
 
 
-def write_corpus(corpus: DataFrame, path: str, num_partitions: int | None = None) -> None:
+def write_corpus(
+    corpus: DataFrame,
+    path: str,
+    num_partitions: int | None = None,
+    fmt: str = "parquet",
+) -> None:
     """S4: publish sorted by doc_id so point fetches (S8) prune row
     groups — the parquet form of the MapFile's key index
-    (`CorpusSplitMapred.java:99-103`)."""
+    (`CorpusSplitMapred.java:99-103`). ``fmt`` may also be ``"orc"``:
+    both columnar formats carry min/max statistics per stripe/row
+    group, so the sorted layout gives the same pushed-down point-fetch
+    pruning (ORC is the drop-in for Hive-ecosystem consumers)."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported corpus format {fmt!r}")
     df = corpus
     if num_partitions:
         df = df.repartitionByRange(num_partitions, "doc_id")
     else:
         df = df.orderBy("doc_id")
-    df.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(path)
+    writer = df.sortWithinPartitions("doc_id").write.mode("overwrite")
+    getattr(writer, fmt)(path)
+
+
+def read_corpus(spark, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read a published corpus back (parquet or orc)."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported corpus format {fmt!r}")
+    return getattr(spark.read, fmt)(path)

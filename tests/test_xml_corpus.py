@@ -129,3 +129,22 @@ def test_strip_wiki_markup_cases(spark, markup, expect):
     df = spark.createDataFrame([(markup,)], "t STRING")
     got = df.select(strip_wiki_markup(F.col("t")).alias("s")).collect()[0].s
     assert got.strip() == expect
+
+
+def test_corpus_orc_roundtrip_and_point_fetch(spark, documents, tmp_path):
+    from hadoop_search_spark.plans.results import fetch_docs
+    from hadoop_search_spark.sources.xml_corpus import read_corpus, write_corpus
+
+    p = str(tmp_path / "corpus_orc")
+    write_corpus(documents.select("doc_id", "text"), p, fmt="orc")
+    back = read_corpus(spark, p, fmt="orc")
+    assert back.count() == documents.count()
+    got = {r.doc_id for r in fetch_docs(back, [3, 7]).collect()}
+    assert got == {3, 7}
+    plan = fetch_docs(back, [3, 7])._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "doc_id" in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_corpus(documents, p, fmt="avro")
