@@ -954,6 +954,52 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q12_ship_lag_priority",
+    oracle="""
+SELECT lag_bucket,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS low_line_count
+FROM (
+  SELECT o_orderpriority,
+         CASE WHEN l_shipdate < o_orderdate + INTERVAL 30 DAY THEN 'fast'
+              WHEN l_shipdate < o_orderdate + INTERVAL 90 DAY THEN 'normal'
+              ELSE 'slow' END AS lag_bucket
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey) t
+GROUP BY 1
+""",
+    note="TPC-H Q12 shape (adapted: no l_shipmode column — the category "
+    "is the ship-lag bucket): dual conditional counts per category, "
+    "integer-exact on both engines",
+)
+def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lag_bucket = (
+        F.when(
+            F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
+            "fast",
+        )
+        .when(
+            F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+            "normal",
+        )
+        .otherwise("slow")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(lag_bucket.alias("lag_bucket"), is_high.alias("hi"))
+        .groupBy("lag_bucket")
+        .agg(
+            F.sum(F.when(F.col("hi"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("hi"), 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
     "q16_supplier_variety",
     oracle="""
 SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
@@ -3753,6 +3799,7 @@ _DRIVER_FRONT = [
     "sim_cosine_topk",
     "dedup_ngram_jaccard",
     "events_rate_anomaly",
+    "q12_ship_lag_priority",
     # (c) r1-only rows (rotated out in r2) — refresh the ones that fit
     # under the cap so green rows don't age; the seven dropped to make
     # room for the new entries (q_semi_join, q_anti_join, q_rollup,
@@ -3760,7 +3807,6 @@ _DRIVER_FRONT = [
     # unchanged since their r1 green rows and pass the local gate
     "q1_pricing_summary",
     "q6_forecast_revenue",
-    "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q_window_topk",
     "wc_top100",
@@ -3772,9 +3818,10 @@ _DRIVER_FRONT = [
     # it replaces a (c) row HERE, never lands behind the cap
     # (text_pii_scrub, text_fingerprint, text_token_count,
     # dedup_simhash_pairs, text_script_counts, text_quality,
-    # dedup_simhash, text_lang_id and dedup_clusters dropped to the
-    # tail for the round-3 additions; their r1 green rows stand and
-    # all pass the local gate)
+    # dedup_simhash, text_lang_id, dedup_clusters and
+    # q3_shipping_priority dropped to the tail for the round-3
+    # additions; their r1 green rows stand and all pass the local
+    # gate)
 ]
 
 
