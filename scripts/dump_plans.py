@@ -111,6 +111,13 @@ COMMENTARY = {
         "naive formulation — one global ORDER BY window — would put "
         "every doc through one partition."
     ),
+    "events_rate_anomaly": (
+        "Float-free anomaly detection: hourly counts aggregate once, "
+        "one value-RANGE window per event type computes trailing "
+        "count/sum/sum-of-squares in DECIMAL, and the 3-sigma test is "
+        "the cross-multiplied predicate (n*x-s)^2 > 9(n*ss-s^2) — no "
+        "mean, variance, sqrt, or division in the plan at all."
+    ),
     "text_surprisal": (
         "Corpus-trained unigram LM scoring: vocabulary counts are one "
         "token-keyed shuffle, the 1-row corpus total broadcast "
