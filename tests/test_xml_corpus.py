@@ -139,12 +139,10 @@ def test_corpus_orc_roundtrip_and_point_fetch(spark, documents, tmp_path):
     write_corpus(documents.select("doc_id", "text"), p, fmt="orc")
     back = read_corpus(spark, p, fmt="orc")
     assert back.count() == documents.count()
-    got = {r.doc_id for r in fetch_docs(back, [3, 7]).collect()}
-    assert got == {3, 7}
-    plan = fetch_docs(back, [3, 7])._jdf.queryExecution().executedPlan().toString()
+    fetched = fetch_docs(back, [3, 7])
+    assert {r.doc_id for r in fetched.collect()} == {3, 7}
+    plan = fetched._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "doc_id" in plan
 
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         write_corpus(documents, p, fmt="avro")
