@@ -3001,6 +3001,37 @@ def mix_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_shuffle_shard",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id,
+       CAST(h % 8 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+            AS BIGINT) AS pos,
+       n_tokens,
+       CAST(sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_tokens
+FROM t
+""",
+    note="deterministic shuffle+shard training-data export: shard and "
+    "within-shard order are both pure functions of md5(doc_id) (the "
+    "shared cross-engine hash recipe), so the shard manifest is "
+    "reproducible across runs/engines/partitionings; one shuffle — "
+    "rank and running-token windows share the shard partition",
+)
+def mix_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.mixing import shuffle_shard
+
+    return shuffle_shard(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
+@register(
     "doc_chunks",
     oracle="""
 WITH toks AS (
@@ -3805,6 +3836,9 @@ _DRIVER_FRONT = [
     # room for the new entries (q_semi_join, q_anti_join, q_rollup,
     # q_distinct_agg, q_case_pivot, q_point_lookup, q_pagination) are
     # unchanged since their r1 green rows and pass the local gate
+    # (b continued) NEW in the post-verdict round-3 session — per the
+    # same-round front-loading rule, each replaces a (c) row below
+    "mix_shuffle_shard",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "q5_local_supplier_volume",
@@ -3813,9 +3847,10 @@ _DRIVER_FRONT = [
     "doc_count",
     "postings_tf",
     "postings_tfidf",
-    "dedup_exact",
     # 0 spare slots — if another entry is added or changed this round,
     # it replaces a (c) row HERE, never lands behind the cap
+    # (dedup_exact dropped to the tail for mix_shuffle_shard; its r1
+    # green row stands and it passes the local gate)
     # (text_pii_scrub, text_fingerprint, text_token_count,
     # dedup_simhash_pairs, text_script_counts, text_quality,
     # dedup_simhash, text_lang_id, dedup_clusters and

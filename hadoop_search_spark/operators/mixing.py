@@ -242,3 +242,54 @@ def chunk_documents(
         .alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def shuffle_shard(
+    docs: DataFrame,
+    n_shards: int = 8,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the training-data
+    EXPORT step: every doc gets a shard, a position within the shard,
+    and a running token total → ``(doc_id, shard, pos, n_tokens,
+    cum_tokens)``. ``partitionBy("shard") + sortWithinPartitions(pos)``
+    on this frame writes the final shard files.
+
+    Shard assignment and within-shard order are both pure functions
+    of the row's own key (the shared cross-engine :func:`md5_int`
+    recipe), so the "shuffle" is reproducible across runs, engines,
+    and partition layouts — rerunning the export after adding docs
+    moves only the new docs' shards, and two pipelines hashing the
+    same corpus produce byte-identical shard manifests. The hash
+    order is what makes this a shuffle at all: within a shard, docs
+    appear in md5 order, i.e. decorrelated from ingest order — the
+    property pretraining batches need.
+
+    Scale shape: ONE shuffle (the window's partition by shard);
+    within-shard rank and running-token windows share that partition
+    and sort, so Spark evaluates both in a single window stage. No
+    global ordering anywhere — at 10^10 docs each shard sorts
+    independently in parallel. ``cum_tokens`` doubles as the shard
+    manifest: its per-shard max is the shard's token size, read off
+    the last row without another aggregate.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    h = md5_int(F.col(key_col).cast("string"), 12)
+    d = docs.select(
+        "doc_id",
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        h.alias("_h"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return d.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "n_tokens",
+        F.sum("n_tokens").over(run).alias("cum_tokens"),
+    )

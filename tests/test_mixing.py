@@ -180,3 +180,42 @@ def test_chunk_documents_covers_and_overlaps(spark):
     got = sorted(chunk_documents(df2, chunk_len=4, stride=3).collect(),
                  key=lambda r: r.chunk_id)
     assert [(r.start_tok, r.n_tokens) for r in got] == [(0, 4), (3, 4), (6, 3)]
+
+
+def test_shuffle_shard_deterministic_partition_and_manifest(spark):
+    import pytest
+
+    from hadoop_search_spark.operators.mixing import shuffle_shard
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (1 + i % 5))) for i in range(300)],
+        "doc_id LONG, text STRING",
+    )
+    out = shuffle_shard(docs, n_shards=4).collect()
+    # every doc exactly once; (shard, pos) is a dense unique key
+    assert len(out) == 300
+    assert len({r.doc_id for r in out}) == 300
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+        # cum_tokens is the running sum in pos order; its last value
+        # is the shard's manifest size
+        running = 0
+        for r in rows:
+            running += r.n_tokens
+            assert r.cum_tokens == running
+    # the "shuffle": within-shard order is decorrelated from doc_id
+    # ingest order in every shard
+    assert all(
+        [r.doc_id for r in rows] != sorted(r.doc_id for r in rows)
+        for rows in by_shard.values()
+    )
+    # deterministic across partitionings (the df.sample failure mode)
+    again = shuffle_shard(docs.repartition(13), n_shards=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    with pytest.raises(ValueError):
+        shuffle_shard(docs, n_shards=0)
