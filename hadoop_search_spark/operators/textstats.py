@@ -8,6 +8,7 @@ wraps silently, DuckDB promotes — overflow would diverge)."""
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -450,3 +451,129 @@ def bpe_train(
         )
         syms = syms.withColumn("syms", fuse).localCheckpoint(eager=False)
     return merges, syms
+
+
+def bpe_encode(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """Apply a trained BPE merge list (the model from
+    :func:`bpe_train`) to the corpus → ``(doc_id, n_words, n_tokens,
+    encoded)`` with ``encoded`` the space-joined symbol stream and
+    ``n_tokens`` its length. Completes the tokenizer lifecycle:
+    ``bpe_pair_counts`` (candidates) → ``bpe_train`` (model) →
+    ``bpe_encode`` (application).
+
+    Merges are applied in rank order, each greedily left-to-right
+    with the fused symbol blocking overlap ("aaa" + (a,a) → [aa, a])
+    — exactly the fold :func:`bpe_train` uses, so encoding the
+    training corpus reproduces the final training symbol table.
+    Applying ranks sequentially equals the classic lowest-rank-first
+    iteration: merging rank r never creates an adjacency of two
+    pre-r symbols (merges only grow symbols), so earlier ranks never
+    become applicable again.
+
+    Scale shape: the model applies to the DISTINCT word table, not
+    the token stream — Zipf makes the vocabulary orders smaller than
+    the corpus, so the one Arrow-batched pandas UDF (with an LRU for
+    the in-batch repeats) touches millions of rows where the corpus
+    has trillions of tokens. The encoded words then equi-join back to
+    the positional word stream (plain shuffle join on the word — at
+    100 TB both sides are huge but the join is 1:N on a well-spread
+    key) and per-doc reassembly is one groupBy with an order-
+    restoring array_sort, all JVM-side.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    merge_list = [(str(x), str(y)) for x, y in merges]
+
+    @pandas_udf("array<string>")
+    def enc(ws: pd.Series) -> pd.Series:
+        from functools import lru_cache
+
+        @lru_cache(maxsize=1 << 16)
+        def one(word: str) -> tuple[str, ...]:
+            syms = list(word)
+            for x, y in merge_list:
+                out: list[str] = []
+                for s in syms:
+                    if out and out[-1] == x and s == y:
+                        out[-1] = x + y
+                    else:
+                        out.append(s)
+                syms = out
+            return tuple(syms)
+
+        return ws.map(lambda w: list(one(w)))
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    words = docs.select("doc_id", F.posexplode(toks).alias("pos", "w"))
+    table = words.select("w").distinct().select("w", enc("w").alias("syms"))
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "syms")))
+    flat = F.flatten(F.transform(ordered, lambda s: s["syms"]))
+    return (
+        words.join(table, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.size(flat).cast("bigint").alias("n_tokens"),
+            F.concat_ws(" ", flat).alias("encoded"),
+        )
+        .select("doc_id", "n_words", "n_tokens", "encoded")
+    )
+
+
+def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-trained bigram-LM scoring (the CCNet-style perplexity
+    quality filter, one conditioning level up from
+    :func:`unigram_surprisal`): every doc scored by the surprisal of
+    its token stream under P(tok | prev) estimated from the corpus
+    itself → ``(doc_id, n_bigrams, total_surprisal,
+    mean_surprisal)``. Docs with fewer than two tokens drop out (no
+    bigram to score). Per-bigram surprisal is quantized to
+    DECIMAL(18,6) BEFORE the per-doc sum (the cross-engine rule:
+    decimal aggregation is exact and order-independent); log10 is
+    the engine-safe log.
+
+    Scoring the training corpus with its own MLE counts means every
+    bigram has count >= 1 — no smoothing needed, probabilities never
+    zero. Context counts c(prev) are derived from the bigram table
+    itself (sum over continuations), not a second stream pass.
+
+    Scale shape: one map-only explode builds the bigram stream
+    (zip_with over the token array — no positional self-join), one
+    shuffle counts bigrams, the context sum reuses that aggregate,
+    and the stream then equi-joins the probability table on the
+    bigram key — the tf-idf df-join shape, linear at any corpus
+    size, no all-pairs anywhere.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("_t")).filter(F.size("_t") >= 2)
+    head = F.slice(F.col("_t"), 1, F.size("_t") - 1)
+    tail = F.slice(F.col("_t"), 2, F.size("_t") - 1)
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                head, tail, lambda a, b: F.struct(a.alias("prev"), b.alias("tok"))
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.prev", "bg.tok")
+    c2 = bigrams.groupBy("prev", "tok").agg(F.count("*").alias("n2"))
+    c1 = c2.groupBy("prev").agg(F.sum("n2").alias("n1"))
+    s6 = (
+        F.round(
+            -F.log10(F.col("n2").cast("double") / F.col("n1").cast("double")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("s6")
+    )
+    prob = c2.join(c1, "prev").select("prev", "tok", s6)
+    return (
+        bigrams.join(prob, ["prev", "tok"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("s6").cast("double").alias("total_surprisal"),
+            (F.sum("s6").cast("double") / F.count("*")).alias("mean_surprisal"),
+        )
+    )

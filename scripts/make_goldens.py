@@ -153,6 +153,50 @@ def golden_render_page(docs: list[tuple[int, str]]) -> list[tuple]:
     ]
 
 
+BPE_MERGES = 16  # must match the catalog entry's n_merges
+
+
+def _words(text: str) -> list[str]:
+    """BPE tokenization: plain space-split, lowered (the textstats
+    word contract — NOT the search tokenizer)."""
+    return [w for w in text.lower().split(" ") if w]
+
+
+def golden_bpe_encode(docs: list[tuple[int, str]]) -> list[tuple]:
+    """(doc_id, n_words, n_tokens, encoded): independent pure-Python
+    BPE — train BPE_MERGES merges on the corpus word counts (count
+    desc, pair-tuple asc ties), then apply them in rank order, each
+    left-to-right with the fused symbol blocking overlap."""
+    wc = Counter(w for _, t in docs for w in _words(t))
+    syms = {w: list(w) for w in wc}
+    merges: list[tuple[str, str]] = []
+    for _ in range(BPE_MERGES):
+        pc: Counter[tuple[str, str]] = Counter()
+        for w, c in wc.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        x, y = best
+        for w, s in syms.items():
+            out: list[str] = []
+            for tok in s:
+                if out and out[-1] == x and tok == y:
+                    out[-1] = x + y
+                else:
+                    out.append(tok)
+            syms[w] = out
+    rows = []
+    for doc_id, text in docs:
+        ws = _words(text)
+        enc = [t for w in ws for t in syms[w]]
+        rows.append((doc_id, len(ws), len(enc), " ".join(enc)))
+    return sorted(rows)
+
+
 def _spark_rows(sf_dir: str):
     """The real catalog entries' output, for the abort-on-divergence
     cross-check."""
@@ -168,7 +212,30 @@ def _spark_rows(sf_dir: str):
         (r.doc_id, r.score, r.snippet)
         for r in CATALOG["search_render_page"].fn(spark, sf_dir).collect()
     )
-    return stemmed, sorted(render)
+    bpe = sorted(
+        (r.doc_id, r.n_words, r.n_tokens, r.encoded)
+        for r in CATALOG["text_bpe_encode"].fn(spark, sf_dir).collect()
+    )
+    return stemmed, sorted(render), bpe
+
+
+def _write_golden(con, name: str, ddl_cols: str, rows: list[tuple]) -> None:
+    """Write tests/golden/<name>.parquet, SKIPPING the write when the
+    existing file already holds exactly these rows — regeneration
+    must not churn bytes of unchanged goldens."""
+    path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
+    if os.path.exists(path):
+        have = sorted(map(tuple, con.execute(
+            f"SELECT * FROM read_parquet('{path}')").fetchall()))
+        if have == sorted(rows):
+            print(f"unchanged: {path} ({len(rows)} rows)")
+            return
+    n_cols = ddl_cols.count(",") + 1
+    ph = ", ".join("?" * n_cols)
+    con.execute(f"CREATE OR REPLACE TABLE g_{name} ({ddl_cols})")
+    con.executemany(f"INSERT INTO g_{name} VALUES ({ph})", rows)
+    con.execute(f"COPY g_{name} TO '{path}' (FORMAT PARQUET)")
+    print(f"wrote {path} ({len(rows)} rows)")
 
 
 def main() -> int:
@@ -176,13 +243,15 @@ def main() -> int:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     stemmed_rows: list[tuple] = []
     render_rows: list[tuple] = []
+    bpe_rows: list[tuple] = []
     ok = True
     for sf_dir in SF_DIRS:
         docs = _load_docs(sf_dir)
         tag = sum(len(t.encode("utf-8")) for _, t in docs)
         stemmed = golden_stemmed_cnf(docs)
         render = golden_render_page(docs)
-        got_stemmed, got_render = _spark_rows(sf_dir)
+        bpe = golden_bpe_encode(docs)
+        got_stemmed, got_render, got_bpe = _spark_rows(sf_dir)
         if got_stemmed != stemmed:
             print(f"DIVERGENCE search_stemmed_cnf @ {sf_dir}")
             print("  golden:", stemmed[:3], "...")
@@ -196,9 +265,19 @@ def main() -> int:
                     print("  spark :", s)
                     break
             ok = False
+        if got_bpe != bpe:
+            print(f"DIVERGENCE text_bpe_encode @ {sf_dir}")
+            for g, s in zip(bpe, got_bpe):
+                if g != s:
+                    print("  golden:", g)
+                    print("  spark :", s)
+                    break
+            ok = False
         stemmed_rows += [(d, s, tag) for d, s in stemmed]
         render_rows += [(d, s, sn, tag) for d, s, sn in render]
-        print(f"{sf_dir}: stemmed={len(stemmed)} rows, render={len(render)} rows")
+        bpe_rows += [(d, nw, nt, e, tag) for d, nw, nt, e in bpe]
+        print(f"{sf_dir}: stemmed={len(stemmed)} rows, "
+              f"render={len(render)} rows, bpe={len(bpe)} rows")
     if not ok:
         print("ABORTING — goldens not written")
         return 1
@@ -206,25 +285,22 @@ def main() -> int:
         print("check-only: engine matches independent generation")
         return 0
     con = duckdb.connect()
-    con.execute(
-        "CREATE TABLE stemmed (doc_id BIGINT, score DOUBLE, corpus_bytes BIGINT)"
+    _write_golden(
+        con, "search_stemmed_cnf",
+        "doc_id BIGINT, score DOUBLE, corpus_bytes BIGINT", stemmed_rows,
     )
-    con.executemany("INSERT INTO stemmed VALUES (?, ?, ?)", stemmed_rows)
-    con.execute(
-        f"COPY stemmed TO '{GOLDEN_DIR}/search_stemmed_cnf.parquet' (FORMAT PARQUET)"
+    _write_golden(
+        con, "search_render_page",
+        "doc_id BIGINT, score DOUBLE, snippet VARCHAR, corpus_bytes BIGINT",
+        render_rows,
     )
-    con.execute(
-        "CREATE TABLE render (doc_id BIGINT, score DOUBLE, snippet VARCHAR, "
-        "corpus_bytes BIGINT)"
-    )
-    con.executemany("INSERT INTO render VALUES (?, ?, ?, ?)", render_rows)
-    con.execute(
-        f"COPY render TO '{GOLDEN_DIR}/search_render_page.parquet' (FORMAT PARQUET)"
+    _write_golden(
+        con, "text_bpe_encode",
+        "doc_id BIGINT, n_words BIGINT, n_tokens BIGINT, encoded VARCHAR, "
+        "corpus_bytes BIGINT",
+        bpe_rows,
     )
     con.close()
-    print(f"wrote {GOLDEN_DIR}/search_stemmed_cnf.parquet "
-          f"({len(stemmed_rows)} rows) and search_render_page.parquet "
-          f"({len(render_rows)} rows)")
     return 0
 
 

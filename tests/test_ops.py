@@ -672,3 +672,79 @@ def test_ivf_index_persist_and_serve(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(([^)]*)\)", plan)
     assert m, f"no literal cell IN partition filter in:\n{plan[:2000]}"
     assert len(m.group(1).split(",")) < 8  # fewer than all cells read
+
+
+def test_bpe_encode_matches_pure_python(spark):
+    import random
+    from collections import Counter
+
+    from hadoop_search_spark.operators.textstats import bpe_encode, bpe_train
+
+    rng = random.Random(29)
+    vocab = ["banana", "bandana", "cabana", "anna", "nab", "ban", "aaa"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 6))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    merges, _ = bpe_train(df, n_merges=6)
+
+    # independent sequential application, rank order, left-to-right
+    def py_encode(word):
+        syms = list(word)
+        for x, y in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == x and s == y:
+                    out[-1] = x + y
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    want = {}
+    for doc_id, text in rows:
+        ws = [w for w in text.split(" ") if w]
+        enc = [s for w in ws for s in py_encode(w)]
+        want[doc_id] = (len(ws), len(enc), " ".join(enc))
+
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.encoded)
+        for r in bpe_encode(df, merges).collect()
+    }
+    assert got == want
+    # lossless spelling: stripping the symbol boundaries recovers the text
+    for doc_id, text in rows:
+        assert got[doc_id][2].replace(" ", "") == text.replace(" ", "")
+    # the encoding actually compresses: some merge fired somewhere
+    assert any(
+        got[d][1] < sum(len(w) for w in t.split(" ") if w) for d, t in rows
+    )
+    # overlap blocking: "aaa" under merge (a,a) must be [aa, a], never [a, aa]
+    c = Counter(m for m in merges)
+    if ("a", "a") in c:
+        aaa = py_encode("aaa")
+        assert aaa[0].startswith("aa")
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    import math
+    from decimal import Decimal
+
+    from hadoop_search_spark.operators.textstats import bigram_surprisal
+
+    df = _docs(spark, [(1, "a b a b"), (2, "a b c"), (3, "x")])
+    # bigrams: doc1 (a,b) (b,a) (a,b); doc2 (a,b) (b,c)
+    # c2: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3 b=2
+    def s6(n2, n1):
+        return Decimal(str(round(-math.log10(n2 / n1), 6)))
+
+    t1 = float(s6(3, 3) + s6(1, 2) + s6(3, 3))
+    t2 = float(s6(3, 3) + s6(1, 2))
+    got = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+    # doc 3 has no bigram → absent
+    assert set(got) == {1, 2}
+    assert (got[1].n_bigrams, got[1].total_surprisal) == (3, t1)
+    assert got[1].mean_surprisal == t1 / 3
+    assert (got[2].n_bigrams, got[2].total_surprisal) == (2, t2)
+    assert got[2].mean_surprisal == t2 / 2
