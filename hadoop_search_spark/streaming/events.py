@@ -295,6 +295,108 @@ def funnel_stages(events: DataFrame) -> DataFrame:
     )
 
 
+RATE_ANOMALY_SCHEMA = (
+    "event_type STRING, hr BIGINT, cnt BIGINT, win_hours INT, "
+    "expected DOUBLE, is_anomaly BOOLEAN"
+)
+_RATE_STATE_SCHEMA = "counts STRING"  # JSON {hr: cnt}, <= 26 entries
+_RATE_TRAIL = 24  # trailing window hours (current hour excluded)
+_RATE_MIN_HOURS = 8
+
+
+def _rate_anomaly_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-type hourly spike detector: state is the trailing hour →
+    count map (bounded at 26 entries), the 3-sigma test is the same
+    cross-multiplied integer predicate the batch entry uses — Python
+    ints are exact at any magnitude, so the decision is engine-exact.
+    """
+    import json
+
+    if state.hasTimedOut:
+        state.remove()
+        return
+    counts: dict[int, int] = (
+        {int(k): int(v) for k, v in json.loads(state.get[0]).items()}
+        if state.exists
+        else {}
+    )
+    touched: set[int] = set()
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        hrs = (pdf["ts"].astype("int64") // 1_000) // 3_600_000_000
+        for h, c in hrs.value_counts().items():
+            h = int(h)
+            counts[h] = counts.get(h, 0) + int(c)
+            touched.add(h)
+    if not counts:
+        return
+    # judge BEFORE pruning: a batch can span many hours for a sparse
+    # type, and the early touched hours still deserve their (complete,
+    # in-state) trailing windows; only the PERSISTED state is pruned
+    # to the trailing horizon
+    rows = []
+    for h in sorted(touched):
+        trail = [c for hh, c in counts.items() if h - _RATE_TRAIL <= hh <= h - 1]
+        n, cnt = len(trail), counts[h]
+        s, ss = sum(trail), sum(c * c for c in trail)
+        dev = n * cnt - s
+        is_anom = (
+            n >= _RATE_MIN_HOURS and dev > 0 and dev * dev > 9 * (n * ss - s * s)
+        )
+        rows.append(
+            (key[0], h, cnt, n, (float(s) / n) if n else None, is_anom)
+        )
+    keep_from = max(counts) - (_RATE_TRAIL + 1)
+    counts = {h: c for h, c in counts.items() if h >= keep_from}
+    state.update((json.dumps({str(h): c for h, c in counts.items()}),))
+    if rows:
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "hr", "cnt", "win_hours", "expected", "is_anomaly",
+            ],
+        )
+
+
+def rate_anomalies(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_rate_anomaly`` entry:
+    per-type hourly rate spike detection (3-sigma over the trailing
+    24 nonempty hours, current hour excluded) as a custom stateful
+    operator (``applyInPandasWithState``, update mode). Each batch
+    re-emits the decision row for every hour it touched; ``cnt`` is
+    strictly increasing per (type, hr) emission, so the final
+    decision is the max-cnt row — no sink-order assumption.
+
+    Replay contract (same as :func:`funnel_stages`): events replay in
+    approximately event-time order — an hour's trailing window must
+    be complete when the hour's last event arrives, which holds for
+    time-ordered file replay / a time-partitioned topic. State is one
+    bounded hour→count map per event type (<= 26 entries), pruned to
+    the trailing horizon AFTER judging the batch's touched hours —
+    O(1) per type regardless of stream length. A straggler arriving
+    from far behind the pruned horizon would be judged against a
+    truncated window — the contract violation the replay ordering
+    rules out.
+
+    Stream/batch equivalence under the contract is pinned by
+    ``tests/test_streaming.py``."""
+    return (
+        events.groupBy("event_type")
+        .applyInPandasWithState(
+            _rate_anomaly_fn,
+            outputStructType=RATE_ANOMALY_SCHEMA,
+            stateStructType=_RATE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a bounded stream to completion into an in-memory table;
     returns the started-and-stopped query. For tests/smoke."""

@@ -157,6 +157,28 @@ def main() -> int:
 
     stage("doc_chunks", chunking_stage)
 
+    def shuffle_shard_stage():
+        from hadoop_search_spark.operators.mixing import shuffle_shard
+
+        return shuffle_shard(docs, n_shards=64).count()
+
+    stage("shuffle_shard", shuffle_shard_stage)
+
+    def bigram_stage():
+        from hadoop_search_spark.operators.textstats import bigram_surprisal
+
+        return bigram_surprisal(docs).count()
+
+    stage("bigram_surprisal", bigram_stage)
+
+    def bpe_encode_stage():
+        from hadoop_search_spark.operators.textstats import bpe_encode, bpe_train
+
+        merges, _ = bpe_train(docs, n_merges=16)
+        return bpe_encode(docs, merges).count()
+
+    stage("bpe_encode_16_merges", bpe_encode_stage)
+
     print(json.dumps(timings))
     spark.stop()
     return 0

@@ -297,3 +297,75 @@ def test_streaming_funnel_equals_batch(spark, tmp_path, sf_dir):
 
     want = {r.user_id: r.stage for r in funnel_user_stages(ev).collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_rate_anomalies_equal_batch(spark, tmp_path):
+    """The stateful streaming spike detector must agree with the batch
+    events_rate_anomaly entry when events replay in event-time order
+    (the operator's documented contract): split the fixture into three
+    time-ordered files, take the max-cnt (= final) decision per
+    (type, hr), and compare the anomaly set and its stats."""
+    import os
+
+    from hadoop_search_spark.sources.tables import read_events
+    from hadoop_search_spark.streaming.events import rate_anomalies, run_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_events(spark, SF).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    bounds = ev.selectExpr(
+        "percentile(unix_micros(ts), 0.33) AS a",
+        "percentile(unix_micros(ts), 0.66) AS b",
+    ).collect()[0]
+    d = str(tmp_path / "rate_events")
+    os.makedirs(d)
+    parts = [
+        ev.filter(F.unix_micros("ts") <= bounds.a),
+        ev.filter(
+            (F.unix_micros("ts") > bounds.a) & (F.unix_micros("ts") <= bounds.b)
+        ),
+        ev.filter(F.unix_micros("ts") > bounds.b),
+    ]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(f"{d}/batch={i}")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("latestFirst", "false")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/batch=*")
+    )
+    run_to_memory(rate_anomalies(stream), "rate_out", "update")
+    # final decision per (type, hr) = the max-cnt emission (cnt is
+    # strictly increasing per re-emission; no sink-order assumption)
+    got = {
+        (r.event_type, r.hr): (r.cnt, r.win_hours, r.expected)
+        for r in spark.sql(
+            """SELECT event_type, hr, cnt, win_hours, expected, is_anomaly
+               FROM (SELECT *, row_number() OVER (
+                       PARTITION BY event_type, hr ORDER BY cnt DESC) AS rn
+                     FROM rate_out) WHERE rn = 1"""
+        ).collect()
+        if r.is_anomaly
+    }
+    from hadoop_search_spark.catalog import CATALOG
+
+    want = {
+        (r.event_type, r.hr): (r.cnt, r.win_hours, r.expected)
+        for r in CATALOG["events_rate_anomaly"].fn(spark, SF).collect()
+    }
+    assert got == want
+    # every batch-judged (type, hr) must have a streamed decision row
+    n_hours = (
+        ev.select("event_type", F.expr("unix_micros(ts) div 3600000000"))
+        .distinct()
+        .count()
+    )
+    n_decided = spark.sql(
+        "SELECT count(DISTINCT event_type, hr) AS n FROM rate_out"
+    ).collect()[0].n
+    assert n_decided == n_hours
