@@ -3098,6 +3098,62 @@ def mix_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_apply_changes",
+    oracle="""
+WITH kept AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  WHERE doc_id % 17 <> 0 AND doc_id % 11 <> 0),
+ups AS (
+  SELECT doc_id, upper(text) AS text, lang, source, n_chars FROM documents
+  WHERE doc_id % 11 = 0 AND doc_id % 17 <> 0),
+ins AS (
+  SELECT doc_id + 10000000 AS doc_id, text, lang,
+         'ingest' AS source, n_chars
+  FROM documents WHERE doc_id % 13 = 0)
+SELECT * FROM kept
+UNION ALL SELECT * FROM ups
+UNION ALL SELECT * FROM ins
+""",
+    note="lakehouse MERGE without a table format: one left-anti join "
+    "drops deleted AND to-be-replaced keys in the same pass, upsert "
+    "payloads union in — the corpus shuffles once; deterministic "
+    "change set (17-mult deletes, 11-mult text upserts, 13-mult "
+    "inserts under shifted keys) makes the merge exactly SQL-checkable; "
+    "the partition-pruned disk path is operators/maintenance.py:"
+    "merge_publish (dynamic partition overwrite, pytest-pinned)",
+)
+def corpus_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.maintenance import apply_changes
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    dels = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.lit("delete").alias("op"), *docs.columns
+    )
+    ups = docs.filter(
+        (F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 17 != 0)
+    ).select(
+        F.lit("upsert").alias("op"),
+        "doc_id",
+        F.upper("text").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    ins = docs.filter(F.col("doc_id") % 13 == 0).select(
+        F.lit("upsert").alias("op"),
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("ingest").alias("source"),
+        "n_chars",
+    )
+    changes = dels.unionByName(ups).unionByName(ins)
+    return apply_changes(docs, changes)
+
+
+@register(
     "doc_chunks",
     oracle="""
 WITH toks AS (
@@ -3907,18 +3963,17 @@ _DRIVER_FRONT = [
     "mix_shuffle_shard",
     "text_bpe_encode",
     "text_bigram_surprisal",
+    "corpus_apply_changes",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "q5_local_supplier_volume",
     "wc_top100",
     "doc_count",
-    "postings_tf",
     # 0 spare slots — if another entry is added or changed this round,
     # it replaces a (c) row HERE, never lands behind the cap
-    # (dedup_exact, postings_tfidf and q_window_topk dropped to the
-    # tail for mix_shuffle_shard / text_bpe_encode /
-    # text_bigram_surprisal; their r1 green rows stand and they pass
-    # the local gate)
+    # (dedup_exact, postings_tfidf, q_window_topk and postings_tf
+    # dropped to the tail for the four post-verdict round-3 additions;
+    # their r1 green rows stand and they pass the local gate)
     # (text_pii_scrub, text_fingerprint, text_token_count,
     # dedup_simhash_pairs, text_script_counts, text_quality,
     # dedup_simhash, text_lang_id, dedup_clusters and

@@ -20,6 +20,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
@@ -64,3 +65,95 @@ def compact(
         out = df.repartition(n)
     out.write.mode("overwrite").parquet(dst)
     return n, spark.read.parquet(dst)
+
+
+def apply_changes(
+    corpus: DataFrame, changes: DataFrame, op_col: str = "op", key: str = "doc_id"
+) -> DataFrame:
+    """MERGE a change set into a corpus snapshot (the lakehouse
+    upsert/delete concern, without a table format): ``changes`` rows
+    carry ``op`` ∈ {'upsert', 'delete'} plus the full corpus schema;
+    the result is the corpus with deleted keys removed, upserted keys
+    replaced, and new upserted keys inserted.
+
+    Plan shape: ONE left-anti shuffle join of the corpus against the
+    change keys (drops both deletes and to-be-replaced rows in the
+    same pass) + a union of the upsert payloads — no full outer join,
+    no window, and the corpus is never shuffled twice. The change set
+    is usually ingest-sized (millions) against a corpus of billions:
+    when it fits the broadcast threshold, AQE turns the anti join
+    into a broadcast hash join and the corpus scan is map-only.
+    """
+    ops = {r[0] for r in changes.select(op_col).distinct().collect()}
+    unknown = ops - {"upsert", "delete"}
+    if unknown:
+        raise ValueError(f"unknown ops in change set: {sorted(unknown)}")
+    payload_cols = [c for c in changes.columns if c != op_col]
+    survivors = corpus.join(changes.select(key), key, "left_anti")
+    upserts = changes.filter(F.col(op_col) == "upsert").select(*payload_cols)
+    return survivors.unionByName(upserts)
+
+
+def merge_publish(
+    spark: SparkSession,
+    corpus_path: str,
+    changes: DataFrame,
+    partition_col: str,
+    op_col: str = "op",
+    key: str = "doc_id",
+) -> list:
+    """Incremental MERGE into a hive-partitioned parquet corpus:
+    rewrite ONLY the partitions the change set touches, leaving the
+    rest of the dataset untouched on disk → returns the list of
+    partition values rewritten.
+
+    This is the 100 TB shape of :func:`apply_changes`: at scale the
+    snapshot-and-rewrite formulation re-writes the whole corpus for a
+    0.1% change set, while dynamic partition overwrite
+    (``partitionOverwriteMode=dynamic``) replaces exactly the
+    partitions present in the written frame. The read side prunes to
+    the affected partitions too (partition filter on
+    ``partition_col``), so the merge cost is proportional to the
+    touched data, not the corpus.
+
+    The change set must carry ``partition_col``; a changed row's
+    partition is assumed stable (moving a row between partitions is a
+    delete in one + an upsert in the other).
+    """
+    parts = [r[0] for r in changes.select(partition_col).distinct().collect()]
+    if not parts:
+        return []
+    corpus = spark.read.parquet(corpus_path).filter(
+        F.col(partition_col).isin(parts)
+    )
+    # localCheckpoint cuts the read-from-the-write-target lineage
+    # (Spark refuses a self-overwrite it can trace) and bounds the
+    # materialization to the touched partitions only
+    merged = apply_changes(corpus, changes, op_col=op_col, key=key).localCheckpoint()
+    saved_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            corpus_path
+        )
+    finally:
+        if saved_mode is not None:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", saved_mode
+            )
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # frame — a partition whose every row was deleted writes nothing
+    # and would keep its stale files; drop those directories explicitly
+    live = {
+        r[0] for r in merged.select(partition_col).distinct().collect()
+    }
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for p in set(parts) - live:
+        dir_path = jvm.org.apache.hadoop.fs.Path(
+            f"{corpus_path}/{partition_col}={p}"
+        )
+        fs = dir_path.getFileSystem(conf)
+        if fs.exists(dir_path):
+            fs.delete(dir_path, True)
+    return sorted(parts)

@@ -126,6 +126,31 @@ COMMENTARY = {
         "Surprisal is quantized to DECIMAL(18,6) pre-sum, so the "
         "aggregate is order-independent."
     ),
+    "mix_shuffle_shard": (
+        "Deterministic shuffle+shard export: shard and within-shard "
+        "order are both md5(doc_id) functions, so the plan is a "
+        "map-only projection plus ONE exchange on shard — the rank and "
+        "running-token windows share the same partition and sort, one "
+        "window stage serves both."
+    ),
+    "text_bigram_surprisal": (
+        "Bigram-LM scoring: the bigram stream is a map-only zip_with "
+        "explode (no positional self-join), bigram counts are one "
+        "shuffle, the context sum reuses that aggregate (no second "
+        "stream pass), and the stream equi-joins the probability table "
+        "on the bigram key — the tf-idf df-join shape one conditioning "
+        "level up."
+    ),
+    "text_bpe_encode": (
+        "BPE model application: the trained merge list applies to the "
+        "DISTINCT word table through one ArrowEvalPython (the only "
+        "Python — vocabulary-sized, not corpus-sized), the encoded "
+        "words shuffle-join back to the positional word stream, and "
+        "per-doc reassembly is a single groupBy with an order-restoring "
+        "array_sort. The 16 training rounds ran as driver-side "
+        "fold-loop jobs before this plan was built (the model, like "
+        "k-means centroids)."
+    ),
 }
 
 
