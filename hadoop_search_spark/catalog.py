@@ -1358,6 +1358,52 @@ def dedup_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_rewrite",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents),
+nz AS (SELECT * FROM base WHERE len(t) > 0),
+sp AS (
+  SELECT doc_id, i, array_to_string(list_slice(t, i, i + 4), ' ') AS span
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        FROM nz WHERE len(t) >= 5) u),
+dup AS (
+  SELECT span FROM (SELECT span, count(DISTINCT doc_id) AS d FROM sp GROUP BY 1)
+  WHERE d >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT sp.doc_id, unnest(range(sp.i, sp.i + 5)) AS pos
+    FROM sp JOIN dup USING (span)) c),
+stream AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM nz),
+kept AS (
+  SELECT stream.doc_id, stream.pos, stream.tok
+  FROM stream ANTI JOIN cov USING (doc_id, pos)),
+ka AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id)
+SELECT nz.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(text_clean, '') AS text_clean
+FROM nz LEFT JOIN ka USING (doc_id)
+""",
+    note="substring-dedup REWRITE (the removal step downstream of "
+    "dedup_span_overlap's signal): tokens covered by any cross-doc "
+    "duplicated word-5-gram are dropped, survivors re-join in order; "
+    "covered positions are a distinct (doc,pos) set anti-joined "
+    "against the token stream — equi-joins on well-spread composite "
+    "keys, never all-pairs; fully-scrubbed docs keep a row with "
+    "empty text_clean",
+)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.dedup import span_rewrite
+
+    return span_rewrite(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_surprisal",
     oracle="""
 WITH toks AS (
@@ -4008,16 +4054,16 @@ _DRIVER_FRONT = [
     "text_bigram_surprisal",
     "corpus_apply_changes",
     "text_classifier_score",
+    "dedup_span_rewrite",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "q5_local_supplier_volume",
-    "wc_top100",
     # 0 spare slots — if another entry is added or changed this round,
     # it replaces a (c) row HERE, never lands behind the cap
-    # (dedup_exact, postings_tfidf, q_window_topk, postings_tf and
-    # doc_count dropped to the tail for the five post-verdict round-3
-    # additions; their r1 green rows stand and they pass the local
-    # gate)
+    # (dedup_exact, postings_tfidf, q_window_topk, postings_tf,
+    # doc_count and wc_top100 dropped to the tail for the six
+    # post-verdict round-3 additions; their r1 green rows stand and
+    # they pass the local gate)
     # (text_pii_scrub, text_fingerprint, text_token_count,
     # dedup_simhash_pairs, text_script_counts, text_quality,
     # dedup_simhash, text_lang_id, dedup_clusters and

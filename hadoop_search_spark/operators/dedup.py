@@ -88,9 +88,9 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def exploded_spans(
     docs: DataFrame, text_col: str = "text", n: int = SHINGLE_SIZE
 ) -> DataFrame:
-    """(doc_id, span): every word n-gram of every doc, in stream order
-    WITH multiplicity; docs with fewer than n tokens contribute no
-    rows.
+    """(doc_id, i, span): every word n-gram of every doc with its
+    1-based start index, in stream order WITH multiplicity; docs with
+    fewer than n tokens contribute no rows.
 
     Formulation note: this explodes the START-INDEX sequence and
     builds each n-gram with scalar ``element_at`` calls AFTER the
@@ -120,14 +120,14 @@ def exploded_spans(
     span = F.concat_ws(
         " ", *[F.element_at(F.col("_toks"), F.col("_i") + j) for j in range(n)]
     )
-    return idx.select("doc_id", span.alias("span"))
+    return idx.select("doc_id", F.col("_i").alias("i"), span.alias("span"))
 
 
 def word_shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_SIZE) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
     return (
         exploded_spans(docs, text_col, n)
-        .withColumnRenamed("span", "shingle")
+        .select("doc_id", F.col("span").alias("shingle"))
         .distinct()
     )
 
@@ -169,6 +169,73 @@ def span_overlap(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFra
         "n_shared_spans",
         (F.col("n_shared_spans").cast("double") / F.col("n_spans").cast("double"))
         .alias("shared_frac"),
+    )
+
+
+def span_rewrite(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+    """Substring-level dedup REWRITE (the removal step of Lee et al.'s
+    substring deduplication, downstream of :func:`span_overlap`'s
+    detection): every token covered by a cross-document duplicated
+    span (word n-gram occurring in >= 2 distinct docs) is removed, the
+    survivors re-join in order →
+    ``(doc_id, n_tokens, n_removed, text_clean)``.
+
+    Semantics: removal is CROSS-doc only — a span repeated within one
+    document but nowhere else is kept (within-doc repetition is
+    :func:`operators.textstats.repetition_features`' concern). Every
+    tokenizable doc gets a row, including fully-scrubbed ones
+    (``text_clean = ''``); docs shorter than n tokens have no spans
+    and pass through unchanged.
+
+    Scale shape: spans explode linearly; the duplicated-span set comes
+    from one (doc,span)-distinct aggregate + span-keyed count (the
+    span_overlap exchanges); covered positions explode from flagged
+    span starts and DISTINCT per (doc, pos); the token stream drops
+    covered positions with a left-anti join on (doc_id, pos) — an
+    equi-join on a well-spread composite key — and per-doc reassembly
+    is one groupBy with an order-restoring array_sort. No all-pairs,
+    nothing driver-side.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("_toks")).filter(F.size("_toks") > 0)
+    stream = base.select(
+        "doc_id", F.posexplode("_toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    spans = exploded_spans(docs, text_col, n)
+    dup = (
+        spans.select("doc_id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d") >= 2)
+        .select("span")
+    )
+    covered = (
+        spans.join(dup, "span")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    kept = stream.join(covered, ["doc_id", "pos"], "left_anti")
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "tok")))
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(" ", F.transform(ordered, lambda s: s["tok"])).alias(
+            "text_clean"
+        ),
+    )
+    counts = base.select("doc_id", F.size("_toks").cast("bigint").alias("n_tokens"))
+    return counts.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
     )
 
 

@@ -748,3 +748,31 @@ def test_bigram_surprisal_hand_computed(spark):
     assert got[1].mean_surprisal == t1 / 3
     assert (got[2].n_bigrams, got[2].total_surprisal) == (2, t2)
     assert got[2].mean_surprisal == t2 / 2
+
+
+def test_span_rewrite_hand_computed(spark):
+    from hadoop_search_spark.operators.dedup import span_rewrite
+
+    shared = "a b c d e"  # the only cross-doc duplicated 5-gram
+    df = _docs(
+        spark,
+        [
+            (1, f"x y {shared} z"),       # 8 toks; positions 3-7 covered
+            (2, f"{shared}"),             # fully scrubbed
+            (3, "p q r s t u"),           # unique spans -> untouched
+            (4, "short doc"),             # < 5 tokens: no spans
+        ],
+    )
+    got = {r.doc_id: r for r in span_rewrite(df, n=5).collect()}
+    assert (got[1].n_tokens, got[1].n_removed, got[1].text_clean) == (8, 5, "x y z")
+    assert (got[2].n_tokens, got[2].n_removed, got[2].text_clean) == (5, 5, "")
+    assert (got[3].n_tokens, got[3].n_removed, got[3].text_clean) == (
+        6, 0, "p q r s t u",
+    )
+    assert (got[4].n_tokens, got[4].n_removed, got[4].text_clean) == (
+        2, 0, "short doc",
+    )
+    # within-doc-only repetition is NOT removed (cross-doc semantics)
+    df2 = _docs(spark, [(1, "m n o p q m n o p q"), (2, "z z z z z z")])
+    got2 = {r.doc_id: r for r in span_rewrite(df2, n=5).collect()}
+    assert got2[1].n_removed == 0 and got2[2].n_removed == 0
