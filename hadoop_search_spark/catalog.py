@@ -3196,8 +3196,10 @@ ups AS (
   SELECT doc_id, upper(text) AS text, lang, source, n_chars FROM documents
   WHERE doc_id % 11 = 0 AND doc_id % 17 <> 0),
 ins AS (
-  SELECT doc_id + 10000000 AS doc_id, text, lang,
-         'ingest' AS source, n_chars
+  -- offset = max(doc_id)+1: shifted keys can never collide with a
+  -- live corpus key at ANY scale factor
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+         text, lang, 'ingest' AS source, n_chars
   FROM documents WHERE doc_id % 13 = 0)
 SELECT * FROM kept
 UNION ALL SELECT * FROM ups
@@ -3230,13 +3232,18 @@ def corpus_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
     )
-    ins = docs.filter(F.col("doc_id") % 13 == 0).select(
-        F.lit("upsert").alias("op"),
-        (F.col("doc_id") + 10000000).alias("doc_id"),
-        "text",
-        "lang",
-        F.lit("ingest").alias("source"),
-        "n_chars",
+    off = docs.agg((F.max("doc_id") + 1).alias("_off"))
+    ins = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            F.lit("upsert").alias("op"),
+            (F.col("doc_id") + F.col("_off")).alias("doc_id"),
+            "text",
+            "lang",
+            F.lit("ingest").alias("source"),
+            "n_chars",
+        )
     )
     changes = dels.unionByName(ups).unionByName(ins)
     return apply_changes(docs, changes)

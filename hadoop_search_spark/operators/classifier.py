@@ -138,17 +138,23 @@ def train_logreg(
             doc_margins(data.select("doc_id", "f", "cnt"), wdf, b)
             .join(labels, "doc_id")
             .select("doc_id", (_sigmoid(F.col("margin")) - F.col("y")).alias("err"))
+            .persist()
         )
-        joined = data.join(errs, "doc_id")
-        grad = (
-            joined.select("f", _q12(F.col("err") * F.col("cnt")).alias("g"))
-            .groupBy("f")
-            .agg(F.sum("g").cast("double").alias("gf"))
-            .collect()
-        )
-        gb = errs.select(_q12(F.col("err")).alias("g")).agg(
-            F.sum("g").cast("double").alias("gb")
-        ).collect()[0].gb
+        try:
+            joined = data.join(errs, "doc_id")
+            grad = (
+                joined.select("f", _q12(F.col("err") * F.col("cnt")).alias("g"))
+                .groupBy("f")
+                .agg(F.sum("g").cast("double").alias("gf"))
+                .collect()
+            )
+            # second action over errs reads the persisted doc-sized
+            # frame, not a re-run of the margin pipeline
+            gb = errs.select(_q12(F.col("err")).alias("g")).agg(
+                F.sum("g").cast("double").alias("gb")
+            ).collect()[0].gb
+        finally:
+            errs.unpersist()
         for r in grad:
             w[r.f] = w.get(r.f, 0.0) - lr * r.gf / n
         b = b - lr * float(gb) / n
@@ -182,18 +188,17 @@ def score_margin(
         .groupBy("f")
         .agg(F.sum("w").alias("w"))
     )
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
-        ).alias("tok"),
-    ).select("doc_id", hash_bucket(F.col("tok"), dim).alias("f"))
+    # the ONE canonical featurization path — scoring must bucket
+    # exactly as training does
+    feats = hashed_features(docs, dim=dim, text_col=text_col)
     return (
-        toks.join(F.broadcast(wtab), "f")
+        feats.join(F.broadcast(wtab), "f")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_hits"),
-            (F.lit(int(bias)) + F.sum("w")).cast("bigint").alias("margin"),
+            F.sum("cnt").cast("bigint").alias("n_hits"),
+            (F.lit(int(bias)) + F.sum(F.col("w") * F.col("cnt")))
+            .cast("bigint")
+            .alias("margin"),
         )
         .select(
             "doc_id", "n_hits", "margin", (F.col("margin") > 0).alias("pred")

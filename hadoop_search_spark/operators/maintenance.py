@@ -83,14 +83,23 @@ def apply_changes(
     is usually ingest-sized (millions) against a corpus of billions:
     when it fits the broadcast threshold, AQE turns the anti join
     into a broadcast hash join and the corpus scan is map-only.
+
+    Unknown ``op`` values fail at execution time via a lazy guard
+    folded into the anti-join key (an eager driver-side validation
+    would cost a full change-set scan at plan-construction time, and
+    a guard on a separate column would be pruned away).
     """
-    ops = {r[0] for r in changes.select(op_col).distinct().collect()}
-    unknown = ops - {"upsert", "delete"}
-    if unknown:
-        raise ValueError(f"unknown ops in change set: {sorted(unknown)}")
     payload_cols = [c for c in changes.columns if c != op_col]
-    survivors = corpus.join(changes.select(key), key, "left_anti")
-    upserts = changes.filter(F.col(op_col) == "upsert").select(*payload_cols)
+    op = F.col(op_col)
+    guarded_key = (
+        F.when(op.isin("upsert", "delete"), F.col(key))
+        .otherwise(
+            F.raise_error(F.concat(F.lit("unknown op in change set: "), op))
+        )
+        .alias(key)
+    )
+    survivors = corpus.join(changes.select(guarded_key), key, "left_anti")
+    upserts = changes.filter(op == "upsert").select(*payload_cols)
     return survivors.unionByName(upserts)
 
 
@@ -141,6 +150,11 @@ def merge_publish(
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", saved_mode
             )
+        else:
+            # get(..., None) returns None for a never-set conf; leaving
+            # 'dynamic' behind would silently turn later full-snapshot
+            # overwrites in this session into partial ones
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     # dynamic overwrite only replaces partitions PRESENT in the written
     # frame — a partition whose every row was deleted writes nothing
     # and would keep its stale files; drop those directories explicitly

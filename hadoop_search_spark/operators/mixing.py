@@ -279,15 +279,15 @@ def shuffle_shard(
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
     h = md5_int(F.col(key_col).cast("string"), 12)
     d = docs.select(
-        "doc_id",
+        key_col,
         F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
         h.alias("_h"),
         F.size(toks).cast("bigint").alias("n_tokens"),
     )
-    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return d.select(
-        "doc_id",
+        key_col,
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
         "n_tokens",

@@ -474,13 +474,15 @@ def bpe_encode(
 
     Scale shape: the model applies to the DISTINCT word table, not
     the token stream — Zipf makes the vocabulary orders smaller than
-    the corpus, so the one Arrow-batched pandas UDF (with an LRU for
-    the in-batch repeats) touches millions of rows where the corpus
-    has trillions of tokens. The encoded words then equi-join back to
-    the positional word stream (plain shuffle join on the word — at
-    100 TB both sides are huge but the join is 1:N on a well-spread
-    key) and per-doc reassembly is one groupBy with an order-
-    restoring array_sort, all JVM-side.
+    the corpus, so the one Arrow-batched pandas UDF touches millions
+    of rows where the corpus has trillions of tokens (no memo inside
+    the UDF: its input is already distinct, every lookup would miss).
+    The encoded words then equi-join back to the positional word
+    stream (plain shuffle join on the word — at 100 TB both sides
+    are huge but the join is 1:N on a well-spread key) and per-doc
+    reassembly is one groupBy with an order-restoring array_sort,
+    all JVM-side. Zero-token docs keep a row (0, 0, '') — the same
+    all-docs contract as the independent golden generator.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -488,10 +490,7 @@ def bpe_encode(
 
     @pandas_udf("array<string>")
     def enc(ws: pd.Series) -> pd.Series:
-        from functools import lru_cache
-
-        @lru_cache(maxsize=1 << 16)
-        def one(word: str) -> tuple[str, ...]:
+        def one(word: str) -> list[str]:
             syms = list(word)
             for x, y in merge_list:
                 out: list[str] = []
@@ -501,16 +500,16 @@ def bpe_encode(
                     else:
                         out.append(s)
                 syms = out
-            return tuple(syms)
+            return syms
 
-        return ws.map(lambda w: list(one(w)))
+        return ws.map(one)
 
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
     words = docs.select("doc_id", F.posexplode(toks).alias("pos", "w"))
     table = words.select("w").distinct().select("w", enc("w").alias("syms"))
     ordered = F.array_sort(F.collect_list(F.struct("pos", "syms")))
     flat = F.flatten(F.transform(ordered, lambda s: s["syms"]))
-    return (
+    enc_agg = (
         words.join(table, "w")
         .groupBy("doc_id")
         .agg(
@@ -518,7 +517,16 @@ def bpe_encode(
             F.size(flat).cast("bigint").alias("n_tokens"),
             F.concat_ws(" ", flat).alias("encoded"),
         )
-        .select("doc_id", "n_words", "n_tokens", "encoded")
+    )
+    return (
+        docs.select("doc_id")
+        .join(enc_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("encoded", F.lit("")).alias("encoded"),
+        )
     )
 
 

@@ -88,11 +88,14 @@ def test_apply_changes_merge_semantics(spark):
     assert got[8] == ("text 8", "src2")
     assert len(got) == 30 - 1 - 1 + 1 + 1  # -del -replaced +replacement +insert
 
-    with pytest.raises(ValueError):
-        bad = changes.withColumn(
-            "op", F.when(F.col("doc_id") == 3, "truncate").otherwise(F.col("op"))
-        )
-        apply_changes(corpus, bad)
+    # unknown ops fail lazily at execution (the guard rides the
+    # anti-join key), not at plan construction
+    bad = changes.withColumn(
+        "op", F.when(F.col("doc_id") == 3, "truncate").otherwise(F.col("op"))
+    )
+    merged = apply_changes(corpus, bad)  # plan builds fine
+    with pytest.raises(Exception, match="unknown op"):
+        merged.collect()
 
 
 def test_merge_publish_rewrites_only_touched_partitions(spark, tmp_path):
