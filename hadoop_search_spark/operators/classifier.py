@@ -65,11 +65,14 @@ def hashed_features(
 
 
 def _q12(col: F.Column) -> F.Column:
-    """The pre-sum quantization: round(HALF_UP, 12) → DECIMAL(28,12).
-    Spark's round on DOUBLE goes through BigDecimal.valueOf (shortest
-    decimal repr, HALF_UP) — reproduced exactly in Python by
-    Decimal(str(x)).quantize(1e-12, ROUND_HALF_UP)."""
-    return F.round(col, 12).cast("decimal(28,12)")
+    """The pre-sum quantization: a direct DOUBLE → DECIMAL(28,12)
+    cast. Spark's cast goes through BigDecimal.valueOf (shortest
+    decimal repr) then changePrecision(HALF_UP) — reproduced exactly
+    in Python by Decimal(str(x)).quantize(1e-12, ROUND_HALF_UP). (A
+    round(col, 12) BEFORE the cast would round to the nearest DOUBLE
+    first — a double-rounding that can land one quantum away from the
+    direct quantization.)"""
+    return col.cast("decimal(28,12)")
 
 
 def py_q12(x: float) -> Decimal:

@@ -555,3 +555,141 @@ def ivf_index_topk(
         F.col("vec_id") != F.col("query_id")
     )
     return _topk_per_query(pairs, k)
+
+
+# ------------------------------------------------------------- PCA
+
+PCA_SCALE = 10**9  # per-row integer quantization for exact moment sums
+
+
+def pca_moments(embeddings: DataFrame, vec_col: str = "embedding"):
+    """Distributed first/second moments of the embedding cloud,
+    EXACTLY: per row, each x_i·10^9 and each product x_i·x_j·10^9 is
+    rounded to an integer (numpy rint, vectorized); the integer
+    contributions sum in DECIMAL(38,0) — order-independent, so the
+    moments (and everything derived from them) are bit-identical
+    under any partitioning. Returns (n, s1[dim], s2[dim][dim]) as
+    Python ints at the 10^9 scale.
+
+    Scale shape: one ``mapInPandas`` pass emits per-BATCH partial
+    sums (dim + dim² + 1 rows per batch, not per input row) and one
+    tiny shuffle aggregates them — the classic partial-aggregate
+    moment computation; nothing corpus-sized leaves the executors.
+    Rounding error is bounded by 5·10⁻¹⁰ per covariance entry.
+    """
+    import numpy as np
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            s1 = np.rint(x * PCA_SCALE).sum(axis=0)
+            # per-row quantization of the outer product, then sum —
+            # chunked so the (rows, dim, dim) intermediate stays small
+            d = x.shape[1]
+            s2 = np.zeros((d, d))
+            for lo in range(0, len(x), 512):
+                c = x[lo : lo + 512]
+                s2 += np.rint(c[:, :, None] * c[:, None, :] * PCA_SCALE).sum(
+                    axis=0
+                )
+            import pandas as _pd
+
+            idx = [-1] + list(range(d)) + [1000 + i * d + j for i in range(d) for j in range(d)]
+            val = (
+                [str(len(x))]
+                + [str(int(v)) for v in s1]
+                + [str(int(v)) for v in s2.ravel()]
+            )
+            yield _pd.DataFrame({"idx": idx, "v": val})
+
+    sums = (
+        embeddings.select(vec_col)
+        .mapInPandas(partials, "idx LONG, v STRING")
+        .groupBy("idx")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    by_idx = {r.idx: int(r.s) for r in sums}
+    n = by_idx[-1]
+    dim = max(i for i in by_idx if 0 <= i < 1000) + 1
+    s1 = [by_idx[i] for i in range(dim)]
+    s2 = [[by_idx[1000 + i * dim + j] for j in range(dim)] for i in range(dim)]
+    return n, s1, s2
+
+
+def pca_train(
+    embeddings: DataFrame, k: int = 4, vec_col: str = "embedding"
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """PCA of the embedding cloud → (mean[dim], components[k][dim],
+    eigenvalues[k]) — the whitening/compaction model ANN pipelines
+    apply before indexing (IVF-PQ style). The moments come from
+    :func:`pca_moments` (exact, partitioning-invariant); the dim×dim
+    eigendecomposition runs driver-side on numpy (the model, like
+    k-means centroids — dim is 10²-10³, never data-sized). Component
+    signs are pinned (largest-|component| entry positive) so the
+    model is fully deterministic."""
+    import numpy as np
+
+    n, s1, s2 = pca_moments(embeddings, vec_col)
+    mean = np.array(s1, dtype=np.float64) / PCA_SCALE / n
+    e_xy = np.array(s2, dtype=np.float64) / PCA_SCALE / n
+    cov = e_xy - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for i in order:
+        v = vecs[:, i]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(c) for c in v])
+    return (
+        [float(m) for m in mean],
+        comps,
+        [float(vals[i]) for i in order],
+    )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project each embedding onto the PCA components →
+    ``(vec_id, p0..p{k-1})``, map-only with the model inlined as
+    literal arrays (broadcast-by-literal — k·dim doubles).
+
+    Each coordinate is Σ_i Q9((x_i − mean_i)·w_i) with each term cast
+    straight to DECIMAL(28,9) BEFORE the sum — the established
+    cross-engine/cross-impl determinism rule: the 64-term float dot
+    product is order-sensitive in the last ulp, the decimal sum is
+    not. The double→decimal cast (shortest repr, HALF_UP) is exactly
+    ``Decimal(str(x)).quantize(1e-9, HALF_UP)`` — the golden twin
+    reproduces it term-for-term in Python."""
+    mean_arr = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(
+        F.col(vec_col), mean_arr, lambda x, m: x.cast("double") - m
+    )
+    cols = [F.col(id_col)]
+    for j, comp in enumerate(components):
+        w = F.array(*[F.lit(float(c)) for c in comp])
+        terms = F.zip_with(
+            centered, w, lambda x, c: (x * c).cast("decimal(28,9)")
+        )
+        acc = F.aggregate(
+            terms,
+            F.lit(0).cast("decimal(28,9)"),
+            # accumulator precision is load-bearing: at (38,9) the
+            # addition's result type overflows precision 38 and Spark
+            # RESCALES to (38,8) — silently rounding the 9th decimal at
+            # every fold step. (28,9)+(28,9) → (29,9) is lossless; the
+            # cast back merely restores the accumulator type (same
+            # scale, no rounding; |sum| << 10^19)
+            lambda a, t: (a + t).cast("decimal(28,9)"),
+        )
+        cols.append(acc.cast("double").alias(f"p{j}"))
+    return embeddings.select(*cols)

@@ -197,6 +197,69 @@ def golden_bpe_encode(docs: list[tuple[int, str]]) -> list[tuple]:
     return sorted(rows)
 
 
+def _load_embeddings(sf_dir: str) -> list[tuple[int, list[float]]]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    return [(int(v), list(e)) for v, e in rows]
+
+
+def emb_fingerprint(embs: list[tuple[int, list[float]]]) -> int:
+    """Content fingerprint of the embeddings table: Σ floor(e[0]·10⁶)
+    — per-row integer quantization then exact integer sum, so the SQL
+    twin (floor on DOUBLE, BIGINT sum) matches bit-for-bit regardless
+    of summation order. (Row COUNT collides: sf0.001 and sf0.01 both
+    hold 500 vectors with different values.)"""
+    return sum(math.floor(e[0] * 1_000_000) for _, e in embs)
+
+
+PCA_K = 4
+
+
+def golden_pca_project(embs: list[tuple[int, list[float]]]) -> list[tuple]:
+    """(vec_id, p0..p3): independent pure-Python/numpy PCA — the
+    distributed moment sums re-done as per-row rint-quantized integer
+    sums, the same driver-side eigh/sign convention, and the
+    projection as HALF_UP-quantized decimal term sums (the exact
+    arithmetic contract of operators/similarity.py:pca_project)."""
+    import numpy as np
+
+    x = np.stack([e for _, e in embs]).astype(np.float64)
+    n, d = x.shape
+    s1 = np.rint(x * 10**9).sum(axis=0)
+    s2 = np.zeros((d, d))
+    for lo in range(0, n, 512):
+        c = x[lo : lo + 512]
+        s2 += np.rint(c[:, :, None] * c[:, None, :] * 10**9).sum(axis=0)
+    mean = s1 / 10**9 / n
+    cov = s2 / 10**9 / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:PCA_K]
+    comps = []
+    for i in order:
+        v = vecs[:, i]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("1e-9")
+    out = []
+    for vec_id, e in embs:
+        ps = []
+        for w in comps:
+            total = Decimal(0)
+            for xi, mi, wi in zip(e, mean, w):
+                t = (float(xi) - float(mi)) * float(wi)
+                total += Decimal(str(t)).quantize(q9, rounding=ROUND_HALF_UP)
+            ps.append(float(total))
+        out.append((vec_id, *ps))
+    return sorted(out)
+
+
 def _spark_rows(sf_dir: str):
     """The real catalog entries' output, for the abort-on-divergence
     cross-check."""
@@ -216,7 +279,11 @@ def _spark_rows(sf_dir: str):
         (r.doc_id, r.n_words, r.n_tokens, r.encoded)
         for r in CATALOG["text_bpe_encode"].fn(spark, sf_dir).collect()
     )
-    return stemmed, sorted(render), bpe
+    pca = sorted(
+        (r.vec_id, r.p0, r.p1, r.p2, r.p3)
+        for r in CATALOG["sim_pca_project"].fn(spark, sf_dir).collect()
+    )
+    return stemmed, sorted(render), bpe, pca
 
 
 def _write_golden(con, name: str, ddl_cols: str, rows: list[tuple]) -> None:
@@ -244,14 +311,18 @@ def main() -> int:
     stemmed_rows: list[tuple] = []
     render_rows: list[tuple] = []
     bpe_rows: list[tuple] = []
+    pca_rows: list[tuple] = []
     ok = True
     for sf_dir in SF_DIRS:
         docs = _load_docs(sf_dir)
+        embs = _load_embeddings(sf_dir)
         tag = sum(len(t.encode("utf-8")) for _, t in docs)
+        efp = emb_fingerprint(embs)
         stemmed = golden_stemmed_cnf(docs)
         render = golden_render_page(docs)
         bpe = golden_bpe_encode(docs)
-        got_stemmed, got_render, got_bpe = _spark_rows(sf_dir)
+        pca = golden_pca_project(embs)
+        got_stemmed, got_render, got_bpe, got_pca = _spark_rows(sf_dir)
         if got_stemmed != stemmed:
             print(f"DIVERGENCE search_stemmed_cnf @ {sf_dir}")
             print("  golden:", stemmed[:3], "...")
@@ -273,11 +344,21 @@ def main() -> int:
                     print("  spark :", s)
                     break
             ok = False
+        if got_pca != pca:
+            print(f"DIVERGENCE sim_pca_project @ {sf_dir}")
+            for g, s in zip(pca, got_pca):
+                if g != s:
+                    print("  golden:", g)
+                    print("  spark :", s)
+                    break
+            ok = False
         stemmed_rows += [(d, s, tag) for d, s in stemmed]
         render_rows += [(d, s, sn, tag) for d, s, sn in render]
         bpe_rows += [(d, nw, nt, e, tag) for d, nw, nt, e in bpe]
+        pca_rows += [(v, *ps, efp) for v, *ps in pca]
         print(f"{sf_dir}: stemmed={len(stemmed)} rows, "
-              f"render={len(render)} rows, bpe={len(bpe)} rows")
+              f"render={len(render)} rows, bpe={len(bpe)} rows, "
+              f"pca={len(pca)} rows (emb_fp={efp})")
     if not ok:
         print("ABORTING — goldens not written")
         return 1
@@ -299,6 +380,12 @@ def main() -> int:
         "doc_id BIGINT, n_words BIGINT, n_tokens BIGINT, encoded VARCHAR, "
         "corpus_bytes BIGINT",
         bpe_rows,
+    )
+    _write_golden(
+        con, "sim_pca_project",
+        "vec_id BIGINT, p0 DOUBLE, p1 DOUBLE, p2 DOUBLE, p3 DOUBLE, "
+        "emb_fp BIGINT",
+        pca_rows,
     )
     con.close()
     return 0

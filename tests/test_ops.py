@@ -776,3 +776,57 @@ def test_span_rewrite_hand_computed(spark):
     df2 = _docs(spark, [(1, "m n o p q m n o p q"), (2, "z z z z z z")])
     got2 = {r.doc_id: r for r in span_rewrite(df2, n=5).collect()}
     assert got2[1].n_removed == 0 and got2[2].n_removed == 0
+
+
+def test_bpe_encode_keeps_zero_token_docs(spark):
+    from hadoop_search_spark.operators.textstats import bpe_encode
+
+    df = _docs(spark, [(1, "ab ab"), (2, ""), (3, "   ")])
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.encoded)
+        for r in bpe_encode(df, [("a", "b")]).collect()
+    }
+    assert got[1] == (2, 2, "ab ab")
+    assert got[2] == (0, 0, "")
+    assert got[3] == (0, 0, "")
+
+
+def test_pca_train_invariant_and_matches_numpy(spark):
+    import numpy as np
+
+    from hadoop_search_spark.operators.similarity import pca_project, pca_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean, comps, vals = pca_train(emb, k=4)
+    # bit-identical model under a different partitioning (the
+    # quantized-integer moment sums are order-independent)
+    mean2, comps2, vals2 = pca_train(emb.repartition(11), k=4)
+    assert (mean, comps, vals) == (mean2, comps2, vals2)
+    # eigenvalues sorted desc and positive for a real cloud
+    assert vals == sorted(vals, reverse=True) and vals[-1] > 0
+
+    # against plain numpy (float covariance): the quantization error
+    # bound is ~5e-10 per cov entry, so moments agree tightly
+    x = np.stack([r.embedding for r in emb.collect()]).astype(np.float64)
+    np_mean = x.mean(axis=0)
+    assert np.allclose(mean, np_mean, atol=1e-9)
+    np_cov = (x.T @ x) / len(x) - np.outer(np_mean, np_mean)
+    np_vals = np.sort(np.linalg.eigvalsh(np_cov))[::-1][:4]
+    assert np.allclose(vals, np_vals, atol=1e-6)
+
+    # projection: exact partitioning invariance + near-numpy values
+    proj = pca_project(emb, mean, comps)
+    rows = {r.vec_id: (r.p0, r.p1, r.p2, r.p3) for r in proj.collect()}
+    rows2 = {
+        r.vec_id: (r.p0, r.p1, r.p2, r.p3)
+        for r in pca_project(emb.repartition(7), mean, comps).collect()
+    }
+    assert rows == rows2
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    w = np.array(comps)
+    np_proj = (x - np_mean) @ w.T
+    got = np.array([rows[i] for i in ids])
+    assert np.allclose(got, np_proj, atol=1e-6)
+    # the top component actually dominates the projected variance
+    pv = got.var(axis=0)
+    assert pv[0] == max(pv) and pv[0] > pv[3]
