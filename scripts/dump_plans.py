@@ -151,6 +151,39 @@ COMMENTARY = {
         "fold-loop jobs before this plan was built (the model, like "
         "k-means centroids)."
     ),
+    "corpus_apply_changes": (
+        "Lakehouse MERGE without a table format: ONE left-anti join "
+        "drops deleted and to-be-replaced keys in the same pass (the "
+        "corpus never shuffles twice), upsert payloads union in; AQE "
+        "broadcasts the change-key side when it fits, making the "
+        "corpus scan map-only. The op-validation guard rides the "
+        "anti-join key expression, so it cannot be pruned away and "
+        "costs no extra pass."
+    ),
+    "text_classifier_score": (
+        "fastText-style scoring: the hashed feature stream joins a "
+        "BROADCAST weight table (model-sized) and aggregates per doc — "
+        "map-side join, one shuffle for the per-doc margin. Integer "
+        "weights keep the margins engine-exact; the GD trainer behind "
+        "the model runs the same feature stream with quantized-decimal "
+        "gradient sums."
+    ),
+    "dedup_span_rewrite": (
+        "Substring-dedup removal: duplicated spans come from the "
+        "span_overlap exchanges, covered positions explode from "
+        "flagged span starts and DISTINCT per (doc,pos), and the token "
+        "stream drops them with a LEFT-ANTI equi-join on the "
+        "well-spread (doc_id, pos) key — never an all-pairs or "
+        "per-doc Python pass. Reassembly is one groupBy with an "
+        "order-restoring array_sort."
+    ),
+    "sim_pca_project": (
+        "PCA projection: map-only — the model (mean + components) is "
+        "inlined as literal arrays, each coordinate a zip_with + "
+        "decimal-fold over the embedding. The moment computation that "
+        "trained the model ran before this plan as one mapInPandas "
+        "partial-aggregate pass; nothing here shuffles at all."
+    ),
 }
 
 

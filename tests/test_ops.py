@@ -830,3 +830,43 @@ def test_pca_train_invariant_and_matches_numpy(spark):
     # the top component actually dominates the projected variance
     pv = got.var(axis=0)
     assert pv[0] == max(pv) and pv[0] > pv[3]
+
+
+def test_span_rewrite_random_differential(spark):
+    import random
+
+    from hadoop_search_spark.operators.dedup import span_rewrite
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+        for i in range(60)
+    ]
+    n = 3
+
+    # brute force: collect every n-gram's distinct-doc set, remove
+    # covered positions
+    grams: dict[tuple, set] = {}
+    toked = {d: [w for w in t.split(" ") if w] for d, t in rows}
+    for d, toks in toked.items():
+        for i in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[i : i + n]), set()).add(d)
+    want = {}
+    for d, toks in toked.items():
+        if not toks:
+            continue
+        covered = set()
+        for i in range(len(toks) - n + 1):
+            if len(grams[tuple(toks[i : i + n])]) >= 2:
+                covered.update(range(i, i + n))
+        kept = [w for i, w in enumerate(toks) if i not in covered]
+        want[d] = (len(toks), len(toks) - len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in span_rewrite(df, n=n).collect()
+    }
+    assert got == want and len(want) > 30
+    assert any(v[1] > 0 for v in want.values())  # something was removed
