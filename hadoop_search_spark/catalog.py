@@ -3049,6 +3049,32 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_split",
+    oracle="""
+SELECT doc_id, source,
+       CASE WHEN b < 500 THEN 'val'
+            WHEN b < 1000 THEN 'test'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+           % 10000 AS b
+  FROM documents) t
+""",
+    note="deterministic train/val/test split (5%/5%): pure function of "
+    "the salted key hash, so a doc keeps its split across reruns and "
+    "corpus growth (eval-set hygiene); the salt decorrelates it from "
+    "the unsalted sampling/sharding hashes; map-only",
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.mixing import train_val_test_split
+
+    return train_val_test_split(
+        _t(spark, sf_dir, "documents"), val_frac=0.05, test_frac=0.05
+    ).select("doc_id", "source", "split")
+
+
 _MIX_BUDGETS = {f"src{i}": 1000 for i in range(0, 20, 2)}
 
 
@@ -4100,14 +4126,15 @@ _DRIVER_FRONT = [
     "text_classifier_score",
     "dedup_span_rewrite",
     "sim_pca_project",
+    "sample_split",
     "q1_pricing_summary",
-    "q6_forecast_revenue",
     # 0 spare slots — if another entry is added or changed this round,
     # it replaces a (c) row HERE, never lands behind the cap
     # (dedup_exact, postings_tfidf, q_window_topk, postings_tf,
-    # doc_count, wc_top100 and q5_local_supplier_volume dropped to
-    # the tail for the seven post-verdict round-3 additions; their r1
-    # green rows stand and they pass the local gate)
+    # doc_count, wc_top100, q5_local_supplier_volume and
+    # q6_forecast_revenue dropped to the tail for the eight
+    # post-verdict round-3 additions; their r1 green rows stand and
+    # they pass the local gate)
     # (text_pii_scrub, text_fingerprint, text_token_count,
     # dedup_simhash_pairs, text_script_counts, text_quality,
     # dedup_simhash, text_lang_id, dedup_clusters and

@@ -293,3 +293,39 @@ def shuffle_shard(
         "n_tokens",
         F.sum("n_tokens").over(run).alias("cum_tokens"),
     )
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    val_frac: float = 0.01,
+    test_frac: float = 0.01,
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment → the input plus a
+    ``split`` column: the same hash-bucket machinery as
+    :func:`stratified_sample`, carved into three ranges, so the split
+    is a pure function of the row's key — stable across runs,
+    partitionings, engines, AND corpus growth (a doc keeps its split
+    when new docs arrive, the property eval-set hygiene needs; a
+    random split reshuffles eval docs into train on every rerun).
+
+    ``salt`` decorrelates this hash from every other md5(key) use
+    (sampling, sharding): without it, a 1% val split would be a
+    SUBSET of a 1% stratified sample keyed on the same id. Map-only,
+    no shuffle — a narrow projection that pipelines into writers.
+    """
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac >= 1:
+        raise ValueError("need val_frac, test_frac >= 0 with sum < 1")
+    v = int(round(val_frac * SAMPLE_SCALE))
+    t = int(round(test_frac * SAMPLE_SCALE))
+    bucket = F.pmod(
+        md5_int(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")), 4),
+        F.lit(SAMPLE_SCALE),
+    )
+    split = (
+        F.when(bucket < v, "val")
+        .when(bucket < v + t, "test")
+        .otherwise("train")
+    )
+    return docs.withColumn("split", split)

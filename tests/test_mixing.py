@@ -219,3 +219,39 @@ def test_shuffle_shard_deterministic_partition_and_manifest(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
     with pytest.raises(ValueError):
         shuffle_shard(docs, n_shards=0)
+
+
+def test_train_val_test_split_stable_and_salted(spark):
+    import pytest
+
+    from hadoop_search_spark.operators.mixing import (
+        stratified_sample,
+        train_val_test_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "a") for i in range(2000)],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    out = {r.doc_id: r.split for r in train_val_test_split(docs, 0.05, 0.05).collect()}
+    # every doc assigned; proportions roughly honored
+    assert len(out) == 2000
+    n_val = sum(1 for s in out.values() if s == "val")
+    n_test = sum(1 for s in out.values() if s == "test")
+    assert 50 <= n_val <= 150 and 50 <= n_test <= 150
+    # stability: a doc keeps its split when the corpus grows
+    grown = docs.union(
+        spark.createDataFrame(
+            [(i, f"doc {i}", "a") for i in range(2000, 3000)],
+            "doc_id LONG, text STRING, source STRING",
+        )
+    )
+    out2 = {r.doc_id: r.split for r in train_val_test_split(grown, 0.05, 0.05).collect()}
+    assert all(out2[d] == s for d, s in out.items())
+    # the salt decorrelates the split from the unsalted sampling hash:
+    # the val set must NOT be a subset of a same-rate stratified sample
+    sampled = {r.doc_id for r in stratified_sample(docs, {"a": 0.05}).collect()}
+    val = {d for d, s in out.items() if s == "val"}
+    assert not val <= sampled
+    with pytest.raises(ValueError):
+        train_val_test_split(docs, 0.6, 0.5)
