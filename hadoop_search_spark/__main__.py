@@ -9,6 +9,9 @@
   header, then ``doc_id``/score/snippet records separated by
   ``$RST$``.
 * ``fetch``  — `code/query/DocGetter.main`: print one document by id.
+* ``curate`` — beyond the reference: the training-data export path
+  (curate → train/val/test split → deterministic shuffle-shard →
+  partitioned parquet + manifest).
 
 Examples::
 
@@ -16,6 +19,7 @@ Examples::
     python -m hadoop_search_spark search "spark and not dup" --page 1 --index /tmp/idx --corpus /root/testdata/sf0.001/documents.parquet
     python -m hadoop_search_spark search "table scan" --corpus /root/testdata/sf0.001/documents.parquet
     python -m hadoop_search_spark fetch 42 --corpus /root/testdata/sf0.001/documents.parquet
+    python -m hadoop_search_spark curate --corpus /root/testdata/sf0.001/documents.parquet --out /tmp/dataset --shards 8
 """
 
 from __future__ import annotations
@@ -119,6 +123,57 @@ def cmd_fetch(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-data export: curate -> split -> shuffle-shard -> write
+    partitioned by (split, shard), with a manifest printed per shard.
+    The pipeline face of the engine (the reference's surface stops at
+    search; SURVEY.md §7 phase 5 is this path)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_search_spark.operators.curation import curate
+    from hadoop_search_spark.operators.mixing import (
+        shuffle_shard,
+        train_val_test_split,
+    )
+
+    spark = _spark(args.cpus)
+    docs = spark.read.parquet(args.corpus)
+    kept = curate(
+        docs,
+        jaccard_threshold=args.jaccard,
+        min_quality=args.min_quality,
+        langs=tuple(args.langs.split(",")),
+    ).select("doc_id")
+    surviving = docs.join(kept, "doc_id")
+    sharded = shuffle_shard(surviving, n_shards=args.shards)
+    split = train_val_test_split(surviving, args.val_frac, args.test_frac)
+    out = (
+        surviving.join(sharded.select("doc_id", "shard", "pos"), "doc_id")
+        .join(split.select("doc_id", "split"), "doc_id")
+    )
+    (
+        out.repartition("split", "shard")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("split", "shard")
+        .parquet(args.out)
+    )
+    manifest = (
+        spark.read.parquet(args.out)
+        .groupBy("split", "shard")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("split", "shard")
+        .collect()
+    )
+    n_total = docs.count()
+    n_kept = sum(r.docs for r in manifest)
+    print(f"curated: kept {n_kept}/{n_total} docs -> {args.out}")
+    for r in manifest:
+        print(f"  {r.split}/shard={r.shard}: {r.docs} docs")
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="hadoop_search_spark")
     p.add_argument("--cpus", type=int, default=8)
@@ -142,6 +197,19 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument("doc_id", type=int)
     pf.add_argument("--corpus", required=True)
     pf.set_defaults(fn=cmd_fetch)
+
+    pc = sub.add_parser(
+        "curate", help="curate + split + shuffle-shard a corpus for training"
+    )
+    pc.add_argument("--corpus", required=True, help="corpus parquet path")
+    pc.add_argument("--out", required=True, help="output dataset dir")
+    pc.add_argument("--shards", type=int, default=8)
+    pc.add_argument("--jaccard", type=float, default=0.8)
+    pc.add_argument("--min-quality", type=float, default=0.5, dest="min_quality")
+    pc.add_argument("--langs", default="en", help="comma-separated lang_pred keep-list")
+    pc.add_argument("--val-frac", type=float, default=0.01, dest="val_frac")
+    pc.add_argument("--test-frac", type=float, default=0.01, dest="test_frac")
+    pc.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -44,3 +44,25 @@ def test_cli_index_search_fetch(tmp_path):
     r = run_cli("fetch", "999999", "--corpus", CORPUS)
     assert r.returncode == 1
     assert "not found" in r.stderr
+
+
+@pytest.mark.slow
+def test_cli_curate_export(tmp_path, spark):
+    out = str(tmp_path / "dataset")
+    # permissive thresholds: the tiny-vocab fixture makes most docs
+    # near-dups of each other at the default jaccard 0.8
+    r = run_cli(
+        "curate", "--corpus", CORPUS, "--out", out,
+        "--shards", "4", "--jaccard", "1.01", "--min-quality", "0.0",
+        "--val-frac", "0.05", "--test-frac", "0.05",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    m = re.search(r"curated: kept (\d+)/(\d+) docs", r.stdout)
+    assert m and int(m.group(1)) > 100
+    back = spark.read.parquet(out)
+    assert {"doc_id", "text", "split", "shard", "pos"} <= set(back.columns)
+    n = back.count()
+    assert n == int(m.group(1))
+    # exact-dup keepers only, deterministic shard+pos key
+    assert back.select("doc_id").distinct().count() == n
+    assert back.select("split").distinct().count() >= 2
