@@ -144,12 +144,14 @@ def cmd_curate(args) -> int:
         min_quality=args.min_quality,
         langs=tuple(args.langs.split(",")),
     ).select("doc_id")
-    surviving = docs.join(kept, "doc_id")
+    surviving = docs.join(kept, "doc_id").persist()
     sharded = shuffle_shard(surviving, n_shards=args.shards)
-    split = train_val_test_split(surviving, args.val_frac, args.test_frac)
-    out = (
-        surviving.join(sharded.select("doc_id", "shard", "pos"), "doc_id")
-        .join(split.select("doc_id", "split"), "doc_id")
+    # split is a map-only withColumn — apply it to the joined frame
+    # instead of joining a third branch of the curate lineage back
+    out = train_val_test_split(
+        surviving.join(sharded.select("doc_id", "shard", "pos"), "doc_id"),
+        args.val_frac,
+        args.test_frac,
     )
     (
         out.repartition("split", "shard")

@@ -62,10 +62,15 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _bucket(key_col: str) -> F.Column:
+def _bucket(key_col: str, salt: str = "") -> F.Column:
     """Deterministic uniform bucket in [0, SAMPLE_SCALE) from the
-    row's own key — the shared cross-engine :func:`md5_int` recipe."""
-    h = md5_int(F.col(key_col).cast("string"), 4)
+    row's own key — the shared cross-engine :func:`md5_int` recipe.
+    A non-empty ``salt`` prefixes the key (``"<salt>:<key>"``) to
+    decorrelate this bucketing from other md5(key) uses."""
+    key = F.col(key_col).cast("string")
+    if salt:
+        key = F.concat(F.lit(salt + ":"), key)
+    h = md5_int(key, 4)
     return F.pmod(h, F.lit(SAMPLE_SCALE))
 
 
@@ -319,10 +324,7 @@ def train_val_test_split(
         raise ValueError("need val_frac, test_frac >= 0 with sum < 1")
     v = int(round(val_frac * SAMPLE_SCALE))
     t = int(round(test_frac * SAMPLE_SCALE))
-    bucket = F.pmod(
-        md5_int(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")), 4),
-        F.lit(SAMPLE_SCALE),
-    )
+    bucket = _bucket(key_col, salt=salt)
     split = (
         F.when(bucket < v, "val")
         .when(bucket < v + t, "test")

@@ -576,46 +576,57 @@ def pca_moments(embeddings: DataFrame, vec_col: str = "embedding"):
     tiny shuffle aggregates them — the classic partial-aggregate
     moment computation; nothing corpus-sized leaves the executors.
     Rounding error is bounded by 5·10⁻¹⁰ per covariance entry.
+    Within a batch the quantized chunk sums accumulate in PYTHON ints
+    (arbitrary precision) — a float64 accumulator would lose integer
+    exactness past 2^53 and silently break the partition-invariance
+    guarantee on large-magnitude embeddings.
     """
     import numpy as np
+    import pandas as _pd
 
     def partials(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            s1 = np.rint(x * PCA_SCALE).sum(axis=0)
-            # per-row quantization of the outer product, then sum —
-            # chunked so the (rows, dim, dim) intermediate stays small
-            d = x.shape[1]
-            s2 = np.zeros((d, d))
-            for lo in range(0, len(x), 512):
+            n_rows, d = x.shape
+            s1 = [0] * d
+            s2 = [0] * (d * d)
+            # per-row quantization, chunked so both the (rows, dim,
+            # dim) intermediate and the int64 chunk sums stay within
+            # range (512 rows × |x|²·10⁹ is far below 2^63)
+            for lo in range(0, n_rows, 512):
                 c = x[lo : lo + 512]
-                s2 += np.rint(c[:, :, None] * c[:, None, :] * PCA_SCALE).sum(
-                    axis=0
+                c1 = np.rint(c * PCA_SCALE).astype(np.int64).sum(axis=0)
+                c2 = (
+                    np.rint(c[:, :, None] * c[:, None, :] * PCA_SCALE)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                    .ravel()
                 )
-            import pandas as _pd
-
-            idx = [-1] + list(range(d)) + [1000 + i * d + j for i in range(d) for j in range(d)]
-            val = (
-                [str(len(x))]
-                + [str(int(v)) for v in s1]
-                + [str(int(v)) for v in s2.ravel()]
-            )
-            yield _pd.DataFrame({"idx": idx, "v": val})
+                for i, v in enumerate(c1):
+                    s1[i] += int(v)
+                for i, v in enumerate(c2):
+                    s2[i] += int(v)
+            # kind 0 = count, 1 = s1, 2 = s2 — separate key spaces, so
+            # no index arithmetic can collide at any dimension
+            kind = [0] + [1] * d + [2] * (d * d)
+            idx = [0] + list(range(d)) + list(range(d * d))
+            val = [str(n_rows)] + [str(v) for v in s1] + [str(v) for v in s2]
+            yield _pd.DataFrame({"kind": kind, "idx": idx, "v": val})
 
     sums = (
         embeddings.select(vec_col)
-        .mapInPandas(partials, "idx LONG, v STRING")
-        .groupBy("idx")
+        .mapInPandas(partials, "kind INT, idx LONG, v STRING")
+        .groupBy("kind", "idx")
         .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s"))
         .collect()
     )
-    by_idx = {r.idx: int(r.s) for r in sums}
-    n = by_idx[-1]
-    dim = max(i for i in by_idx if 0 <= i < 1000) + 1
-    s1 = [by_idx[i] for i in range(dim)]
-    s2 = [[by_idx[1000 + i * dim + j] for j in range(dim)] for i in range(dim)]
+    by_key = {(r.kind, r.idx): int(r.s) for r in sums}
+    n = by_key[(0, 0)]
+    dim = max(i for k, i in by_key if k == 1) + 1
+    s1 = [by_key[(1, i)] for i in range(dim)]
+    s2 = [[by_key[(2, i * dim + j)] for j in range(dim)] for i in range(dim)]
     return n, s1, s2
 
 

@@ -229,11 +229,25 @@ def golden_pca_project(embs: list[tuple[int, list[float]]]) -> list[tuple]:
 
     x = np.stack([e for _, e in embs]).astype(np.float64)
     n, d = x.shape
-    s1 = np.rint(x * 10**9).sum(axis=0)
-    s2 = np.zeros((d, d))
+    # python-int accumulation of int64 chunk sums — the engine's
+    # overflow-proof contract (float64 loses integer exactness >2^53)
+    s1l = [0] * d
+    s2l = [0] * (d * d)
     for lo in range(0, n, 512):
         c = x[lo : lo + 512]
-        s2 += np.rint(c[:, :, None] * c[:, None, :] * 10**9).sum(axis=0)
+        c1 = np.rint(c * 10**9).astype(np.int64).sum(axis=0)
+        c2 = (
+            np.rint(c[:, :, None] * c[:, None, :] * 10**9)
+            .astype(np.int64)
+            .sum(axis=0)
+            .ravel()
+        )
+        for i, v in enumerate(c1):
+            s1l[i] += int(v)
+        for i, v in enumerate(c2):
+            s2l[i] += int(v)
+    s1 = np.array([float(v) for v in s1l])
+    s2 = np.array([float(v) for v in s2l]).reshape(d, d)
     mean = s1 / 10**9 / n
     cov = s2 / 10**9 / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)
