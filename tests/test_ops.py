@@ -870,3 +870,48 @@ def test_span_rewrite_random_differential(spark):
     }
     assert got == want and len(want) > 30
     assert any(v[1] > 0 for v in want.values())  # something was removed
+
+
+def test_pca_projection_composes_with_ann(spark):
+    """Whitened ANN: project embeddings into PCA space, then run the
+    brute-force cosine top-k over the projected vectors — the IVF-PQ
+    pre-step composition. Top-1 self-similarity must survive the
+    projection (each query finds itself first)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_search_spark.operators.similarity import (
+        cosine_topk,
+        pca_project,
+        pca_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean, comps, _ = pca_train(emb, k=4)
+    proj = pca_project(emb, mean, comps).select(
+        "vec_id",
+        F.array("p0", "p1", "p2", "p3").cast("array<float>").alias("embedding"),
+    )
+    import numpy as np
+
+    qids = [3, 17, 41]
+    top = cosine_topk(proj, qids, k=3)
+    by_q = {}
+    for r in top.collect():
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert set(by_q) == set(qids)
+
+    # numpy brute force over the SAME projected vectors must agree on
+    # the neighbor sets (self excluded, as the operator does)
+    rows = proj.collect()
+    ids = [r.vec_id for r in rows]
+    x = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = x @ x.T
+    for q in qids:
+        qi = ids.index(q)
+        order = sorted(
+            (j for j in range(len(ids)) if ids[j] != q),
+            key=lambda j: (-sims[qi, j], ids[j]),
+        )
+        want = {ids[j] for j in order[:3]}
+        assert set(by_q[q]) == want
