@@ -7,9 +7,12 @@ files at production scale.
 
 * tumbling / sliding windowed aggregates with event-time watermarks;
 * session windows (native ``session_window``);
-* a custom stateful operator via ``applyInPandasWithState`` (running
-  per-user spend + event count — the pattern for any bespoke online
-  aggregate Spark lacks).
+* a watermarked STREAM-STREAM interval join (click→purchase
+  attribution) with time-bounded state eviction;
+* custom stateful operators via ``applyInPandasWithState`` (running
+  per-user totals, the funnel state machine, the hourly rate-spike
+  detector — the pattern for any bespoke online aggregate Spark
+  lacks).
 
 Tests drive these with the parquet fixture as a bounded stream
 (memory sink + ``processAllAvailable``) and assert stream/batch
@@ -165,6 +168,65 @@ def enriched_segment_counts(
             "n",
             "sum_value",
         )
+    )
+
+
+def click_purchase_attribution(
+    events: DataFrame,
+    attribution_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STREAM interval join — the flagship stateful join shape:
+    every purchase pairs with each click by the same user in the
+    preceding ``attribution_minutes`` →
+    ``(user_id, click_id, purchase_id, click_us, purchase_us, value)``.
+
+    Both sides carry event-time watermarks and the join predicate
+    bounds purchase_ts to [click_ts, click_ts + window], which is
+    what lets Spark EVICT buffered state: a click older than
+    watermark + window can never match a future purchase and is
+    dropped from the state store — without the time bound the state
+    grows forever. Inner join in append mode, so results are emitted
+    once both sides' watermarks pass the match window (exactly-once
+    under replay).
+
+    The batch twin is the same filter+join over the full table
+    (equivalence pinned in tests/test_streaming.py); the as-of
+    LATEST-click variant is the batch ``events_asof_attribution``
+    entry — an as-of needs per-key ordering, which stream-stream
+    joins don't provide, so the streaming form is the all-pairs-in-
+    window join and any latest-only reduction happens downstream.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = F.expr(
+        "user_id = p_user AND purchase_ts >= click_ts "
+        f"AND purchase_ts <= click_ts + interval {int(attribution_minutes)} minutes"
+    )
+    return clicks.join(purchases, cond).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "value",
     )
 
 

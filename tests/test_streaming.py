@@ -369,3 +369,82 @@ def test_streaming_rate_anomalies_equal_batch(spark, tmp_path):
         "SELECT count(DISTINCT event_type, hr) AS n FROM rate_out"
     ).collect()[0].n
     assert n_decided == n_hours
+
+
+def test_stream_stream_attribution_equals_batch(spark, tmp_path):
+    """The stream-stream interval join must emit exactly the batch
+    join's pairs when events replay as time-ordered files (no row is
+    more than the watermark behind, so nothing is evicted unmatched)."""
+    import os
+
+    from hadoop_search_spark.sources.tables import read_events
+    from hadoop_search_spark.streaming.events import (
+        click_purchase_attribution,
+        run_to_memory,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_events(spark, SF).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    bounds = ev.selectExpr(
+        "percentile(unix_micros(ts), 0.33) AS a",
+        "percentile(unix_micros(ts), 0.66) AS b",
+    ).collect()[0]
+    d = str(tmp_path / "ss_events")
+    os.makedirs(d)
+    parts = [
+        ev.filter(F.unix_micros("ts") <= bounds.a),
+        ev.filter(
+            (F.unix_micros("ts") > bounds.a) & (F.unix_micros("ts") <= bounds.b)
+        ),
+        ev.filter(F.unix_micros("ts") > bounds.b),
+    ]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(f"{d}/batch={i}")
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("latestFirst", "false")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/batch=*")
+    )
+    run_to_memory(click_purchase_attribution(stream), "ss_out", "append")
+    got = {
+        (r.user_id, r.click_id, r.purchase_id, r.click_us, r.purchase_us, r.value)
+        for r in spark.sql("SELECT * FROM ss_out").collect()
+    }
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    want = {
+        tuple(r)
+        for r in clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + interval 30 minutes"
+            ),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+            "value",
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
