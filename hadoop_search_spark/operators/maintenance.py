@@ -171,3 +171,80 @@ def merge_publish(
         if fs.exists(dir_path):
             fs.delete(dir_path, True)
     return sorted(parts)
+
+
+ZORDER_BITS = 8  # per-column resolution: 256 buckets
+
+
+def zorder_key(cols: list[str], ranges: dict[str, tuple[float, float]]) -> F.Column:
+    """Morton (Z-order) key over ``cols``: each column maps to a
+    ZORDER_BITS-bit equal-width bucket inside its [min, max] range,
+    and the buckets' bits interleave — a pure integer Catalyst
+    expression (shifts unrolled per bit), no UDF.
+
+    Interleaving is what makes MULTI-column file pruning work: sorting
+    by (a, b) clusters a perfectly but lets b span its full range in
+    every file; sorting by z(a, b) bounds every file to a small
+    rectangle in (a, b) space, so parquet footer min/max prune files
+    for predicates on EITHER column."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs at least two columns")
+    z = F.lit(0).cast("bigint")
+    for ci, c in enumerate(cols):
+        lo, hi = ranges[c]
+        span = float(hi - lo) or 1.0
+        bucket = F.least(
+            F.lit((1 << ZORDER_BITS) - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(float(lo)))
+                    / F.lit(span)
+                    * F.lit(1 << ZORDER_BITS)
+                ).cast("bigint"),
+            ),
+        )
+        for bit in range(ZORDER_BITS):
+            src = F.shiftright(bucket, bit).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(src, bit * n + (n - 1 - ci)).cast("bigint")
+            )
+    return z
+
+
+def compact_zorder(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    zorder_by: list[str],
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> tuple[int, DataFrame]:
+    """Multi-column variant of :func:`compact`: rewrite the dataset
+    range-partitioned and sorted on a Morton key over ``zorder_by``,
+    so every output file owns a small rectangle of the key space and
+    footer min/max pruning works for predicates on ANY of the z
+    columns (single-key clustering only serves the leading key).
+
+    Column ranges come from one min/max aggregate over the source
+    (driver-side scalars, like every other model here); the z key is
+    a pure integer expression, dropped before the write.
+    """
+    if src == dst:
+        raise ValueError("compact to a new location, then swap pointers")
+    df = spark.read.parquet(src)
+    aggs = []
+    for c in zorder_by:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"_max_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    ranges = {c: (row[f"_min_{c}"], row[f"_max_{c}"]) for c in zorder_by}
+    n = max(1, math.ceil(dataset_bytes(spark, src) / target_bytes))
+    out = (
+        df.withColumn("_z", zorder_key(zorder_by, ranges))
+        .repartitionByRange(n, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out.write.mode("overwrite").parquet(dst)
+    return n, spark.read.parquet(dst)

@@ -145,3 +145,68 @@ def test_merge_publish_rewrites_only_touched_partitions(spark, tmp_path):
         for r in spark.read.parquet(root).collect()
     }
     assert got == want and len(got) == 80 - 1 - 20 + 1 - 1
+
+
+def test_compact_zorder_prunes_both_dimensions(spark, tmp_path):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from hadoop_search_spark.operators.maintenance import compact, compact_zorder
+
+    # two independent uniform dimensions: random-ish but deterministic
+    rows = [
+        (i, (i * 7919) % 10_000, (i * 104_729) % 10_000) for i in range(20_000)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "id LONG, a LONG, b LONG").repartition(
+        8
+    ).write.parquet(src)
+
+    def file_spans(path, n_files_expected):
+        import os
+
+        spans = {"a": [], "b": []}
+        files = [
+            f for f in os.listdir(path)
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+        assert len(files) == n_files_expected
+        for f in files:
+            one = spark.read.parquet(os.path.join(path, f))
+            r = one.agg(
+                F.min("a"), F.max("a"), F.min("b"), F.max("b")
+            ).collect()[0]
+            spans["a"].append((r[1] - r[0]) / 10_000)
+            spans["b"].append((r[3] - r[2]) / 10_000)
+        return {k: sum(v) / len(v) for k, v in spans.items()}
+
+    bytes_quarter = None
+    from hadoop_search_spark.operators.maintenance import dataset_bytes
+
+    bytes_quarter = dataset_bytes(spark, src) // 16 + 1
+
+    single = str(tmp_path / "single")
+    n1, _ = compact(spark, src, single, target_bytes=bytes_quarter, cluster_key="a")
+    s1 = file_spans(single, n1)
+
+    zpath = str(tmp_path / "zorder")
+    n2, back = compact_zorder(
+        spark, src, zpath, zorder_by=["a", "b"], target_bytes=bytes_quarter
+    )
+    s2 = file_spans(zpath, n2)
+    assert back.count() == 20_000
+
+    # single-key clustering: a is tight, b spans ~everything per file
+    assert s1["a"] < 0.2 and s1["b"] > 0.8
+    # z-order: BOTH dimensions bounded well below the full range —
+    # that is the multi-column pruning property
+    assert s2["a"] < 0.6 and s2["b"] < 0.6
+    assert s2["b"] < s1["b"] / 2
+
+    with pytest.raises(ValueError):
+        compact_zorder(spark, src, src, zorder_by=["a", "b"])
+    with pytest.raises(ValueError):
+        from hadoop_search_spark.operators.maintenance import zorder_key
+
+        zorder_key(["a"], {"a": (0, 1)})
