@@ -2631,6 +2631,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_authority",
+    # PageRank is iterative — not SQL-expressible; golden parquet from
+    # the independent generator (scripts/make_goldens.py:
+    # golden_graph_authority: edges from the dedup_simhash_pairs
+    # DuckDB oracle, iteration in pure Python with the same quantized
+    # arithmetic), corpus-bytes keyed with the GOLDEN-MISS sentinel
+    oracle=f"""
+WITH g AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/graph_authority.parquet')),
+fp AS (SELECT CAST(sum(strlen(text)) AS BIGINT) AS cb FROM documents)
+SELECT doc_id, rank FROM g, fp WHERE g.corpus_bytes = fp.cb
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(fp.cb AS DOUBLE) AS rank
+FROM fp WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.corpus_bytes = fp.cb)
+""",
+    note="PageRank authority over the SimHash near-dup graph (5 "
+    "iterations, damping 0.85, dangling mass redistributed): central "
+    "docs sit in large template families (boilerplate signal), "
+    "peripheral docs are distinctive — a curation weighting. Per-edge "
+    "contributions and dangling ranks DECIMAL(28,12)-quantized "
+    "pre-sum, so every iteration is partitioning-invariant and the "
+    "pure-Python golden twin reproduces the ranks bit-for-bit",
+)
+def graph_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.dedup import simhash, simhash_pairs
+    from hadoop_search_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(simhash(docs), max_hamming=3).select("doc_a", "doc_b")
+    pr = pagerank(pairs, docs.select("doc_id"), src="doc_a", dst="doc_b", iters=5)
+    return pr.select(F.col("node").alias("doc_id"), "rank")
+
+
+@register(
     "dedup_simhash_pairs",
     oracle=_SIMHASH_CTE
     + """
@@ -4127,14 +4160,14 @@ _DRIVER_FRONT = [
     "dedup_span_rewrite",
     "sim_pca_project",
     "sample_split",
-    "q1_pricing_summary",
+    "graph_authority",
     # 0 spare slots — if another entry is added or changed this round,
     # it replaces a (c) row HERE, never lands behind the cap
     # (dedup_exact, postings_tfidf, q_window_topk, postings_tf,
-    # doc_count, wc_top100, q5_local_supplier_volume and
-    # q6_forecast_revenue dropped to the tail for the eight
-    # post-verdict round-3 additions; their r1 green rows stand and
-    # they pass the local gate)
+    # doc_count, wc_top100, q5_local_supplier_volume,
+    # q6_forecast_revenue and q1_pricing_summary dropped to the tail
+    # for the nine post-verdict round-3 additions; their r1 green
+    # rows stand and they pass the local gate)
     # (text_pii_scrub, text_fingerprint, text_token_count,
     # dedup_simhash_pairs, text_script_counts, text_quality,
     # dedup_simhash, text_lang_id, dedup_clusters and

@@ -96,3 +96,82 @@ def connected_components(
             "node", F.coalesce("component", F.col("node")).alias("component")
         )
     return out
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the undirected pair graph → ``(node, rank)`` —
+    the authority/centrality signal over the near-dup similarity
+    graph (a doc central to a large template family is boilerplate;
+    a peripheral doc is distinctive — a corpus-curation weighting).
+
+    Bit-deterministic by the engine's standing rules: each edge
+    contribution and each dangling-node rank is cast to
+    DECIMAL(28,12) BEFORE its sum, so the per-iteration aggregates
+    are order-independent and the whole computation is identical
+    under any partitioning AND in the pure-Python twin (the golden
+    generator / pytest differential). Driver holds only the dangling
+    scalar per round; each round ``localCheckpoint``s (the CC-loop
+    lineage rule). Quantization granularity 10⁻¹² is ~1e-4 relative
+    at 10⁸ nodes; rescale the quantizer before going far beyond.
+
+    Scale shape per iteration: one join of the edge list with the
+    rank/out-degree table (both keyed by node — co-partitioned after
+    the first shuffle) + one dst-keyed aggregate; dangling mass is
+    one anti-join aggregate returning a single scalar. Classic
+    pregel-without-pregel.
+    """
+    q12 = "decimal(28,12)"
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("u").agg(F.count("*").cast("double").alias("deg"))
+    universe = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    n = universe.count()
+    if n == 0:
+        raise ValueError("empty node universe")
+    base = (1.0 - damping) / n
+    ranks = universe.select(
+        "node", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        with_deg = ranks.join(deg, ranks.node == deg.u, "left")
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .select(F.col("rank").cast(q12).alias("r"))
+            .agg(F.sum("r").cast("double").alias("s"))
+            .collect()[0]
+            .s
+        )
+        dang_share = (float(dangling) if dangling is not None else 0.0) / n
+        contribs = (
+            sym.join(ranks, sym.u == ranks.node)
+            .join(deg.withColumnRenamed("u", "du"), F.col("u") == F.col("du"))
+            .select(
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("deg")).cast(q12).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("c"))
+        )
+        ranks = (
+            universe.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dang_share))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -274,6 +274,55 @@ def golden_pca_project(embs: list[tuple[int, list[float]]]) -> list[tuple]:
     return sorted(out)
 
 
+def golden_graph_authority(
+    sf_dir: str, docs: list[tuple[int, str]]
+) -> list[tuple]:
+    """(doc_id, rank): independent PageRank over the SimHash near-dup
+    graph — edges come from the ``dedup_simhash_pairs`` DuckDB oracle
+    (DuckDB computes the pairs, not Spark), the iteration is pure
+    Python with the engine's quantized-decimal arithmetic (terms
+    DECIMAL(28,12)-quantized pre-sum), so ranks match bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hadoop_search_spark.catalog import CATALOG
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    edge_rows = con.execute(CATALOG["dedup_simhash_pairs"].oracle).fetchall()
+    con.close()
+
+    q12 = Decimal("1e-12")
+
+    def q(x: float) -> Decimal:
+        return Decimal(str(x)).quantize(q12, rounding=ROUND_HALF_UP)
+
+    sym: dict[int, list[int]] = {}
+    for a, b, _h in edge_rows:
+        sym.setdefault(int(a), []).append(int(b))
+        sym.setdefault(int(b), []).append(int(a))
+    deg = {u: float(len(vs)) for u, vs in sym.items()}
+    ids = [d for d, _ in docs]
+    n = len(ids)
+    d_f = 0.85
+    base = (1.0 - d_f) / n
+    rank = {u: 1.0 / n for u in ids}
+    for _ in range(5):
+        dang = sum((q(rank[u]) for u in ids if u not in deg), Decimal(0))
+        dang_share = float(dang) / n
+        contrib: dict[int, Decimal] = {}
+        for u, vs in sym.items():
+            for v in vs:
+                contrib[v] = contrib.get(v, Decimal(0)) + q(rank[u] / deg[u])
+        rank = {
+            u: base + d_f * (float(contrib.get(u, Decimal(0))) + dang_share)
+            for u in ids
+        }
+    return sorted(rank.items())
+
+
 def _spark_rows(sf_dir: str):
     """The real catalog entries' output, for the abort-on-divergence
     cross-check."""
@@ -297,7 +346,11 @@ def _spark_rows(sf_dir: str):
         (r.vec_id, r.p0, r.p1, r.p2, r.p3)
         for r in CATALOG["sim_pca_project"].fn(spark, sf_dir).collect()
     )
-    return stemmed, sorted(render), bpe, pca
+    auth = sorted(
+        (r.doc_id, r.rank)
+        for r in CATALOG["graph_authority"].fn(spark, sf_dir).collect()
+    )
+    return stemmed, sorted(render), bpe, pca, auth
 
 
 def _write_golden(con, name: str, ddl_cols: str, rows: list[tuple]) -> None:
@@ -326,6 +379,7 @@ def main() -> int:
     render_rows: list[tuple] = []
     bpe_rows: list[tuple] = []
     pca_rows: list[tuple] = []
+    auth_rows: list[tuple] = []
     ok = True
     for sf_dir in SF_DIRS:
         docs = _load_docs(sf_dir)
@@ -336,7 +390,8 @@ def main() -> int:
         render = golden_render_page(docs)
         bpe = golden_bpe_encode(docs)
         pca = golden_pca_project(embs)
-        got_stemmed, got_render, got_bpe, got_pca = _spark_rows(sf_dir)
+        auth = golden_graph_authority(sf_dir, docs)
+        got_stemmed, got_render, got_bpe, got_pca, got_auth = _spark_rows(sf_dir)
         if got_stemmed != stemmed:
             print(f"DIVERGENCE search_stemmed_cnf @ {sf_dir}")
             print("  golden:", stemmed[:3], "...")
@@ -366,10 +421,19 @@ def main() -> int:
                     print("  spark :", s)
                     break
             ok = False
+        if got_auth != auth:
+            print(f"DIVERGENCE graph_authority @ {sf_dir}")
+            for g, s in zip(auth, got_auth):
+                if g != s:
+                    print("  golden:", g)
+                    print("  spark :", s)
+                    break
+            ok = False
         stemmed_rows += [(d, s, tag) for d, s in stemmed]
         render_rows += [(d, s, sn, tag) for d, s, sn in render]
         bpe_rows += [(d, nw, nt, e, tag) for d, nw, nt, e in bpe]
         pca_rows += [(v, *ps, efp) for v, *ps in pca]
+        auth_rows += [(d, r, tag) for d, r in auth]
         print(f"{sf_dir}: stemmed={len(stemmed)} rows, "
               f"render={len(render)} rows, bpe={len(bpe)} rows, "
               f"pca={len(pca)} rows (emb_fp={efp})")
@@ -394,6 +458,11 @@ def main() -> int:
         "doc_id BIGINT, n_words BIGINT, n_tokens BIGINT, encoded VARCHAR, "
         "corpus_bytes BIGINT",
         bpe_rows,
+    )
+    _write_golden(
+        con, "graph_authority",
+        "doc_id BIGINT, rank DOUBLE, corpus_bytes BIGINT",
+        auth_rows,
     )
     _write_golden(
         con, "sim_pca_project",

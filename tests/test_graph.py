@@ -52,3 +52,57 @@ def test_cc_empty_edges_short_circuits(spark):
     got = _cc(spark, [], nodes=[1, 2, 3])
     assert got == {1: 1, 2: 2, 3: 3}
     assert time.monotonic() - t0 < 30  # 25 rounds of jobs would blow this
+
+
+def test_pagerank_bit_exact_vs_pure_python(spark):
+    import random
+
+    from hadoop_search_spark.operators.classifier import py_q12
+    from hadoop_search_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    n_nodes = 40
+    edge_list = sorted(
+        {
+            tuple(sorted(rng.sample(range(n_nodes), 2)))
+            for _ in range(60)
+        }
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "node LONG")
+    edges = spark.createDataFrame(edge_list, "a LONG, b LONG")
+    iters, d = 5, 0.85
+
+    got = {r.node: r.rank for r in pagerank(edges, nodes, iters=iters).collect()}
+    # partitioning invariance — exact
+    got2 = {
+        r.node: r.rank
+        for r in pagerank(edges.repartition(5), nodes.repartition(3), iters=iters).collect()
+    }
+    assert got == got2
+
+    # independent pure-Python twin with the same quantized arithmetic
+    sym: dict[int, list[int]] = {}
+    for a, b in edge_list:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    deg = {u: float(len(vs)) for u, vs in sym.items()}
+    base = (1.0 - d) / n_nodes
+    rank = {u: 1.0 / n_nodes for u in range(n_nodes)}
+    from decimal import Decimal
+
+    for _ in range(iters):
+        dang = sum(
+            (py_q12(rank[u]) for u in range(n_nodes) if u not in deg), Decimal(0)
+        )
+        dang_share = float(dang) / n_nodes
+        contrib: dict[int, Decimal] = {}
+        for u, vs in sym.items():
+            for v in vs:
+                contrib[v] = contrib.get(v, Decimal(0)) + py_q12(rank[u] / deg[u])
+        rank = {
+            u: base + d * (float(contrib.get(u, Decimal(0))) + dang_share)
+            for u in range(n_nodes)
+        }
+    assert got == rank
+    # conservation: total rank stays ~1 (dangling mass redistributed)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
