@@ -184,6 +184,20 @@ COMMENTARY = {
         "trained the model ran before this plan as one mapInPandas "
         "partial-aggregate pass; nothing here shuffles at all."
     ),
+    "sample_split": (
+        "Deterministic train/val/test split: a salted md5 bucket "
+        "carved into three ranges — map-only, no shuffle, no UDF; the "
+        "narrow projection pipelines straight into a writer."
+    ),
+    "graph_authority": (
+        "PageRank over the near-dup graph: five pregel-without-pregel "
+        "rounds ran as separate jobs before this final plan (edge join "
+        "+ dst aggregate each, dangling mass one scalar, "
+        "localCheckpoint cuts between rounds), so the displayed plan "
+        "is the final rank table scan — the iteration never builds one "
+        "monolithic 5-round plan (the classic iterative-Spark driver "
+        "killer)."
+    ),
 }
 
 
