@@ -160,6 +160,7 @@ def cmd_curate(args) -> int:
         .partitionBy("split", "shard")
         .parquet(args.out)
     )
+    surviving.unpersist()
     manifest = (
         spark.read.parquet(args.out)
         .groupBy("split", "shard")

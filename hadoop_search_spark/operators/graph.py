@@ -133,7 +133,13 @@ def pagerank(
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .localCheckpoint(eager=True)
     )
-    deg = sym.groupBy("u").agg(F.count("*").cast("double").alias("deg"))
+    # materialized once: both per-iteration joins reference deg, and a
+    # lazy frame would re-run the degree shuffle twice per round
+    deg = (
+        sym.groupBy("u")
+        .agg(F.count("*").cast("double").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     universe = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
     n = universe.count()
     if n == 0:

@@ -190,6 +190,13 @@ def zorder_key(cols: list[str], ranges: dict[str, tuple[float, float]]) -> F.Col
     n = len(cols)
     if n < 2:
         raise ValueError("zorder needs at least two columns")
+    if n * ZORDER_BITS > 63:
+        # bit 63 is the BIGINT sign bit and shiftleft wraps its count
+        # mod 64 — either silently corrupts the key ordering
+        raise ValueError(
+            f"zorder over {n} columns needs {n * ZORDER_BITS} bits; "
+            "max 63 at ZORDER_BITS=8 (7 columns)"
+        )
     z = F.lit(0).cast("bigint")
     for ci, c in enumerate(cols):
         lo, hi = ranges[c]
@@ -240,11 +247,17 @@ def compact_zorder(
     row = df.agg(*aggs).collect()[0]
     ranges = {c: (row[f"_min_{c}"], row[f"_max_{c}"]) for c in zorder_by}
     n = max(1, math.ceil(dataset_bytes(spark, src) / target_bytes))
-    out = (
-        df.withColumn("_z", zorder_key(zorder_by, ranges))
-        .repartitionByRange(n, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-    )
+    if any(lo is None or hi is None for lo, hi in ranges.values()):
+        # empty dataset or an all-NULL z column: no key space to
+        # cluster — degrade to the plain size-fix rewrite, matching
+        # compact()'s graceful handling of the same inputs
+        out = df.repartition(n)
+    else:
+        out = (
+            df.withColumn("_z", zorder_key(zorder_by, ranges))
+            .repartitionByRange(n, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
     out.write.mode("overwrite").parquet(dst)
     return n, spark.read.parquet(dst)

@@ -322,6 +322,11 @@ def train_val_test_split(
     """
     if val_frac < 0 or test_frac < 0 or val_frac + test_frac >= 1:
         raise ValueError("need val_frac, test_frac >= 0 with sum < 1")
+    if not salt:
+        # an unsalted split would share buckets with the unsalted
+        # sampling/sharding hashes — the exact correlation this
+        # function exists to rule out
+        raise ValueError("split salt must be non-empty")
     v = int(round(val_frac * SAMPLE_SCALE))
     t = int(round(test_frac * SAMPLE_SCALE))
     bucket = _bucket(key_col, salt=salt)

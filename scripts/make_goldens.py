@@ -282,9 +282,10 @@ def golden_graph_authority(
     (DuckDB computes the pairs, not Spark), the iteration is pure
     Python with the engine's quantized-decimal arithmetic (terms
     DECIMAL(28,12)-quantized pre-sum), so ranks match bit-for-bit."""
-    from decimal import ROUND_HALF_UP, Decimal
+    from decimal import Decimal
 
     from hadoop_search_spark.catalog import CATALOG
+    from hadoop_search_spark.operators.classifier import py_q12 as q
 
     con = duckdb.connect()
     con.execute(
@@ -293,11 +294,6 @@ def golden_graph_authority(
     )
     edge_rows = con.execute(CATALOG["dedup_simhash_pairs"].oracle).fetchall()
     con.close()
-
-    q12 = Decimal("1e-12")
-
-    def q(x: float) -> Decimal:
-        return Decimal(str(x)).quantize(q12, rounding=ROUND_HALF_UP)
 
     sym: dict[int, list[int]] = {}
     for a, b, _h in edge_rows:

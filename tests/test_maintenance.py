@@ -181,9 +181,6 @@ def test_compact_zorder_prunes_both_dimensions(spark, tmp_path):
             spans["b"].append((r[3] - r[2]) / 10_000)
         return {k: sum(v) / len(v) for k, v in spans.items()}
 
-    bytes_quarter = None
-    from hadoop_search_spark.operators.maintenance import dataset_bytes
-
     bytes_quarter = dataset_bytes(spark, src) // 16 + 1
 
     single = str(tmp_path / "single")
