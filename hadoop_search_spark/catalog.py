@@ -2020,6 +2020,97 @@ def search_stemmed_cnf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_resample",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS n
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT min(epoch_us(ts) // 3600000000) AS lo,
+         max(epoch_us(ts) // 3600000000) AS hi
+  FROM events),
+spine AS (
+  SELECT t.event_type, s.hr
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(lo, hi)) AS hr FROM bounds) s)
+SELECT spine.event_type, spine.hr, CAST(coalesce(n, 0) AS BIGINT) AS n
+FROM spine LEFT JOIN hourly
+  ON spine.event_type = hourly.event_type AND spine.hr = hourly.hr
+""",
+    note="time-series resampling with explicit gap fill: the hour "
+    "spine generates from the global [min, max] bounds (one 2-scalar "
+    "aggregate, broadcast), cross-joins the distinct type dimension, "
+    "and left-joins the observed counts — quiet hours surface as "
+    "explicit zeros instead of missing rows (what a downstream "
+    "anomaly detector or charting layer needs); spine size is "
+    "hours x types, independent of event volume",
+)
+def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hr = F.expr("unix_micros(ts) div 3600000000")
+    hourly = ev.groupBy(
+        "event_type", hr.alias("hr")
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.min(hr).alias("lo"), F.max(hr).alias("hi")
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hr"),
+        )
+    )
+    return spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "events_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_day
+  FROM events GROUP BY 1),
+acts AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         (epoch_us(e.ts) // 86400000000) - f.cohort_day AS day_offset
+  FROM events e JOIN firsts f USING (user_id))
+SELECT cohort_day, day_offset,
+       CAST(count(*) AS BIGINT) AS active_users
+FROM acts GROUP BY 1, 2
+""",
+    note="cohort retention (the product-analytics staple): users "
+    "cohorted by first-seen day, activity bucketed by days-since-"
+    "cohort, distinct-user counts per cell; the first-seen aggregate "
+    "joins back user-keyed (one shuffle each side), the distinct is "
+    "per (user, cohort, offset) — never a self-join of the event "
+    "stream",
+)
+def events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    day = F.expr("unix_micros(ts) div 86400000000")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    acts = (
+        ev.select("user_id", day.alias("day"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return acts.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").cast("bigint").alias("active_users")
+    )
+
+
+@register(
     "events_hourly",
     oracle="""
 SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hour_us, event_type,
@@ -4109,9 +4200,7 @@ _DRIVER_FRONT = [
     "curation_summary",
     "curation_pipeline",
     "search_bm25",
-    "media_stats",
     "media_decode",
-    "media_frames",
     "dedup_edit_distance",
     "sim_ann_ivf_topk",
     "search_render_page",
@@ -4161,7 +4250,12 @@ _DRIVER_FRONT = [
     "sim_pca_project",
     "sample_split",
     "graph_authority",
-    # 0 spare slots — if another entry is added or changed this round,
+    "events_resample",
+    "events_cohorts",
+    # 0 spare slots — media_stats / media_frames rotated to the tail
+    # for the two events entries: media_decode stays in front and
+    # exercises the same vectorized decode batch path they share, and
+    # both pass the local gate at all three SFs — if another entry is added or changed this round,
     # it replaces a (c) row HERE, never lands behind the cap
     # (dedup_exact, postings_tfidf, q_window_topk, postings_tf,
     # doc_count, wc_top100, q5_local_supplier_volume,
