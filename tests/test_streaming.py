@@ -448,3 +448,58 @@ def test_stream_stream_attribution_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_silent_sources_event_time_timeout(spark, tmp_path):
+    """A type that stops emitting must raise exactly one alert once
+    the watermark passes last_seen + gap; a continuously-active type
+    must raise none. Event-time semantics: the replay decides, not
+    wall clock."""
+    import os
+
+    from hadoop_search_spark.streaming.events import silent_sources
+
+    d = str(tmp_path / "hb_events")
+    os.makedirs(d)
+    schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    H = 3_600 * 1_000_000_000
+    base = 1_700_000_000 * 1_000_000_000
+    # 'steady' fires hourly for 12 hours; 'flaky' stops after hour 2
+    rows = []
+    for h in range(12):
+        rows.append((100 + h, base + h * H, 1, "steady", 1.0, "{}"))
+        if h <= 2:
+            rows.append((200 + h, base + h * H + 1, 2, "flaky", 1.0, "{}"))
+    # three time-ordered files so the watermark advances across batches
+    for i, lo, hi in ((0, 0, 4), (1, 4, 8), (2, 8, 12)):
+        part = [r for r in rows if lo * H <= r[1] - base < hi * H]
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{d}/batch={i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("latestFirst", "false")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/batch=*")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    from hadoop_search_spark.streaming.events import run_to_memory
+
+    run_to_memory(silent_sources(stream), "silence_out", "update")
+    alerts = spark.sql(
+        "SELECT event_type, last_seen_us, silent_for_us FROM silence_out"
+    ).collect()
+    by_type = {}
+    for r in alerts:
+        by_type.setdefault(r.event_type, []).append(r)
+    # steady never alerts; flaky alerts exactly once
+    assert "steady" not in by_type
+    assert len(by_type.get("flaky", [])) == 1
+    a = by_type["flaky"][0]
+    # last seen at hour 2 (the +1ns offset truncates at micros),
+    # silent for >= the 2h gap
+    assert a.last_seen_us == (base + 2 * H) // 1_000
+    assert a.silent_for_us >= 2 * 3_600 * 1_000_000
