@@ -88,6 +88,12 @@ def apply_changes(
     folded into the anti-join key (an eager driver-side validation
     would cost a full change-set scan at plan-construction time, and
     a guard on a separate column would be pruned away).
+
+    Contract: at most ONE change row per key. A key appearing twice
+    (two upserts, or delete + upsert) would emit every upsert payload
+    — last-writer-wins must be resolved upstream (e.g. a max_by over
+    the change log's sequence number), where the ordering information
+    lives; this operator cannot invent it.
     """
     payload_cols = [c for c in changes.columns if c != op_col]
     op = F.col(op_col)

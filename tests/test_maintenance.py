@@ -207,3 +207,39 @@ def test_compact_zorder_prunes_both_dimensions(spark, tmp_path):
         from hadoop_search_spark.operators.maintenance import zorder_key
 
         zorder_key(["a"], {"a": (0, 1)})
+
+
+def test_apply_changes_random_differential(spark):
+    import random
+
+    from hadoop_search_spark.operators.maintenance import apply_changes
+
+    rng = random.Random(83)
+    corpus_rows = [(i, f"t{i}", f"s{i % 5}") for i in range(120)]
+    corpus = spark.createDataFrame(
+        corpus_rows, "doc_id LONG, text STRING, source STRING"
+    )
+    for trial in range(5):
+        keys = rng.sample(range(160), rng.randint(0, 40))  # some keys absent
+        change_rows = []
+        for k in keys:
+            if rng.random() < 0.4:
+                change_rows.append(("delete", k, "", ""))
+            else:
+                change_rows.append(("upsert", k, f"new{trial}_{k}", "sX"))
+        changes = spark.createDataFrame(
+            change_rows or [("delete", -1, "", "")],
+            "op STRING, doc_id LONG, text STRING, source STRING",
+        )
+        # dict-based reference semantics
+        want = {d: (t, s) for d, t, s in corpus_rows}
+        for op, k, t, s in change_rows or [("delete", -1, "", "")]:
+            if op == "delete":
+                want.pop(k, None)
+            else:
+                want[k] = (t, s)
+        got = {
+            r.doc_id: (r.text, r.source)
+            for r in apply_changes(corpus, changes).collect()
+        }
+        assert got == want, f"trial {trial}"
