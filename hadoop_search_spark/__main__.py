@@ -12,6 +12,8 @@
 * ``curate`` — beyond the reference: the training-data export path
   (curate → train/val/test split → deterministic shuffle-shard →
   partitioned parquet + manifest).
+* ``stats``  — one-shot corpus profile (size/token/quality/language/
+  dup-rate report).
 
 Examples::
 
@@ -177,6 +179,49 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """One-shot corpus profile: size, token, quality, language, and
+    exact-duplicate statistics in a single session — the look-before-
+    you-curate report."""
+    from pyspark.sql import functions as F
+
+    from hadoop_search_spark.operators.dedup import exact_dedup_groups
+    from hadoop_search_spark.operators.textstats import lang_exprs, quality_exprs
+
+    spark = _spark(args.cpus)
+    docs = spark.read.parquet(args.corpus)
+    qe = quality_exprs(F.col("text"))
+    le = lang_exprs(F.col("text"))
+    profile = docs.select(
+        qe["n_tokens"].alias("n_tokens"),
+        qe["quality"].alias("quality"),
+        le["lang_pred"].alias("lang"),
+    ).persist()
+    agg = profile.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.round(F.avg("n_tokens"), 1).alias("mean_tokens"),
+        F.round(F.avg("quality"), 3).alias("mean_quality"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 1).alias("median_tokens"),
+    ).collect()[0]
+    langs = (
+        profile.groupBy("lang").count().orderBy(F.desc("count")).limit(5).collect()
+    )
+    profile.unpersist()
+    dups = (
+        exact_dedup_groups(docs)
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .count()
+    )
+    print(f"docs: {agg.docs}")
+    print(f"tokens: {agg.tokens} (mean {agg.mean_tokens}, median {agg.median_tokens})")
+    print(f"mean quality: {agg.mean_quality}")
+    print("languages: " + ", ".join(f"{r.lang}={r['count']}" for r in langs))
+    print(f"exact duplicates: {dups} ({100.0 * dups / max(agg.docs, 1):.1f}%)")
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="hadoop_search_spark")
     p.add_argument("--cpus", type=int, default=8)
@@ -213,6 +258,10 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--val-frac", type=float, default=0.01, dest="val_frac")
     pc.add_argument("--test-frac", type=float, default=0.01, dest="test_frac")
     pc.set_defaults(fn=cmd_curate)
+
+    pst = sub.add_parser("stats", help="one-shot corpus profile report")
+    pst.add_argument("--corpus", required=True, help="corpus parquet path")
+    pst.set_defaults(fn=cmd_stats)
 
     args = p.parse_args(argv)
     return args.fn(args)

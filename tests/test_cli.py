@@ -66,3 +66,13 @@ def test_cli_curate_export(tmp_path, spark):
     # exact-dup keepers only, deterministic shard+pos key
     assert back.select("doc_id").distinct().count() == n
     assert back.select("split").distinct().count() >= 2
+
+
+@pytest.mark.slow
+def test_cli_stats_report(tmp_path):
+    r = run_cli("stats", "--corpus", CORPUS)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert re.search(r"docs: 500\b", r.stdout)
+    assert re.search(r"tokens: \d+ \(mean [\d.]+, median [\d.]+\)", r.stdout)
+    assert "languages:" in r.stdout and "en=" in r.stdout
+    assert re.search(r"exact duplicates: \d+ \([\d.]+%\)", r.stdout)
