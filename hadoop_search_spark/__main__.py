@@ -185,7 +185,6 @@ def cmd_stats(args) -> int:
     you-curate report."""
     from pyspark.sql import functions as F
 
-    from hadoop_search_spark.operators.dedup import exact_dedup_groups
     from hadoop_search_spark.operators.textstats import lang_exprs, quality_exprs
 
     spark = _spark(args.cpus)
@@ -208,11 +207,9 @@ def cmd_stats(args) -> int:
         profile.groupBy("lang").count().orderBy(F.desc("count")).limit(5).collect()
     )
     profile.unpersist()
-    dups = (
-        exact_dedup_groups(docs)
-        .filter(F.col("doc_id") != F.col("keeper_id"))
-        .count()
-    )
+    # duplicates = docs minus distinct content hashes: one scan, one
+    # aggregate — no annotate-and-join-back for a scalar
+    dups = agg.docs - docs.select(F.md5("text")).distinct().count()
     print(f"docs: {agg.docs}")
     print(f"tokens: {agg.tokens} (mean {agg.mean_tokens}, median {agg.median_tokens})")
     print(f"mean quality: {agg.mean_quality}")

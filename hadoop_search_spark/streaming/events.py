@@ -464,59 +464,63 @@ SILENCE_SCHEMA = "event_type STRING, last_seen_us BIGINT, silent_for_us BIGINT"
 _SILENCE_STATE_SCHEMA = "last_us BIGINT"
 
 
-def _silence_fn(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Heartbeat monitor: state is the key's last-seen event time;
-    the EVENT-TIME timeout fires when the watermark passes
-    last_seen + gap — i.e. silence is judged by stream progress, not
-    wall clock, so replays alert identically."""
-    gap_us = _SILENCE_GAP_MS * 1000
-    if state.hasTimedOut:
-        (last_us,) = state.get
-        now_us = state.getCurrentWatermarkMs() * 1000
-        state.remove()  # re-registers on the next event of this type
-        yield pd.DataFrame(
-            {
-                "event_type": [key[0]],
-                "last_seen_us": [last_us],
-                "silent_for_us": [max(now_us - last_us, gap_us)],
-            }
-        )
-        return
-    last_us = state.get[0] if state.exists else 0
-    for pdf in pdfs:
-        if len(pdf):
-            last_us = max(last_us, int(pdf["ts"].astype("int64").max()) // 1_000)
-    state.update((last_us,))
-    state.setTimeoutTimestamp(last_us // 1000 + _SILENCE_GAP_MS)
-
-
-_SILENCE_GAP_MS = 2 * 3600 * 1000  # module-level: the UDF pickles it
-
-
-def silent_sources(events: DataFrame) -> DataFrame:
+def silent_sources(
+    events: DataFrame, gap_minutes: int = 120, watermark: str = "30 minutes"
+) -> DataFrame:
     """Silent-source alerting — the EVENT-TIME-TIMEOUT stateful
     pattern (the one ``applyInPandasWithState`` capability the other
     operators don't use): per event type, keep the last-seen event
-    time and arm a timeout at last_seen + 2h; if the WATERMARK passes
-    it with no new event, the timeout branch fires exactly once →
+    time and arm a timeout at last_seen + ``gap_minutes``; if the
+    WATERMARK passes it with no new event, the timeout branch fires →
     ``(event_type, last_seen_us, silent_for_us)``, and the type
     re-registers when (if) it resumes.
 
-    Judging silence by watermark instead of wall clock makes alerts a
-    pure function of the stream: a replay raises the same alerts at
-    the same stream positions — and state is one timestamp per type.
-    The batch twin of the SIGNAL is ``events_resample``'s zero rows
-    (gaps in the spine); this is its online form.
+    Judging silence by watermark instead of wall clock ties alerting
+    to STREAM progress, not processing speed. Note the honest limit:
+    alerts also depend on micro-batch boundaries — a gap that is
+    bridged WITHIN one micro-batch (silent source resumes before the
+    batch ends, watermark never observed between) raises no alert, so
+    a coarse single-batch replay of a finished stream may alert less
+    than the live run did. That is inherent to watermark-driven
+    timeouts (the timeout can only fire between batches); the
+    per-batch contract is deterministic, unlike wall-clock
+    ProcessingTimeTimeout. State is one timestamp per type. The batch
+    twin of the SIGNAL is ``events_resample``'s zero rows.
     """
+    gap_ms = int(gap_minutes) * 60 * 1000
+    gap_us = gap_ms * 1000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (last_us,) = state.get
+            now_us = state.getCurrentWatermarkMs() * 1000
+            state.remove()  # re-registers on the next event of this type
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "last_seen_us": [last_us],
+                    "silent_for_us": [max(now_us - last_us, gap_us)],
+                }
+            )
+            return
+        last_us = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if len(pdf):
+                last_us = max(
+                    last_us, int(pdf["ts"].astype("int64").max()) // 1_000
+                )
+        state.update((last_us,))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+
     return (
-        events.withWatermark("ts", "30 minutes")
+        events.withWatermark("ts", watermark)
         .groupBy("event_type")
         .applyInPandasWithState(
-            _silence_fn,
+            fn,
             outputStructType=SILENCE_SCHEMA,
             stateStructType=_SILENCE_STATE_SCHEMA,
             outputMode="update",
