@@ -243,3 +243,46 @@ def test_ivf_trained_recall_sf01(spark):
     assert r2 >= 0.35
     assert r2 <= r4 <= r8
     assert r8 == 1.0  # probing every cell covers the whole corpus
+
+
+def test_split_map_only_and_shard_single_shuffle(spark, documents):
+    from hadoop_search_spark.operators.mixing import (
+        shuffle_shard,
+        train_val_test_split,
+    )
+
+    # the split is a pure withColumn: no shuffle, no join, no Python
+    plan = (
+        train_val_test_split(documents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+    # shuffle-shard: ONE exchange (the shard partition), and the rank
+    # + running-token windows share it — a single Window stage
+    plan = (
+        shuffle_shard(documents, n_shards=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_span_rewrite_no_cartesian_no_python(spark, documents):
+    from hadoop_search_spark.operators.dedup import span_rewrite
+
+    plan = (
+        span_rewrite(documents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # covered-position removal is equi-joins on well-spread composite
+    # keys — never a cartesian product, never row-at-a-time Python
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
