@@ -915,3 +915,90 @@ def test_pca_projection_composes_with_ann(spark):
         )
         want = {ids[j] for j in order[:3]}
         assert set(by_q[q]) == want
+
+
+def test_bigram_surprisal_random_differential(spark):
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hadoop_search_spark.operators.textstats import bigram_surprisal
+
+    rng = random.Random(59)
+    vocab = [f"w{i}" for i in range(7)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))))
+        for i in range(50)
+    ]
+    # pure-python twin with the same quantized-decimal arithmetic
+    q6 = Decimal("1e-6")
+    toked = {d: [w for w in t.split(" ") if w] for d, t in rows}
+    c2, c1 = {}, {}
+    for toks in toked.values():
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    want = {}
+    for d, toks in toked.items():
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            continue
+        total = Decimal(0)
+        for a, b in bgs:
+            s = -math.log10(c2[(a, b)] / c1[a])
+            total += Decimal(str(round(s, 6))).quantize(q6, rounding=ROUND_HALF_UP)
+        want[d] = (len(bgs), float(total), float(total) / len(bgs))
+    got = {
+        r.doc_id: (r.n_bigrams, r.total_surprisal, r.mean_surprisal)
+        for r in bigram_surprisal(
+            spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        ).collect()
+    }
+    assert got == want and len(want) > 30
+
+
+def test_resample_and_cohorts_hand_computed(spark):
+    from hadoop_search_spark.catalog import CATALOG  # entries are the API here
+    import os
+    import tempfile
+
+    H = 3_600 * 1_000_000
+    base = 1_700_000_000 * 1_000_000  # micros
+    rows = [
+        # type a: hours 0, 1, 3 (hour 2 silent); type b: hour 1 only
+        (1, base + 0 * H, 10, "a", 1.0, "{}"),
+        (2, base + 1 * H, 10, "a", 1.0, "{}"),
+        (3, base + 3 * H + 5, 11, "a", 1.0, "{}"),
+        (4, base + 1 * H, 12, "b", 1.0, "{}"),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(e, t * 1000, u, k, v, p) for e, t, u, k, v, p in rows],
+        "event_id LONG, ts BIGINT, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).selectExpr(
+        "event_id", "timestamp_micros(ts div 1000) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    res = {
+        (r.event_type, r.hr): r.n
+        for r in CATALOG["events_resample"].fn(spark, d).collect()
+    }
+    h0 = (base + 0) // H
+    # spine covers [h0, h0+3] for BOTH types; silent cells are zeros
+    assert len(res) == 2 * 4
+    assert res[("a", h0)] == 1 and res[("a", h0 + 1)] == 1
+    assert res[("a", h0 + 2)] == 0 and res[("a", h0 + 3)] == 1
+    assert res[("b", h0 + 1)] == 1
+    assert res[("b", h0)] == 0 and res[("b", h0 + 2)] == 0 and res[("b", h0 + 3)] == 0
+
+    coh = {
+        (r.cohort_day, r.day_offset): r.active_users
+        for r in CATALOG["events_cohorts"].fn(spark, d).collect()
+    }
+    day0 = base // (24 * H)
+    # base falls at 22:13, so hour +3 crosses midnight: users 10/12
+    # cohort on day0, user 11 on day0+1; each counted once at offset 0
+    # despite repeat events
+    assert coh == {(day0, 0): 2, (day0 + 1, 0): 1}
