@@ -155,9 +155,16 @@ def cmd_curate(args) -> int:
         args.val_frac,
         args.test_frac,
     )
+    # sort by the partition columns FIRST, then pos: the parquet
+    # writer requires its input ordered on the partition columns and
+    # would otherwise insert its own Sort(split, shard) above ours —
+    # per-file pos order would then rest on that sort happening to be
+    # stable, which Spark does not guarantee. With the partition
+    # columns leading, our sort already satisfies the writer's
+    # requirement and no extra sort is inserted.
     (
         out.repartition("split", "shard")
-        .sortWithinPartitions("pos")
+        .sortWithinPartitions("split", "shard", "pos")
         .write.mode("overwrite")
         .partitionBy("split", "shard")
         .parquet(args.out)

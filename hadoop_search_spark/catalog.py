@@ -957,10 +957,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_ship_lag_priority",
     oracle="""
 SELECT lag_bucket,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS high_line_count,
-  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS low_line_count
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS low_line_count
 FROM (
   SELECT o_orderpriority,
          CASE WHEN l_shipdate < o_orderdate + INTERVAL 30 DAY THEN 'fast'
@@ -971,7 +971,13 @@ GROUP BY 1
 """,
     note="TPC-H Q12 shape (adapted: no l_shipmode column — the category "
     "is the ship-lag bucket): dual conditional counts per category, "
-    "integer-exact on both engines",
+    "integer-exact on both engines. The counts are CAST to BIGINT: an "
+    "uncast DuckDB sum() over integers returns HUGEINT (int128), which "
+    "the driver's type-sensitive value hash serializes differently from "
+    "Spark's int64 even at equal values (the r1-r3 hash-fail class). A "
+    "NULL o_orderpriority counts in NEITHER bucket on both engines "
+    "(oracle: CASE over IN/NOT IN both yield 0 on NULL; Spark: "
+    "when(hi)/when(~hi) both skip NULL).",
 )
 def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -994,7 +1000,11 @@ def q12_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag_bucket")
         .agg(
             F.sum(F.when(F.col("hi"), 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(F.col("hi"), 0).otherwise(1)).alias("low_line_count"),
+            # ~hi is NULL for a NULL priority — a NULL condition falls to
+            # otherwise(0), so a NULL counts in neither bucket, matching
+            # the oracle's NOT IN semantics (when(hi, 0).otherwise(1)
+            # would have counted a NULL priority as a low line)
+            F.sum(F.when(~F.col("hi"), 1).otherwise(0)).alias("low_line_count"),
         )
     )
 
@@ -1646,7 +1656,10 @@ def _bm25_idf_values() -> str:
 # keeping both engines in double arithmetic end-to-end. idf comes
 # from the precomputed (n, df, idf) literal table, not ln().
 BM25_CTE = POSTINGS_CTE + """
-, dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+/* CAST: uncast sum() over integers is HUGEINT in DuckDB — serializes
+   differently from Spark's int64 in the driver's type-sensitive value
+   hash even at equal values (the r1-r3 postings_bm25 hash-fail) */
+, dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
 stats AS (SELECT sum(tf) * 1e0 / count(DISTINCT doc_id) AS avgdl FROM tf),
 idf_tab AS (SELECT * FROM (VALUES __IDF_VALUES__) t(n, df, idf)),
 bm25 AS (
@@ -3156,7 +3169,7 @@ _SAMPLE_RATES = {"src0": 0.2, "src1": 0.5, "src2": 0.8, "src3": 1.0}
     oracle=f"""
 WITH b AS (
   SELECT doc_id, source,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10000 AS bucket
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 AS bucket
   FROM documents
 )
 SELECT doc_id, source, bucket FROM b
@@ -3182,7 +3195,7 @@ SELECT doc_id, source,
             ELSE 'train' END AS split
 FROM (
   SELECT doc_id, source,
-         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
            % 10000 AS b
   FROM documents) t
 """,
@@ -3240,9 +3253,14 @@ WITH t AS (
          CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
   FROM documents),
 c AS (
+  /* CAST: uncast windowed sum() over BIGINT is HUGEINT in DuckDB,
+     which the driver's type-sensitive hash serializes differently
+     from Spark's int64 (the r3 hash-fail class); the derived seq_id/
+     seq_off then inherit BIGINT from the cast */
   SELECT doc_id, n_tokens,
-         sum(n_tokens) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS BIGINT) AS start_tok
   FROM t)
 SELECT doc_id, n_tokens, start_tok,
        start_tok // 256 AS seq_id,
@@ -3859,7 +3877,10 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_summary",
     oracle=f"""
 SELECT count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       /* CAST: uncast sum() over integers is HUGEINT in DuckDB — the
+          driver's type-sensitive hash diverges from Spark's int64 even
+          at equal values (the r2/r3 curation_summary hash-fail) */
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        CAST(CAST(round(sum(n_tokens)::DOUBLE / count(*), 6) AS DECIMAL(18,6)) AS DOUBLE) AS mean_tokens,
        CAST(CAST(round(
          CAST(sum(CAST(round(quality, 6) AS DECIMAL(12,6))) AS DOUBLE) / count(*),
@@ -4177,97 +4198,86 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries in the tail. Registration order is unchanged — only the
 # accessors reorder.
 _DRIVER_FRONT = [
-    # r3 rotation. Rule (learned the hard way in r2): every entry that
+    # r4 rotation. Rule (learned the hard way in r2): every entry that
     # is NEW or CHANGED this round goes inside the front list in the
     # SAME round it lands — never behind the cap.
     #
-    # (a) never recorded in any round (tail-registered in r2) — the
-    # six entries whose only evidence so far is the local gate
-    "q4_priority_check",
-    "q7_volume_shipping",
-    "q10_returned_revenue",
-    "q14_promo_revenue",
-    "events_funnel",
-    "text_zipf_histogram",
-    # (b) changed this round: DECIMAL quantization of the two r2
-    # hash-fails (postings_bm25, curation_summary) + the chain they
-    # share (curation_pipeline survivor set, search_bm25 same scorer);
-    # media_* (decode-batch vectorization); dedup_edit_distance
-    # (blocking hardening); sim_ann_ivf_topk (seed-count assert);
-    # search_render_page/search_stemmed_cnf (golden-path derivation);
-    # search_cnf_mixed (vocab-cache tie-break exercises J6 ordering)
+    # (a) the four r3 hash-fails — all one root cause, now fixed: an
+    # uncast DuckDB sum() over integers returns HUGEINT (int128),
+    # which the driver's TYPE-sensitive value hash serializes
+    # differently from Spark's int64 even at equal values. Each oracle
+    # now CASTs to BIGINT; test_no_oracle_result_column_is_hugeint
+    # pins the class closed for every entry. q12 additionally fixed a
+    # latent NULL-priority asymmetry (counts in neither bucket now).
     "postings_bm25",
     "curation_summary",
-    "curation_pipeline",
-    "search_bm25",
-    "media_decode",
-    "dedup_edit_distance",
-    "sim_ann_ivf_topk",
-    "search_render_page",
-    "search_stemmed_cnf",
-    "search_cnf_mixed",
-    # (b continued) NEW this round — the TPC-H-adapted breadth set and
-    # the two LLM-pipeline additions, front-loaded per the rule above
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_part_concentration",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q21_sole_late_shipper",
-    "q22_dormant_balance",
-    "text_repetition",
-    "dedup_span_overlap",
     "mix_sequence_pack",
-    "doc_chunks",
-    "text_surprisal",
-    "q_trailing_window_spend",
-    "q_unpivot_measures",
-    "text_bpe_pair_counts",
-    # (b continued) plans changed late in round 3: cosine_topk gained
-    # the structural maxRows limit, ngram_jaccard candidates are now
-    # prefix-filtered — both need fresh driver rows
-    "sim_cosine_topk",
-    "dedup_ngram_jaccard",
-    "events_rate_anomaly",
     "q12_ship_lag_priority",
-    # (c) r1-only rows (rotated out in r2) — refresh the ones that fit
-    # under the cap so green rows don't age; the seven dropped to make
-    # room for the new entries (q_semi_join, q_anti_join, q_rollup,
-    # q_distinct_agg, q_case_pivot, q_point_lookup, q_pagination) are
-    # unchanged since their r1 green rows and pass the local gate
-    # (b continued) NEW in the post-verdict round-3 session — per the
-    # same-round front-loading rule, each replaces a (c) row below
-    "mix_shuffle_shard",
-    "text_bpe_encode",
-    "text_bigram_surprisal",
-    "corpus_apply_changes",
-    "text_classifier_score",
-    "dedup_span_rewrite",
-    "sim_pca_project",
+    # (b) CHANGED this round: _bucket's hash prefix widened 4→12 hex
+    # digits (16-bit prefix mod 10000 over-populated low buckets
+    # 7/65536 vs 6/65536 — ~7% relative val/test over-population);
+    # both entries' outputs changed, oracles updated in lockstep
     "sample_split",
-    "graph_authority",
-    "events_resample",
-    "events_cohorts",
-    # 0 spare slots — media_stats / media_frames rotated to the tail
-    # for the two events entries: media_decode stays in front and
-    # exercises the same vectorized decode batch path they share, and
-    # both pass the local gate at all three SFs — if another entry is added or changed this round,
-    # it replaces a (c) row HERE, never lands behind the cap
-    # (dedup_exact, postings_tfidf, q_window_topk, postings_tf,
-    # doc_count, wc_top100, q5_local_supplier_volume,
-    # q6_forecast_revenue and q1_pricing_summary dropped to the tail
-    # for the nine post-verdict round-3 additions; their r1 green
-    # rows stand and they pass the local gate)
-    # (text_pii_scrub, text_fingerprint, text_token_count,
-    # dedup_simhash_pairs, text_script_counts, text_quality,
-    # dedup_simhash, text_lang_id, dedup_clusters and
-    # q3_shipping_priority dropped to the tail for the round-3
-    # additions; their r1 green rows stand and all pass the local
-    # gate)
+    "sample_stratified",
+    # (c) code changed in r3 (vectorized decode batch path) but no r3
+    # driver row — media_decode's r3 green row exercises the shared
+    # path, these two re-record on their own outputs
+    "media_stats",
+    "media_frames",
+    # (d) the 26 entries whose latest driver row is r1 — oldest rows
+    # in the catalog, refreshed so no entry's evidence ages past two
+    # rounds (all unchanged since r1 and green on the local gate)
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_semi_join",
+    "q_anti_join",
+    "q_window_topk",
+    "q_rollup",
+    "q_distinct_agg",
+    "q_case_pivot",
+    "q_point_lookup",
+    "q_pagination",
+    "wc_top100",
+    "doc_count",
+    "postings_tf",
+    "postings_tfidf",
+    "dedup_exact",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "text_lang_id",
+    "text_script_counts",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "text_pii_scrub",
+    # (e) oldest r2-latest rows fill the remaining slots (registration
+    # order); the r2 entries left in the tail are exactly 2 rounds old
+    # at r4 and rotate in next round. NEW entries added later this
+    # round replace rows from THIS block, never land behind the cap.
+    "postings_incremental_merge",
+    "text_heavy_hitters",
+    "doc_keywords",
+    "search_and",
+    "search_or",
+    "search_and_not",
+    "search_phrase",
+    "search_exact_phrase",
+    "search_suggest_terms",
+    "terms_related",
+    "search_not_clause",
+    "events_hourly",
+    "events_json",
+    "events_sessionize",
+    "events_asof_attribution",
+    "events_interval_join",
+    # (r3-green entries all rotated to the tail — their r3 rows are
+    # fresh; the 20 remaining r2-latest entries — dedup_minhash_lsh,
+    # dedup_decontaminate, sim_ann_lsh_topk, mix_token_budget,
+    # sim_embedding_dedup and the q_* relational shapes — keep their
+    # r2 rows and go first in the r5 rotation)
 ]
 
 

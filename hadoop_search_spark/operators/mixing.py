@@ -66,11 +66,17 @@ def _bucket(key_col: str, salt: str = "") -> F.Column:
     """Deterministic uniform bucket in [0, SAMPLE_SCALE) from the
     row's own key — the shared cross-engine :func:`md5_int` recipe.
     A non-empty ``salt`` prefixes the key (``"<salt>:<key>"``) to
-    decorrelate this bucketing from other md5(key) uses."""
+    decorrelate this bucketing from other md5(key) uses.
+
+    The prefix is 12 hex digits (48 bits): a 4-digit (16-bit) prefix
+    mod 10000 is visibly non-uniform — buckets 0..5535 occur 7/65536
+    vs 6/65536 for the rest, so the low-bucket val/test ranges were
+    ~7% relatively over-populated; 2^48 mod 10000 bias is ~4e-11,
+    negligible."""
     key = F.col(key_col).cast("string")
     if salt:
         key = F.concat(F.lit(salt + ":"), key)
-    h = md5_int(key, 4)
+    h = md5_int(key, 12)
     return F.pmod(h, F.lit(SAMPLE_SCALE))
 
 

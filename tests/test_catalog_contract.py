@@ -50,6 +50,134 @@ def test_oracle_sql_is_duckdb_parsable():
     con.close()
 
 
+def test_no_oracle_result_column_is_hugeint():
+    """The driver's value hash is TYPE-sensitive: a DuckDB HUGEINT
+    (int128 — what an uncast ``sum()`` over integers returns) hashes
+    differently from Spark's int64 even when every value is equal.
+    This was the sole root cause of all four r3 driver hash-fails
+    (``postings_bm25``/``curation_summary``/``mix_sequence_pack``/
+    ``q12_ship_lag_priority``) and was invisible to the local gate,
+    which compared pandas-converted VALUES. Every aggregate an oracle
+    emits must be ``CAST(... AS BIGINT)``; binding each oracle resolves
+    its result types without executing it, so this meta-test pins the
+    whole class closed for every current and future entry."""
+    import duckdb
+
+    from hadoop_search_spark import catalog
+    from hadoop_search_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    bad = {}
+    for name, sql in catalog.oracle_sql().items():
+        rel = con.sql(sql)
+        hits = [
+            (c, str(ty))
+            for c, ty in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(ty).upper()
+        ]
+        if hits:
+            bad[name] = hits
+    con.close()
+    assert not bad, (
+        f"oracle result columns typed HUGEINT/UHUGEINT (uncast integer "
+        f"sum()?) — the driver hash can never match these: {bad}"
+    )
+
+
+def test_local_gate_flags_type_mismatches():
+    """Pins the dtype-awareness of scripts/check_oracles.py: a
+    deliberately uncast integer ``sum()`` (HUGEINT) must go RED even
+    when every value is equal — for three rounds the value-only gate
+    reported clean while the driver hashed such entries red. Also
+    pins: cross-class (decimal vs double) is red, int-width-only
+    (INTEGER vs BIGINT — which the driver has never distinguished)
+    is a warning, not a failure."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts", "check_oracles.py")
+    spec = importlib.util.spec_from_file_location("_check_oracles", path)
+    co = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(co)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT 1 AS x")
+
+    rel = con.sql("SELECT sum(x) AS s FROM t")  # HUGEINT result
+    hard, _ = co.type_mismatches([("s", "bigint")], rel.columns, rel.types)
+    assert hard and "HUGEINT" in hard[0]
+
+    rel = con.sql("SELECT CAST(sum(x) AS BIGINT) AS s FROM t")
+    assert co.type_mismatches([("s", "bigint")], rel.columns, rel.types) == ([], [])
+
+    rel = con.sql("SELECT 1.5::DOUBLE AS s")
+    hard, _ = co.type_mismatches([("s", "decimal(18,2)")], rel.columns, rel.types)
+    assert hard, "decimal-vs-double disagreement must be a hard failure"
+
+    rel = con.sql("SELECT 1::INTEGER AS s")
+    hard, warn = co.type_mismatches([("s", "bigint")], rel.columns, rel.types)
+    assert not hard and warn, "int-width-only difference is warn-only"
+    con.close()
+
+
+def test_q12_null_priority_counts_in_neither_bucket(spark, tmp_path):
+    """The fixtures carry no NULL o_orderpriority, which hid an
+    asymmetry for three rounds: Spark's original
+    ``when(hi, 0).otherwise(1)`` counted a NULL priority as a LOW
+    line while the oracle's ``NOT IN`` CASE counted it in neither
+    bucket. This runs the real catalog entry AND its real oracle over
+    a tiny synthetic lineitem/orders pair containing a NULL priority
+    and asserts they agree — and that the NULL row lands in neither
+    count."""
+    import datetime as dt
+
+    import duckdb
+
+    from hadoop_search_spark import catalog
+
+    orders = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 1), "1-URGENT"),
+            (2, dt.date(2024, 1, 1), "5-LOW"),
+            (3, dt.date(2024, 1, 1), None),
+        ],
+        "o_orderkey LONG, o_orderdate DATE, o_orderpriority STRING",
+    )
+    # all three ship 10 days after order → one 'fast' bucket row
+    lineitem = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 11)), (2, dt.date(2024, 1, 11)), (3, dt.date(2024, 1, 11))],
+        "l_orderkey LONG, l_shipdate DATE",
+    )
+    sf_dir = str(tmp_path)
+    orders.coalesce(1).write.parquet(f"{sf_dir}/orders.parquet")
+    lineitem.coalesce(1).write.parquet(f"{sf_dir}/lineitem.parquet")
+
+    rows = (
+        catalog.CATALOG["q12_ship_lag_priority"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) == 1 and rows[0].lag_bucket == "fast"
+    assert rows[0].high_line_count == 1
+    assert rows[0].low_line_count == 1  # NULL priority is in NEITHER
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    oracle = con.sql(catalog.CATALOG["q12_ship_lag_priority"].oracle).fetchall()
+    assert oracle == [("fast", 1, 1)]
+    con.close()
+
+
 # BroadcastNestedLoopJoin boundedness proof (the gate below): a BNLJ
 # is only acceptable when its BUILD side is provably small — otherwise
 # it is a cartesian blowup wearing a different name. The proof walks

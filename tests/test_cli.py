@@ -66,6 +66,23 @@ def test_cli_curate_export(tmp_path, spark):
     # exact-dup keepers only, deterministic shard+pos key
     assert back.select("doc_id").distinct().count() == n
     assert back.select("split").distinct().count() >= 2
+    # the deterministic-export contract: every data FILE is internally
+    # pos-sorted (readers stream shards in training order without a
+    # sort). Guaranteed by sortWithinPartitions(split, shard, pos) —
+    # sorting by the partition columns first means the writer's
+    # required ordering is already satisfied and it inserts no Sort of
+    # its own above ours (an unsorted-on-partition-cols input would
+    # re-sort, and per-file pos order would then hinge on that sort
+    # being stable, which Spark does not guarantee).
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = _glob.glob(f"{out}/split=*/shard=*/*.parquet")
+    assert files
+    for f in files:
+        pos = _pq.read_table(f, columns=["pos"]).column("pos").to_pylist()
+        assert pos == sorted(pos), f"pos not monotone within {f}"
 
 
 @pytest.mark.slow
