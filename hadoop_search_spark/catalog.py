@@ -63,7 +63,10 @@ def register(name: str, oracle: str | None = None, note: str = ""):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # session-memoized handle — see sources.tables.load_table
+    from hadoop_search_spark.sources.tables import load_table
+
+    return load_table(spark, name, sf_dir)
 
 
 def _ensure_utc(spark: SparkSession) -> None:

@@ -29,8 +29,27 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Session-memoized table handle. ``spark.read.parquet`` costs
+    ~0.1 s per call even warm (JVM file listing + footer schema read),
+    so a 6-table join paid ~0.6 s of plan-BUILD latency per cold
+    query — measured as the dominant slice of the r3 cold-sequential
+    drift. DataFrames are immutable and the fixture paths never change
+    within a session, so reusing the relation is semantically
+    identical; handles of stopped sessions are evicted by
+    applicationId."""
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
+    df = _HANDLES.get(key)
+    if df is None:
+        for k in [k for k in _HANDLES if k[0] != app]:
+            del _HANDLES[k]
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _HANDLES[key] = df
+    return df
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
