@@ -1450,6 +1450,61 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_perplexity_buckets",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents),
+vc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM vc),
+s AS (
+  SELECT tok,
+         CAST(round(-log10(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS s6
+  FROM vc, tot),
+d AS (
+  /* floor(mean surprisal * 1e9) in EXACT arithmetic: sum(s6) has
+     scale 6, so sum*1e6 is an exact integer and the integral
+     division is engine-independent — no double is ever rounded
+     (round() of a double at a digit boundary differs Spark vs
+     DuckDB; the first draft of this entry hit that at sf0.001) */
+  /* NB DuckDB's // on DECIMAL operands degrades to DOUBLE true
+     division (probed: DECIMAL(38,0)//2 = 3.5), so the floor division
+     goes through HUGEINT, whose // is exact integer division; the
+     RESULT is cast to BIGINT (the driver-hash type rule) */
+  SELECT doc_id,
+         CAST(CAST(sum(s6) * 1000000 AS HUGEINT) * 1000 // count(*)
+              AS BIGINT) AS m9
+  FROM toks JOIN s USING (tok) GROUP BY doc_id),
+r AS (
+  SELECT doc_id, m9,
+         row_number() OVER (ORDER BY m9, doc_id) AS rk,
+         count(*) OVER () AS n
+  FROM d)
+SELECT doc_id, m9 AS mean_surprisal9, rk,
+       CASE ((rk - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
+""",
+    note="CCNet-style head/middle/tail perplexity bucketing: global "
+    "rank by floor(mean unigram surprisal * 1e9) computed in exact "
+    "integer/decimal arithmetic (asc, doc_id tie-break — a total "
+    "order, so rank and buckets are engine-independent), "
+    "thirds by pure integer arithmetic ((rk-1)*3 div N, not ntile). "
+    "The oracle is the naive one-window rank; the Spark plan is the "
+    "two-phase distributed rank (partition-parallel in-block "
+    "row_numbers + a prefix window over per-block COUNTS only, the "
+    "sequence_pack pattern applied to ordering) — the gate proves "
+    "them equal",
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.textstats import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_bigram_surprisal",
     oracle="""
 WITH t AS (
@@ -3215,6 +3270,45 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "split")
 
 
+@register(
+    "mix_dsir_select",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents),
+cs AS (SELECT tok, count(*) AS cnt_s FROM toks GROUP BY 1),
+ct AS (SELECT tok, count(*) AS cnt_t FROM toks WHERE source = 'src0' GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt_s) AS BIGINT) AS n_s, count(*) AS v FROM cs),
+ttot AS (SELECT CAST(coalesce(sum(cnt_t), 0) AS BIGINT) AS n_t FROM ct),
+w AS (
+  SELECT cs.tok,
+         CAST(round(log10(
+           (CAST(coalesce(ct.cnt_t, 0) + 1 AS DOUBLE) * CAST(n_s + v AS DOUBLE))
+           / (CAST(cs.cnt_s + 1 AS DOUBLE) * CAST(n_t + v AS DOUBLE))
+         ), 6) AS DECIMAL(18,6)) AS w6
+  FROM cs LEFT JOIN ct USING (tok), tot, ttot)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(w6) AS DOUBLE) AS score,
+       sum(w6) > 0 AS keep
+FROM toks JOIN w USING (tok)
+GROUP BY doc_id
+""",
+    note="DSIR-style (Xie et al. 2023) importance weighting for "
+    "target-domain data selection, unigram features: per-token weight "
+    "= log10 likelihood ratio of the src0 target slice vs the whole "
+    "corpus, Laplace-smoothed; products and the one division in "
+    "doubles with identical association on both engines (IEEE "
+    "multiply/divide are bit-identical; log10 is the safe log), "
+    "quantized DECIMAL(18,6) pre-sum per the quantization rule; "
+    "keep = score > 0 is the selection decision",
+)
+def mix_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.mixing import dsir_select
+
+    return dsir_select(_t(spark, sf_dir, "documents"))
+
+
 _MIX_BUDGETS = {f"src{i}": 1000 for i in range(0, 20, 2)}
 
 
@@ -3490,12 +3584,17 @@ SELECT media_id, kind, n_bytes,
   CAST(64 + hv % 1024 AS INT) AS width,
   CAST(64 + (hv // 1024) % 1024 AS INT) AS height,
   CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + hv % 120 END AS INT) AS n_frames,
-  checksum
+  checksum,
+  'stub' AS decoder
 FROM h
 """,
     note="Arrow-batched media decode via mapInPandas; decoder is a "
     "deterministic md5-feature stub (libs not in container), so the "
-    "oracle reproduces the features exactly from md5(text)",
+    "oracle reproduces the features exactly from md5(text). Every row "
+    "carries a 'decoder' regime marker ('stub'|'pil') that the driver "
+    "hash covers — if the container ever gains PIL and the regime "
+    "flipped, this entry would go loudly red instead of silently "
+    "changing meaning (the oracle pins 'stub')",
 )
 def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_spark.operators.multimodal import decode_media, synthesize_media
@@ -4223,10 +4322,13 @@ _DRIVER_FRONT = [
     "sample_split",
     "sample_stratified",
     # (c) code changed in r3 (vectorized decode batch path) but no r3
-    # driver row — media_decode's r3 green row exercises the shared
-    # path, these two re-record on their own outputs
+    # driver row — these two re-record on their own outputs; plus
+    # media_decode, whose output CHANGED this round (every decoded row
+    # now carries the 'decoder' regime marker, oracle updated in
+    # lockstep)
     "media_stats",
     "media_frames",
+    "media_decode",
     # (d) the 26 entries whose latest driver row is r1 — oldest rows
     # in the catalog, refreshed so no entry's evidence ages past two
     # rounds (all unchanged since r1 and green on the local gate)
@@ -4273,9 +4375,15 @@ _DRIVER_FRONT = [
     "search_not_clause",
     "events_hourly",
     "events_json",
-    "events_sessionize",
-    "events_asof_attribution",
-    "events_interval_join",
+    # NEW this round — CCNet perplexity bucketing (two-phase
+    # distributed rank) and DSIR importance selection; each replaces
+    # an (e) row per the front rule
+    "text_perplexity_buckets",
+    "mix_dsir_select",
+    # (events_interval_join, events_asof_attribution and
+    # events_sessionize dropped to the tail for media_decode and the
+    # two new entries; their r2 rows stand and they lead the r5
+    # rotation)
     # (r3-green entries all rotated to the tail — their r3 rows are
     # fresh; the 20 remaining r2-latest entries — dedup_minhash_lsh,
     # dedup_decontaminate, sim_ann_lsh_topk, mix_token_budget,

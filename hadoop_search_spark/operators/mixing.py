@@ -306,6 +306,91 @@ def shuffle_shard(
     )
 
 
+def dsir_select(
+    docs: DataFrame,
+    target_source: str = "src0",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style importance weighting for data selection (Xie et al.
+    2023, simplified to unigram features): score every document by
+    how much more likely its tokens are under a TARGET domain
+    distribution than under the full corpus distribution →
+    ``(doc_id, n_tokens, score, keep)``. ``score`` is the summed
+    per-token log10 likelihood ratio with Laplace smoothing; ``keep``
+    marks docs whose evidence favors the target (score > 0) — the
+    resampling step of a target-domain selection pass.
+
+    Cross-engine exactness: each token's weight is
+    ``log10(((cnt_t+1) * (N_s+V)) / ((cnt_s+1) * (N_t+V)))`` with
+    the products and the single division done in doubles in exactly
+    this association (IEEE multiply/divide are bit-identical across
+    engines; log10 is the safe log), quantized to DECIMAL(18,6)
+    BEFORE the per-doc sum.
+
+    Scale shape: identical to the surprisal family — two token-keyed
+    count aggregations (target slice + corpus), a vocab-sized weight
+    table joined back to the token stream, one per-doc aggregation.
+    No all-pairs, no driver state; the scalar totals (N_t, N_s, V)
+    are 1-row broadcast aggregates."""
+    toks = docs.select(
+        "doc_id",
+        F.col(source_col).alias("_src"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    cnt_s = toks.groupBy("tok").agg(F.count("*").alias("cnt_s"))
+    cnt_t = (
+        toks.filter(F.col("_src") == target_source)
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt_t"))
+    )
+    # vocab = the corpus vocabulary (cnt_s covers every token that
+    # can appear at scoring time; target-only tokens can't exist)
+    totals = cnt_s.agg(
+        F.sum("cnt_s").alias("n_s"), F.count("*").alias("v")
+    )
+    t_total = cnt_t.agg(F.coalesce(F.sum("cnt_t"), F.lit(0)).alias("n_t"))
+    w6 = (
+        F.round(
+            F.log10(
+                (
+                    (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1).cast("double")
+                    * (F.col("n_s") + F.col("v")).cast("double")
+                )
+                / (
+                    (F.col("cnt_s") + 1).cast("double")
+                    * (F.col("n_t") + F.col("v")).cast("double")
+                )
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("w6")
+    )
+    weights = (
+        cnt_s.join(cnt_t, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(t_total))
+        .select("tok", w6)
+    )
+    scored = (
+        toks.join(weights, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w6").alias("_sum6"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.col("_sum6").cast("double").alias("score"),
+        (F.col("_sum6") > 0).alias("keep"),
+    )
+
+
 def train_val_test_split(
     docs: DataFrame,
     val_frac: float = 0.01,

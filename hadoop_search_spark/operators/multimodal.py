@@ -33,7 +33,8 @@ MEDIA_SCHEMA = (
 
 DECODED_SCHEMA = (
     "media_id BIGINT, kind STRING, n_bytes BIGINT, "
-    "width INT, height INT, n_frames INT, checksum STRING"
+    "width INT, height INT, n_frames INT, checksum STRING, "
+    "decoder STRING"
 )
 
 
@@ -86,6 +87,11 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 "int32"
             ),
             "checksum": digest,
+            # the regime marker: every decoded row RECORDS which
+            # decoder produced it, so the stub/real switch can never
+            # flip silently between rounds — it shows up in the data
+            # (and therefore in the driver's value hash)
+            "decoder": "stub",
         }
     )
 
@@ -113,7 +119,30 @@ def _pil_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         out.loc[is_img, "height"] = pd.array(
             [h for _, h in sizes], dtype="int32"
         )
+        # only image rows actually went through PIL; audio/video
+        # features are still the deterministic stub
+        out.loc[is_img, "decoder"] = "pil"
     return out
+
+
+_WARNED_AUTO_FALLBACK = False
+
+
+def _warn_auto_fallback() -> None:
+    """Once-per-worker loud notice that codec='auto' degraded to the
+    stub. stderr is the executor log channel; the durable signal is
+    the per-row ``decoder`` column."""
+    global _WARNED_AUTO_FALLBACK
+    if not _WARNED_AUTO_FALLBACK:
+        _WARNED_AUTO_FALLBACK = True
+        import sys
+
+        print(
+            "hadoop_search_spark.multimodal: codec='auto' fell back to "
+            "the STUB decoder (PIL not importable on this executor); "
+            "decoded rows carry decoder='stub'",
+            file=sys.stderr,
+        )
 
 
 def decode_media(media: DataFrame, codec: str = "stub") -> DataFrame:
@@ -146,6 +175,7 @@ def decode_media(media: DataFrame, codec: str = "stub") -> DataFrame:
                 try:
                     yield _pil_decode_batch(pdf)
                 except ImportError:
+                    _warn_auto_fallback()
                     yield _fake_decode_batch(pdf)
             else:
                 yield _fake_decode_batch(pdf)

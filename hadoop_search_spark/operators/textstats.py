@@ -9,7 +9,7 @@ wraps silently, DuckDB promotes — overflow would diverge)."""
 from __future__ import annotations
 
 import pandas as pd  # noqa: F401 — pandas_udf resolves 'pd.Series' hints
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny embedded stopword list for ratio features (order irrelevant)
@@ -353,6 +353,92 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.count("*").alias("n_tokens"),
             F.sum("s6").cast("double").alias("total_surprisal"),
             (F.sum("s6").cast("double") / F.count("*")).alias("mean_surprisal"),
+        )
+    )
+
+
+def perplexity_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing: docs ranked
+    by mean unigram surprisal (ascending — head = most-fluent third,
+    the slice CCNet keeps) and split into three equal-size buckets by
+    GLOBAL rank → ``(doc_id, mean_surprisal6, rk, bucket)``.
+
+    Exactness: the ranking key is ``floor(mean surprisal * 1e9)``
+    computed in pure integer/decimal arithmetic — the per-token
+    surprisal is already an exact DECIMAL(18,6), so ``sum*1e6`` is an
+    exact integer, and ``(sum*1e6*1000) div n_tokens`` is an exact
+    integral division on both engines. No double is ever rounded
+    (``round()`` of a double at a digit boundary is engine-dependent
+    — Spark rounds the exact BigDecimal, DuckDB rounds in float
+    arithmetic; this entry hit that boundary at sf0.001 on its first
+    draft). Ties broken by doc_id — a total order, so rank and
+    buckets are engine-independent. Bucket = ((rk-1)*3) div N rather
+    than ntile(): same thirds, pure integer arithmetic.
+
+    Scale shape: a naive rank is one row_number window over EVERYTHING
+    on a single partition. This is the two-phase distributed rank
+    (the ``sequence_pack`` cumsum pattern applied to ordering): docs
+    are bucketed by the leading digits of the ranking key — monotone
+    in the sort order, so blocks tile the global order — in-block
+    ranks are partition-parallel windows, and only the per-block
+    COUNTS (thousands of rows, not billions) cross the one-partition
+    prefix window before a broadcast join-back. N is a 1-row
+    broadcast aggregate."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    vc = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = vc.agg(F.sum("cnt").alias("total"))
+    s6 = (
+        F.round(
+            -F.log10(F.col("cnt").cast("double") / F.col("total").cast("double")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("s6")
+    )
+    surprisal = vc.crossJoin(F.broadcast(tot)).select("tok", s6)
+    per_doc = (
+        toks.join(surprisal, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("s6").alias("sum6"))
+    )
+    # sum6 has scale 6, so sum6*1e6 is integer-valued; *1000 more and
+    # an integral div by n gives floor(mean * 1e9) exactly. DECIMAL(38)
+    # holds the intermediate far beyond any corpus size (1e13 tokens *
+    # 10 max-surprisal * 1e9 = 1e23 << 1e38).
+    m9 = F.expr(
+        "CAST(CAST(sum6 * 1000000 AS DECIMAL(38,0)) * 1000 AS DECIMAL(38,0)) "
+        "div n_tokens"
+    ).alias("m9")
+    d = per_doc.select("doc_id", m9)
+    # m9 >= 0 (surprisal is -log10 of a probability), monotone block key
+    d = d.withColumn("blk", F.expr("m9 div 10000000"))
+    in_blk = Window.partitionBy("blk").orderBy("m9", "doc_id")
+    d = d.withColumn("rn", F.row_number().over(in_blk).cast("bigint"))
+    blk_cnt = d.groupBy("blk").agg(F.count("*").alias("blk_n"))
+    prefix = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    blk_off = blk_cnt.select(
+        "blk",
+        F.coalesce(F.sum("blk_n").over(prefix), F.lit(0)).alias("blk_offset"),
+    )
+    n_tot = d.agg(F.count("*").alias("n"))
+    rk = (F.col("blk_offset") + F.col("rn")).alias("rk")
+    bkt = F.expr("((blk_offset + rn - 1) * 3) div n")
+    label = (
+        F.when(bkt == 0, "head").when(bkt == 1, "middle").otherwise("tail")
+    )
+    return (
+        d.join(F.broadcast(blk_off), "blk")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id",
+            F.col("m9").alias("mean_surprisal9"),
+            rk,
+            label.alias("bucket"),
         )
     )
 

@@ -221,6 +221,48 @@ def test_shuffle_shard_deterministic_partition_and_manifest(spark):
         shuffle_shard(docs, n_shards=0)
 
 
+def test_dsir_select_hand_computed(spark):
+    """Four docs, two sources: the target slice (src0) over-uses 'x',
+    so docs heavy in 'x' must score positive (keep) and docs heavy in
+    corpus-common tokens negative. Weights verified against a
+    pure-Python Decimal twin of the exact smoothed log-ratio."""
+    import math
+    from decimal import Decimal
+
+    from hadoop_search_spark.operators.mixing import dsir_select
+
+    rows = [
+        (1, "src0", "x x y"),
+        (2, "src0", "x y y"),
+        (3, "src1", "y y z"),
+        (4, "src1", "z z y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    toks_all = [t for _, _, text in rows for t in text.split()]
+    toks_t = [t for _, s, text in rows if s == "src0" for t in text.split()]
+    n_s, n_t = len(toks_all), len(toks_t)
+    v = len(set(toks_all))
+
+    def w6(tok):
+        cnt_t = toks_t.count(tok)
+        cnt_s = toks_all.count(tok)
+        val = math.log10(((cnt_t + 1) * (n_s + v)) / ((cnt_s + 1) * (n_t + v)))
+        return Decimal(str(round(val, 6)))
+
+    want = {}
+    for doc_id, _, text in rows:
+        ts = text.split()
+        s = sum((w6(t) for t in ts), Decimal(0))
+        want[doc_id] = (len(ts), float(s), s > 0)
+    got = {
+        r.doc_id: (r.n_tokens, r.score, r.keep)
+        for r in dsir_select(df).collect()
+    }
+    assert got == want
+    # the x-heavy target-like doc is kept, the z-heavy one is not
+    assert got[1][2] is True and got[4][2] is False
+
+
 def test_train_val_test_split_stable_and_salted(spark):
     import pytest
 

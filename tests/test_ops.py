@@ -181,11 +181,12 @@ def test_multimodal_plumbing(spark, documents):
     decoded = decode_media(media)
     assert decoded.schema.simpleString() == (
         "struct<media_id:bigint,kind:string,n_bytes:bigint,width:int,"
-        "height:int,n_frames:int,checksum:string>"
+        "height:int,n_frames:int,checksum:string,decoder:string>"
     )
     rows = decoded.collect()
     assert len(rows) == 30
     assert all(r.n_bytes > 0 and len(r.checksum) == 32 for r in rows)
+    assert all(r.decoder == "stub" for r in rows)
     # images decode to exactly one frame; videos to many
     frames = frame_sample(decoded, every_n=30)
     assert frames.filter(F.col("frame_idx") < 0).count() == 0
@@ -535,6 +536,57 @@ def test_unigram_surprisal_hand_computed(spark):
     assert got[2].mean_surprisal == t2 / 2
 
 
+def test_perplexity_buckets_hand_computed(spark):
+    """Six docs with distinct hand-computable mean surprisals: the
+    two-phase distributed rank must reproduce the naive global rank
+    (pure-Python twin using exact Decimal arithmetic) and the thirds
+    must split 2/2/2 in rank order."""
+    import math
+    from decimal import Decimal
+
+    from hadoop_search_spark.operators.textstats import perplexity_buckets
+
+    rows = [
+        (1, "a a a a"),     # all common tokens -> lowest surprisal
+        (2, "a a a b"),
+        (3, "a a b b"),
+        (4, "a b b c"),
+        (5, "b b c c"),
+        (6, "c c d d"),     # rare tokens -> highest surprisal
+    ]
+    df = _docs(spark, rows)
+    # python twin: exact token counts over the 24-token corpus
+    toks = [t for _, text in rows for t in text.split()]
+    total = len(toks)
+    cnt = {t: toks.count(t) for t in set(toks)}
+
+    def s6(c):
+        return Decimal(str(round(-math.log10(c / total), 6)))
+
+    m9 = {}
+    for doc_id, text in rows:
+        ts = text.split()
+        ssum = sum((s6(cnt[t]) for t in ts), Decimal(0))
+        m9[doc_id] = int(ssum * 1_000_000) * 1000 // len(ts)
+    order = sorted(rows, key=lambda r: (m9[r[0]], r[0]))
+    want = {
+        doc_id: (m9[doc_id], i + 1, ["head", "middle", "tail"][i * 3 // 6])
+        for i, (doc_id, _) in enumerate(order)
+    }
+    got = {
+        r.doc_id: (r.mean_surprisal9, r.rk, r.bucket)
+        for r in perplexity_buckets(df).collect()
+    }
+    assert got == want
+    # repartitioning must not change ranks (the two-phase rank is a
+    # pure function of the data, not the partitioning)
+    got7 = {
+        r.doc_id: (r.mean_surprisal9, r.rk, r.bucket)
+        for r in perplexity_buckets(df.repartition(7)).collect()
+    }
+    assert got7 == want
+
+
 def test_decode_media_codec_paths(spark, documents):
     import pytest as _pytest
 
@@ -557,11 +609,70 @@ def test_decode_media_codec_paths(spark, documents):
         auto = {r.media_id: r for r in decode_media(media, codec="auto").collect()}
         assert stub.keys() == auto.keys()
         assert all(stub[k] == auto[k] for k in stub)
+        # the degraded regime is recorded IN the data, not just logged
+        assert all(r.decoder == "stub" for r in auto.values())
         # explicit pil codec must FAIL loudly, not silently degrade
         with _pytest.raises(Exception):
             decode_media(media, codec="pil").collect()
     with _pytest.raises(ValueError):
         decode_media(media, codec="webp")
+
+
+def test_decode_regime_switch_is_data_visible():
+    """Contract for the stub/real decoder switch (r3 verdict item 8):
+    if the container ever gains PIL, codec='auto' flips regime — that
+    flip must be LOUD, not silent. The mechanism: every decoded row
+    carries a 'decoder' column ('stub'|'pil'), which the driver's
+    value hash covers, so a regime change turns correctness artifacts
+    red instead of silently changing their meaning. PIL is absent
+    here, so the real path is exercised driver-side with a fake PIL
+    injected into sys.modules — _pil_decode_batch is a pure pandas
+    function, which is exactly what makes this testable without the
+    library."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    from hadoop_search_spark.operators.multimodal import (
+        _fake_decode_batch,
+        _pil_decode_batch,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2, 3],
+            "kind": ["image", "audio", "video"],
+            "payload": [b"img-bytes", b"aud-bytes", b"vid-bytes"],
+        }
+    )
+    # stub regime: every row marked 'stub'
+    assert list(_fake_decode_batch(pdf)["decoder"]) == ["stub"] * 3
+
+    # real regime: fake PIL whose Image.open reports a fixed size
+    class _FakeImg:
+        size = (640, 480)
+
+    fake_image_mod = types.SimpleNamespace(open=lambda _buf: _FakeImg())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    saved = {k: sys.modules.get(k) for k in ("PIL", "PIL.Image")}
+    sys.modules["PIL"] = fake_pil
+    sys.modules["PIL.Image"] = fake_image_mod  # type: ignore[assignment]
+    try:
+        out = _pil_decode_batch(pdf).set_index("media_id")
+        # image rows flip to 'pil' and take PIL's true dimensions;
+        # audio/video stay honestly 'stub'
+        assert out.loc[1, "decoder"] == "pil"
+        assert (out.loc[1, "width"], out.loc[1, "height"]) == (640, 480)
+        assert out.loc[2, "decoder"] == "stub"
+        assert out.loc[3, "decoder"] == "stub"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
 
 
 @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])

@@ -299,19 +299,25 @@ def test_streaming_funnel_equals_batch(spark, tmp_path, sf_dir):
     assert got == want and len(want) > 0
 
 
-def test_streaming_rate_anomalies_equal_batch(spark, tmp_path):
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+)
+def test_streaming_rate_anomalies_equal_batch(spark, tmp_path, sf_dir):
     """The stateful streaming spike detector must agree with the batch
     events_rate_anomaly entry when events replay in event-time order
     (the operator's documented contract): split the fixture into three
     time-ordered files, take the max-cnt (= final) decision per
-    (type, hr), and compare the anomaly set and its stats."""
+    (type, hr), and compare the anomaly set and its stats. Runs at
+    sf0.001 AND sf0.1 (the r2 funnel pattern) — the large fixture
+    exercises 720 judged hours x 5 types of real state churn, not
+    just the toy replay."""
     import os
 
     from hadoop_search_spark.sources.tables import read_events
     from hadoop_search_spark.streaming.events import rate_anomalies, run_to_memory
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = read_events(spark, SF).select(
+    ev = read_events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     bounds = ev.selectExpr(
@@ -339,16 +345,17 @@ def test_streaming_rate_anomalies_equal_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{d}/batch=*")
     )
-    run_to_memory(rate_anomalies(stream), "rate_out", "update")
+    sink = "rate_out_" + sf_dir.rstrip("/").rsplit("sf", 1)[1].replace(".", "_")
+    run_to_memory(rate_anomalies(stream), sink, "update")
     # final decision per (type, hr) = the max-cnt emission (cnt is
     # strictly increasing per re-emission; no sink-order assumption)
     got = {
         (r.event_type, r.hr): (r.cnt, r.win_hours, r.expected)
         for r in spark.sql(
-            """SELECT event_type, hr, cnt, win_hours, expected, is_anomaly
+            f"""SELECT event_type, hr, cnt, win_hours, expected, is_anomaly
                FROM (SELECT *, row_number() OVER (
                        PARTITION BY event_type, hr ORDER BY cnt DESC) AS rn
-                     FROM rate_out) WHERE rn = 1"""
+                     FROM {sink}) WHERE rn = 1"""
         ).collect()
         if r.is_anomaly
     }
@@ -356,7 +363,7 @@ def test_streaming_rate_anomalies_equal_batch(spark, tmp_path):
 
     want = {
         (r.event_type, r.hr): (r.cnt, r.win_hours, r.expected)
-        for r in CATALOG["events_rate_anomaly"].fn(spark, SF).collect()
+        for r in CATALOG["events_rate_anomaly"].fn(spark, sf_dir).collect()
     }
     assert got == want
     # every batch-judged (type, hr) must have a streamed decision row
@@ -366,7 +373,7 @@ def test_streaming_rate_anomalies_equal_batch(spark, tmp_path):
         .count()
     )
     n_decided = spark.sql(
-        "SELECT count(DISTINCT event_type, hr) AS n FROM rate_out"
+        f"SELECT count(DISTINCT event_type, hr) AS n FROM {sink}"
     ).collect()[0].n
     assert n_decided == n_hours
 
@@ -503,3 +510,69 @@ def test_silent_sources_event_time_timeout(spark, tmp_path):
     # silent for >= the 2h gap
     assert a.last_seen_us == (base + 2 * H) // 1_000
     assert a.silent_for_us >= 2 * 3_600 * 1_000_000
+
+
+def test_silent_sources_sf01_censored_replay(spark, tmp_path):
+    """sf0.1 replay pin for the event-time-timeout operator (the r2
+    funnel pattern, adapted: the fixture has no natural >=2h silence —
+    max inter-event gap is ~24 min across all 5 types — so one type is
+    CENSORED mid-stream to create exactly one). Replaying 100k real
+    events in three time-ordered files with 'purchase' cut at its
+    median timestamp must alert exactly once, for exactly that type,
+    at exactly its last pre-cut event time: the other four types keep
+    driving the watermark ~30 days past the cut, and their own gaps
+    never reach the 2h timeout, so any extra or missing alert is an
+    operator regression, not fixture noise."""
+    import os
+
+    from hadoop_search_spark.sources.tables import read_events
+    from hadoop_search_spark.streaming.events import run_to_memory, silent_sources
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sf_dir = "/root/testdata/sf0.1"
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    cut = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "CAST(percentile(unix_micros(ts), 0.5) AS BIGINT) AS c"
+    ).collect()[0].c
+    censored = ev.filter(
+        (F.col("event_type") != "purchase") | (F.unix_micros("ts") <= cut)
+    )
+    last_purchase_us = censored.filter(
+        F.col("event_type") == "purchase"
+    ).selectExpr("max(unix_micros(ts)) AS m").collect()[0].m
+
+    bounds = censored.selectExpr(
+        "percentile(unix_micros(ts), 0.33) AS a",
+        "percentile(unix_micros(ts), 0.66) AS b",
+    ).collect()[0]
+    d = str(tmp_path / "silent_events")
+    os.makedirs(d)
+    parts = [
+        censored.filter(F.unix_micros("ts") <= bounds.a),
+        censored.filter(
+            (F.unix_micros("ts") > bounds.a) & (F.unix_micros("ts") <= bounds.b)
+        ),
+        censored.filter(F.unix_micros("ts") > bounds.b),
+    ]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(f"{d}/batch={i}")
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("latestFirst", "false")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/batch=*")
+    )
+    run_to_memory(silent_sources(stream), "silence_sf01_out", "update")
+    alerts = spark.sql(
+        "SELECT event_type, last_seen_us, silent_for_us FROM silence_sf01_out"
+    ).collect()
+    assert len(alerts) == 1, f"expected exactly one alert, got {alerts}"
+    a = alerts[0]
+    assert a.event_type == "purchase"
+    assert a.last_seen_us == last_purchase_us
+    assert a.silent_for_us >= 120 * 60 * 1_000_000
