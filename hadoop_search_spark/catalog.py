@@ -2718,6 +2718,66 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_bloom_decontaminate",
+    oracle="\nWITH "
+    + _shingles_ctes()
+    + """,
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+cand AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+bpos AS (
+  SELECT unnest([
+    ('0x' || substr(md5('bloom1:' || shingle), 1, 12))::BIGINT % 32768,
+    ('0x' || substr(md5('bloom2:' || shingle), 1, 12))::BIGINT % 32768,
+    ('0x' || substr(md5('bloom3:' || shingle), 1, 12))::BIGINT % 32768]) AS pos
+  FROM bench),
+words AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+  FROM bpos GROUP BY 1),
+cpos AS (
+  SELECT doc_id, shingle, unnest([
+    ('0x' || substr(md5('bloom1:' || shingle), 1, 12))::BIGINT % 32768,
+    ('0x' || substr(md5('bloom2:' || shingle), 1, 12))::BIGINT % 32768,
+    ('0x' || substr(md5('bloom3:' || shingle), 1, 12))::BIGINT % 32768]) AS pos
+  FROM cand),
+hits AS (
+  SELECT doc_id, shingle,
+         min((coalesce(word, CAST(0 AS BIGINT)) >> CAST(pos % 32 AS INT)) % 2)
+           AS maybe
+  FROM cpos LEFT JOIN words ON words.word_idx = pos // 32
+  GROUP BY doc_id, shingle),
+flagged AS (
+  SELECT doc_id, CAST(sum(maybe) AS BIGINT) AS n_maybe
+  FROM hits GROUP BY doc_id HAVING sum(maybe) >= 3),
+exact AS (
+  SELECT doc_id, count(*) AS n_shared
+  FROM cand JOIN bench USING (shingle) GROUP BY doc_id)
+SELECT f.doc_id, f.n_maybe, coalesce(e.n_shared, 0) AS n_shared,
+       coalesce(e.n_shared, 0) >= 3 AS contaminated
+FROM flagged f LEFT JOIN exact e USING (doc_id)
+""",
+    note="two-tier Bloom decontamination (this Spark build does not "
+    "register bloom_filter_agg/might_contain — probed — so the bitmap "
+    "is hand-built integer arithmetic both engines reproduce "
+    "bit-for-bit): benchmark shingles (doc_id % 50 = 0) fold into a "
+    "32768-bit bitmap (3 salted md5_int positions, 32 bits per BIGINT "
+    "word, bit_or-aggregated; constant 1024-row broadcast at ANY "
+    "corpus scale), the corpus probes map-side, and only "
+    "filter-flagged docs hit the exact tier-2 verify join; "
+    "n_maybe >= n_shared always (no false negatives)",
+)
+def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.dedup import bloom_decontaminate
+
+    sh = _shingles(spark, sf_dir)
+    return bloom_decontaminate(
+        sh.filter(F.col("doc_id") % 50 != 0),
+        sh.filter(F.col("doc_id") % 50 == 0),
+        min_shared=3,
+    )
+
+
+@register(
     "dedup_clusters",
     oracle="\nWITH RECURSIVE "
     + _shingles_ctes()
@@ -4374,15 +4434,15 @@ _DRIVER_FRONT = [
     "terms_related",
     "search_not_clause",
     "events_hourly",
-    "events_json",
     # NEW this round — CCNet perplexity bucketing (two-phase
     # distributed rank) and DSIR importance selection; each replaces
     # an (e) row per the front rule
     "text_perplexity_buckets",
     "mix_dsir_select",
-    # (events_interval_join, events_asof_attribution and
-    # events_sessionize dropped to the tail for media_decode and the
-    # two new entries; their r2 rows stand and they lead the r5
+    "dedup_bloom_decontaminate",
+    # (events_interval_join, events_asof_attribution, events_sessionize
+    # and events_json dropped to the tail for media_decode and the
+    # three new entries; their r2 rows stand and they lead the r5
     # rotation)
     # (r3-green entries all rotated to the tail — their r3 rows are
     # fresh; the 20 remaining r2-latest entries — dedup_minhash_lsh,

@@ -581,6 +581,113 @@ def decontaminate(
     )
 
 
+BLOOM_BITS = 1 << 15  # 32768 bits = 1024 32-bit words in BIGINTs
+BLOOM_HASHES = 3
+
+
+def _bloom_positions(shingle: F.Column, m: int, k: int) -> F.Column:
+    """The k bloom bit positions of a shingle — salted uses of the one
+    shared cross-engine hash recipe (:func:`md5_int`)."""
+    return F.array(
+        *[
+            F.pmod(
+                md5_int(F.concat(F.lit(f"bloom{j}:"), shingle), 12), F.lit(m)
+            )
+            for j in range(1, k + 1)
+        ]
+    )
+
+
+def bloom_decontaminate(
+    doc_shingles: DataFrame,
+    bench_shingles: DataFrame,
+    min_shared: int = 1,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Two-tier benchmark decontamination with a hand-built Bloom
+    filter → ``(doc_id, n_maybe, n_shared, contaminated)`` for every
+    doc whose MAYBE-count reaches ``min_shared``.
+
+    Tier 1 (the 100 TB path): the benchmark shingle set is folded
+    into an ``m``-bit bitmap — ``k`` salted :func:`md5_int` positions
+    per shingle, 32 bits per BIGINT word, ``bit_or`` aggregated; at
+    any corpus scale the bitmap is m/32 rows (constant — 1024 at the
+    default m) broadcast to a map-side probe, so the corpus pays k
+    hashes and one broadcast join per shingle, never a shuffle
+    against the benchmark. A shingle is MAYBE-contaminated iff all k
+    probed bits are set (no false negatives; false positives at the
+    classic (1-e^{-kn/m})^k rate). [This build of Spark does not
+    register the SQL bloom_filter_agg/might_contain pair — probed;
+    the bitmap here is plain integer arithmetic, so the DuckDB oracle
+    reproduces it bit-for-bit.]
+
+    Tier 2: only docs the filter flags are verified EXACTLY against
+    the true benchmark shingle set (the :func:`decontaminate` join) —
+    at realistic FP rates that join touches a vanishing slice of the
+    corpus. ``n_maybe >= n_shared`` always; ``contaminated`` is the
+    exact tier-2 verdict at the same ``min_shared``."""
+    bench = bench_shingles.select("shingle").distinct()
+    pos = F.explode(_bloom_positions(F.col("shingle"), m, k)).alias("pos")
+    words = (
+        bench.select(pos)
+        .select(
+            F.expr("pos div 32").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    probes = doc_shingles.select(
+        "doc_id",
+        "shingle",
+        F.explode(_bloom_positions(F.col("shingle"), m, k)).alias("pos"),
+    ).select(
+        "doc_id",
+        "shingle",
+        F.expr("pos div 32").alias("word_idx"),
+        (F.col("pos") % 32).alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(words), "word_idx", "left")
+        .select(
+            "doc_id",
+            "shingle",
+            F.expr(
+                "shiftrightunsigned(coalesce(word, CAST(0 AS BIGINT)), "
+                "CAST(bit AS INT)) % 2"
+            ).alias("hit"),
+        )
+        .groupBy("doc_id", "shingle")
+        .agg(F.min("hit").alias("maybe"))  # all k bits set
+    )
+    flagged = (
+        hits.groupBy("doc_id")
+        .agg(F.sum(F.col("maybe")).cast("bigint").alias("n_maybe"))
+        .filter(F.col("n_maybe") >= min_shared)
+    )
+    exact = (
+        doc_shingles.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        flagged.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_maybe",
+            F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint")).alias(
+                "n_shared"
+            ),
+            (
+                F.coalesce(F.col("n_shared"), F.lit(0)) >= min_shared
+            ).alias("contaminated"),
+        )
+    )
+
+
 # ------------------------------------------- edit-distance similarity join
 
 

@@ -536,6 +536,54 @@ def test_unigram_surprisal_hand_computed(spark):
     assert got[2].mean_surprisal == t2 / 2
 
 
+def test_bloom_decontaminate_no_false_negatives(spark, documents):
+    """The Bloom prefilter may over-flag (false positives) but must
+    NEVER under-flag: every doc the exact decontaminate join finds
+    must appear in the bloom-flagged set with n_maybe >= n_shared,
+    and the tier-2 'contaminated' verdict must equal the exact join's
+    verdict. A deliberately tiny bitmap (m=64) floods the filter with
+    FPs — the flagged set can only GROW and the exact verdicts must
+    not move."""
+    from hadoop_search_spark.operators.dedup import (
+        bloom_decontaminate,
+        decontaminate,
+        word_shingles,
+    )
+
+    sh = word_shingles(documents).persist()
+    bench_sh = sh.filter(F.col("doc_id") % 50 == 0)
+    cand_sh = sh.filter(F.col("doc_id") % 50 != 0)
+    exact = {
+        r.doc_id: r.n_shared
+        for r in decontaminate(
+            None, None, min_shared=1,
+            doc_shingles=cand_sh, bench_shingles=bench_sh,
+        ).collect()
+    }
+    bloom = {
+        r.doc_id: r
+        for r in bloom_decontaminate(cand_sh, bench_sh, min_shared=1).collect()
+    }
+    assert set(exact) <= set(bloom)  # no false negatives
+    for doc_id, n_shared in exact.items():
+        assert bloom[doc_id].n_maybe >= n_shared
+        assert bloom[doc_id].n_shared == n_shared
+    assert {d for d, r in bloom.items() if r.contaminated} == set(exact)
+
+    tiny = {
+        r.doc_id: r
+        for r in bloom_decontaminate(
+            cand_sh, bench_sh, min_shared=1, m=64, k=2
+        ).collect()
+    }
+    assert set(bloom) <= set(tiny)  # more FPs, never fewer flags
+    assert {d for d, r in tiny.items() if r.contaminated} == set(exact)
+    # the tiny bitmap actually demonstrates FPs (36 docs share
+    # benchmark shingles on this fixture; 64 bits saturate)
+    assert any(r.n_maybe > r.n_shared for r in tiny.values())
+    sh.unpersist()
+
+
 def test_perplexity_buckets_hand_computed(spark):
     """Six docs with distinct hand-computable mean surprisals: the
     two-phase distributed rank must reproduce the naive global rank
