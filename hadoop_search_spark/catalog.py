@@ -4312,6 +4312,84 @@ def sim_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_semantic_dedup",
+    # WITH RECURSIVE over the same embedding-pair SQL the
+    # sim_embedding_dedup oracle uses (the dedup_clusters pattern in
+    # vector space)
+    oracle=_EMB_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+, planes AS (
+  SELECT pp.p, ii.i,
+         CASE WHEN ('0x' || substr(md5(pp.p::VARCHAR || ':' || (ii.i - 1)::VARCHAR), 1, 10))::BIGINT % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(range(8)) AS p) pp
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+),
+proj AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.s) AS proj
+  FROM exp_e e JOIN planes pl ON pl.i = e.i
+  GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN round(proj, 9) > 0 THEN CAST(pow(2, 7 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, sum(x.x * y.x) AS dot
+  FROM cand c
+  JOIN exp_e x ON x.vec_id = c.vec_a
+  JOIN exp_e y ON y.vec_id = c.vec_b AND y.i = x.i
+  GROUP BY c.vec_a, c.vec_b
+),
+pairs AS (
+  SELECT d.vec_a, d.vec_b
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_a
+  JOIN norms nb ON nb.vec_id = d.vec_b
+  WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= 0.35
+),
+e AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+      UNION ALL SELECT vec_b, vec_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node
+)
+SELECT node AS vec_id, min(lbl) AS cluster, min(lbl) = node AS keep
+FROM reach GROUP BY node
+""",
+    note="SemDeDup-style semantic dedup over the embedding space: "
+    "near-dup pair graph (sign-projection LSH buckets + exact-cosine "
+    "verify >= 0.35 — the bucketing plays the role SemDeDup's k-means "
+    "cells play at scale: candidates are bucket-local, never "
+    "all-pairs) -> connected components (min-label pointer doubling) "
+    "-> one keeper per semantic cluster (the smallest vec_id, which "
+    "IS the component label). keep=false rows are the semantic "
+    "duplicates a curation pass drops; oracle is a recursive CTE "
+    "over the same pair SQL",
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.graph import connected_components
+    from hadoop_search_spark.operators.similarity import embedding_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_dedup_pairs(emb, threshold=0.35).select("vec_a", "vec_b")
+    comp = connected_components(
+        pairs, nodes=emb.select("vec_id"), src="vec_a", dst="vec_b"
+    )
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("cluster"),
+        (F.col("component") == F.col("node")).alias("keep"),
+    )
+
+
+@register(
     "sim_pca_project",
     # eigendecomposition is not SQL-expressible — golden parquet from
     # the independent pure-Python/numpy generator
@@ -4433,17 +4511,17 @@ _DRIVER_FRONT = [
     "search_suggest_terms",
     "terms_related",
     "search_not_clause",
-    "events_hourly",
     # NEW this round — CCNet perplexity bucketing (two-phase
     # distributed rank) and DSIR importance selection; each replaces
     # an (e) row per the front rule
     "text_perplexity_buckets",
     "mix_dsir_select",
     "dedup_bloom_decontaminate",
-    # (events_interval_join, events_asof_attribution, events_sessionize
-    # and events_json dropped to the tail for media_decode and the
-    # three new entries; their r2 rows stand and they lead the r5
-    # rotation)
+    "sim_semantic_dedup",
+    # (events_interval_join, events_asof_attribution, events_sessionize,
+    # events_json and events_hourly dropped to the tail for media_decode
+    # and the four new entries; their r2 rows stand and they lead the
+    # r5 rotation)
     # (r3-green entries all rotated to the tail — their r3 rows are
     # fresh; the 20 remaining r2-latest entries — dedup_minhash_lsh,
     # dedup_decontaminate, sim_ann_lsh_topk, mix_token_budget,

@@ -536,6 +536,43 @@ def test_unigram_surprisal_hand_computed(spark):
     assert got[2].mean_surprisal == t2 / 2
 
 
+def test_semantic_dedup_keeps_one_per_cluster(spark):
+    """Planted semantic clusters: vectors 1/2/3 are tiny perturbations
+    of one direction (pairwise cosine ~1), 10/11 of an orthogonal one,
+    20 isolated. The keeper must be the smallest vec_id of each
+    cluster and every other member dropped — including transitive
+    members (3 is close to 2 which is close to 1)."""
+    from hadoop_search_spark.operators.graph import connected_components
+    from hadoop_search_spark.operators.similarity import embedding_dedup_pairs
+
+    def vec(base_axis, eps_axis, eps):
+        v = [0.0] * 64
+        v[base_axis] = 1.0
+        v[eps_axis] = eps
+        return v
+
+    rows = [
+        (1, vec(0, 1, 0.00)),
+        (2, vec(0, 1, 0.01)),
+        (3, vec(0, 1, 0.02)),
+        (10, vec(5, 6, 0.00)),
+        (11, vec(5, 6, 0.01)),
+        (20, vec(30, 31, 0.0)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    pairs = embedding_dedup_pairs(emb, threshold=0.95).select("vec_a", "vec_b")
+    comp = connected_components(
+        pairs, nodes=emb.select("vec_id"), src="vec_a", dst="vec_b"
+    )
+    got = {
+        r.node: (r.component, r.component == r.node) for r in comp.collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False), 20: (20, True),
+    }
+
+
 def test_bloom_decontaminate_no_false_negatives(spark, documents):
     """The Bloom prefilter may over-flag (false positives) but must
     NEVER under-flag: every doc the exact decontaminate join finds
