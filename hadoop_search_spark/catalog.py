@@ -3331,6 +3331,42 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_temperature_sample",
+    oracle="""
+WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+w AS (
+  SELECT source, n_s,
+         CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1000000) AS BIGINT) AS w_s
+  FROM c),
+t AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_tot FROM w),
+th AS (
+  SELECT source,
+         (CAST(10000 AS BIGINT) * 200 * w_s) // (n_s * w_tot) AS thresh
+  FROM w, t),
+b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+           % 10000 AS bucket
+  FROM documents)
+SELECT doc_id, b.source, bucket, thresh
+FROM b JOIN th ON th.source = b.source
+WHERE bucket < thresh
+""",
+    note="temperature-scaled mixture sampling at tau=0.5 (the mT5/"
+    "XLM-R multilingual mixing recipe): source s sampled at rate "
+    "prop. to n_s^tau/n_s so small sources up-weight; everything "
+    "after one IEEE-exact sqrt is BIGINT arithmetic (floor of an "
+    "identical double is deterministic cross-engine, unlike round), "
+    "keep decision is the salted map-only key hash — reproducible "
+    "across runs/partitionings/engines",
+)
+def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.mixing import temperature_sample
+
+    return temperature_sample(_t(spark, sf_dir, "documents"), target_docs=200)
+
+
+@register(
     "mix_dsir_select",
     oracle="""
 WITH toks AS (
@@ -4510,7 +4546,8 @@ _DRIVER_FRONT = [
     "search_exact_phrase",
     "search_suggest_terms",
     "terms_related",
-    "search_not_clause",
+    # (search_not_clause also dropped to the tail, for
+    # mix_temperature_sample)
     # NEW this round — CCNet perplexity bucketing (two-phase
     # distributed rank) and DSIR importance selection; each replaces
     # an (e) row per the front rule
@@ -4518,6 +4555,7 @@ _DRIVER_FRONT = [
     "mix_dsir_select",
     "dedup_bloom_decontaminate",
     "sim_semantic_dedup",
+    "mix_temperature_sample",
     # (events_interval_join, events_asof_attribution, events_sessionize,
     # events_json and events_hourly dropped to the tail for media_decode
     # and the four new entries; their r2 rows stand and they lead the

@@ -306,6 +306,57 @@ def shuffle_shard(
     )
 
 
+def temperature_sample(
+    docs: DataFrame,
+    target_docs: int = 200,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling at tau = 0.5 (the mT5 /
+    XLM-R recipe for up-weighting small sources): source ``s`` with
+    ``n_s`` docs is sampled at a rate proportional to
+    ``n_s^tau / n_s``, so the expected TOTAL is ``target_docs`` and
+    small sources contribute proportionally more than their raw share
+    → the kept rows with ``(doc_id, source, bucket, thresh)``.
+
+    Exactness: everything after one ``sqrt`` is INTEGER arithmetic.
+    ``w_s = floor(sqrt(n_s) * 1e6)`` — sqrt is IEEE-correctly-rounded
+    (bit-identical across engines) and floor of an identical double
+    is deterministic, unlike round() whose boundary behavior differs
+    cross-engine; ``thresh_s = (SCALE * target * w_s) div (n_s * W)``
+    with ``W = sum(w_s)`` is pure BIGINT arithmetic. Rates are capped
+    at 1 implicitly (a thresh above SCALE keeps everything); no
+    waterfilling re-spread of the capped mass (documented).
+
+    Scale shape: per-source counts are one tiny aggregation, the
+    thresholds a broadcast join, the keep/drop decision the same
+    map-only salted key hash as :func:`stratified_sample` —
+    reproducible across runs, partitionings, and engines."""
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("n_s"))
+    w = counts.withColumn(
+        "w_s",
+        F.floor(F.sqrt(F.col("n_s").cast("double")) * 1000000).cast("bigint"),
+    )
+    tot = w.agg(F.sum("w_s").cast("bigint").alias("w_tot"))
+    thresh = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            F.expr(
+                f"({SAMPLE_SCALE}L * {int(target_docs)}L * w_s) div (n_s * w_tot)"
+            ).alias("thresh"),
+        )
+    )
+    bucket = _bucket(key_col, salt="temp")
+    return (
+        docs.select(key_col, source_col)
+        .withColumn("bucket", bucket)
+        .join(F.broadcast(thresh), source_col)
+        .filter(F.col("bucket") < F.col("thresh"))
+        .select(key_col, source_col, "bucket", "thresh")
+    )
+
+
 def dsir_select(
     docs: DataFrame,
     target_source: str = "src0",

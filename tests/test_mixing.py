@@ -221,6 +221,43 @@ def test_shuffle_shard_deterministic_partition_and_manifest(spark):
         shuffle_shard(docs, n_shards=0)
 
 
+def test_temperature_sample_upweights_small_sources(spark):
+    """tau=0.5 semantics, verified against a pure-Python integer twin:
+    a 16x larger source gets only a 4x larger expected share (sqrt),
+    so the SMALL source's keep-rate (thresh) must be ~4x the large
+    one's; thresholds must match the exact integer formula and the
+    kept set must be the salted-hash prefix of each source."""
+    import hashlib
+
+    from hadoop_search_spark.operators.mixing import temperature_sample
+
+    rows = [(i, "big", f"t{i}") for i in range(160)] + [
+        (1000 + i, "small", f"s{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    out = temperature_sample(df, target_docs=50).collect()
+    th = {r.source: r.thresh for r in out}
+    # python twin of the integer arithmetic
+    import math
+
+    n = {"big": 160, "small": 10}
+    w = {s: math.floor(math.sqrt(v) * 1_000_000) for s, v in n.items()}
+    wt = sum(w.values())
+    want_th = {s: (10_000 * 50 * w[s]) // (n[s] * wt) for s in n}
+    assert th == {s: want_th[s] for s in th}
+    # sqrt temperature: 16x the docs -> only 4x the expected share,
+    # i.e. the small source's RATE is ~4x the big one's
+    assert 3.5 < want_th["small"] / want_th["big"] < 4.5
+    # kept set == salted-hash prefix, engine-independent
+    def bucket(doc_id):
+        return int(hashlib.md5(f"temp:{doc_id}".encode()).hexdigest()[:12], 16) % 10_000
+
+    want_kept = {
+        doc_id for doc_id, src, _ in rows if bucket(doc_id) < want_th[src]
+    }
+    assert {r.doc_id for r in out} == want_kept
+
+
 def test_dsir_select_hand_computed(spark):
     """Four docs, two sources: the target slice (src0) over-uses 'x',
     so docs heavy in 'x' must score positive (keep) and docs heavy in
