@@ -460,6 +460,90 @@ def rate_anomalies(events: DataFrame) -> DataFrame:
     )
 
 
+HEAVY_USERS_SCHEMA = (
+    "event_type STRING, user_id BIGINT, mg_count BIGINT, n_processed BIGINT"
+)
+_HEAVY_STATE_SCHEMA = "counters STRING, n BIGINT"  # JSON {user: cnt}, <= k
+_HEAVY_K = 20
+
+
+def _mg_compress(counters: dict[int, int], k: int) -> dict[int, int]:
+    """Merged Misra-Gries compression: if more than k counters
+    survive a merge, subtract the (k+1)-th largest count from all and
+    drop the non-positive — the classic bound (each surviving count
+    undercounts its true frequency by at most N/(k+1)) is preserved
+    under this batch merge (Agarwal et al., mergeable summaries)."""
+    if len(counters) <= k:
+        return counters
+    thr = sorted(counters.values(), reverse=True)[k]
+    return {u: c - thr for u, c in counters.items() if c - thr > 0}
+
+
+def heavy_users(events: DataFrame, k: int = _HEAVY_K) -> DataFrame:
+    """Streaming heavy-hitters (Misra-Gries, ``k`` counters) per
+    event type: the bounded-state streaming twin of the batch
+    ``text_heavy_hitters`` two-pass sketch. State is AT MOST k
+    counters plus the processed-event total per type, regardless of
+    how many distinct users the stream carries — the bounded-memory
+    property that makes the sketch viable where a full per-user count
+    table is not. Each batch re-emits the current candidate set
+    (update mode); the FINAL decision per type is the emission with
+    the max ``n_processed`` — counters can shrink between batches
+    (compression), so earlier emissions are superseded, not
+    accumulated.
+
+    Guarantee (asserted by the replay test, batch-boundary
+    independent): after any replay, every user with true per-type
+    frequency > N/(k+1) is in the final candidate set, and
+    ``true - N/(k+1) <= mg_count <= true`` (undercount only, never
+    overcount)."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import json
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        counters: dict[int, int] = (
+            {int(u): int(c) for u, c in json.loads(state.get[0]).items()}
+            if state.exists
+            else {}
+        )
+        n = int(state.get[1]) if state.exists else 0
+        got_data = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            got_data = True
+            n += len(pdf)
+            for u, c in pdf["user_id"].astype("int64").value_counts().items():
+                counters[int(u)] = counters.get(int(u), 0) + int(c)
+            counters = _mg_compress(counters, k)
+        if not got_data:
+            return
+        state.update((json.dumps({str(u): c for u, c in counters.items()}), n))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(counters),
+                "user_id": list(counters.keys()),
+                "mg_count": list(counters.values()),
+                "n_processed": [n] * len(counters),
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=HEAVY_USERS_SCHEMA,
+        stateStructType=_HEAVY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 SILENCE_SCHEMA = "event_type STRING, last_seen_us BIGINT, silent_for_us BIGINT"
 _SILENCE_STATE_SCHEMA = "last_us BIGINT"
 

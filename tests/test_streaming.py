@@ -512,6 +512,151 @@ def test_silent_sources_event_time_timeout(spark, tmp_path):
     assert a.silent_for_us >= 2 * 3_600 * 1_000_000
 
 
+def test_heavy_users_misra_gries_guarantee(spark, tmp_path):
+    """Planted-skew replay: user 7 fires 120 of 'click''s 220 events
+    (well above N/(k+1) = 220/21), spread across three files so the
+    sketch must survive merges and compressions. The Misra-Gries
+    guarantee must hold for the FINAL emission (max n_processed):
+    heavy users present, every count in [true - N/(k+1), true], state
+    bounded at k counters."""
+    import os
+
+    from hadoop_search_spark.streaming.events import heavy_users, run_to_memory
+
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    base = 1_700_000_000_000_000  # us
+    rows, eid = [], 0
+    # three files x (40 heavy-user events + 100/3 long-tail events)
+    true_counts: dict[int, int] = {}
+    for part in range(3):
+        for i in range(40):  # heavy user 7
+            rows.append((part, eid, base + eid * 1_000_000, 7, "click"))
+            eid += 1
+        for i in range(33):  # long tail: distinct users
+            u = 1000 + part * 100 + i
+            rows.append((part, eid, base + eid * 1_000_000, u, "click"))
+            eid += 1
+    for _, _, _, u, _ in rows:
+        true_counts[u] = true_counts.get(u, 0) + 1
+    d = str(tmp_path / "mg_events")
+    os.makedirs(d)
+    for part in range(3):
+        part_rows = [
+            (e, t, u, et, 1.0, "{}") for p, e, t, u, et in rows if p == part
+        ]
+        spark.createDataFrame(
+            part_rows,
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING",
+        ).withColumn("ts", F.expr("timestamp_micros(ts)")).coalesce(1).write.parquet(
+            f"{d}/batch={part}"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("latestFirst", "false")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/batch=*")
+    )
+    run_to_memory(heavy_users(stream), "mg_out", "update")
+    final_n = spark.sql(
+        "SELECT max(n_processed) AS n FROM mg_out WHERE event_type = 'click'"
+    ).collect()[0].n
+    n_total = sum(true_counts.values())
+    assert final_n == n_total
+    final = {
+        r.user_id: r.mg_count
+        for r in spark.sql(
+            f"SELECT user_id, mg_count FROM mg_out "
+            f"WHERE event_type = 'click' AND n_processed = {final_n}"
+        ).collect()
+    }
+    k = 20
+    err = n_total / (k + 1)
+    assert len(final) <= k  # bounded state
+    # membership: every user above the threshold is present
+    for u, c in true_counts.items():
+        if c > err:
+            assert u in final, f"heavy user {u} (true {c}) missing"
+    # counts: undercount by at most N/(k+1), never overcount
+    for u, mg in final.items():
+        assert mg <= true_counts[u]
+        assert mg >= true_counts[u] - err
+    assert final.get(7, 0) >= 120 - err
+
+
+def test_heavy_users_sf01_bound_holds(spark, tmp_path):
+    """sf0.1 fixture replay (100k events, ~10k distinct users per
+    type — real state-churn volume): no user is genuinely heavy at
+    this cardinality, so membership is vacuous, but the undercount
+    bound must still hold for every emitted counter against the
+    batch-computed truth, and state must stay bounded at k."""
+    import os
+
+    from hadoop_search_spark.sources.tables import read_events
+    from hadoop_search_spark.streaming.events import heavy_users, run_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_events(spark, "/root/testdata/sf0.1").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    bounds = ev.selectExpr(
+        "percentile(unix_micros(ts), 0.33) AS a",
+        "percentile(unix_micros(ts), 0.66) AS b",
+    ).collect()[0]
+    d = str(tmp_path / "mg01_events")
+    os.makedirs(d)
+    parts = [
+        ev.filter(F.unix_micros("ts") <= bounds.a),
+        ev.filter(
+            (F.unix_micros("ts") > bounds.a) & (F.unix_micros("ts") <= bounds.b)
+        ),
+        ev.filter(F.unix_micros("ts") > bounds.b),
+    ]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(f"{d}/batch={i}")
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("latestFirst", "false")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/batch=*")
+    )
+    run_to_memory(heavy_users(stream), "mg01_out", "update")
+    truth = {
+        (r.event_type, r.user_id): r.cnt
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    totals = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    final = spark.sql(
+        """SELECT event_type, user_id, mg_count FROM mg01_out o
+           WHERE n_processed = (SELECT max(n_processed) FROM mg01_out i
+                                WHERE i.event_type = o.event_type)"""
+    ).collect()
+    per_type: dict[str, int] = {}
+    for r in final:
+        per_type[r.event_type] = per_type.get(r.event_type, 0) + 1
+        true = truth[(r.event_type, r.user_id)]
+        err = totals[r.event_type] / 21
+        assert r.mg_count <= true
+        assert r.mg_count >= true - err
+    assert per_type and all(v <= 20 for v in per_type.values())
+    # every type's final emission reflects the full stream
+    for r in spark.sql(
+        "SELECT event_type, max(n_processed) AS n FROM mg01_out GROUP BY 1"
+    ).collect():
+        assert r.n == totals[r.event_type]
+
+
 def test_silent_sources_sf01_censored_replay(spark, tmp_path):
     """sf0.1 replay pin for the event-time-timeout operator (the r2
     funnel pattern, adapted: the fixture has no natural >=2h silence —
