@@ -1450,6 +1450,51 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_gopher_rules",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS n_chars
+  FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       n_chars,
+       CAST(CAST(list_contains(toks, 'the') AS INT)
+          + CAST(list_contains(toks, 'a') AS INT)
+          + CAST(list_contains(toks, 'of') AS INT)
+          + CAST(list_contains(toks, 'to') AS INT)
+          + CAST(list_contains(toks, 'and') AS INT) AS BIGINT) AS stop_hits,
+       len(toks) BETWEEN 50 AND 100000 AS rule_word_count,
+       n_chars BETWEEN 3 * len(toks) AND 10 * len(toks) AS rule_word_len,
+       (CAST(list_contains(toks, 'the') AS INT)
+          + CAST(list_contains(toks, 'a') AS INT)
+          + CAST(list_contains(toks, 'of') AS INT)
+          + CAST(list_contains(toks, 'to') AS INT)
+          + CAST(list_contains(toks, 'and') AS INT)) >= 2 AS rule_stopwords,
+       (len(toks) BETWEEN 50 AND 100000)
+         AND (n_chars BETWEEN 3 * len(toks) AND 10 * len(toks))
+         AND ((CAST(list_contains(toks, 'the') AS INT)
+             + CAST(list_contains(toks, 'a') AS INT)
+             + CAST(list_contains(toks, 'of') AS INT)
+             + CAST(list_contains(toks, 'to') AS INT)
+             + CAST(list_contains(toks, 'and') AS INT)) >= 2) AS pass
+FROM t
+""",
+    note="Gopher (Rae et al. 2021) hard quality rules — the "
+    "pre-classifier filter stage: word count in [50,1e5], mean word "
+    "length in [3,10] CROSS-MULTIPLIED (3n <= chars <= 10n — the "
+    "TPC-H threshold trick, so no float exists anywhere), >= 2 "
+    "distinct stop words present; map-only, every output integer or "
+    "boolean",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_perplexity_buckets",
     oracle="""
 WITH toks AS (
@@ -4545,9 +4590,8 @@ _DRIVER_FRONT = [
     "search_phrase",
     "search_exact_phrase",
     "search_suggest_terms",
-    "terms_related",
-    # (search_not_clause also dropped to the tail, for
-    # mix_temperature_sample)
+    # (search_not_clause and terms_related also dropped to the tail,
+    # for mix_temperature_sample and text_gopher_rules)
     # NEW this round — CCNet perplexity bucketing (two-phase
     # distributed rank) and DSIR importance selection; each replaces
     # an (e) row per the front rule
@@ -4556,6 +4600,7 @@ _DRIVER_FRONT = [
     "dedup_bloom_decontaminate",
     "sim_semantic_dedup",
     "mix_temperature_sample",
+    "text_gopher_rules",
     # (events_interval_join, events_asof_attribution, events_sessionize,
     # events_json and events_hourly dropped to the tail for media_decode
     # and the four new entries; their r2 rows stand and they lead the

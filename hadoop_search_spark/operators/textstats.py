@@ -201,6 +201,56 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher (Rae et al. 2021) document-quality rule bundle —
+    the hard-filter stage that runs BEFORE model-based scoring in a
+    curation pipeline → per doc: the raw metrics, each rule's
+    verdict, and the overall ``pass``.
+
+    Rules (the fixture-relevant subset of Table A1): word count in
+    [50, 100000]; mean word length in [3, 10]; at least 2 distinct
+    stop words present (the "contains common English glue words"
+    heuristic).
+
+    Exactness: every output is an integer or boolean — the mean-word-
+    length bounds are cross-multiplied (``3*n_words <= n_chars <=
+    10*n_words``) instead of dividing, so no float exists anywhere in
+    the plan (the TPC-H threshold trick applied to curation). Map-only
+    over the token array; no shuffle, no UDF."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+    )
+    n_words = F.size(toks).cast("bigint")
+    n_chars = F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("bigint")
+    stop_hits = sum(
+        (F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS),
+        F.lit(0),
+    ).cast("bigint")
+    rule_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    rule_len = (n_chars >= GOPHER_MIN_MEAN_LEN * n_words) & (
+        n_chars <= GOPHER_MAX_MEAN_LEN * n_words
+    )
+    rule_stop = stop_hits >= GOPHER_MIN_STOPWORDS
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        stop_hits.alias("stop_hits"),
+        rule_wc.alias("rule_word_count"),
+        rule_len.alias("rule_word_len"),
+        rule_stop.alias("rule_stopwords"),
+        (rule_wc & rule_len & rule_stop).alias("pass"),
+    )
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style intra-document repetition signals (Rae et al.,
     "Scaling Language Models: ... Gopher", §A1.1 repetition filters):

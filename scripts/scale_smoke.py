@@ -179,6 +179,53 @@ def main() -> int:
 
     stage("bpe_encode_16_merges", bpe_encode_stage)
 
+    def perplexity_buckets_stage():
+        from hadoop_search_spark.operators.textstats import perplexity_buckets
+
+        # two-phase distributed rank: the single-partition window sees
+        # only per-block counts, never the docs
+        return perplexity_buckets(docs).count()
+
+    stage("perplexity_buckets", perplexity_buckets_stage)
+
+    def dsir_stage():
+        from hadoop_search_spark.operators.mixing import dsir_select
+
+        d = docs.withColumn(
+            "source", F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+        )
+        return dsir_select(d).filter(F.col("keep")).count()
+
+    stage("dsir_select", dsir_stage)
+
+    def bloom_stage():
+        from hadoop_search_spark.operators.dedup import (
+            bloom_decontaminate,
+            word_shingles,
+        )
+
+        sh = word_shingles(docs).persist(StorageLevel.DISK_ONLY)
+        try:
+            return bloom_decontaminate(
+                sh.filter(F.col("doc_id") % 50 != 0),
+                sh.filter(F.col("doc_id") % 50 == 0),
+                min_shared=3,
+            ).count()
+        finally:
+            sh.unpersist()
+
+    stage("bloom_decontaminate", bloom_stage)
+
+    def temperature_stage():
+        from hadoop_search_spark.operators.mixing import temperature_sample
+
+        d = docs.withColumn(
+            "source", F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+        )
+        return temperature_sample(d, target_docs=10_000).count()
+
+    stage("temperature_sample", temperature_stage)
+
     print(json.dumps(timings))
     spark.stop()
     return 0
