@@ -499,6 +499,48 @@ def write_ivf_index(
     return cents
 
 
+def ivf_index_add(
+    spark: SparkSession,
+    path: str,
+    new_embeddings: DataFrame,
+    check_ids: bool = True,
+) -> int:
+    """Incremental IVF index maintenance — the ANN analogue of the
+    text index's ``merge_index``: assign NEW vectors with the
+    published index's FROZEN quantizer and append them into their
+    cell partitions. Only the touched ``cell=N`` directories gain
+    files; existing files are never rewritten, so the operation is
+    O(|new|) regardless of index size, and a serve against the index
+    sees exactly what a full rebuild with the same centroids would
+    (pinned by test). Returns the number of vectors added.
+
+    The quantizer is intentionally NOT retrained here — cell
+    assignments of existing vectors must stay valid for the appended
+    files to compose with them. Quantizer drift under a shifting
+    embedding distribution is handled by an offline rebuild
+    (:func:`write_ivf_index`), the same offline/online split the
+    text index uses.
+
+    ``check_ids=True`` (default) fails fast on vec_id collisions with
+    the existing index — an append cannot replace a vector, and a
+    silent duplicate would surface as two rows for one id at serve
+    time. The check scans only the index's vec_id column (column
+    pruning); pass False when the caller guarantees fresh ids (e.g.
+    monotone ingest offsets) and the scan is not worth it."""
+    cents = load_ivf_centroids(spark, path)
+    if check_ids:
+        existing = spark.read.parquet(f"{path}/vectors").select("vec_id")
+        n_dup = new_embeddings.join(existing, "vec_id").count()
+        if n_dup:
+            raise ValueError(
+                f"{n_dup} vec_ids already exist in the index at {path}; "
+                "IVF append cannot replace vectors — rebuild, or use fresh ids"
+            )
+    assigned = ivf_assign(new_embeddings, cents)
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+    return new_embeddings.count()
+
+
 def load_ivf_centroids(spark: SparkSession, path: str):
     """Centroid model back from a published index (driver-side list,
     same shape ivf_centroids/ivf_train_kmeans produce)."""

@@ -870,6 +870,62 @@ def test_ivf_index_persist_and_serve(spark, tmp_path):
     assert len(m.group(1).split(",")) < 8  # fewer than all cells read
 
 
+def test_ivf_index_add_equals_full_rebuild(spark, tmp_path):
+    """Incremental IVF maintenance: build on the first 400 vectors,
+    append the last 100, and serving must return EXACTLY what an
+    index built on all 500 with the same frozen quantizer returns —
+    for every query and probe width. Appending a colliding vec_id
+    must fail fast; only touched cell partitions gain files."""
+    import os
+
+    from hadoop_search_spark.operators.similarity import (
+        ivf_index_add,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") < 400)
+    rest = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivf_inc")
+    cents = write_ivf_index(first, path)
+    files_before = {
+        f"{d}/{f}"
+        for d, _, fs in os.walk(f"{path}/vectors")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    n_added = ivf_index_add(spark, path, rest)
+    assert n_added == rest.count()
+    # append-only: every pre-existing file untouched
+    files_after = {
+        f"{d}/{f}"
+        for d, _, fs in os.walk(f"{path}/vectors")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert files_before <= files_after and len(files_after) > len(files_before)
+
+    full_path = str(tmp_path / "ivf_full")
+    write_ivf_index(emb, full_path, centroids=cents)
+    qids = [3, 17, 41, 450]
+    for nprobe in (2, 8):
+        inc = {
+            (r.query_id, r.vec_id, r.cosine, r.rn)
+            for r in ivf_index_topk(spark, path, qids, k=5, nprobe=nprobe).collect()
+        }
+        full = {
+            (r.query_id, r.vec_id, r.cosine, r.rn)
+            for r in ivf_index_topk(
+                spark, full_path, qids, k=5, nprobe=nprobe
+            ).collect()
+        }
+        assert inc == full and inc
+    # id collision fails fast instead of silently duplicating
+    with pytest.raises(ValueError, match="already exist"):
+        ivf_index_add(spark, path, emb.filter(F.col("vec_id") == 10))
+
+
 def test_bpe_encode_matches_pure_python(spark):
     import random
     from collections import Counter
