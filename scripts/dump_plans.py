@@ -198,6 +198,48 @@ COMMENTARY = {
         "monolithic 5-round plan (the classic iterative-Spark driver "
         "killer)."
     ),
+    "text_perplexity_buckets": (
+        "CCNet bucketing via two-phase distributed rank: in-block "
+        "row_number windows are partition-parallel on the block key "
+        "(leading digits of the integer ranking key), and the ONLY "
+        "single-partition window runs over per-block COUNTS (thousands "
+        "of rows at any corpus size) before a broadcast join-back — "
+        "the naive formulation would sort every doc on one partition."
+    ),
+    "dedup_bloom_decontaminate": (
+        "Two-tier Bloom decontamination: the benchmark folds to a "
+        "constant 1024-row bitmap (bit_or aggregate), which broadcasts "
+        "into a map-side probe of the corpus shingles; only "
+        "filter-flagged docs reach the exact verify join. At 100 TB "
+        "the corpus side never shuffles against the benchmark and the "
+        "broadcast stays ~8 KB regardless of scale."
+    ),
+    "mix_dsir_select": (
+        "DSIR importance weighting: two token-keyed count aggregations "
+        "(target slice + corpus), a vocab-sized weight table joined "
+        "back to the token stream (the tf-idf df-join shape), scalar "
+        "totals as 1-row broadcast aggregates, decimal-quantized "
+        "pre-sum per-doc aggregation. No all-pairs, no driver state."
+    ),
+    "sim_semantic_dedup": (
+        "SemDeDup: the displayed plan is the final component-label "
+        "join (CC rounds ran as separate checkpointed jobs, like "
+        "graph_authority); candidates came from sign-projection LSH "
+        "buckets — the self-join is bucket-keyed, never all-pairs, the "
+        "role SemDeDup's k-means cells play at scale."
+    ),
+    "mix_temperature_sample": (
+        "Temperature mixing: per-source counts are one tiny "
+        "aggregation, thresholds a broadcast join, and the keep/drop "
+        "decision a map-only salted key hash — the fact stream is "
+        "never shuffled. All arithmetic after one IEEE sqrt is BIGINT."
+    ),
+    "text_gopher_rules": (
+        "Gopher hard rules: a single map-only projection — every rule "
+        "is integer/boolean arithmetic over the token array (mean-word-"
+        "length bounds cross-multiplied, so no float exists), one "
+        "WholeStageCodegen span, no shuffle at all."
+    ),
 }
 
 
