@@ -45,8 +45,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     key = (app, sf_dir, name)
     df = _HANDLES.get(key)
     if df is None:
-        for k in [k for k in _HANDLES if k[0] != app]:
-            del _HANDLES[k]
+        # list() snapshots: concurrent queries (the serving bench runs
+        # 8 threads) may insert while we evict, and iterating the live
+        # dict would raise; a lost race only costs a duplicate read
+        for k in list(_HANDLES):
+            if k[0] != app:
+                _HANDLES.pop(k, None)
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         _HANDLES[key] = df
     return df
