@@ -4037,16 +4037,21 @@ def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _curation_sql() -> str:
+def _curation_sql(
+    src: str = "documents", pre_ctes: str = "", extra_ctes: str = "", extra_where: str = ""
+) -> str:
     """The full curation pipeline as one WITH query — every stage's
     SQL is the same text the standalone oracles use (salts, language
     profiles, and stop words generated from the operators' own
-    constant tables)."""
+    constant tables). ``src`` is the input relation; ``pre_ctes``
+    (placed first), ``extra_ctes`` (placed before the final select)
+    and ``extra_where`` let the v2 pipeline graft its Gopher
+    pre-filter and decontamination post-filter onto the same text."""
     return f"""
-WITH keepers AS (
-  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+WITH {pre_ctes}keepers AS (
+  SELECT min(doc_id) AS doc_id FROM {src} GROUP BY md5(text)
 ),
-surv AS (SELECT d.doc_id, d.text FROM documents d
+surv AS (SELECT d.doc_id, d.text FROM {src} d
          JOIN keepers k ON k.doc_id = d.doc_id),
 {_shingles_ctes("surv")},
 {_lsh_band_ctes()},
@@ -4088,12 +4093,12 @@ lpred AS (
               ELSE 'und' END AS lang_pred
   FROM feats f JOIN lbest b ON b.doc_id = f.doc_id AND b.rn = 1
 ),
-tcnt AS (SELECT doc_id, len(toks) AS n_tokens FROM feats)
+tcnt AS (SELECT doc_id, len(toks) AS n_tokens FROM feats){extra_ctes}
 SELECT q.doc_id, q.quality, p.lang_pred, t.n_tokens
 FROM qual q
 JOIN lpred p ON p.doc_id = q.doc_id
 JOIN tcnt t ON t.doc_id = q.doc_id
-WHERE q.quality >= 0.46 AND p.lang_pred IN ('en')
+WHERE q.quality >= 0.46 AND p.lang_pred IN ('en'){extra_where}
 """
 
 
@@ -4113,6 +4118,74 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=0.8,
         min_quality=0.46,
         langs=("en",),
+    )
+
+
+_V2_PRE_CTES = """cand0 AS (
+  /* Gopher hard rules as the map-only pre-filter; the %50 slice is
+     the held-out benchmark, excluded from training candidacy */
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS gtoks,
+           CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS gchars
+    FROM documents WHERE doc_id % 50 <> 0) g
+  WHERE len(gtoks) BETWEEN 50 AND 100000
+    AND gchars BETWEEN 3 * len(gtoks) AND 10 * len(gtoks)
+    AND (CAST(list_contains(gtoks, 'the') AS INT)
+       + CAST(list_contains(gtoks, 'a') AS INT)
+       + CAST(list_contains(gtoks, 'of') AS INT)
+       + CAST(list_contains(gtoks, 'to') AS INT)
+       + CAST(list_contains(gtoks, 'and') AS INT)) >= 2
+),
+"""
+
+_V2_EXTRA_CTES = """,
+brawtoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos
+  FROM documents WHERE doc_id % 50 = 0
+),
+bsh AS (
+  SELECT DISTINCT a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM brawtoks a
+  JOIN brawtoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN brawtoks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+flagged AS (
+  SELECT c.doc_id FROM sh c JOIN bsh USING (shingle)
+  GROUP BY c.doc_id HAVING count(*) >= 3
+)"""
+
+
+@register(
+    "curation_pipeline_v2",
+    oracle=_curation_sql(
+        src="cand0",
+        pre_ctes=_V2_PRE_CTES,
+        extra_ctes=_V2_EXTRA_CTES,
+        extra_where=" AND q.doc_id NOT IN (SELECT doc_id FROM flagged)",
+    ),
+    note="the round-4 extended curation pipeline: Gopher hard rules "
+    "(map-only, FIRST so every shuffling stage sees fewer docs) -> "
+    "exact dedup -> MinHash-LSH near-dup removal -> quality floor -> "
+    "language allowlist -> benchmark decontamination LAST (per-doc "
+    "verdict, so running it after the survivor set shrinks is "
+    "equivalent and cheapest; the %50 held-out slice is the benchmark "
+    "and is excluded from candidacy). One lazy plan; same oracle text "
+    "as the standalone stages, grafted together",
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.curation import curate_v2
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_v2(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        jaccard_threshold=0.8,
+        min_quality=0.46,
+        langs=("en",),
+        min_shared=3,
     )
 
 
@@ -4589,9 +4662,9 @@ _DRIVER_FRONT = [
     "search_and_not",
     "search_phrase",
     "search_exact_phrase",
-    "search_suggest_terms",
-    # (search_not_clause and terms_related also dropped to the tail,
-    # for mix_temperature_sample and text_gopher_rules)
+    # (search_not_clause, terms_related and search_suggest_terms also
+    # dropped to the tail, for mix_temperature_sample,
+    # text_gopher_rules and curation_pipeline_v2)
     # NEW this round — CCNet perplexity bucketing (two-phase
     # distributed rank) and DSIR importance selection; each replaces
     # an (e) row per the front rule
@@ -4601,6 +4674,7 @@ _DRIVER_FRONT = [
     "sim_semantic_dedup",
     "mix_temperature_sample",
     "text_gopher_rules",
+    "curation_pipeline_v2",
     # (events_interval_join, events_asof_attribution, events_sessionize,
     # events_json and events_hourly dropped to the tail for media_decode
     # and the four new entries; their r2 rows stand and they lead the

@@ -123,3 +123,42 @@ def curation_summary(curated: DataFrame) -> DataFrame:
         _quant(mean_tokens).alias("mean_tokens"),
         _quant(mean_quality).alias("mean_quality"),
     )
+
+
+def curate_v2(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    min_shared: int = 3,
+) -> DataFrame:
+    """The round-4 extended pipeline: Gopher hard rules →
+    :func:`curate` (exact dedup → near-dup removal → quality floor →
+    language allowlist) → benchmark decontamination. Same output
+    shape as :func:`curate`.
+
+    Stage order is the production order: the hard rules are a
+    map-only filter, so they run FIRST and every later (shuffling)
+    stage sees fewer docs; decontamination runs LAST because its
+    verdict is per-doc (a doc's own shingles vs the benchmark — the
+    verdict doesn't depend on which other docs survived, so running
+    it last is equivalent and cheapest). Decontamination flags come
+    from the broadcast-benchmark join of :func:`decontaminate` —
+    the corpus never shuffles on shingle."""
+    from hadoop_search_spark.operators.dedup import decontaminate
+    from hadoop_search_spark.operators.textstats import gopher_exprs
+
+    passed = docs.filter(gopher_exprs(text_col)["pass"])
+    kept = curate(
+        passed,
+        text_col=text_col,
+        jaccard_threshold=jaccard_threshold,
+        min_quality=min_quality,
+        langs=langs,
+    )
+    flagged = decontaminate(
+        passed, benchmark, text_col=text_col, min_shared=min_shared
+    ).select("doc_id")
+    return kept.join(flagged, "doc_id", "left_anti")

@@ -225,6 +225,23 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     10*n_words``) instead of dividing, so no float exists anywhere in
     the plan (the TPC-H threshold trick applied to curation). Map-only
     over the token array; no shuffle, no UDF."""
+    e = gopher_exprs(text_col)
+    return docs.select(
+        "doc_id",
+        e["n_words"].alias("n_words"),
+        e["n_chars"].alias("n_chars"),
+        e["stop_hits"].alias("stop_hits"),
+        e["rule_word_count"].alias("rule_word_count"),
+        e["rule_word_len"].alias("rule_word_len"),
+        e["rule_stopwords"].alias("rule_stopwords"),
+        e["pass"].alias("pass"),
+    )
+
+
+def gopher_exprs(text_col: str = "text") -> dict[str, F.Column]:
+    """The rule expressions behind :func:`gopher_rules`, exposed so a
+    pipeline (curation v2) can inline the ``pass`` predicate as a
+    map-only filter instead of joining the rules frame back."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
     )
@@ -239,16 +256,15 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_chars <= GOPHER_MAX_MEAN_LEN * n_words
     )
     rule_stop = stop_hits >= GOPHER_MIN_STOPWORDS
-    return docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        n_chars.alias("n_chars"),
-        stop_hits.alias("stop_hits"),
-        rule_wc.alias("rule_word_count"),
-        rule_len.alias("rule_word_len"),
-        rule_stop.alias("rule_stopwords"),
-        (rule_wc & rule_len & rule_stop).alias("pass"),
-    )
+    return {
+        "n_words": n_words,
+        "n_chars": n_chars,
+        "stop_hits": stop_hits,
+        "rule_word_count": rule_wc,
+        "rule_word_len": rule_len,
+        "rule_stopwords": rule_stop,
+        "pass": rule_wc & rule_len & rule_stop,
+    }
 
 
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
