@@ -226,6 +226,51 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_decontaminate(args) -> int:
+    """Flag (and optionally drop) training docs that share n-gram
+    shingles with an evaluation benchmark — the eval-hygiene pass a
+    training run performs before export. With ``--bloom`` the
+    two-tier Bloom prefilter runs first (constant-size broadcast
+    bitmap probe, exact verify only on flagged docs — the 100 TB
+    path); without it, the direct broadcast-benchmark join."""
+    from pyspark.sql import functions as F
+
+    from hadoop_search_spark.operators.dedup import (
+        bloom_decontaminate,
+        decontaminate,
+        word_shingles,
+    )
+
+    spark = _spark(args.cpus)
+    docs = spark.read.parquet(args.corpus)
+    bench = spark.read.parquet(args.benchmark)
+    if args.bloom:
+        flags = bloom_decontaminate(
+            word_shingles(docs),
+            word_shingles(bench),
+            min_shared=args.min_shared,
+        ).filter(F.col("contaminated"))
+        flagged = flags.select("doc_id", F.col("n_shared"))
+    else:
+        flagged = decontaminate(docs, bench, min_shared=args.min_shared)
+    n_docs = docs.count()
+    if args.out:
+        kept = docs.join(flagged.select("doc_id"), "doc_id", "left_anti")
+        kept.write.mode("overwrite").parquet(args.out)
+        n_kept = spark.read.parquet(args.out).count()
+        print(f"decontaminated: kept {n_kept}/{n_docs} docs -> {args.out}")
+    rows = flagged.orderBy(F.desc("n_shared"), "doc_id").limit(20).collect()
+    n_flagged = flagged.count()
+    print(
+        f"flagged: {n_flagged} docs share >= {args.min_shared} shingles "
+        f"with the benchmark"
+    )
+    for r in rows:
+        print(f"  doc {r.doc_id}: {r.n_shared} shared shingles")
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="hadoop_search_spark")
     p.add_argument("--cpus", type=int, default=8)
@@ -266,6 +311,19 @@ def main(argv: list[str] | None = None) -> int:
     pst = sub.add_parser("stats", help="one-shot corpus profile report")
     pst.add_argument("--corpus", required=True, help="corpus parquet path")
     pst.set_defaults(fn=cmd_stats)
+
+    pd = sub.add_parser(
+        "decontaminate", help="flag/drop docs overlapping an eval benchmark"
+    )
+    pd.add_argument("--corpus", required=True, help="corpus parquet path")
+    pd.add_argument("--benchmark", required=True, help="benchmark parquet path")
+    pd.add_argument("--out", help="write the kept (non-flagged) docs here")
+    pd.add_argument("--min-shared", type=int, default=3, dest="min_shared")
+    pd.add_argument(
+        "--bloom", action="store_true",
+        help="two-tier Bloom prefilter (constant-size broadcast probe)",
+    )
+    pd.set_defaults(fn=cmd_decontaminate)
 
     args = p.parse_args(argv)
     return args.fn(args)

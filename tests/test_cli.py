@@ -86,6 +86,41 @@ def test_cli_curate_export(tmp_path, spark):
 
 
 @pytest.mark.slow
+def test_cli_decontaminate(tmp_path, spark):
+    """Both decontaminate paths (direct join and Bloom prefilter)
+    must flag the same docs and write the same kept set; the %50
+    slice of the fixture doubles as the benchmark."""
+    bench_path = str(tmp_path / "bench.parquet")
+    cand_path = str(tmp_path / "cand.parquet")
+    docs = spark.read.parquet(CORPUS)
+    docs.filter("doc_id % 50 = 0").write.parquet(bench_path)
+    docs.filter("doc_id % 50 <> 0").write.parquet(cand_path)
+
+    out_a = str(tmp_path / "kept_direct")
+    r = run_cli(
+        "decontaminate", "--corpus", cand_path, "--benchmark", bench_path,
+        "--out", out_a,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    m = re.search(r"flagged: (\d+) docs", r.stdout)
+    assert m and int(m.group(1)) > 0
+    n_flagged = int(m.group(1))
+
+    out_b = str(tmp_path / "kept_bloom")
+    rb = run_cli(
+        "decontaminate", "--corpus", cand_path, "--benchmark", bench_path,
+        "--out", out_b, "--bloom",
+    )
+    assert rb.returncode == 0, rb.stderr[-500:]
+    mb = re.search(r"flagged: (\d+) docs", rb.stdout)
+    assert mb and int(mb.group(1)) == n_flagged
+    kept_a = {r.doc_id for r in spark.read.parquet(out_a).select("doc_id").collect()}
+    kept_b = {r.doc_id for r in spark.read.parquet(out_b).select("doc_id").collect()}
+    assert kept_a == kept_b
+    assert len(kept_a) + n_flagged == spark.read.parquet(cand_path).count()
+
+
+@pytest.mark.slow
 def test_cli_stats_report(tmp_path):
     r = run_cli("stats", "--corpus", CORPUS)
     assert r.returncode == 0, r.stderr[-500:]
