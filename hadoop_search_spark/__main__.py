@@ -245,20 +245,21 @@ def cmd_decontaminate(args) -> int:
     docs = spark.read.parquet(args.corpus)
     bench = spark.read.parquet(args.benchmark)
     if args.bloom:
+        sh = word_shingles(docs).localCheckpoint(eager=False)
         flags = bloom_decontaminate(
-            word_shingles(docs),
-            word_shingles(bench),
-            min_shared=args.min_shared,
+            sh, word_shingles(bench), min_shared=args.min_shared
         ).filter(F.col("contaminated"))
         flagged = flags.select("doc_id", F.col("n_shared"))
     else:
         flagged = decontaminate(docs, bench, min_shared=args.min_shared)
-    n_docs = docs.count()
+    # consumed by up to three actions (anti-join write, top-20, count)
+    # — persist so the shingle/probe pipeline runs once
+    flagged = flagged.persist()
     if args.out:
         kept = docs.join(flagged.select("doc_id"), "doc_id", "left_anti")
         kept.write.mode("overwrite").parquet(args.out)
         n_kept = spark.read.parquet(args.out).count()
-        print(f"decontaminated: kept {n_kept}/{n_docs} docs -> {args.out}")
+        print(f"decontaminated: kept {n_kept}/{docs.count()} docs -> {args.out}")
     rows = flagged.orderBy(F.desc("n_shared"), "doc_id").limit(20).collect()
     n_flagged = flagged.count()
     print(
@@ -267,6 +268,7 @@ def cmd_decontaminate(args) -> int:
     )
     for r in rows:
         print(f"  doc {r.doc_id}: {r.n_shared} shared shingles")
+    flagged.unpersist()
     spark.stop()
     return 0
 

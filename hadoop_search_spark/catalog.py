@@ -1455,7 +1455,9 @@ def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT doc_id,
          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
-         CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS n_chars
+         /* length() = CHARACTERS (matches Spark F.length); strlen()
+            counts BYTES and diverges on any non-ASCII doc */
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
   FROM documents)
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_words,
@@ -2973,6 +2975,44 @@ exp_q AS (
 norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp_e GROUP BY vec_id)
 """
 
+# Sign-projection bucket CTEs shared by every LSH-bucketed embedding
+# oracle (ann top-k, near-dup pairs, semantic dedup) — one definition
+# so a change to the plane hash/count/rounding can never desynchronize
+# them (the _shingles_ctes pattern applied to vector space).
+_EMB_BUCKET_CTES = """
+, planes AS (
+  SELECT pp.p, ii.i,
+         CASE WHEN ('0x' || substr(md5(pp.p::VARCHAR || ':' || (ii.i - 1)::VARCHAR), 1, 10))::BIGINT % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(range(8)) AS p) pp
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+),
+proj AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.s) AS proj
+  FROM exp_e e JOIN planes pl ON pl.i = e.i
+  GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN round(proj, 9) > 0 THEN CAST(pow(2, 7 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+)"""
+
+# ...plus the bucket-local vec-vec candidate pairs and their exact
+# dot products (the near-dup / semantic-dedup shape)
+_EMB_PAIR_CTES = _EMB_BUCKET_CTES + """,
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, sum(x.x * y.x) AS dot
+  FROM cand c
+  JOIN exp_e x ON x.vec_id = c.vec_a
+  JOIN exp_e y ON y.vec_id = c.vec_b AND y.i = x.i
+  GROUP BY c.vec_a, c.vec_b
+)"""
+
 
 @register(
     "sim_cosine_topk",
@@ -3009,24 +3049,8 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ann_lsh_topk",
     oracle=_EMB_CTE
-    + """
-, planes AS (
-  SELECT pp.p, ii.i,
-         CASE WHEN ('0x' || substr(md5(pp.p::VARCHAR || ':' || (ii.i - 1)::VARCHAR), 1, 10))::BIGINT % 2 = 1
-              THEN 1.0 ELSE -1.0 END AS s
-  FROM (SELECT unnest(range(8)) AS p) pp
-  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
-),
-proj AS (
-  SELECT e.vec_id, pl.p, sum(e.x * pl.s) AS proj
-  FROM exp_e e JOIN planes pl ON pl.i = e.i
-  GROUP BY e.vec_id, pl.p
-),
-buckets AS (
-  SELECT vec_id,
-         CAST(sum(CASE WHEN round(proj, 9) > 0 THEN CAST(pow(2, 7 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-  FROM proj GROUP BY vec_id
-),
+    + _EMB_BUCKET_CTES
+    + """,
 qb AS (SELECT q.query_id, q.q_emb, b.bucket AS q_bucket
        FROM q JOIN buckets b ON b.vec_id = q.query_id),
 cand AS (
@@ -3385,8 +3409,13 @@ w AS (
   FROM c),
 t AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_tot FROM w),
 th AS (
+  /* HUGEINT intermediates: n_s * w_tot exceeds int64 at web-corpus
+     sizes and DuckDB's // on DECIMAL degrades to double division,
+     so exact floor division routes through HUGEINT (the result is
+     CAST to BIGINT — the driver-hash type rule) */
   SELECT source,
-         (CAST(10000 AS BIGINT) * 200 * w_s) // (n_s * w_tot) AS thresh
+         CAST(CAST(2000000 AS HUGEINT) * w_s
+              // (CAST(n_s AS HUGEINT) * w_tot) AS BIGINT) AS thresh
   FROM w, t),
 b AS (
   SELECT doc_id, source,
@@ -4127,7 +4156,8 @@ _V2_PRE_CTES = """cand0 AS (
   SELECT doc_id, text FROM (
     SELECT doc_id, text,
            list_filter(string_split(lower(text), ' '), x -> x <> '') AS gtoks,
-           CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS gchars
+           /* length() = CHARACTERS, like Spark F.length; strlen is bytes */
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS gchars
     FROM documents WHERE doc_id % 50 <> 0) g
   WHERE len(gtoks) BETWEEN 50 AND 100000
     AND gchars BETWEEN 3 * len(gtoks) AND 10 * len(gtoks)
@@ -4419,35 +4449,8 @@ def q_argmin_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_embedding_dedup",
     oracle=_EMB_CTE
+    + _EMB_PAIR_CTES
     + """
-, planes AS (
-  SELECT pp.p, ii.i,
-         CASE WHEN ('0x' || substr(md5(pp.p::VARCHAR || ':' || (ii.i - 1)::VARCHAR), 1, 10))::BIGINT % 2 = 1
-              THEN 1.0 ELSE -1.0 END AS s
-  FROM (SELECT unnest(range(8)) AS p) pp
-  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
-),
-proj AS (
-  SELECT e.vec_id, pl.p, sum(e.x * pl.s) AS proj
-  FROM exp_e e JOIN planes pl ON pl.i = e.i
-  GROUP BY e.vec_id, pl.p
-),
-buckets AS (
-  SELECT vec_id,
-         CAST(sum(CASE WHEN round(proj, 9) > 0 THEN CAST(pow(2, 7 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-  FROM proj GROUP BY vec_id
-),
-cand AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-),
-dots AS (
-  SELECT c.vec_a, c.vec_b, sum(x.x * y.x) AS dot
-  FROM cand c
-  JOIN exp_e x ON x.vec_id = c.vec_a
-  JOIN exp_e y ON y.vec_id = c.vec_b AND y.i = x.i
-  GROUP BY c.vec_a, c.vec_b
-)
 SELECT d.vec_a, d.vec_b, round(d.dot / (na.nrm * nb.nrm), 9) AS cosine
 FROM dots d
 JOIN norms na ON na.vec_id = d.vec_a
@@ -4471,35 +4474,8 @@ def sim_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sim_embedding_dedup oracle uses (the dedup_clusters pattern in
     # vector space)
     oracle=_EMB_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-    + """
-, planes AS (
-  SELECT pp.p, ii.i,
-         CASE WHEN ('0x' || substr(md5(pp.p::VARCHAR || ':' || (ii.i - 1)::VARCHAR), 1, 10))::BIGINT % 2 = 1
-              THEN 1.0 ELSE -1.0 END AS s
-  FROM (SELECT unnest(range(8)) AS p) pp
-  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
-),
-proj AS (
-  SELECT e.vec_id, pl.p, sum(e.x * pl.s) AS proj
-  FROM exp_e e JOIN planes pl ON pl.i = e.i
-  GROUP BY e.vec_id, pl.p
-),
-buckets AS (
-  SELECT vec_id,
-         CAST(sum(CASE WHEN round(proj, 9) > 0 THEN CAST(pow(2, 7 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-  FROM proj GROUP BY vec_id
-),
-cand AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-),
-dots AS (
-  SELECT c.vec_a, c.vec_b, sum(x.x * y.x) AS dot
-  FROM cand c
-  JOIN exp_e x ON x.vec_id = c.vec_a
-  JOIN exp_e y ON y.vec_id = c.vec_b AND y.i = x.i
-  GROUP BY c.vec_a, c.vec_b
-),
+    + _EMB_PAIR_CTES
+    + """,
 pairs AS (
   SELECT d.vec_a, d.vec_b
   FROM dots d

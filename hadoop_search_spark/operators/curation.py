@@ -157,8 +157,13 @@ def curate_v2(
         jaccard_threshold=jaccard_threshold,
         min_quality=min_quality,
         langs=langs,
-    )
+    ).localCheckpoint(eager=False)  # referenced twice below
+    # decontaminate ONLY the survivor set (its verdict is per-doc, so
+    # restricting the input changes nothing for the anti-join below;
+    # shingling every Gopher-passed doc would pay the full pre-dedup
+    # corpus for flags that are never consumed)
+    surv_txt = passed.join(kept.select("doc_id"), "doc_id")
     flagged = decontaminate(
-        passed, benchmark, text_col=text_col, min_shared=min_shared
+        surv_txt, benchmark, text_col=text_col, min_shared=min_shared
     ).select("doc_id")
     return kept.join(flagged, "doc_id", "left_anti")

@@ -667,9 +667,19 @@ def bloom_decontaminate(
         hits.groupBy("doc_id")
         .agg(F.sum(F.col("maybe")).cast("bigint").alias("n_maybe"))
         .filter(F.col("n_maybe") >= min_shared)
+        # referenced twice (output left side + tier-2 pruning);
+        # without truncation the whole probe pipeline would
+        # re-execute per reference
+        .localCheckpoint(eager=False)
     )
+    # tier 2 touches ONLY filter-flagged docs — the point of the
+    # prefilter: at realistic FP rates the exact join sees a
+    # vanishing slice of the corpus (AQE broadcasts the id set when
+    # it is small; an explicit broadcast hint would be wrong in the
+    # saturated-filter worst case, where the flagged set is large)
     exact = (
-        doc_shingles.join(F.broadcast(bench), "shingle")
+        doc_shingles.join(flagged.select("doc_id"), "doc_id")
+        .join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )

@@ -324,9 +324,14 @@ def temperature_sample(
     (bit-identical across engines) and floor of an identical double
     is deterministic, unlike round() whose boundary behavior differs
     cross-engine; ``thresh_s = (SCALE * target * w_s) div (n_s * W)``
-    with ``W = sum(w_s)`` is pure BIGINT arithmetic. Rates are capped
-    at 1 implicitly (a thresh above SCALE keeps everything); no
-    waterfilling re-spread of the capped mass (documented).
+    with ``W = sum(w_s)``. The products run in DECIMAL(38,0): at
+    web-corpus sizes ``n_s * W`` exceeds int64 (n_s = 1e10 gives
+    w_s = 1e11, product 1e21 > 2^63), where bare BIGINT arithmetic
+    would silently wrap under Spark's non-ANSI default — DECIMAL(38)
+    holds ~1e38 and the integral division is exact on both engines.
+    Rates are capped at 1 implicitly (a thresh above SCALE keeps
+    everything); no waterfilling re-spread of the capped mass
+    (documented).
 
     Scale shape: per-source counts are one tiny aggregation, the
     thresholds a broadcast join, the keep/drop decision the same
@@ -343,7 +348,8 @@ def temperature_sample(
         .select(
             source_col,
             F.expr(
-                f"({SAMPLE_SCALE}L * {int(target_docs)}L * w_s) div (n_s * w_tot)"
+                f"(CAST({SAMPLE_SCALE * int(target_docs)} AS DECIMAL(38,0))"
+                " * w_s) div (CAST(n_s AS DECIMAL(38,0)) * w_tot)"
             ).alias("thresh"),
         )
     )

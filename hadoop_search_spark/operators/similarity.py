@@ -529,6 +529,20 @@ def ivf_index_add(
     monotone ingest offsets) and the scan is not worth it."""
     cents = load_ivf_centroids(spark, path)
     if check_ids:
+        # duplicates WITHIN the batch (an ingest retry concatenated
+        # into one frame) would append silently and serve as two rows
+        # per id — the same failure the index-collision check guards
+        n_intra = (
+            new_embeddings.groupBy("vec_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        if n_intra:
+            raise ValueError(
+                f"{n_intra} vec_ids appear more than once in the new batch; "
+                "IVF append cannot deduplicate — distinct the batch first"
+            )
         existing = spark.read.parquet(f"{path}/vectors").select("vec_id")
         n_dup = new_embeddings.join(existing, "vec_id").count()
         if n_dup:
