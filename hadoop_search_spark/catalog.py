@@ -2765,6 +2765,45 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_benchmark_report",
+    oracle="\nWITH "
+    + _shingles_ctes()
+    + """,
+bench AS (SELECT doc_id AS bench_doc, shingle FROM sh WHERE doc_id % 50 = 0),
+cand AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+bsizes AS (SELECT bench_doc, count(*) AS n_bench_shingles FROM bench GROUP BY 1),
+leaked AS (
+  SELECT b.bench_doc,
+         count(DISTINCT b.shingle) AS n_leaked,
+         count(DISTINCT c.doc_id) AS n_training_docs
+  FROM bench b JOIN cand c ON c.shingle = b.shingle
+  GROUP BY b.bench_doc)
+SELECT l.bench_doc, s.n_bench_shingles, l.n_leaked, l.n_training_docs,
+       CAST(CAST(100 * l.n_leaked AS HUGEINT) // s.n_bench_shingles
+            AS BIGINT) AS leak_frac_pct
+FROM leaked l JOIN bsizes s USING (bench_doc)
+WHERE l.n_leaked >= 1
+""",
+    note="the EVAL-side decontamination view: for each benchmark doc "
+    "(the %50 held-out slice), how many of its distinct shingles leak "
+    "into the training corpus, how many training docs share them, and "
+    "the integer leak percentage (100*n div total — exact on both "
+    "engines; DuckDB floors through HUGEINT since its // on other "
+    "types degrades). decontaminate says which training docs to drop; "
+    "this says which eval results to distrust",
+)
+def dedup_benchmark_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.dedup import benchmark_contamination_report
+
+    sh = _shingles(spark, sf_dir)
+    return benchmark_contamination_report(
+        sh.filter(F.col("doc_id") % 50 != 0),
+        sh.filter(F.col("doc_id") % 50 == 0),
+        min_shared=1,
+    )
+
+
+@register(
     "dedup_bloom_decontaminate",
     oracle="\nWITH "
     + _shingles_ctes()
@@ -4637,10 +4676,10 @@ _DRIVER_FRONT = [
     "search_or",
     "search_and_not",
     "search_phrase",
-    "search_exact_phrase",
-    # (search_not_clause, terms_related and search_suggest_terms also
-    # dropped to the tail, for mix_temperature_sample,
-    # text_gopher_rules and curation_pipeline_v2)
+    # (search_not_clause, terms_related, search_suggest_terms and
+    # search_exact_phrase also dropped to the tail, for
+    # mix_temperature_sample, text_gopher_rules, curation_pipeline_v2
+    # and dedup_benchmark_report)
     # NEW this round — CCNet perplexity bucketing (two-phase
     # distributed rank) and DSIR importance selection; each replaces
     # an (e) row per the front rule
@@ -4651,6 +4690,7 @@ _DRIVER_FRONT = [
     "mix_temperature_sample",
     "text_gopher_rules",
     "curation_pipeline_v2",
+    "dedup_benchmark_report",
     # (events_interval_join, events_asof_attribution, events_sessionize,
     # events_json and events_hourly dropped to the tail for media_decode
     # and the four new entries; their r2 rows stand and they lead the

@@ -581,6 +581,61 @@ def decontaminate(
     )
 
 
+def benchmark_contamination_report(
+    doc_shingles: DataFrame,
+    bench_shingles: DataFrame,
+    min_shared: int = 1,
+) -> DataFrame:
+    """The EVAL-side view of decontamination — for each benchmark
+    document, how compromised is it by the training corpus? →
+    ``(bench_doc, n_bench_shingles, n_leaked, n_training_docs,
+    leak_frac_pct)`` for benchmark docs with >= ``min_shared`` leaked
+    shingles. ``n_leaked`` counts the bench doc's DISTINCT shingles
+    that appear anywhere in the training corpus; ``n_training_docs``
+    counts distinct corpus docs sharing at least one shingle;
+    ``leak_frac_pct`` is the integer percentage of the doc's shingles
+    that leaked (engine-exact: 100*n div total).
+
+    :func:`decontaminate` answers "which training docs must I drop";
+    this answers "which eval results can I still trust" — the report
+    an eval-hygiene audit publishes. Scale shape: the benchmark side
+    is tiny and broadcasts; the corpus side contributes one
+    (shingle → any-doc) aggregation, never a corpus self-join."""
+    bench = bench_shingles.select(
+        F.col("doc_id").alias("bench_doc"), "shingle"
+    )
+    sizes = bench.groupBy("bench_doc").agg(
+        F.count("*").alias("n_bench_shingles")
+    )
+    hits = doc_shingles.join(
+        F.broadcast(bench.select("shingle").distinct()), "shingle"
+    )
+    # corpus stream stays the probe side; the (bench_doc, shingle)
+    # table broadcasts — the corpus is never shuffled on shingle
+    leaked = (
+        hits.select("shingle", "doc_id")
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("bench_doc")
+        .agg(
+            F.count_distinct("shingle").alias("n_leaked"),
+            F.count_distinct("doc_id").alias("n_training_docs"),
+        )
+    )
+    return (
+        leaked.filter(F.col("n_leaked") >= min_shared)
+        .join(F.broadcast(sizes), "bench_doc")
+        .select(
+            "bench_doc",
+            "n_bench_shingles",
+            "n_leaked",
+            "n_training_docs",
+            F.expr("(100 * n_leaked) div n_bench_shingles").alias(
+                "leak_frac_pct"
+            ),
+        )
+    )
+
+
 BLOOM_BITS = 1 << 15  # 32768 bits = 1024 32-bit words in BIGINTs
 BLOOM_HASHES = 3
 
