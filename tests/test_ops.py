@@ -536,6 +536,28 @@ def test_unigram_surprisal_hand_computed(spark):
     assert got[2].mean_surprisal == t2 / 2
 
 
+def test_load_table_memoizes_per_session(spark):
+    """The cold-latency fix: spark.read.parquet costs ~0.1 s per call
+    even warm, so load_table must return the SAME relation object for
+    repeated (session, sf_dir, table) lookups, while distinct dirs
+    and tables get distinct handles. A stale applicationId is evicted
+    on the next miss."""
+    from hadoop_search_spark.sources import tables as T
+
+    a = T.load_table(spark, "region", "/root/testdata/sf0.001")
+    b = T.load_table(spark, "region", "/root/testdata/sf0.001")
+    assert a is b
+    c = T.load_table(spark, "region", "/root/testdata/sf0.01")
+    d = T.load_table(spark, "nation", "/root/testdata/sf0.001")
+    assert c is not a and d is not a
+    # stale-session handles are dropped on the next cache miss
+    app = spark.sparkContext.applicationId
+    T._HANDLES[("dead-app", "/x", "region")] = a
+    T.load_table(spark, "supplier", "/root/testdata/sf0.001")
+    assert ("dead-app", "/x", "region") not in T._HANDLES
+    assert all(k[0] == app for k in T._HANDLES)
+
+
 def test_semantic_dedup_keeps_one_per_cluster(spark):
     """Planted semantic clusters: vectors 1/2/3 are tiny perturbations
     of one direction (pairwise cosine ~1), 10/11 of an orthogonal one,
