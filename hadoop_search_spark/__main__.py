@@ -132,7 +132,7 @@ def cmd_curate(args) -> int:
     search; SURVEY.md §7 phase 5 is this path)."""
     from pyspark.sql import functions as F
 
-    from hadoop_search_spark.operators.curation import curate
+    from hadoop_search_spark.operators.curation import curate, curate_v2
     from hadoop_search_spark.operators.mixing import (
         shuffle_shard,
         train_val_test_split,
@@ -140,12 +140,23 @@ def cmd_curate(args) -> int:
 
     spark = _spark(args.cpus)
     docs = spark.read.parquet(args.corpus)
-    kept = curate(
-        docs,
-        jaccard_threshold=args.jaccard,
-        min_quality=args.min_quality,
-        langs=tuple(args.langs.split(",")),
-    ).select("doc_id")
+    if args.benchmark:
+        # v2 pipeline: Gopher hard rules first, benchmark
+        # decontamination last (see operators/curation.py:curate_v2)
+        kept = curate_v2(
+            docs,
+            spark.read.parquet(args.benchmark),
+            jaccard_threshold=args.jaccard,
+            min_quality=args.min_quality,
+            langs=tuple(args.langs.split(",")),
+        ).select("doc_id")
+    else:
+        kept = curate(
+            docs,
+            jaccard_threshold=args.jaccard,
+            min_quality=args.min_quality,
+            langs=tuple(args.langs.split(",")),
+        ).select("doc_id")
     surviving = docs.join(kept, "doc_id").persist()
     sharded = shuffle_shard(surviving, n_shards=args.shards)
     # split is a map-only withColumn — apply it to the joined frame
@@ -308,6 +319,11 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--langs", default="en", help="comma-separated lang_pred keep-list")
     pc.add_argument("--val-frac", type=float, default=0.01, dest="val_frac")
     pc.add_argument("--test-frac", type=float, default=0.01, dest="test_frac")
+    pc.add_argument(
+        "--benchmark",
+        help="eval benchmark parquet: enables the v2 pipeline "
+        "(Gopher hard rules + decontamination)",
+    )
     pc.set_defaults(fn=cmd_curate)
 
     pst = sub.add_parser("stats", help="one-shot corpus profile report")

@@ -86,6 +86,44 @@ def test_cli_curate_export(tmp_path, spark):
 
 
 @pytest.mark.slow
+def test_cli_curate_v2_with_benchmark(tmp_path, spark):
+    """curate --benchmark routes through the v2 pipeline (Gopher hard
+    rules + decontamination): the dataset must exclude every doc the
+    decontaminate CLI would flag, and still export the full
+    split/shard layout."""
+    bench_path = str(tmp_path / "bench.parquet")
+    cand_path = str(tmp_path / "cand.parquet")
+    docs = spark.read.parquet(CORPUS)
+    docs.filter("doc_id % 50 = 0").write.parquet(bench_path)
+    docs.filter("doc_id % 50 <> 0").write.parquet(cand_path)
+    out = str(tmp_path / "dataset_v2")
+    r = run_cli(
+        "curate", "--corpus", cand_path, "--out", out,
+        "--shards", "4", "--jaccard", "1.01", "--min-quality", "0.0",
+        "--val-frac", "0.05", "--test-frac", "0.05",
+        "--benchmark", bench_path,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    m = re.search(r"curated: kept (\d+)/(\d+) docs", r.stdout)
+    assert m and int(m.group(1)) > 50
+    back = spark.read.parquet(out)
+    assert back.count() == int(m.group(1))
+    # no exported doc may share >= 3 shingles with the benchmark
+    from hadoop_search_spark.operators.dedup import decontaminate
+
+    flagged = {
+        r2.doc_id
+        for r2 in decontaminate(
+            spark.read.parquet(cand_path),
+            spark.read.parquet(bench_path),
+            min_shared=3,
+        ).collect()
+    }
+    exported = {r2.doc_id for r2 in back.select("doc_id").collect()}
+    assert not (exported & flagged)
+
+
+@pytest.mark.slow
 def test_cli_decontaminate(tmp_path, spark):
     """Both decontaminate paths (direct join and Bloom prefilter)
     must flag the same docs and write the same kept set; the %50
