@@ -564,7 +564,13 @@ def decontaminate(
     ``doc_shingles`` / ``bench_shingles`` accept precomputed
     ``word_shingles``-shaped frames (caller-owned persistence, same
     pattern as :func:`minhash_lsh_dedup`) so a pipeline that already
-    materialized the corpus shingle set doesn't re-tokenize."""
+    materialized the corpus shingle set doesn't re-tokenize.
+
+    PRECONDITION: a caller-supplied ``doc_shingles`` must be distinct
+    per (doc_id, shingle) — ``word_shingles`` output satisfies this,
+    but e.g. exploded-span frames do not, and duplicates inflate
+    ``n_shared`` (the count deliberately skips an internal distinct
+    so the map-only corpus side stays shuffle-free)."""
     doc_sh = (
         doc_shingles if doc_shingles is not None else word_shingles(docs, text_col, n)
     )
@@ -734,6 +740,13 @@ def bloom_decontaminate(
     # saturated-filter worst case, where the flagged set is large)
     exact = (
         doc_shingles.join(flagged.select("doc_id"), "doc_id")
+        # tier 1 counted DISTINCT (doc_id, shingle) pairs (the min-agg
+        # groups on both); distinct here keeps n_maybe >= n_shared
+        # true even for a caller passing a non-distinct shingle frame
+        # (e.g. exploded-span output) — the dedup runs only over the
+        # flagged slice, so its shuffle is tiny by construction
+        .select("doc_id", "shingle")
+        .distinct()
         .join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))

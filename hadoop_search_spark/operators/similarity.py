@@ -528,6 +528,12 @@ def ivf_index_add(
     pruning); pass False when the caller guarantees fresh ids (e.g.
     monotone ingest offsets) and the scan is not worth it."""
     cents = load_ivf_centroids(spark, path)
+    # pin the batch ONCE: it is evaluated by the dup checks, the
+    # append write and the returned count — a non-deterministic
+    # source (sampling, a mutating stream batch) could pass the
+    # checks yet append different rows if each consumer re-executed
+    # the plan
+    new_embeddings = new_embeddings.localCheckpoint()
     if check_ids:
         # duplicates WITHIN the batch (an ingest retry concatenated
         # into one frame) would append silently and serve as two rows
@@ -552,7 +558,9 @@ def ivf_index_add(
             )
     assigned = ivf_assign(new_embeddings, cents)
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
-    return new_embeddings.count()
+    # count the WRITTEN frame (recomputed over the checkpointed batch,
+    # so it equals what the write saw), not the raw input
+    return assigned.count()
 
 
 def load_ivf_centroids(spark: SparkSession, path: str):

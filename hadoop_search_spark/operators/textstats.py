@@ -427,7 +427,7 @@ def perplexity_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """CCNet-style head/middle/tail perplexity bucketing: docs ranked
     by mean unigram surprisal (ascending — head = most-fluent third,
     the slice CCNet keeps) and split into three equal-size buckets by
-    GLOBAL rank → ``(doc_id, mean_surprisal6, rk, bucket)``.
+    GLOBAL rank → ``(doc_id, mean_surprisal9, rk, bucket)``.
 
     Exactness: the ranking key is ``floor(mean surprisal * 1e9)``
     computed in pure integer/decimal arithmetic — the per-token

@@ -37,23 +37,40 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     ~0.1 s per call even warm (JVM file listing + footer schema read),
     so a 6-table join paid ~0.6 s of plan-BUILD latency per cold
     query — measured as the dominant slice of the r3 cold-sequential
-    drift. DataFrames are immutable and the fixture paths never change
-    within a session, so reusing the relation is semantically
-    identical; handles of stopped sessions are evicted by
-    applicationId."""
+    drift. Handles of stopped sessions are evicted by applicationId on
+    every call (hit or miss — the scan is one dict pass, negligible
+    next to the ~0.1 s read it replaces).
+
+    PRECONDITION: the table path must be immutable for the life of the
+    session. The memoized handle pins the parquet file listing taken
+    at first read; a caller that overwrites a table directory
+    mid-session must call :func:`invalidate` on that dir first, or
+    later reads serve stale data / fail on deleted files. The fixture
+    dirs under /root/testdata are immutable, so catalog queries are
+    always safe."""
     app = spark.sparkContext.applicationId
+    # list() snapshots: concurrent queries (the serving bench runs
+    # 8 threads) may insert while we evict, and iterating the live
+    # dict would raise; a lost race only costs a duplicate read
+    for k in list(_HANDLES):
+        if k[0] != app:
+            _HANDLES.pop(k, None)
     key = (app, sf_dir, name)
     df = _HANDLES.get(key)
     if df is None:
-        # list() snapshots: concurrent queries (the serving bench runs
-        # 8 threads) may insert while we evict, and iterating the live
-        # dict would raise; a lost race only costs a duplicate read
-        for k in list(_HANDLES):
-            if k[0] != app:
-                _HANDLES.pop(k, None)
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         _HANDLES[key] = df
     return df
+
+
+def invalidate(sf_dir: str, name: str | None = None) -> None:
+    """Drop memoized handles for ``sf_dir`` (all tables, or just
+    ``name``) so the next load_table re-reads the directory. Required
+    before re-reading any table whose path was overwritten within the
+    current session (see load_table's precondition)."""
+    for k in list(_HANDLES):
+        if k[1] == sf_dir and (name is None or k[2] == name):
+            _HANDLES.pop(k, None)
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:

@@ -541,7 +541,9 @@ def test_load_table_memoizes_per_session(spark):
     even warm, so load_table must return the SAME relation object for
     repeated (session, sf_dir, table) lookups, while distinct dirs
     and tables get distinct handles. A stale applicationId is evicted
-    on the next miss."""
+    on every call — hit or miss — so the sweep can't be starved by a
+    warm cache (the r4 version only swept on miss and was
+    order-dependent under the shared-session suite)."""
     from hadoop_search_spark.sources import tables as T
 
     a = T.load_table(spark, "region", "/root/testdata/sf0.001")
@@ -550,12 +552,19 @@ def test_load_table_memoizes_per_session(spark):
     c = T.load_table(spark, "region", "/root/testdata/sf0.01")
     d = T.load_table(spark, "nation", "/root/testdata/sf0.001")
     assert c is not a and d is not a
-    # stale-session handles are dropped on the next cache miss
+    # stale-session handles are dropped on ANY call, even a cache hit
+    # (supplier may already be cached by earlier tests in the session)
     app = spark.sparkContext.applicationId
     T._HANDLES[("dead-app", "/x", "region")] = a
     T.load_table(spark, "supplier", "/root/testdata/sf0.001")
     assert ("dead-app", "/x", "region") not in T._HANDLES
     assert all(k[0] == app for k in T._HANDLES)
+    # invalidate() drops handles for a dir so a rewritten path re-reads
+    T.invalidate("/root/testdata/sf0.001", "nation")
+    assert (app, "/root/testdata/sf0.001", "nation") not in T._HANDLES
+    assert (app, "/root/testdata/sf0.001", "region") in T._HANDLES
+    T.invalidate("/root/testdata/sf0.001")
+    assert not any(k[1] == "/root/testdata/sf0.001" for k in T._HANDLES)
 
 
 def test_semantic_dedup_keeps_one_per_cluster(spark):
