@@ -363,6 +363,117 @@ def temperature_sample(
     )
 
 
+def _dsir_toks(
+    docs: DataFrame, text_col: str, source_col: str
+) -> DataFrame:
+    """(doc_id, _src, tok) token stream shared by the weight build and
+    the scoring pass."""
+    return docs.select(
+        "doc_id",
+        F.col(source_col).alias("_src"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_source: str = "src0",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> tuple[DataFrame, DataFrame]:
+    """The DSIR weight MODEL, split out of :func:`dsir_select` so it
+    can be published and served against a document stream
+    (`streaming/dsir_ingest.py`): returns ``(weights, meta)`` where
+    ``weights`` is the vocab-sized ``(tok, w6)`` table and ``meta`` is
+    one row ``(n_s, v, n_t, default_w6)`` — ``default_w6`` is the
+    smoothed weight of a token UNSEEN at weight-build time
+    (cnt_s = cnt_t = 0 in the same formula, same double association,
+    so a frozen model scores novel stream tokens exactly as a rebuilt
+    model with those counts would)."""
+    toks = _dsir_toks(docs, text_col, source_col)
+    cnt_s = toks.groupBy("tok").agg(F.count("*").alias("cnt_s"))
+    cnt_t = (
+        toks.filter(F.col("_src") == target_source)
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt_t"))
+    )
+    # vocab = the corpus vocabulary (cnt_s covers every token that
+    # can appear at scoring time; target-only tokens can't exist)
+    totals = cnt_s.agg(
+        F.sum("cnt_s").alias("n_s"), F.count("*").alias("v")
+    )
+    t_total = cnt_t.agg(F.coalesce(F.sum("cnt_t"), F.lit(0)).alias("n_t"))
+
+    def w6_expr(cnt_t_col, cnt_s_col):
+        return (
+            F.round(
+                F.log10(
+                    (
+                        (cnt_t_col + 1).cast("double")
+                        * (F.col("n_s") + F.col("v")).cast("double")
+                    )
+                    / (
+                        (cnt_s_col + 1).cast("double")
+                        * (F.col("n_t") + F.col("v")).cast("double")
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+        )
+
+    weights = (
+        cnt_s.join(cnt_t, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(t_total))
+        .select(
+            "tok",
+            w6_expr(
+                F.coalesce(F.col("cnt_t"), F.lit(0)), F.col("cnt_s")
+            ).alias("w6"),
+        )
+    )
+    meta = (
+        totals.crossJoin(t_total)
+        .select(
+            "n_s",
+            "v",
+            "n_t",
+            w6_expr(F.lit(0), F.lit(0)).alias("default_w6"),
+        )
+    )
+    return weights, meta
+
+
+def dsir_score(
+    toks: DataFrame, weights: DataFrame, default_w6=None
+) -> DataFrame:
+    """Score a ``(doc_id, tok)`` stream against a DSIR weight table →
+    ``(doc_id, n_tokens, score, keep)``. With ``default_w6`` set
+    (serving a FROZEN model), tokens missing from the table get the
+    unseen-token weight via a left join; without it (the batch path,
+    where the table covers the corpus vocabulary by construction) the
+    join is inner and Catalyst is free to pick the cheaper side."""
+    if default_w6 is None:
+        joined = toks.join(weights, "tok")
+        w = F.col("w6")
+    else:
+        joined = toks.join(weights, "tok", "left")
+        w = F.coalesce(F.col("w6"), F.lit(default_w6).cast("decimal(18,6)"))
+    scored = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(w).alias("_sum6"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.col("_sum6").cast("double").alias("score"),
+        (F.col("_sum6") > 0).alias("keep"),
+    )
+
+
 def dsir_select(
     docs: DataFrame,
     target_source: str = "src0",
@@ -390,62 +501,9 @@ def dsir_select(
     table joined back to the token stream, one per-doc aggregation.
     No all-pairs, no driver state; the scalar totals (N_t, N_s, V)
     are 1-row broadcast aggregates."""
-    toks = docs.select(
-        "doc_id",
-        F.col(source_col).alias("_src"),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
-        ).alias("tok"),
-    )
-    cnt_s = toks.groupBy("tok").agg(F.count("*").alias("cnt_s"))
-    cnt_t = (
-        toks.filter(F.col("_src") == target_source)
-        .groupBy("tok")
-        .agg(F.count("*").alias("cnt_t"))
-    )
-    # vocab = the corpus vocabulary (cnt_s covers every token that
-    # can appear at scoring time; target-only tokens can't exist)
-    totals = cnt_s.agg(
-        F.sum("cnt_s").alias("n_s"), F.count("*").alias("v")
-    )
-    t_total = cnt_t.agg(F.coalesce(F.sum("cnt_t"), F.lit(0)).alias("n_t"))
-    w6 = (
-        F.round(
-            F.log10(
-                (
-                    (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1).cast("double")
-                    * (F.col("n_s") + F.col("v")).cast("double")
-                )
-                / (
-                    (F.col("cnt_s") + 1).cast("double")
-                    * (F.col("n_t") + F.col("v")).cast("double")
-                )
-            ),
-            6,
-        )
-        .cast("decimal(18,6)")
-        .alias("w6")
-    )
-    weights = (
-        cnt_s.join(cnt_t, "tok", "left")
-        .crossJoin(F.broadcast(totals))
-        .crossJoin(F.broadcast(t_total))
-        .select("tok", w6)
-    )
-    scored = (
-        toks.join(weights, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum("w6").alias("_sum6"),
-        )
-    )
-    return scored.select(
-        "doc_id",
-        "n_tokens",
-        F.col("_sum6").cast("double").alias("score"),
-        (F.col("_sum6") > 0).alias("keep"),
-    )
+    toks = _dsir_toks(docs, text_col, source_col)
+    weights, _ = dsir_weights(docs, target_source, text_col, source_col)
+    return dsir_score(toks, weights)
 
 
 def train_val_test_split(
