@@ -3183,6 +3183,86 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ivf_drift_report",
+    oracle=_EMB_CTE
+    + """
+, cents AS (
+  SELECT vec_id AS cvec, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+  FROM embeddings WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 8
+),
+cdots AS (
+  SELECT a.vec_id, ct.cell, ct.cvec, sum(a.x * c.x) AS dot
+  FROM exp_e a
+  JOIN cents ct ON TRUE
+  JOIN exp_e c ON c.vec_id = ct.cvec AND c.i = a.i
+  GROUP BY a.vec_id, ct.cell, ct.cvec
+),
+ranked AS (
+  SELECT d.vec_id, d.cell,
+         CAST(round(d.dot / (na.nrm * nc.nrm), 9) AS DECIMAL(12,9)) AS c12,
+         row_number() OVER (PARTITION BY d.vec_id
+                            ORDER BY round(d.dot / (na.nrm * nc.nrm), 9) DESC,
+                                     d.cell) AS crn
+  FROM cdots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cvec
+),
+assigned AS (
+  SELECT vec_id, cell,
+         CAST(c12 * CAST(1000000000 AS DECIMAL(19,0)) AS BIGINT) AS cos9i,
+         vec_id % 4 <> 0 AS is_orig
+  FROM ranked WHERE crn = 1
+),
+agg AS (
+  SELECT cell,
+         CAST(sum(CASE WHEN is_orig THEN 1 ELSE 0 END) AS BIGINT) AS n_orig,
+         CAST(sum(CASE WHEN is_orig THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN is_orig THEN cos9i ELSE 0 END) AS BIGINT)
+           AS sum_cos9_orig,
+         CAST(sum(CASE WHEN is_orig THEN 0 ELSE cos9i END) AS BIGINT)
+           AS sum_cos9_new
+  FROM assigned GROUP BY cell
+),
+tots AS (
+  SELECT CAST(sum(n_orig) AS BIGINT) AS tot_orig,
+         CAST(sum(n_new) AS BIGINT) AS tot_new FROM agg
+)
+SELECT cell, n_orig, n_new, sum_cos9_orig, sum_cos9_new,
+       share_drift, dist_drift, share_drift OR dist_drift AS drifted
+FROM (
+  SELECT agg.*,
+         CAST(n_new AS HUGEINT) * tot_orig
+           > 2 * CAST(n_orig AS HUGEINT) * tot_new AS share_drift,
+         (n_orig > 0 AND n_new > 0 AND
+          CAST(sum_cos9_new AS HUGEINT) * n_orig <
+          CAST(sum_cos9_orig AS HUGEINT) * n_new
+          - CAST(50000000 AS HUGEINT) * n_orig * n_new) AS dist_drift
+  FROM agg CROSS JOIN tots
+) t
+""",
+    note="IVF quantizer drift report (operators/similarity.py:"
+    "ivf_drift_stats): original corpus = vec_id%4<>0 (quantizer "
+    "trained on its first 8 ids), appended = vec_id%4=0; per-cell "
+    "share-skew and mean-distance drift flags via integer cross-"
+    "multiplication — no division, bit-exact across engines. The "
+    "published-index twin (ivf_index_drift, gen-column lineage) is "
+    "pinned by pytest.",
+)
+def sim_ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_drift_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    orig = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    cents = ivf_centroids(orig, 8)
+    return ivf_drift_stats(ivf_assign(orig, cents), ivf_assign(new, cents), cents)
+
+
 def _lang_score_sql() -> str:
     """CASE arm per language, generated from the same
     ``LANG_NGRAM_PROFILES`` the Spark operator uses — one source of

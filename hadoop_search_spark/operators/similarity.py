@@ -489,9 +489,12 @@ def write_ivf_index(
         if centroids is not None
         else ivf_centroids(embeddings, num_centroids)
     )
-    ivf_assign(embeddings, cents).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(f"{path}/vectors")
+    # gen=0 marks the build generation; appends stamp 1, 2, ... —
+    # the lineage ivf_index_drift uses to compare appended vectors
+    # against the distribution the quantizer was trained on
+    ivf_assign(embeddings, cents).withColumn(
+        "gen", F.lit(0).cast("bigint")
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
     spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in cents],
         "cell INT, centroid ARRAY<DOUBLE>",
@@ -556,7 +559,15 @@ def ivf_index_add(
                 f"{n_dup} vec_ids already exist in the index at {path}; "
                 "IVF append cannot replace vectors — rebuild, or use fresh ids"
             )
-    assigned = ivf_assign(new_embeddings, cents)
+    existing_gen = (
+        spark.read.parquet(f"{path}/vectors")
+        .agg(F.coalesce(F.max("gen"), F.lit(0)).alias("g"))
+        .collect()[0]
+        .g
+    )
+    assigned = ivf_assign(new_embeddings, cents).withColumn(
+        "gen", F.lit(int(existing_gen) + 1).cast("bigint")
+    )
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
     # count the WRITTEN frame (recomputed over the checkpointed batch,
     # so it equals what the write saw), not the raw input
@@ -619,6 +630,124 @@ def ivf_index_topk(
         F.col("vec_id") != F.col("query_id")
     )
     return _topk_per_query(pairs, k)
+
+
+def ivf_drift_stats(
+    orig: DataFrame,
+    new: DataFrame,
+    centroids,
+    share_factor: int = 2,
+    dist_margin9: int = 50_000_000,
+) -> DataFrame:
+    """Quantizer drift report — the observability half of the
+    frozen-quantizer contract (:func:`ivf_index_add` appends with the
+    BUILD-time centroids; this answers "has the appended distribution
+    drifted far enough that the documented offline rebuild should
+    run?"). Per cell →
+    ``(cell, n_orig, n_new, sum_cos9_orig, sum_cos9_new,
+    share_drift, dist_drift, drifted)``:
+
+    * ``share_drift``: the cell's share of APPENDED vectors exceeds
+      ``share_factor`` × its share of ORIGINAL vectors (new data is
+      piling into cells the quantizer sized small — hot partitions at
+      probe time). A cell with appends but zero original vectors
+      always flags.
+    * ``dist_drift``: appended vectors sit materially farther from
+      their centroid than the originals — mean cosine-to-centroid of
+      the new slice is more than ``dist_margin9``/1e9 below the
+      original slice's (the quantizer no longer fits the data near
+      this cell).
+
+    Exactness: per-vector cosine-to-assigned-centroid uses the one
+    shared 9dp-rounded cosine, quantized to DECIMAL(12,9) BEFORE the
+    per-cell sum (exact, order-independent); sums surface as integer
+    ``sum_cos9`` columns, and both drift tests are integer/DECIMAL(38)
+    cross-multiplications — no division anywhere, so a DuckDB oracle
+    reproduces every flag bit-for-bit. Mean distances are derivable
+    by the consumer as sum_cos9 / n / 1e9.
+
+    Scale shape: one union + one per-cell aggregation (partial aggs
+    apply) + a 1-row broadcast of the global totals. The centroid
+    lookup is ``element_at`` on a C-sized literal array — map-only,
+    no join against the model."""
+    cvecs = F.array(
+        *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in centroids]
+    )
+    cnorms = F.array(*[F.lit(_py_norm(vec)) for _, vec in centroids])
+    idx = (F.col("cell") + 1).cast("int")
+    cos9 = F.round(
+        _dot(F.col("embedding"), F.element_at(cvecs, idx))
+        / (_norm(F.col("embedding")) * F.element_at(cnorms, idx)),
+        9,
+    )
+    tagged = (
+        orig.select("embedding", "cell", F.lit(True).alias("is_orig"))
+        .unionByName(
+            new.select("embedding", "cell", F.lit(False).alias("is_orig"))
+        )
+        .withColumn("cos9", cos9.cast("decimal(12,9)"))
+    )
+    # per-row integer quantization (cos9 is exactly 9-scaled, so
+    # *1e9 is an exact integer) then a plain bigint sum — the same
+    # recipe in both engines, no decimal-precision promotion to match
+    row9 = (F.col("cos9") * F.lit(1000000000)).cast("bigint")
+
+    def sum9(cond):
+        return F.sum(F.when(cond, row9).otherwise(F.lit(0))).cast("bigint")
+
+    agg = tagged.groupBy("cell").agg(
+        F.sum(F.when(F.col("is_orig"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orig"),
+        F.sum(F.when(~F.col("is_orig"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        sum9(F.col("is_orig")).alias("sum_cos9_orig"),
+        sum9(~F.col("is_orig")).alias("sum_cos9_new"),
+    )
+    tots = agg.agg(
+        F.sum("n_orig").cast("bigint").alias("tot_orig"),
+        F.sum("n_new").cast("bigint").alias("tot_new"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    share_drift = dec(F.col("n_new")) * dec(F.col("tot_orig")) > F.lit(
+        share_factor
+    ) * dec(F.col("n_orig")) * dec(F.col("tot_new"))
+    dist_drift = (
+        (F.col("n_orig") > 0)
+        & (F.col("n_new") > 0)
+        & (
+            dec(F.col("sum_cos9_new")) * dec(F.col("n_orig"))
+            < dec(F.col("sum_cos9_orig")) * dec(F.col("n_new"))
+            - F.lit(dist_margin9) * dec(F.col("n_orig")) * dec(F.col("n_new"))
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(tots))
+        .withColumn("share_drift", share_drift)
+        .withColumn("dist_drift", dist_drift)
+        .withColumn(
+            "drifted", F.col("share_drift") | F.col("dist_drift")
+        )
+        .drop("tot_orig", "tot_new")
+    )
+
+
+def ivf_index_drift(spark: SparkSession, path: str) -> DataFrame:
+    """Drift report over a PUBLISHED index: original = the ``gen=0``
+    build generation, appended = every :func:`ivf_index_add`
+    generation since. Vectors already carry their cell, so this is a
+    pure aggregation over the index — no re-assignment."""
+    vectors = spark.read.parquet(f"{path}/vectors")
+    cents = load_ivf_centroids(spark, path)
+    return ivf_drift_stats(
+        vectors.filter(F.col("gen") == 0),
+        vectors.filter(F.col("gen") > 0),
+        cents,
+    )
 
 
 # ------------------------------------------------------------- PCA

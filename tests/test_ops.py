@@ -957,6 +957,73 @@ def test_ivf_index_add_equals_full_rebuild(spark, tmp_path):
         ivf_index_add(spark, path, emb.filter(F.col("vec_id") == 10))
 
 
+def test_ivf_drift_flags_shifted_appends(spark, tmp_path):
+    """Drift observability: build an index on vectors spread evenly
+    over 4 axis-aligned clusters, then append a batch that (a) piles
+    into cluster 2's cell and (b) sits far from its centroid. The
+    report must flag exactly that cell (share AND distance drift),
+    flag nothing for an append drawn from the build distribution, and
+    report zero appended rows before any append."""
+    from hadoop_search_spark.operators.similarity import (
+        ivf_index_add,
+        ivf_index_drift,
+        write_ivf_index,
+    )
+
+    def vec(axis, tilt_axis=None, tilt=0.0):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        if tilt_axis is not None:
+            v[tilt_axis] = tilt
+        return v
+
+    # 4 clusters x 10 members, tiny in-cluster tilt (stays nearest
+    # its own axis centroid); first 4 vec_ids seed the 4 centroids
+    build = [
+        (i, vec(i % 4, tilt_axis=8 + i % 4, tilt=0.05 * (i // 4 % 3)))
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(build, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    path = str(tmp_path / "ivf_drift")
+    write_ivf_index(emb, path, num_centroids=4)
+
+    # pre-append: every cell reports n_new = 0 and no flags
+    pre = {r.cell: r for r in ivf_index_drift(spark, path).collect()}
+    assert set(pre) == {0, 1, 2, 3}
+    assert all(r.n_new == 0 and not r.drifted for r in pre.values())
+
+    # in-distribution append: same spread, no flags
+    same = [
+        (100 + i, vec(i % 4, tilt_axis=8 + i % 4, tilt=0.05))
+        for i in range(8)
+    ]
+    ivf_index_add(
+        spark,
+        path,
+        spark.createDataFrame(same, "vec_id BIGINT, embedding ARRAY<DOUBLE>"),
+    )
+    mid = {r.cell: r for r in ivf_index_drift(spark, path).collect()}
+    assert all(not r.drifted for r in mid.values())
+
+    # shifted append: all into cell 2, strongly tilted off-centroid
+    shifted = [
+        (200 + i, vec(2, tilt_axis=20, tilt=0.9)) for i in range(10)
+    ]
+    ivf_index_add(
+        spark,
+        path,
+        spark.createDataFrame(
+            shifted, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+        ),
+    )
+    post = {r.cell: r for r in ivf_index_drift(spark, path).collect()}
+    assert post[2].share_drift and post[2].dist_drift and post[2].drifted
+    assert not any(r.drifted for c, r in post.items() if c != 2)
+    # sums are exact integer cos9: originals of cell 2 are near 1.0
+    assert post[2].n_orig == 10 and post[2].n_new == 12
+    assert post[2].sum_cos9_orig > post[2].n_orig * 990_000_000
+
+
 def test_bpe_encode_matches_pure_python(spark):
     import random
     from collections import Counter
