@@ -4338,6 +4338,118 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _v3_oracle() -> str:
+    """The v2 oracle with its final SELECT wrapped as a ``v2surv``
+    CTE, followed by the semantic-dedup stage: hashing-trick 16-dim
+    token-count vectors (integer-valued, so every projection/dot/norm
+    is exact in any summation order), 8-plane sign-projection buckets,
+    exact-cosine pairs >= 0.96, recursive-CTE components, keep the
+    min-id doc per cluster — the sim_semantic_dedup oracle pattern
+    grafted onto the curation survivor set."""
+    v2 = _curation_sql(
+        src="cand0",
+        pre_ctes=_V2_PRE_CTES,
+        extra_ctes=_V2_EXTRA_CTES,
+        extra_where=" AND q.doc_id NOT IN (SELECT doc_id FROM flagged)",
+    )
+    head, final = v2.rsplit("SELECT q.doc_id", 1)
+    return (
+        head.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ",\nv2surv AS MATERIALIZED (\nSELECT q.doc_id"
+        + final.rstrip()
+        + "\n),"
+        + """
+semtoks AS (
+  SELECT f.doc_id, unnest(f.toks) AS tok
+  FROM feats f JOIN v2surv v ON v.doc_id = f.doc_id
+),
+sembuck AS MATERIALIZED (
+  SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS x
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5('feat:' || tok), 1, 12))::BIGINT % 16 AS b
+        FROM semtoks) t
+  GROUP BY doc_id, b
+),
+semnorm AS (SELECT doc_id, sqrt(sum(x * x)) AS nrm FROM sembuck GROUP BY doc_id),
+semplanes AS (
+  SELECT pp.p, ii.i,
+         CASE WHEN ('0x' || substr(md5(pp.p::VARCHAR || ':' || ii.i::VARCHAR), 1, 10))::BIGINT % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(range(8)) AS p) pp
+  CROSS JOIN (SELECT unnest(range(16)) AS i) ii
+),
+semproj AS (
+  SELECT sb.doc_id, pl.p, sum(sb.x * pl.s) AS proj
+  FROM sembuck sb JOIN semplanes pl ON pl.i = sb.b
+  GROUP BY sb.doc_id, pl.p
+),
+sembkt AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN round(proj, 9) > 0 THEN CAST(pow(2, 7 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM semproj GROUP BY doc_id
+),
+semcand AS MATERIALIZED (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sembkt a JOIN sembkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+semdots AS (
+  SELECT c.da, c.db, sum(xa.x * xb.x) AS dot
+  FROM semcand c
+  JOIN sembuck xa ON xa.doc_id = c.da
+  JOIN sembuck xb ON xb.doc_id = c.db AND xb.b = xa.b
+  GROUP BY c.da, c.db
+),
+sempairs AS MATERIALIZED (
+  SELECT d.da, d.db
+  FROM semdots d
+  JOIN semnorm na ON na.doc_id = d.da
+  JOIN semnorm nb ON nb.doc_id = d.db
+  WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= 0.96
+),
+seme AS MATERIALIZED (SELECT da AS a, db AS b FROM sempairs
+         UNION ALL SELECT db, da FROM sempairs),
+semreach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM v2surv
+  UNION
+  SELECT e.b, r.lbl FROM semreach r JOIN seme e ON e.a = r.node
+)
+SELECT v.doc_id, v.quality, v.lang_pred, v.n_tokens
+FROM v2surv v
+JOIN (SELECT node, min(lbl) AS cluster FROM semreach GROUP BY node) c
+  ON c.node = v.doc_id
+WHERE c.cluster = v.doc_id
+"""
+    )
+
+
+@register(
+    "curation_pipeline_v3",
+    oracle=_v3_oracle(),
+    note="curate_v2 plus a SemDeDup semantic-dedup FOURTH stage over "
+    "derived doc embeddings (operators/textstats.py:doc_hash_vectors "
+    "— the doc_id<->vector bridge the fixtures lack: 16-bucket "
+    "hashing-trick token counts, integer-valued so the whole "
+    "similarity stack is exact in any summation order): "
+    "sign-projection buckets -> cosine >= 0.96 pairs -> connected "
+    "components -> keep min-id per semantic cluster. Runs last over "
+    "the decontaminated survivor set (most expensive per doc, and "
+    "its verdict depends on which docs survive).",
+)
+def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.curation import curate_v3
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_v3(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        jaccard_threshold=0.8,
+        min_quality=0.46,
+        langs=("en",),
+        min_shared=3,
+        sem_threshold=0.96,
+    )
+
+
 @register(
     "curation_summary",
     oracle=f"""

@@ -167,3 +167,69 @@ def curate_v2(
         surv_txt, benchmark, text_col=text_col, min_shared=min_shared
     ).select("doc_id")
     return kept.join(flagged, "doc_id", "left_anti")
+
+
+def curate_v3(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    min_shared: int = 3,
+    sem_threshold: float = 0.96,
+    sem_dim: int = 16,
+    sem_planes: int = 8,
+) -> DataFrame:
+    """:func:`curate_v2` plus a SemDeDup-style SEMANTIC dedup stage:
+    survivors are embedded with the deterministic hashing-trick
+    vectors (:func:`~hadoop_search_spark.operators.textstats.
+    doc_hash_vectors` — the doc_id↔vector bridge the fixtures lack),
+    near-duplicate pairs come from sign-projection LSH buckets +
+    exact-cosine verify ≥ ``sem_threshold``, and connected components
+    keep one doc (the smallest id) per semantic cluster. Same output
+    shape as :func:`curate`.
+
+    The semantic stage runs LAST, over the (already decontaminated)
+    survivor set only — it is the most expensive stage per doc
+    (vectorize + bucket self-join + iterated components), so it sees
+    the smallest corpus; and unlike decontamination its verdict DOES
+    depend on which other docs survive, so it must run after every
+    per-doc filter for the keeper choice to be well-defined.
+
+    Scale shape: vectorization is one explode + one per-doc agg; the
+    pair join is bucket-local (never all-pairs — though note the
+    fixture's ~31-word vocabulary concentrates vectors in few
+    buckets, the degenerate regime documented for every near-dup
+    entry; production dim/planes spread it); components is O(log
+    diameter) rounds over the pair graph only."""
+    from hadoop_search_spark.operators.graph import connected_components
+    from hadoop_search_spark.operators.similarity import embedding_dedup_pairs
+    from hadoop_search_spark.operators.textstats import doc_hash_vectors
+
+    kept = curate_v2(
+        docs,
+        benchmark,
+        text_col=text_col,
+        jaccard_threshold=jaccard_threshold,
+        min_quality=min_quality,
+        langs=langs,
+        min_shared=min_shared,
+    ).localCheckpoint(eager=False)  # survivor set feeds three subtrees
+    surv_txt = docs.join(kept.select("doc_id"), "doc_id")
+    vecs = doc_hash_vectors(surv_txt, text_col, sem_dim).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    pairs = embedding_dedup_pairs(
+        vecs, threshold=sem_threshold, num_planes=sem_planes, dim=sem_dim
+    ).select("vec_a", "vec_b")
+    comp = connected_components(
+        pairs,
+        nodes=kept.select(F.col("doc_id").alias("node")).select("node"),
+        src="vec_a",
+        dst="vec_b",
+    )
+    keepers = comp.filter(F.col("component") == F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    return kept.join(keepers, "doc_id")

@@ -201,6 +201,48 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def doc_hash_vectors(
+    docs: DataFrame, text_col: str = "text", dim: int = 16
+) -> DataFrame:
+    """Deterministic per-doc embedding via the hashing trick →
+    ``(doc_id, embedding ARRAY<DOUBLE>)``: every token hashes into one
+    of ``dim`` buckets (the shared :func:`~hadoop_search_spark.
+    operators.dedup.md5_int` recipe, salted ``feat:``) and the vector
+    is the raw bucket-count histogram. Counts are integers, so dot
+    products, norms and sign projections over these vectors are exact
+    in ANY summation order — the whole downstream similarity stack
+    (cosine, LSH buckets, SemDeDup) becomes bit-deterministic
+    cross-engine with no float hazards.
+
+    This is the doc_id↔vector bridge the fixtures lack: it lets the
+    embedding-space operators (embedding_dedup_pairs, semantic dedup)
+    run over the DOCUMENTS table, e.g. as a curation stage. One
+    explode + one per-doc aggregation (dim conditional sums,
+    partial-agg friendly); map-only otherwise."""
+    from hadoop_search_spark.operators.dedup import md5_int
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("tok"),
+    ).select(
+        "doc_id",
+        (md5_int(F.concat(F.lit("feat:"), F.col("tok")), 12) % dim).alias("b"),
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum((F.col("b") == i).cast("bigint"))
+            .cast("double")
+            .alias(f"_x{i}")
+            for i in range(dim)
+        ]
+    )
+    return sums.select(
+        "doc_id", F.array(*[f"_x{i}" for i in range(dim)]).alias("embedding")
+    )
+
+
 GOPHER_STOPWORDS = ("the", "a", "of", "to", "and")
 GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
