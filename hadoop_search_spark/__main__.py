@@ -134,6 +134,7 @@ def cmd_curate(args) -> int:
 
     from hadoop_search_spark.operators.curation import curate, curate_v2
     from hadoop_search_spark.operators.mixing import (
+        leakage_safe_split,
         shuffle_shard,
         train_val_test_split,
     )
@@ -159,13 +160,26 @@ def cmd_curate(args) -> int:
         ).select("doc_id")
     surviving = docs.join(kept, "doc_id").persist()
     sharded = shuffle_shard(surviving, n_shards=args.shards)
-    # split is a map-only withColumn — apply it to the joined frame
-    # instead of joining a third branch of the curate lineage back
-    out = train_val_test_split(
-        surviving.join(sharded.select("doc_id", "shard", "pos"), "doc_id"),
-        args.val_frac,
-        args.test_frac,
-    )
+    joined = surviving.join(sharded.select("doc_id", "shard", "pos"), "doc_id")
+    if args.leakage_safe:
+        # cluster-atomic split: near-dup families (re-detected among
+        # SURVIVORS at the same threshold — survivors of dedup can
+        # still pair below the drop threshold only if the operator
+        # kept them, so this graph is usually sparse) share one split
+        from hadoop_search_spark.operators.dedup import minhash_lsh_dedup
+
+        pairs = minhash_lsh_dedup(
+            surviving, threshold=args.jaccard
+        ).select("doc_a", "doc_b")
+        assign = leakage_safe_split(
+            surviving, pairs, args.val_frac, args.test_frac
+        )
+        out = joined.join(assign.select("doc_id", "split"), "doc_id")
+    else:
+        # split is a map-only withColumn — apply it to the joined
+        # frame instead of joining a third branch of the curate
+        # lineage back
+        out = train_val_test_split(joined, args.val_frac, args.test_frac)
     # sort by the partition columns FIRST, then pos: the parquet
     # writer requires its input ordered on the partition columns and
     # would otherwise insert its own Sort(split, shard) above ours —
@@ -233,6 +247,34 @@ def cmd_stats(args) -> int:
     print(f"mean quality: {agg.mean_quality}")
     print("languages: " + ", ".join(f"{r.lang}={r['count']}" for r in langs))
     print(f"exact duplicates: {dups} ({100.0 * dups / max(agg.docs, 1):.1f}%)")
+    spark.stop()
+    return 0
+
+
+def cmd_datacard(args) -> int:
+    """Per-source data card: the corpus_datacard table printed as
+    aligned rows, sources by descending token share — the one-screen
+    view a mixture design starts from."""
+    from pyspark.sql import functions as F
+
+    from hadoop_search_spark.operators.curation import corpus_datacard
+
+    spark = _spark(args.cpus)
+    rows = (
+        corpus_datacard(spark.read.parquet(args.corpus))
+        .orderBy(F.desc("token_share"), "source")
+        .collect()
+    )
+    print(
+        f"{'source':<10}{'docs':>8}{'dups':>7}{'tokens':>12}"
+        f"{'mean_tok':>10}{'quality':>9}{'en':>7}{'share':>8}"
+    )
+    for r in rows:
+        print(
+            f"{r.source:<10}{r.n_docs:>8}{r.n_exact_dup:>7}"
+            f"{r.total_tokens:>12}{r.mean_tokens:>10.1f}"
+            f"{r.mean_quality:>9.3f}{r.n_en:>7}{r.token_share:>8.4f}"
+        )
     spark.stop()
     return 0
 
@@ -324,11 +366,25 @@ def main(argv: list[str] | None = None) -> int:
         help="eval benchmark parquet: enables the v2 pipeline "
         "(Gopher hard rules + decontamination)",
     )
+    pc.add_argument(
+        "--leakage-safe",
+        action="store_true",
+        dest="leakage_safe",
+        help="assign train/val/test by near-dup CLUSTER (members of a "
+        "near-dup family never straddle the train/val boundary)",
+    )
     pc.set_defaults(fn=cmd_curate)
 
     pst = sub.add_parser("stats", help="one-shot corpus profile report")
     pst.add_argument("--corpus", required=True, help="corpus parquet path")
     pst.set_defaults(fn=cmd_stats)
+
+    pdc = sub.add_parser(
+        "datacard",
+        help="per-source data card (docs/tokens/dup/quality/lang/share)",
+    )
+    pdc.add_argument("--corpus", required=True, help="corpus parquet path")
+    pdc.set_defaults(fn=cmd_datacard)
 
     pd = sub.add_parser(
         "decontaminate", help="flag/drop docs overlapping an eval benchmark"

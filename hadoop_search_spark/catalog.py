@@ -2907,6 +2907,60 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+@register(
+    "sample_split_leakage_safe",
+    oracle="\nWITH RECURSIVE "
+    + _shingles_ctes()
+    + ",\n"
+    + _lsh_band_ctes()
+    + ",\n"
+    + _SHARED_CTE
+    + """,
+pairs AS (
+  SELECT s.doc_a, s.doc_b
+  FROM shared s
+  JOIN sizes za ON za.doc_id = s.doc_a
+  JOIN sizes zb ON zb.doc_id = s.doc_b
+  WHERE round(s.shared / (za.n_sh + zb.n_sh - s.shared), 9) >= 0.5
+),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node)
+SELECT doc_id, component,
+       CASE WHEN ('0x' || substr(md5('split:' || component::VARCHAR), 1, 12))::BIGINT
+                 % 10000 < 1000 THEN 'val'
+            WHEN ('0x' || substr(md5('split:' || component::VARCHAR), 1, 12))::BIGINT
+                 % 10000 < 2000 THEN 'test'
+            ELSE 'train' END AS split
+FROM comp
+""",
+    note="leakage-safe train/val/test split (operators/mixing.py:"
+    "leakage_safe_split): the deterministic split hash is carved over "
+    "the near-dup CLUSTER label (connected components over the same "
+    "MinHash-LSH pair graph as dedup_clusters), so a doc and its "
+    "near-duplicates can never straddle the train/val boundary — the "
+    "eval-hygiene property a per-doc split cannot give. 10%/10% "
+    "val/test; oracle = the dedup_clusters recursive CTE + the "
+    "sample_split hash over component.",
+)
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.dedup import minhash_lsh_dedup
+    from hadoop_search_spark.operators.mixing import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, threshold=0.5, shingles=_shingles(spark, sf_dir)
+    ).select("doc_a", "doc_b")
+    return leakage_safe_split(
+        docs, pairs, val_frac=0.1, test_frac=0.1
+    )
+
+
 _SIMHASH_CTE = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
@@ -3261,6 +3315,58 @@ def sim_ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = emb.filter(F.col("vec_id") % 4 == 0)
     cents = ivf_centroids(orig, 8)
     return ivf_drift_stats(ivf_assign(orig, cents), ivf_assign(new, cents), cents)
+
+
+@register(
+    "sim_quantize_int8",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+am AS (SELECT vec_id, max(abs(x)) AS amax FROM ex GROUP BY vec_id),
+qq AS (
+  SELECT e.vec_id, e.i, e.x, a.amax,
+         CAST(greatest(-127, least(127,
+              CASE WHEN a.amax > 0 THEN floor(e.x * 127 / a.amax)
+                   ELSE 0 END)) AS INT) AS q
+  FROM ex e JOIN am a USING (vec_id)
+),
+er AS (
+  SELECT vec_id, i, q, amax,
+         abs(x - q * (CASE WHEN amax > 0 THEN amax ELSE 1.0 END) / 127) AS err
+  FROM qq
+)
+SELECT vec_id, round(any_value(amax), 9) AS amax9,
+       string_agg(q::VARCHAR, ',' ORDER BY i) AS qvec_csv,
+       CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+       CAST(sum(abs(q)) AS BIGINT) AS sum_qabs,
+       round(max(err), 9) AS max_abs_err9
+FROM er GROUP BY vec_id
+""",
+    note="per-vector symmetric int8 embedding quantization (operators/"
+    "similarity.py:embedding_quantize_int8) — the 4x storage-"
+    "compression path for a web-scale embedding store, with the two "
+    "safety signals (saturation count, worst reconstruction error) "
+    "that decide whether a cell keeps floats. Pointwise IEEE "
+    "arithmetic only (multiply/divide/floor/clamp/abs/max) — no "
+    "cross-row float sums — so both engines produce identical "
+    "quantized vectors bit-for-bit; qvec surfaces as CSV (the "
+    "postings_tf array convention).",
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import embedding_quantize_int8
+
+    q = embedding_quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "amax9",
+        F.array_join("qvec", ",").alias("qvec_csv"),
+        "n_sat",
+        "sum_qabs",
+        "max_abs_err9",
+    )
 
 
 def _lang_score_sql() -> str:
@@ -4451,6 +4557,67 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_datacard",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         ' ' || lower(text) || ' ' AS pt
+  FROM documents
+),
+qual AS (SELECT doc_id, {{Q}} AS quality FROM feats),
+lscores AS (
+  SELECT doc_id, cand, {{L}} AS score
+  FROM feats CROSS JOIN (SELECT unnest([{{C}}]) AS cand) langs
+),
+lbest AS (
+  SELECT doc_id, cand, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+  FROM lscores
+),
+lpred AS (
+  SELECT f.doc_id,
+         CASE WHEN regexp_matches(f.text, '[一-鿿]') THEN 'zh'
+              WHEN regexp_matches(f.text, '[Ѐ-ӿ]') THEN 'ru'
+              WHEN b.score > 0 THEN b.cand
+              ELSE 'und' END AS lang_pred
+  FROM feats f JOIN lbest b ON b.doc_id = f.doc_id AND b.rn = 1
+),
+per AS (
+  SELECT f.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) - count(DISTINCT md5(f.text)) AS BIGINT) AS n_exact_dup,
+         CAST(sum(len(f.toks)) AS BIGINT) AS total_tokens,
+         sum(CAST(round(q.quality, 6) AS DECIMAL(12,6))) AS qsum,
+         CAST(sum(CASE WHEN p.lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+  FROM feats f
+  JOIN qual q ON q.doc_id = f.doc_id
+  JOIN lpred p ON p.doc_id = f.doc_id
+  GROUP BY f.source
+),
+tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS corpus_tokens FROM per)
+SELECT source, n_docs, n_exact_dup, total_tokens,
+       CAST(CAST(round(total_tokens::DOUBLE / n_docs, 6) AS DECIMAL(18,6)) AS DOUBLE) AS mean_tokens,
+       CAST(CAST(round(qsum::DOUBLE / n_docs, 6) AS DECIMAL(18,6)) AS DOUBLE) AS mean_quality,
+       n_en,
+       CAST(CAST(round(total_tokens::DOUBLE / corpus_tokens, 6) AS DECIMAL(18,6)) AS DOUBLE) AS token_share
+FROM per CROSS JOIN tot
+""".replace("{Q}", _quality_expr_sql())
+    .replace("{L}", _lang_score_sql())
+    .replace("{C}", _lang_candidates_sql()),
+    note="per-source data card (operators/curation.py:corpus_datacard) "
+    "— the accounting table a mixture design starts from: doc/token "
+    "counts, exact-dup burden, mean quality (curation_summary decimal "
+    "recipe), English share, and each source's token_share of the "
+    "corpus. One scan + one per-source agg + a 1-row broadcast total.",
+)
+def curation_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.curation import corpus_datacard
+
+    return corpus_datacard(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "curation_summary",
     oracle=f"""
 SELECT count(*) AS n_docs,
@@ -4799,101 +4966,80 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries in the tail. Registration order is unchanged — only the
 # accessors reorder.
 _DRIVER_FRONT = [
-    # r4 rotation. Rule (learned the hard way in r2): every entry that
+    # r5 rotation. Rule (learned the hard way in r2): every entry that
     # is NEW or CHANGED this round goes inside the front list in the
     # SAME round it lands — never behind the cap.
     #
-    # (a) the four r3 hash-fails — all one root cause, now fixed: an
-    # uncast DuckDB sum() over integers returns HUGEINT (int128),
-    # which the driver's TYPE-sensitive value hash serializes
-    # differently from Spark's int64 even at equal values. Each oracle
-    # now CASTs to BIGINT; test_no_oracle_result_column_is_hugeint
-    # pins the class closed for every entry. q12 additionally fixed a
-    # latent NULL-priority asymmetry (counts in neither bucket now).
-    "postings_bm25",
-    "curation_summary",
-    "mix_sequence_pack",
-    "q12_ship_lag_priority",
-    # (b) CHANGED this round: _bucket's hash prefix widened 4→12 hex
-    # digits (16-bit prefix mod 10000 over-populated low buckets
-    # 7/65536 vs 6/65536 — ~7% relative val/test over-population);
-    # both entries' outputs changed, oracles updated in lockstep
-    "sample_split",
-    "sample_stratified",
-    # (c) code changed in r3 (vectorized decode batch path) but no r3
-    # driver row — these two re-record on their own outputs; plus
-    # media_decode, whose output CHANGED this round (every decoded row
-    # now carries the 'decoder' regime marker, oracle updated in
-    # lockstep)
-    "media_stats",
-    "media_frames",
-    "media_decode",
-    # (d) the 26 entries whose latest driver row is r1 — oldest rows
-    # in the catalog, refreshed so no entry's evidence ages past two
-    # rounds (all unchanged since r1 and green on the local gate)
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q_semi_join",
-    "q_anti_join",
-    "q_window_topk",
-    "q_rollup",
-    "q_distinct_agg",
-    "q_case_pivot",
-    "q_point_lookup",
-    "q_pagination",
-    "wc_top100",
-    "doc_count",
-    "postings_tf",
-    "postings_tfidf",
-    "dedup_exact",
-    "dedup_clusters",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "text_lang_id",
-    "text_script_counts",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "text_pii_scrub",
-    # (e) oldest r2-latest rows fill the remaining slots (registration
-    # order); the r2 entries left in the tail are exactly 2 rounds old
-    # at r4 and rotate in next round. NEW entries added later this
-    # round replace rows from THIS block, never land behind the cap.
-    "postings_incremental_merge",
-    "text_heavy_hitters",
-    "doc_keywords",
-    "search_and",
-    "search_or",
-    "search_and_not",
-    "search_phrase",
-    # (search_not_clause, terms_related, search_suggest_terms and
-    # search_exact_phrase also dropped to the tail, for
-    # mix_temperature_sample, text_gopher_rules, curation_pipeline_v2
-    # and dedup_benchmark_report)
-    # NEW this round — CCNet perplexity bucketing (two-phase
-    # distributed rank) and DSIR importance selection; each replaces
-    # an (e) row per the front rule
-    "text_perplexity_buckets",
-    "mix_dsir_select",
-    "dedup_bloom_decontaminate",
-    "sim_semantic_dedup",
-    "mix_temperature_sample",
-    "text_gopher_rules",
-    "curation_pipeline_v2",
-    "dedup_benchmark_report",
-    # (events_interval_join, events_asof_attribution, events_sessionize,
-    # events_json and events_hourly dropped to the tail for media_decode
-    # and the four new entries; their r2 rows stand and they lead the
-    # r5 rotation)
-    # (r3-green entries all rotated to the tail — their r3 rows are
-    # fresh; the 20 remaining r2-latest entries — dedup_minhash_lsh,
-    # dedup_decontaminate, sim_ann_lsh_topk, mix_token_budget,
-    # sim_embedding_dedup and the q_* relational shapes — keep their
-    # r2 rows and go first in the r5 rotation)
+    # (a) NEW this round: the IVF quantizer drift report (integer
+    # cross-multiplied flags), the v3 curation pipeline (semantic
+    # dedup over derived hashing-trick doc embeddings), the
+    # leakage-safe cluster-atomic split, and int8 embedding
+    # quantization.
+    "sim_ivf_drift_report",
+    "curation_pipeline_v3",
+    "sample_split_leakage_safe",
+    "sim_quantize_int8",
+    "curation_datacard",
+    # (b) the 28 entries whose latest driver row is r2 — the oldest
+    # evidence in the catalog (verdict r4 item 2), all unchanged and
+    # green on the local gate at sf0.001/0.01/0.1.
+    "events_interval_join",
+    "events_asof_attribution",
+    "events_sessionize",
+    "events_json",
+    "events_hourly",
+    "search_not_clause",
+    "search_exact_phrase",
+    "search_suggest_terms",
+    "terms_related",
+    "dedup_minhash_lsh",
+    "dedup_decontaminate",
+    "sim_ann_lsh_topk",
+    "sim_embedding_dedup",
+    "mix_token_budget",
+    "q_approx_stats",
+    "q_argmin_join_back",
+    "q_corr_subquery",
+    "q_cube_grouping",
+    "q_date_parts",
+    "q_having",
+    "q_large_orders",
+    "q_median_per_group",
+    "q_order_count_distribution",
+    "q_running_total",
+    "q_scalar_functions",
+    "q_set_ops",
+    "q_string_agg",
+    "q_window_lead_lag",
+    # (c) r3-latest rows fill the remaining 17 slots (registration
+    # order; the 24 r3 rows left in the tail are two rounds old at r5
+    # and lead the r6 rotation together with any r4 stragglers).
+    "q4_priority_check",
+    "q7_volume_shipping",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_part_concentration",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_sole_late_shipper",
+    "q22_dormant_balance",
+    "text_repetition",
+    "dedup_span_overlap",
+    # (the full r4 front-50 — HUGEINT fixes, media trio, r1 refreshes,
+    # and the eight r4-new entries — all recorded green r4 rows and
+    # rotate to the tail; mix_dsir_select was refactored this round
+    # into dsir_weights+dsir_score but its output is oracle-verified
+    # identical at all three SFs, and dedup_bloom_decontaminate gained
+    # an internal tier-2 distinct that is a no-op for its
+    # word_shingles input — neither output changed, so their r4 rows
+    # stand.)
 ]
-
 
 def _ordered() -> list[str]:
     front = [n for n in _DRIVER_FRONT if n in CATALOG]

@@ -169,6 +169,69 @@ def curate_v2(
     return kept.join(flagged, "doc_id", "left_anti")
 
 
+def corpus_datacard(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source data card — the accounting table a mixture design
+    starts from → ``(source, n_docs, n_exact_dup, total_tokens,
+    mean_tokens, mean_quality, n_en, token_share)``:
+
+    * ``n_exact_dup`` = docs minus distinct md5(text) — the
+      within-source exact-duplication burden;
+    * ``mean_quality`` / ``mean_tokens`` use the curation_summary
+      determinism recipe (per-row round(·,6) → DECIMAL exact sum →
+      one IEEE division → round-then-decimal-cast), so the card is
+      bit-stable cross-engine;
+    * ``token_share`` is each source's fraction of corpus tokens —
+      the number temperature/token-budget mixing rescales.
+
+    One scan: quality/lang features are pure expressions composed
+    into a single projection (the curate pattern), one per-source
+    aggregation, and a 1-row broadcast of the corpus total. No UDFs,
+    no joins against data-sized tables."""
+    t = F.col(text_col)
+    qe = quality_exprs(t)
+    le = lang_exprs(t)
+    feats = docs.select(
+        source_col,
+        "doc_id",
+        F.md5(t).alias("h"),
+        qe["n_tokens"].alias("n_tokens"),
+        F.round(qe["quality"], 6).cast("decimal(12,6)").alias("q6"),
+        le["lang_pred"].alias("lang_pred"),
+    )
+    per = feats.groupBy(source_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.count("*") - F.count_distinct("h")).cast("bigint").alias("n_exact_dup"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("q6").alias("_qsum"),
+        F.sum((F.col("lang_pred") == "en").cast("bigint"))
+        .cast("bigint")
+        .alias("n_en"),
+    )
+    tot = per.agg(F.sum("total_tokens").cast("bigint").alias("_corpus_tokens"))
+
+    def _quant(c):
+        return F.round(c, 6).cast("decimal(18,6)").cast("double")
+
+    return per.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        "n_exact_dup",
+        "total_tokens",
+        _quant(F.col("total_tokens").cast("double") / F.col("n_docs")).alias(
+            "mean_tokens"
+        ),
+        _quant(F.col("_qsum").cast("double") / F.col("n_docs")).alias(
+            "mean_quality"
+        ),
+        "n_en",
+        _quant(
+            F.col("total_tokens").cast("double") / F.col("_corpus_tokens")
+        ).alias("token_share"),
+    )
+
+
 def curate_v3(
     docs: DataFrame,
     benchmark: DataFrame,

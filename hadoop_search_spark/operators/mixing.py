@@ -542,3 +542,44 @@ def train_val_test_split(
         .otherwise("train")
     )
     return docs.withColumn("split", split)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_frac: float = 0.01,
+    test_frac: float = 0.01,
+    key_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    salt: str = "split",
+) -> DataFrame:
+    """Near-dup-cluster-ATOMIC train/val/test assignment →
+    ``(doc_id, component, split)``: connected components over the
+    near-duplicate ``pairs`` graph, then the :func:`train_val_test_
+    split` hash carved over the CLUSTER label instead of the doc id,
+    so every member of a near-dup family lands in the same split.
+
+    This is the eval-hygiene property a per-doc split cannot give: a
+    doc and its near-duplicate must never straddle the train/val
+    boundary (the val copy would be memorized via its train twin —
+    split leakage). Because the cluster label is the MIN doc id of
+    the component, the assignment is still deterministic and stable
+    under corpus growth as long as a cluster's minimum id doesn't
+    change; new docs joining an existing cluster inherit its split.
+
+    Scale shape: components is O(log diameter) rounds over the pair
+    subgraph only (isolated docs bypass the loop); the split itself
+    is a map-only hash of the label. ``pairs`` comes from whichever
+    near-dup operator fits the corpus (MinHash-LSH, SimHash,
+    embedding cosine) — candidate generation scale-behavior is
+    theirs."""
+    from hadoop_search_spark.operators.graph import connected_components
+
+    comp = connected_components(
+        pairs, nodes=docs.select(key_col), src=src, dst=dst
+    )
+    labeled = comp.select(F.col("node").alias(key_col), "component")
+    return train_val_test_split(
+        labeled, val_frac, test_frac, key_col="component", salt=salt
+    )

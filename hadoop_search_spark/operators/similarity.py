@@ -752,6 +752,68 @@ def ivf_index_drift(spark: SparkSession, path: str) -> DataFrame:
 
 # ------------------------------------------------------------- PCA
 
+def embedding_quantize_int8(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the storage
+    path for a web-scale embedding store (4 bytes/dim → 1, before
+    columnar compression) → ``(vec_id, amax9, qvec, n_sat, sum_qabs,
+    max_abs_err9)``:
+
+    * ``qvec[i] = clamp(floor(x_i * 127 / amax), -127, 127)`` with
+      ``amax = max_i |x_i|`` — every step (multiply, divide, floor,
+      clamp) is pointwise IEEE double arithmetic, bit-identical
+      across engines (the cookbook rule: pointwise ops are safe,
+      cross-row float SUMS are not — so the only aggregates here are
+      max/count/integer sums);
+    * ``amax9`` is the 9dp-rounded scale a dequantizer needs
+      (``x ≈ q * amax / 127``);
+    * ``n_sat`` counts saturated components and ``max_abs_err9`` is
+      the per-vector worst reconstruction error — the two numbers
+      that tell an index operator whether int8 is safe for this
+      corpus or whether a cell needs float retention;
+    * ``sum_qabs`` is an exact integer checksum of the quantized
+      vector (engine-portable content fingerprint of the qvec).
+
+    Map-only: one narrow projection, no shuffle, no UDF. All-zero
+    vectors quantize to all-zero with amax9 = 0 (guarded division).
+    """
+    x = F.col(vec_col)
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    q = F.transform(
+        x,
+        lambda v: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.when(amax > 0, F.floor(v.cast("double") * 127 / amax))
+                .otherwise(0)
+                .cast("int"),
+            ),
+        ).cast("int"),
+    )
+    err = F.zip_with(
+        x,
+        q,
+        lambda v, qi: F.abs(
+            v.cast("double")
+            - qi.cast("double") * F.when(amax > 0, amax).otherwise(F.lit(1.0)) / 127
+        ),
+    )
+    return embeddings.select(
+        "vec_id",
+        F.round(amax, 9).alias("amax9"),
+        q.alias("qvec"),
+        F.size(F.filter(q, lambda qi: F.abs(qi) == 127))
+        .cast("bigint")
+        .alias("n_sat"),
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda acc, qi: acc + F.abs(qi)
+        ).alias("sum_qabs"),
+        F.round(F.array_max(err), 9).alias("max_abs_err9"),
+    )
+
+
 PCA_SCALE = 10**9  # per-row integer quantization for exact moment sums
 
 

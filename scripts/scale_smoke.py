@@ -226,6 +226,86 @@ def main() -> int:
 
     stage("temperature_sample", temperature_stage)
 
+    def leakage_split_stage():
+        # cluster-atomic split over the replica near-dup graph: every
+        # replica family (N-replica clusters by construction) must
+        # resolve through connected components before the split hash;
+        # capped to 4x base (same rationale as edit_distance: the
+        # degenerate vocab makes the PAIR GRAPH itself quadratic-ish,
+        # a fixture property, while CC rounds stay O(log diameter))
+        from hadoop_search_spark.operators.dedup import minhash_lsh_dedup
+        from hadoop_search_spark.operators.mixing import leakage_safe_split
+
+        subset = docs.filter(F.col("doc_id") % replicas < 4)
+        pairs = minhash_lsh_dedup(subset, threshold=0.5).select(
+            "doc_a", "doc_b"
+        )
+        out = leakage_safe_split(subset, pairs, 0.1, 0.1)
+        # atomicity assert at scale, not just row count
+        viol = (
+            out.groupBy("component")
+            .agg(F.count_distinct("split").alias("k"))
+            .filter(F.col("k") > 1)
+            .count()
+        )
+        assert viol == 0, f"{viol} clusters straddle splits"
+        return out.count()
+
+    stage("leakage_safe_split_20k", leakage_split_stage)
+
+    def curate_v3_stage():
+        # the full 4-stage pipeline: Gopher -> curate -> decontaminate
+        # -> semantic dedup over derived embeddings; the replicated
+        # corpus makes stages 2-4 do real work (replicas are near-dups)
+        from hadoop_search_spark.operators.curation import curate_v3
+
+        return curate_v3(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            jaccard_threshold=0.8,
+            min_quality=0.46,
+            langs=("en",),
+        ).count()
+
+    stage("curate_v3_pipeline", curate_v3_stage)
+
+    def quantize_stage():
+        from hadoop_search_spark.operators.similarity import (
+            embedding_quantize_int8,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        big = emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * 2000).alias("vec_id"),
+            "embedding",
+        )
+        return embedding_quantize_int8(big).agg(
+            F.sum("sum_qabs"), F.max("max_abs_err9")
+        ).collect()[0][0]
+
+    stage("quantize_int8_embeddings", quantize_stage)
+
+    def drift_stage():
+        from hadoop_search_spark.operators.similarity import (
+            ivf_assign,
+            ivf_centroids,
+            ivf_drift_stats,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        big = emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * 2000).alias("vec_id"),
+            "embedding",
+        )
+        orig = big.filter(F.col("vec_id") % 4 != 0)
+        new = big.filter(F.col("vec_id") % 4 == 0)
+        cents = ivf_centroids(orig, 8)
+        return ivf_drift_stats(
+            ivf_assign(orig, cents), ivf_assign(new, cents), cents
+        ).count()
+
+    stage("ivf_drift_stats", drift_stage)
+
     print(json.dumps(timings))
     spark.stop()
     return 0

@@ -334,3 +334,71 @@ def test_train_val_test_split_stable_and_salted(spark):
     assert not val <= sampled
     with pytest.raises(ValueError):
         train_val_test_split(docs, 0.6, 0.5)
+
+
+def test_leakage_safe_split_is_cluster_atomic(spark):
+    """Planted near-dup chains (1-2-3, 10-11) plus isolated docs:
+    every member of a component must share one split, the split must
+    equal the per-key split hash of the component LABEL (the min id),
+    and isolated docs keep their individual assignment."""
+    from hadoop_search_spark.operators.mixing import (
+        leakage_safe_split,
+        train_val_test_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id LONG"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a LONG, doc_b LONG"
+    )
+    out = {
+        r.doc_id: (r.component, r.split)
+        for r in leakage_safe_split(docs, pairs, 0.3, 0.3).collect()
+    }
+    assert len(out) == 7
+    assert out[1][0] == out[2][0] == out[3][0] == 1
+    assert out[10][0] == out[11][0] == 10
+    assert out[20][0] == 20 and out[21][0] == 21
+    # cluster-atomicity
+    assert out[1][1] == out[2][1] == out[3][1]
+    assert out[10][1] == out[11][1]
+    # the split is exactly the doc-level hash applied to the label
+    labels = spark.createDataFrame(
+        [(c,) for c in {c for c, _ in out.values()}], "doc_id LONG"
+    )
+    ref = {
+        r.doc_id: r.split
+        for r in train_val_test_split(labels, 0.3, 0.3).collect()
+    }
+    assert all(ref[c] == s for c, s in out.values())
+
+
+def test_embedding_quantize_int8_exact_and_bounded(spark):
+    """Hand-checkable vectors: quantization is floor(x*127/amax) with
+    symmetric clamp; extremes saturate to ±127; all-zero vectors are
+    guarded; reconstruction error is bounded by one quantization step
+    (amax/127)."""
+    from hadoop_search_spark.operators.similarity import embedding_quantize_int8
+
+    rows = [
+        (0, [1.0, -1.0, 0.5, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [0.25, 0.1, -0.05, 0.2]),
+    ]
+    out = {
+        r.vec_id: r
+        for r in embedding_quantize_int8(
+            spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+        ).collect()
+    }
+    r0 = out[0]
+    assert r0.qvec == [127, -127, 63, 0] and r0.amax9 == 1.0
+    assert r0.n_sat == 2 and r0.sum_qabs == 127 + 127 + 63
+    r1 = out[1]
+    assert r1.qvec == [0, 0, 0, 0] and r1.amax9 == 0.0 and r1.max_abs_err9 == 0.0
+    r2 = out[2]
+    assert r2.qvec == [127, 50, -26, 101]
+    # one-step error bound for every vector with a nonzero scale
+    for r in (r0, r2):
+        assert r.max_abs_err9 <= round(r.amax9 / 127, 9) + 1e-9
