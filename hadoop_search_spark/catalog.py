@@ -3998,6 +3998,46 @@ def media_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_decode_png",
+    # a REAL decode path needs real image bytes, and DuckDB cannot
+    # md5 a BLOB — golden parquet from the independent generator
+    # (scripts/make_goldens.py:golden_png_decode), which computes the
+    # expected pixel checksum from FIRST PRINCIPLES (md5(digest*12))
+    # without ever touching the PNG codec under test; corpus-bytes
+    # keyed with the explicit golden-miss sentinel
+    oracle=f"""
+WITH g AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/media_decode_png.parquet')),
+fp AS (SELECT CAST(sum(strlen(text)) AS BIGINT) AS cb FROM documents)
+SELECT media_id, width, height, checksum, decoder
+FROM g, fp WHERE g.corpus_bytes = fp.cb
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS media_id, CAST(-1 AS INT) AS width,
+       CAST(-1 AS INT) AS height, 'GOLDEN-MISS' AS checksum,
+       CAST(cb AS VARCHAR) AS decoder
+FROM fp WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.corpus_bytes = fp.cb)
+""",
+    note="REAL image decode, no stub and no PIL: docs become true 8x8 "
+    "RGB PNGs (pixels = md5(text) digest tiled, operators/multimodal."
+    "py:synthesize_png_media) and the pure-stdlib codec (zlib+numpy, "
+    "decode_png) recovers true dimensions and a DEFILTERED-PIXEL "
+    "checksum through the full chunk-parse -> inflate -> scanline-"
+    "unfilter path. decoder='png' rows prove the non-stub regime in "
+    "the driver hash; the golden generator derives expected checksums "
+    "arithmetically, codec-free.",
+)
+def media_decode_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.multimodal import (
+        decode_media,
+        synthesize_png_media,
+    )
+
+    m = synthesize_png_media(_t(spark, sf_dir, "documents"))
+    return decode_media(m, codec="png").select(
+        "media_id", "width", "height", "checksum", "decoder"
+    )
+
+
+@register(
     "media_frames",
     oracle=f"""
 WITH m AS (
@@ -4980,6 +5020,7 @@ _DRIVER_FRONT = [
     "sample_split_leakage_safe",
     "sim_quantize_int8",
     "curation_datacard",
+    "media_decode_png",
     # (b) the 28 entries whose latest driver row is r2 — the oldest
     # evidence in the catalog (verdict r4 item 2), all unchanged and
     # green on the local gate at sf0.001/0.01/0.1.
@@ -5011,7 +5052,7 @@ _DRIVER_FRONT = [
     "q_set_ops",
     "q_string_agg",
     "q_window_lead_lag",
-    # (c) r3-latest rows fill the remaining 17 slots (registration
+    # (c) r3-latest rows fill the remaining 16 slots (registration
     # order; the 24 r3 rows left in the tail are two rounds old at r5
     # and lead the r6 rotation together with any r4 stragglers).
     "q4_priority_check",
@@ -5030,7 +5071,6 @@ _DRIVER_FRONT = [
     "q21_sole_late_shipper",
     "q22_dormant_balance",
     "text_repetition",
-    "dedup_span_overlap",
     # (the full r4 front-50 — HUGEINT fixes, media trio, r1 refreshes,
     # and the eight r4-new entries — all recorded green r4 rows and
     # rotate to the tail; mix_dsir_select was refactored this round

@@ -10,11 +10,16 @@ this environment, so ``decode_media(codec="stub")`` computes
 deterministic fake features (derived from payload length + md5)
 behind the same batch interface a real decoder would use — the
 Spark-side plumbing (schema, Arrow batching, partition parallelism,
-UDF signature) is real and tested. A REAL image path exists behind
-``codec="pil"`` / ``codec="auto"`` (executor-side import-gated, so
-this module loads without PIL); audio/video remain stubbed
-(librosa/ffmpeg likewise absent). The catalog entry pins the stub
-because its oracle reproduces the stub arithmetic exactly.
+UDF signature) is real and tested. TWO real image paths exist:
+``codec="pil"`` (executor-side import-gated, for clusters that have
+PIL) and ``codec="png"`` — a pure-stdlib (zlib/struct/numpy) PNG
+codec that RUNS IN THIS CONTAINER, returning true dimensions and a
+defiltered-pixel checksum, with an :func:`encode_png` round-trip twin
+(both differentially tested against spec-side filtering).
+``codec="auto"`` dispatches per batch: PIL → pure PNG (magic-byte
+probe) → stub. Audio/video remain stubbed (librosa/ffmpeg absent).
+The catalog entry pins the stub because its oracle reproduces the
+stub arithmetic exactly.
 """
 
 from __future__ import annotations
@@ -54,6 +59,40 @@ def synthesize_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("doc_id").alias("src_doc"),
         F.octet_length(payload).cast("bigint").alias("n_bytes"),
     )
+
+
+def synthesize_png_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """REAL image payloads without PIL: each doc becomes an 8×8 RGB
+    PNG whose pixels are the md5(text) digest bytes tiled (16 bytes ×
+    12 = 192 = 8·8·3) — deterministic across runs and engines, so the
+    decoded output has a first-principles golden oracle (the expected
+    pixel checksum is md5(digest*12), computable without touching the
+    codec). Arrow-batched mapInPandas, the same per-item transform
+    shape as decode_media."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for t in pdf[text_col]:
+                d = hashlib.md5(t.encode("utf-8")).digest()
+                arr = np.frombuffer(d * 12, dtype=np.uint8).reshape(8, 8, 3)
+                payloads.append(encode_png(arr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "image",
+                    "payload": payloads,
+                    "src_doc": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="int64"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -125,6 +164,148 @@ def _pil_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+# ------------------------------------------------ pure-stdlib PNG codec
+#
+# PIL is absent from this container, but PNG needs only zlib + struct
+# (both stdlib) + numpy for the filter math — so the image path can be
+# REAL here, not a stub: true dimensions AND a pixel-level checksum
+# (md5 of the defiltered raw pixel bytes — content identity that
+# survives re-compression, which a payload-bytes hash does not).
+# Supported: 8-bit greyscale / grey+alpha / RGB / RGBA, non-interlaced
+# — the shapes a training corpus normalizes to anyway; palette /
+# 16-bit / interlaced raise, and the auto path degrades those rows to
+# the stub (decoder column says so, per row).
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(pixels) -> bytes:
+    """Minimal PNG writer (filter 0 rows, one IDAT) for uint8 arrays
+    shaped (h, w) or (h, w, ch) with ch in {1, 2, 3, 4} — the
+    round-trip twin of :func:`decode_png`, used to synthesize REAL
+    image payloads in tests and fixtures without PIL."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Full PNG decode, stdlib + numpy only → (width, height,
+    channels, pixel_bytes). Implements all five scanline filters
+    (None/Sub/Up/Average/Paeth — the Paeth predictor per the PNG
+    spec's integer arithmetic). Raises ValueError on non-PNG input
+    and NotImplementedError on palette/16-bit/interlaced files."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if bytes(payload[:8]) != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    data = bytes(payload)
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if meta is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    w, h, depth, colortype, _comp, _filt, interlace = meta
+    if depth != 8 or interlace != 0 or colortype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"unsupported PNG shape (depth={depth}, colortype={colortype}, "
+            f"interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[colortype]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth need left-to-right
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if ftype == 1:
+                    val = line[x] + a
+                elif ftype == 3:
+                    val = line[x] + (a + b) // 2
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    val = line[x] + pred
+                cur[x] = val & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return w, h, ch, out.tobytes()
+
+
+def _png_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real image decode via the pure-stdlib PNG codec, same batch
+    contract as the stub: image rows get true dimensions + a checksum
+    of the DEFILTERED PIXELS (content identity across
+    re-compressions); audio/video keep the deterministic stub
+    features (no stdlib-only codec exists for them)."""
+    out = _fake_decode_batch(pdf)
+    is_img = (pdf["kind"] == "image").to_numpy()
+    if is_img.any():
+        dims = [decode_png(bytes(p)) for p in pdf["payload"][is_img]]
+        out.loc[is_img, "width"] = pd.array([w for w, _, _, _ in dims], dtype="int32")
+        out.loc[is_img, "height"] = pd.array([h for _, h, _, _ in dims], dtype="int32")
+        out.loc[is_img, "checksum"] = [
+            hashlib.md5(px).hexdigest() for _, _, _, px in dims
+        ]
+        out.loc[is_img, "decoder"] = "png"
+    return out
+
+
 _WARNED_AUTO_FALLBACK = False
 
 
@@ -152,17 +333,22 @@ def decode_media(media: DataFrame, codec: str = "stub") -> DataFrame:
 
     ``codec``: ``"stub"`` (default — deterministic fake features; the
     value-checked oracle path), ``"pil"`` (real image decode, requires
-    PIL on executors), or ``"auto"`` (PIL when importable, else the
-    stub — probed per executor batch, so a heterogeneous cluster
-    degrades batch-by-batch rather than failing the job). The auto
-    fallback triggers on PIL's ABSENCE only; a corrupt/undecodable
-    payload still fails the decode in both pil and auto modes —
-    payload validation/quarantine belongs upstream (the corpus
-    connectors' pattern), not silently inside the decoder. The catalog
-    entry pins ``"stub"`` because its oracle reproduces the stub
-    arithmetic; a corpus of real images would pin ``"pil"`` and lose
-    the SQL oracle (nothing else changes — same schema, same plan)."""
-    if codec not in ("stub", "pil", "auto"):
+    PIL on executors), ``"png"`` (REAL image decode via the
+    pure-stdlib codec — works in THIS container: true dimensions + a
+    defiltered-pixel checksum; fails on non-PNG image payloads), or
+    ``"auto"`` (per executor batch: PIL if importable, else the pure
+    PNG codec if every image payload carries the PNG magic, else the
+    stub — so a heterogeneous cluster degrades batch-by-batch rather
+    than failing the job). Outside auto, a corrupt/undecodable
+    payload still fails the decode — payload validation/quarantine
+    belongs upstream (the corpus connectors' pattern), not silently
+    inside the decoder; auto's magic-byte probe is format DISPATCH,
+    not error swallowing (a bad payload WITH the PNG magic still
+    raises). The catalog entry pins ``"stub"`` because its oracle
+    reproduces the stub arithmetic; a corpus of real images would pin
+    ``"pil"``/``"png"`` and lose the SQL oracle (nothing else changes
+    — same schema, same plan)."""
+    if codec not in ("stub", "pil", "png", "auto"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -171,12 +357,20 @@ def decode_media(media: DataFrame, codec: str = "stub") -> DataFrame:
                 continue
             if codec == "pil":
                 yield _pil_decode_batch(pdf)
+            elif codec == "png":
+                yield _png_decode_batch(pdf)
             elif codec == "auto":
                 try:
                     yield _pil_decode_batch(pdf)
                 except ImportError:
-                    _warn_auto_fallback()
-                    yield _fake_decode_batch(pdf)
+                    imgs = pdf["payload"][pdf["kind"] == "image"]
+                    if len(imgs) and all(
+                        bytes(p[:8]) == _PNG_MAGIC for p in imgs
+                    ):
+                        yield _png_decode_batch(pdf)
+                    else:
+                        _warn_auto_fallback()
+                        yield _fake_decode_batch(pdf)
             else:
                 yield _fake_decode_batch(pdf)
 

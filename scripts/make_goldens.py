@@ -319,6 +319,25 @@ def golden_graph_authority(
     return sorted(rank.items())
 
 
+def golden_png_decode(docs: list[tuple[int, str]]) -> list[tuple]:
+    """(media_id, width, height, checksum, decoder): FIRST-PRINCIPLES
+    expectation for the real PNG decode entry — pixels are defined as
+    md5(text) digest bytes tiled x12 (8x8 RGB), so the expected
+    defiltered-pixel checksum is md5(digest*12). No PNG encoding or
+    decoding happens here: if the codec under test mangled any filter
+    or chunk, the Spark entry's checksum would diverge from this
+    arithmetic."""
+    import hashlib
+
+    rows = []
+    for doc_id, text in docs:
+        digest = hashlib.md5(text.encode("utf-8")).digest()
+        rows.append(
+            (doc_id, 8, 8, hashlib.md5(digest * 12).hexdigest(), "png")
+        )
+    return rows
+
+
 def _spark_rows(sf_dir: str):
     """The real catalog entries' output, for the abort-on-divergence
     cross-check."""
@@ -346,7 +365,11 @@ def _spark_rows(sf_dir: str):
         (r.doc_id, r.rank)
         for r in CATALOG["graph_authority"].fn(spark, sf_dir).collect()
     )
-    return stemmed, sorted(render), bpe, pca, auth
+    png = sorted(
+        (r.media_id, r.width, r.height, r.checksum, r.decoder)
+        for r in CATALOG["media_decode_png"].fn(spark, sf_dir).collect()
+    )
+    return stemmed, sorted(render), bpe, pca, auth, png
 
 
 def _write_golden(con, name: str, ddl_cols: str, rows: list[tuple]) -> None:
@@ -376,6 +399,7 @@ def main() -> int:
     bpe_rows: list[tuple] = []
     pca_rows: list[tuple] = []
     auth_rows: list[tuple] = []
+    png_rows: list[tuple] = []
     ok = True
     for sf_dir in SF_DIRS:
         docs = _load_docs(sf_dir)
@@ -387,7 +411,9 @@ def main() -> int:
         bpe = golden_bpe_encode(docs)
         pca = golden_pca_project(embs)
         auth = golden_graph_authority(sf_dir, docs)
-        got_stemmed, got_render, got_bpe, got_pca, got_auth = _spark_rows(sf_dir)
+        png = golden_png_decode(docs)
+        (got_stemmed, got_render, got_bpe, got_pca, got_auth,
+         got_png) = _spark_rows(sf_dir)
         if got_stemmed != stemmed:
             print(f"DIVERGENCE search_stemmed_cnf @ {sf_dir}")
             print("  golden:", stemmed[:3], "...")
@@ -425,11 +451,20 @@ def main() -> int:
                     print("  spark :", s)
                     break
             ok = False
+        if got_png != png:
+            print(f"DIVERGENCE media_decode_png @ {sf_dir}")
+            for g, s_ in zip(png, got_png):
+                if g != s_:
+                    print("  golden:", g)
+                    print("  spark :", s_)
+                    break
+            ok = False
         stemmed_rows += [(d, s, tag) for d, s in stemmed]
         render_rows += [(d, s, sn, tag) for d, s, sn in render]
         bpe_rows += [(d, nw, nt, e, tag) for d, nw, nt, e in bpe]
         pca_rows += [(v, *ps, efp) for v, *ps in pca]
         auth_rows += [(d, r, tag) for d, r in auth]
+        png_rows += [(*row, tag) for row in png]
         print(f"{sf_dir}: stemmed={len(stemmed)} rows, "
               f"render={len(render)} rows, bpe={len(bpe)} rows, "
               f"pca={len(pca)} rows (emb_fp={efp})")
@@ -459,6 +494,12 @@ def main() -> int:
         con, "graph_authority",
         "doc_id BIGINT, rank DOUBLE, corpus_bytes BIGINT",
         auth_rows,
+    )
+    _write_golden(
+        con, "media_decode_png",
+        "media_id BIGINT, width INT, height INT, checksum VARCHAR, "
+        "decoder VARCHAR, corpus_bytes BIGINT",
+        png_rows,
     )
     _write_golden(
         con, "sim_pca_project",
