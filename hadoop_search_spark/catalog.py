@@ -4038,6 +4038,41 @@ def media_decode_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_decode_wav",
+    # audio twin of media_decode_png: golden parquet from the
+    # independent generator (scripts/make_goldens.py:
+    # golden_wav_decode — struct-unpacked digest arithmetic, no codec)
+    oracle=f"""
+WITH g AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/media_decode_wav.parquet')),
+fp AS (SELECT CAST(sum(strlen(text)) AS BIGINT) AS cb FROM documents)
+SELECT media_id, channels, sample_rate, n_samples, duration_ms, peak,
+       checksum, decoder
+FROM g, fp WHERE g.corpus_bytes = fp.cb
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS media_id, CAST(-1 AS INT) AS channels,
+       CAST(-1 AS INT) AS sample_rate, CAST(-1 AS BIGINT) AS n_samples,
+       CAST(-1 AS BIGINT) AS duration_ms, CAST(-1 AS INT) AS peak,
+       'GOLDEN-MISS' AS checksum, CAST(cb AS VARCHAR) AS decoder
+FROM fp WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.corpus_bytes = fp.cb)
+""",
+    note="REAL audio decode, no stub and no librosa: docs become true "
+    "25ms mono PCM16 WAVs (samples = md5(text) digest tiled, operators/"
+    "multimodal.py:synthesize_wav_media) and the pure-stdlib RIFF "
+    "walker (decode_wav) recovers channels/rate/duration/peak/PCM "
+    "checksum. decoder='wav' rows prove the non-stub regime in the "
+    "driver hash; golden expectations derive from digest arithmetic, "
+    "codec-free.",
+)
+def media_decode_wav_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.multimodal import (
+        decode_audio,
+        synthesize_wav_media,
+    )
+
+    return decode_audio(synthesize_wav_media(_t(spark, sf_dir, "documents")))
+
+
+@register(
     "media_frames",
     oracle=f"""
 WITH m AS (
@@ -5021,6 +5056,7 @@ _DRIVER_FRONT = [
     "sim_quantize_int8",
     "curation_datacard",
     "media_decode_png",
+    "media_decode_wav",
     # (b) the 28 entries whose latest driver row is r2 — the oldest
     # evidence in the catalog (verdict r4 item 2), all unchanged and
     # green on the local gate at sf0.001/0.01/0.1.
@@ -5052,7 +5088,7 @@ _DRIVER_FRONT = [
     "q_set_ops",
     "q_string_agg",
     "q_window_lead_lag",
-    # (c) r3-latest rows fill the remaining 16 slots (registration
+    # (c) r3-latest rows fill the remaining 15 slots (registration
     # order; the 24 r3 rows left in the tail are two rounds old at r5
     # and lead the r6 rotation together with any r4 stragglers).
     "q4_priority_check",
@@ -5070,7 +5106,6 @@ _DRIVER_FRONT = [
     "q20_promotion_suppliers",
     "q21_sole_late_shipper",
     "q22_dormant_balance",
-    "text_repetition",
     # (the full r4 front-50 — HUGEINT fixes, media trio, r1 refreshes,
     # and the eight r4-new entries — all recorded green r4 rows and
     # rotate to the tail; mix_dsir_select was refactored this round

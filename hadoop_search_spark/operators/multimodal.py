@@ -17,9 +17,13 @@ codec that RUNS IN THIS CONTAINER, returning true dimensions and a
 defiltered-pixel checksum, with an :func:`encode_png` round-trip twin
 (both differentially tested against spec-side filtering).
 ``codec="auto"`` dispatches per batch: PIL → pure PNG (magic-byte
-probe) → stub. Audio/video remain stubbed (librosa/ffmpeg absent).
-The catalog entry pins the stub because its oracle reproduces the
-stub arithmetic exactly.
+probe) → stub. AUDIO is real too: :func:`decode_audio` walks
+RIFF/PCM16 WAV with stdlib struct (true channels/rate/duration/peak +
+a PCM checksum), with :func:`encode_wav` as its round-trip twin.
+Only VIDEO remains stubbed (no stdlib codec exists; ffmpeg absent).
+The stub catalog entry pins the stub arithmetic; the
+``media_decode_png`` / ``media_decode_wav`` entries pin the REAL
+paths against first-principles golden oracles.
 """
 
 from __future__ import annotations
@@ -304,6 +308,148 @@ def _png_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         ]
         out.loc[is_img, "decoder"] = "png"
     return out
+
+
+# ------------------------------------------------ pure-stdlib WAV codec
+#
+# The audio analogue of the PNG path: RIFF/PCM WAV needs only struct,
+# so audio decode is REAL in this librosa-less container — true
+# channel count, sample rate, duration, peak amplitude and a checksum
+# of the raw PCM samples (content identity independent of header
+# cosmetics).
+
+AUDIO_SCHEMA = (
+    "media_id BIGINT, channels INT, sample_rate INT, n_samples BIGINT, "
+    "duration_ms BIGINT, peak INT, checksum STRING, decoder STRING"
+)
+
+
+def encode_wav(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Minimal PCM16 WAV writer for an int16 sample array (interleaved
+    if multi-channel) — the round-trip twin of :func:`decode_wav`."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """PCM16 WAV decode, stdlib-only → (channels, sample_rate,
+    n_samples, pcm_bytes). Walks RIFF chunks (tolerating extras like
+    LIST/fact), validates the PCM16 format, and returns the raw data
+    chunk. Raises ValueError on non-WAV input, NotImplementedError on
+    non-PCM16 encodings."""
+    import struct
+
+    data = bytes(payload)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            pcm = body
+    if fmt is None or pcm is None:
+        raise ValueError("truncated WAV (missing fmt/data chunk)")
+    audio_format, channels, rate, _brate, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"unsupported WAV encoding (format={audio_format}, bits={bits})"
+        )
+    if block_align != channels * 2 or len(pcm) % block_align:
+        raise ValueError("WAV data length inconsistent with block align")
+    return channels, rate, len(pcm) // block_align, pcm
+
+
+def synthesize_wav_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """REAL audio payloads without librosa: each doc becomes a 25 ms
+    mono 8 kHz PCM16 WAV whose samples are the md5(text) digest bytes
+    tiled ×25 (400 bytes = 200 samples) — deterministic, so the
+    decoded output has a first-principles golden oracle (expected
+    checksum/peak derive from the digest arithmetic alone)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for t in pdf[text_col]:
+                d = hashlib.md5(t.encode("utf-8")).digest()
+                samples = np.frombuffer(d * 25, dtype="<i2")
+                payloads.append(encode_wav(samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "audio",
+                    "payload": payloads,
+                    "src_doc": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pd.array(
+                        [len(p) for p in payloads], dtype="int64"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode over mapInPandas: every payload
+    must be a PCM16 WAV (the decoder raises otherwise — quarantine
+    belongs upstream). duration_ms is integer floor arithmetic
+    (n_samples * 1000 // rate) and peak is the max |int16| sample —
+    both exact, so a golden oracle reproduces every row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ch, rate, n, pcm = decode_wav(bytes(payload))
+                samples = np.frombuffer(pcm, dtype="<i2").astype(np.int32)
+                rows.append(
+                    (
+                        int(mid), ch, rate, n, n * 1000 // rate,
+                        int(np.abs(samples).max()) if len(samples) else 0,
+                        hashlib.md5(pcm).hexdigest(), "wav",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "channels", "sample_rate", "n_samples",
+                    "duration_ms", "peak", "checksum", "decoder",
+                ],
+            ).astype(
+                {
+                    "media_id": "int64", "channels": "int32",
+                    "sample_rate": "int32", "n_samples": "int64",
+                    "duration_ms": "int64", "peak": "int32",
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
 _WARNED_AUTO_FALLBACK = False

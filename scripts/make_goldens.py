@@ -338,6 +338,29 @@ def golden_png_decode(docs: list[tuple[int, str]]) -> list[tuple]:
     return rows
 
 
+def golden_wav_decode(docs: list[tuple[int, str]]) -> list[tuple]:
+    """(media_id, channels, sample_rate, n_samples, duration_ms, peak,
+    checksum, decoder): first-principles expectation for the real WAV
+    decode entry — samples are DEFINED as md5(text) digest bytes tiled
+    x25 read as little-endian int16, so peak is the max |int16| of the
+    digest's 8 sample values (tiling adds no new values) and the PCM
+    checksum is md5(digest*25). struct-unpacked here, no codec, no
+    numpy."""
+    import hashlib
+    import struct
+
+    rows = []
+    for doc_id, text in docs:
+        digest = hashlib.md5(text.encode("utf-8")).digest()
+        vals = struct.unpack("<8h", digest)
+        peak = max(abs(v) for v in vals)
+        rows.append(
+            (doc_id, 1, 8000, 200, 200 * 1000 // 8000, peak,
+             hashlib.md5(digest * 25).hexdigest(), "wav")
+        )
+    return rows
+
+
 def _spark_rows(sf_dir: str):
     """The real catalog entries' output, for the abort-on-divergence
     cross-check."""
@@ -369,7 +392,12 @@ def _spark_rows(sf_dir: str):
         (r.media_id, r.width, r.height, r.checksum, r.decoder)
         for r in CATALOG["media_decode_png"].fn(spark, sf_dir).collect()
     )
-    return stemmed, sorted(render), bpe, pca, auth, png
+    wav = sorted(
+        (r.media_id, r.channels, r.sample_rate, r.n_samples,
+         r.duration_ms, r.peak, r.checksum, r.decoder)
+        for r in CATALOG["media_decode_wav"].fn(spark, sf_dir).collect()
+    )
+    return stemmed, sorted(render), bpe, pca, auth, png, wav
 
 
 def _write_golden(con, name: str, ddl_cols: str, rows: list[tuple]) -> None:
@@ -400,6 +428,7 @@ def main() -> int:
     pca_rows: list[tuple] = []
     auth_rows: list[tuple] = []
     png_rows: list[tuple] = []
+    wav_rows: list[tuple] = []
     ok = True
     for sf_dir in SF_DIRS:
         docs = _load_docs(sf_dir)
@@ -412,8 +441,9 @@ def main() -> int:
         pca = golden_pca_project(embs)
         auth = golden_graph_authority(sf_dir, docs)
         png = golden_png_decode(docs)
+        wav = golden_wav_decode(docs)
         (got_stemmed, got_render, got_bpe, got_pca, got_auth,
-         got_png) = _spark_rows(sf_dir)
+         got_png, got_wav) = _spark_rows(sf_dir)
         if got_stemmed != stemmed:
             print(f"DIVERGENCE search_stemmed_cnf @ {sf_dir}")
             print("  golden:", stemmed[:3], "...")
@@ -459,12 +489,21 @@ def main() -> int:
                     print("  spark :", s_)
                     break
             ok = False
+        if got_wav != wav:
+            print(f"DIVERGENCE media_decode_wav @ {sf_dir}")
+            for g, s_ in zip(wav, got_wav):
+                if g != s_:
+                    print("  golden:", g)
+                    print("  spark :", s_)
+                    break
+            ok = False
         stemmed_rows += [(d, s, tag) for d, s in stemmed]
         render_rows += [(d, s, sn, tag) for d, s, sn in render]
         bpe_rows += [(d, nw, nt, e, tag) for d, nw, nt, e in bpe]
         pca_rows += [(v, *ps, efp) for v, *ps in pca]
         auth_rows += [(d, r, tag) for d, r in auth]
         png_rows += [(*row, tag) for row in png]
+        wav_rows += [(*row, tag) for row in wav]
         print(f"{sf_dir}: stemmed={len(stemmed)} rows, "
               f"render={len(render)} rows, bpe={len(bpe)} rows, "
               f"pca={len(pca)} rows (emb_fp={efp})")
@@ -500,6 +539,13 @@ def main() -> int:
         "media_id BIGINT, width INT, height INT, checksum VARCHAR, "
         "decoder VARCHAR, corpus_bytes BIGINT",
         png_rows,
+    )
+    _write_golden(
+        con, "media_decode_wav",
+        "media_id BIGINT, channels INT, sample_rate INT, n_samples BIGINT, "
+        "duration_ms BIGINT, peak INT, checksum VARCHAR, decoder VARCHAR, "
+        "corpus_bytes BIGINT",
+        wav_rows,
     )
     _write_golden(
         con, "sim_pca_project",
