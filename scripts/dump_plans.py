@@ -240,6 +240,43 @@ COMMENTARY = {
         "length bounds cross-multiplied, so no float exists), one "
         "WholeStageCodegen span, no shuffle at all."
     ),
+    "sim_ivf_drift_report": (
+        "IVF quantizer drift: cell assignment is a map-only "
+        "element_at lookup over literal centroid arrays (no join "
+        "against the model), one per-cell aggregation with partial "
+        "aggs, and a 1-row broadcast of the global totals; both drift "
+        "flags are integer/DECIMAL(38) cross-multiplications — no "
+        "division, so the report is bit-exact cross-engine."
+    ),
+    "sample_split_leakage_safe": (
+        "Leakage-safe split: the displayed plan is the final "
+        "split-hash projection over component labels (connected-"
+        "components rounds ran as separate checkpointed jobs over the "
+        "LSH pair subgraph only — isolated docs bypass the loop); the "
+        "split itself is map-only, so cluster-atomicity costs exactly "
+        "the CC rounds and nothing more."
+    ),
+    "sim_quantize_int8": (
+        "int8 embedding quantization: one narrow map-only projection — "
+        "scale, clamp, floor, error and saturation stats are all "
+        "pointwise IEEE expressions inside a single WholeStageCodegen "
+        "span; no shuffle, no UDF, pipelines straight into a writer at "
+        "4x storage compression."
+    ),
+    "curation_datacard": (
+        "Per-source data card: quality + language features compose "
+        "into ONE scan projection (pure expressions, no joins), one "
+        "per-source hash aggregation with map-side partials, and a "
+        "1-row broadcast of the corpus token total for token_share — "
+        "the minimum possible shape for a grouped corpus summary."
+    ),
+    "media_decode_png": (
+        "REAL image decode (pure-stdlib PNG codec): two chained "
+        "Arrow-batched mapInPandas stages — synthesize (encode) and "
+        "decode — partition-parallel with constant memory per batch; "
+        "the per-item Python work is the codec itself, which is the "
+        "irreducible part of media decode on any engine."
+    ),
 }
 
 
