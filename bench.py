@@ -50,16 +50,31 @@ HEADLINE = [
 ]
 
 
-def materialize(df) -> int:
+_FELL_BACK: set = set()
+
+
+def materialize(df, name: str = "?") -> int:
     """Fully materialize a result DataFrame on the driver and return
     its row count. Arrow batch transfer (toArrow) is ~10-20x faster
     than row-pickle collect() for wide results and is the serving
     encoding a real consumer (pandas/polars/another engine) would
     use; collect() remains the fallback for Arrow-unrepresentable
-    types (none in the current headline set)."""
+    types (none in the current headline set). A fallback re-executes
+    the query inside the timed window (~2x inflation) and switches
+    encodings, so it is LOUD: logged to stderr once per query and
+    recorded in the output JSON — a silent fallback would read as a
+    perf regression in round-over-round comparison."""
     try:
         return df.toArrow().num_rows
-    except Exception:
+    except Exception as exc:
+        if name not in _FELL_BACK:
+            _FELL_BACK.add(name)
+            print(
+                f"# WARNING {name}: toArrow failed ({type(exc).__name__}); "
+                "falling back to collect() — this query's timings include "
+                "a double execution and the slow pickle encoding",
+                file=sys.stderr,
+            )
         return len(df.collect())
 
 
@@ -96,7 +111,7 @@ def main() -> int:
     # then timed passes — standard steady-state methodology; the
     # reference's serving path is likewise warm.
     for name in HEADLINE:
-        materialize(qs[name](spark, SF_DIR))
+        materialize(qs[name](spark, SF_DIR), name)
 
     # COLD pass: construct + optimize + compile + execute a fresh plan
     # per query — the first-arrival cost of each query shape. Profiled
@@ -118,7 +133,7 @@ def main() -> int:
     for _pass in range(3):
         for name in HEADLINE:
             t0 = time.time()
-            n = materialize(qs[name](spark, SF_DIR))
+            n = materialize(qs[name](spark, SF_DIR), name)
             t = round(time.time() - t0, 3)
             cold[name] = min(cold.get(name, t), t)
             cold_max[name] = max(cold_max.get(name, t), t)
@@ -140,12 +155,12 @@ def main() -> int:
     # Cold (fresh-plan) numbers are reported alongside.
     prepared = {name: qs[name](spark, SF_DIR) for name in HEADLINE}
     for name in HEADLINE:
-        materialize(prepared[name])  # compile + first adaptive execution
+        materialize(prepared[name], name)  # compile + first adaptive execution
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in HEADLINE:
             t0 = time.time()
-            n = materialize(prepared[name])
+            n = materialize(prepared[name], name)
             t = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, t), t)
             print(f"# prepared {name}: {t}s ({n} rows)", file=sys.stderr)
@@ -161,7 +176,7 @@ def main() -> int:
     for _pass in range(2):  # min-of-2, same rationale as above
         t0 = time.time()
         with ThreadPoolExecutor(8) as pool:
-            list(pool.map(lambda q: materialize(prepared[q]), HEADLINE))
+            list(pool.map(lambda q: materialize(prepared[q], q), HEADLINE))
         wall = round(time.time() - t0, 3)
         concurrent_wall = wall if concurrent_wall is None else min(concurrent_wall, wall)
         print(f"# concurrent_x8 pass: {wall}s", file=sys.stderr)
@@ -175,7 +190,7 @@ def main() -> int:
     for _pass in range(3):
         t0 = time.time()
         with ThreadPoolExecutor(8) as pool:
-            list(pool.map(lambda q: materialize(qs[q](spark, SF_DIR)), HEADLINE))
+            list(pool.map(lambda q: materialize(qs[q](spark, SF_DIR), q), HEADLINE))
         wall = round(time.time() - t0, 3)
         cold_concurrent = wall if cold_concurrent is None else min(cold_concurrent, wall)
         cold_concurrent_max = max(cold_concurrent_max, wall)
@@ -214,6 +229,7 @@ def main() -> int:
         )
         if cold_concurrent
         else None,
+        "arrow_fallback_queries": sorted(_FELL_BACK),
         "runs": {"prepared": 2, "cold": 3},
         "agg": "min",
         "sf": sf_val,

@@ -162,14 +162,23 @@ def cmd_curate(args) -> int:
     sharded = shuffle_shard(surviving, n_shards=args.shards)
     joined = surviving.join(sharded.select("doc_id", "shard", "pos"), "doc_id")
     if args.leakage_safe:
-        # cluster-atomic split: near-dup families (re-detected among
-        # SURVIVORS at the same threshold — survivors of dedup can
-        # still pair below the drop threshold only if the operator
-        # kept them, so this graph is usually sparse) share one split
+        # cluster-atomic split. The pair graph must be detected at a
+        # LOWER threshold than the dedup stage's: survivors by
+        # definition have no pairs at >= args.jaccard (dedup dropped
+        # them), so re-detecting at the same threshold would yield an
+        # empty graph and a silent no-op — the families that actually
+        # leak across train/val are the ones at J just BELOW the drop
+        # threshold (caught in review; --split-jaccard defaults 0.5)
         from hadoop_search_spark.operators.dedup import minhash_lsh_dedup
 
+        if args.split_jaccard >= args.jaccard:
+            sys.exit(
+                f"--split-jaccard ({args.split_jaccard}) must be below "
+                f"--jaccard ({args.jaccard}): survivors have no pairs at "
+                "the dedup threshold, so the flag would be a no-op"
+            )
         pairs = minhash_lsh_dedup(
-            surviving, threshold=args.jaccard
+            surviving, threshold=args.split_jaccard
         ).select("doc_a", "doc_b")
         assign = leakage_safe_split(
             surviving, pairs, args.val_frac, args.test_frac
@@ -372,6 +381,15 @@ def main(argv: list[str] | None = None) -> int:
         dest="leakage_safe",
         help="assign train/val/test by near-dup CLUSTER (members of a "
         "near-dup family never straddle the train/val boundary)",
+    )
+    pc.add_argument(
+        "--split-jaccard",
+        type=float,
+        default=0.5,
+        dest="split_jaccard",
+        help="near-dup threshold for --leakage-safe cluster detection; "
+        "must be BELOW --jaccard (survivors have no pairs at the dedup "
+        "threshold, so equal thresholds would make the flag a no-op)",
     )
     pc.set_defaults(fn=cmd_curate)
 

@@ -33,6 +33,17 @@ from hadoop_search_spark.operators.dedup import minhash_lsh_dedup
 from hadoop_search_spark.operators.textstats import lang_exprs, quality_exprs
 
 
+def _quant(c):
+    """The determinism-critical scale-6 quantization shared by every
+    mean in this module: round(·,6) → DECIMAL(18,6) → DOUBLE. A bare
+    double→DECIMAL cast rounds at digit 9 where the engines can
+    disagree; round-then-decimal-cast is double-rounding-safe (see
+    curation_summary's docstring for the full r2 post-mortem). One
+    definition so a future precision fix cannot be applied to one
+    table and silently miss the other."""
+    return F.round(c, 6).cast("decimal(18,6)").cast("double")
+
+
 def curate(
     docs: DataFrame,
     text_col: str = "text",
@@ -113,10 +124,6 @@ def curation_summary(curated: DataFrame) -> DataFrame:
     q6 = F.round("quality", 6).cast("decimal(12,6)")
     mean_tokens = F.sum("n_tokens").cast("double") / F.count("*")
     mean_quality = F.sum(q6).cast("double") / F.count("*")
-
-    def _quant(c):
-        return F.round(c, 6).cast("decimal(18,6)").cast("double")
-
     return curated.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -210,10 +217,6 @@ def corpus_datacard(
         .alias("n_en"),
     )
     tot = per.agg(F.sum("total_tokens").cast("bigint").alias("_corpus_tokens"))
-
-    def _quant(c):
-        return F.round(c, 6).cast("decimal(18,6)").cast("double")
-
     return per.crossJoin(F.broadcast(tot)).select(
         source_col,
         "n_docs",

@@ -291,22 +291,47 @@ def decode_png(payload: bytes):
     return w, h, ch, out.tobytes()
 
 
-def _png_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _png_decode_batch(pdf: pd.DataFrame, strict: bool = True) -> pd.DataFrame:
     """Real image decode via the pure-stdlib PNG codec, same batch
     contract as the stub: image rows get true dimensions + a checksum
     of the DEFILTERED PIXELS (content identity across
     re-compressions); audio/video keep the deterministic stub
-    features (no stdlib-only codec exists for them)."""
+    features (no stdlib-only codec exists for them).
+
+    ``strict=True`` (the explicit ``codec='png'`` path) propagates
+    decode errors; ``strict=False`` (the ``auto`` path) degrades an
+    unsupported-SHAPE row (palette/16-bit/interlaced —
+    NotImplementedError) to the stub features PER ROW with
+    decoder='stub', while truncated/corrupt files (ValueError) still
+    raise — graceful degrade is for capability gaps, not data
+    corruption."""
     out = _fake_decode_batch(pdf)
     is_img = (pdf["kind"] == "image").to_numpy()
     if is_img.any():
-        dims = [decode_png(bytes(p)) for p in pdf["payload"][is_img]]
-        out.loc[is_img, "width"] = pd.array([w for w, _, _, _ in dims], dtype="int32")
-        out.loc[is_img, "height"] = pd.array([h for _, h, _, _ in dims], dtype="int32")
-        out.loc[is_img, "checksum"] = [
-            hashlib.md5(px).hexdigest() for _, _, _, px in dims
-        ]
-        out.loc[is_img, "decoder"] = "png"
+        widths, heights, sums, decs = [], [], [], []
+        for p, w0, h0, c0 in zip(
+            pdf["payload"][is_img],
+            out.loc[is_img, "width"],
+            out.loc[is_img, "height"],
+            out.loc[is_img, "checksum"],
+        ):
+            try:
+                w, h, _ch, px = decode_png(bytes(p))
+                widths.append(w)
+                heights.append(h)
+                sums.append(hashlib.md5(px).hexdigest())
+                decs.append("png")
+            except NotImplementedError:
+                if strict:
+                    raise
+                widths.append(w0)
+                heights.append(h0)
+                sums.append(c0)
+                decs.append("stub")
+        out.loc[is_img, "width"] = pd.array(widths, dtype="int32")
+        out.loc[is_img, "height"] = pd.array(heights, dtype="int32")
+        out.loc[is_img, "checksum"] = sums
+        out.loc[is_img, "decoder"] = decs
     return out
 
 
@@ -513,7 +538,10 @@ def decode_media(media: DataFrame, codec: str = "stub") -> DataFrame:
                     if len(imgs) and all(
                         bytes(p[:8]) == _PNG_MAGIC for p in imgs
                     ):
-                        yield _png_decode_batch(pdf)
+                        # non-strict: unsupported PNG SHAPES (palette/
+                        # 16-bit/interlaced) degrade to the stub per
+                        # row; corrupt files still raise
+                        yield _png_decode_batch(pdf, strict=False)
                     else:
                         _warn_auto_fallback()
                         yield _fake_decode_batch(pdf)

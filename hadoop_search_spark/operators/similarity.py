@@ -491,10 +491,13 @@ def write_ivf_index(
     )
     # gen=0 marks the build generation; appends stamp 1, 2, ... —
     # the lineage ivf_index_drift uses to compare appended vectors
-    # against the distribution the quantizer was trained on
+    # against the distribution the quantizer was trained on. The
+    # current generation also lands in a tiny _GEN sidecar so appends
+    # don't scan the index to learn it (single-writer, like _CURRENT)
     ivf_assign(embeddings, cents).withColumn(
         "gen", F.lit(0).cast("bigint")
     ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    _write_gen(path, 0)
     spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in cents],
         "cell INT, centroid ARRAY<DOUBLE>",
@@ -559,19 +562,47 @@ def ivf_index_add(
                 f"{n_dup} vec_ids already exist in the index at {path}; "
                 "IVF append cannot replace vectors — rebuild, or use fresh ids"
             )
-    existing_gen = (
-        spark.read.parquet(f"{path}/vectors")
-        .agg(F.coalesce(F.max("gen"), F.lit(0)).alias("g"))
-        .collect()[0]
-        .g
-    )
+    gen = _read_gen(spark, path) + 1
     assigned = ivf_assign(new_embeddings, cents).withColumn(
-        "gen", F.lit(int(existing_gen) + 1).cast("bigint")
+        "gen", F.lit(gen).cast("bigint")
     )
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+    _write_gen(path, gen)
     # count the WRITTEN frame (recomputed over the checkpointed batch,
     # so it equals what the write saw), not the raw input
     return assigned.count()
+
+
+def _write_gen(path: str, gen: int) -> None:
+    import os
+
+    tmp = os.path.join(path, "_GEN.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(int(gen)))
+    os.replace(tmp, os.path.join(path, "_GEN"))
+
+
+def _read_gen(spark: SparkSession, path: str) -> int:
+    """Current index generation in O(1) from the _GEN sidecar;
+    pre-sidecar indexes (or ones written before gen lineage existed)
+    fall back to one pruned scan — max(gen) if the column exists,
+    else 0 (a gen-less index is all build-generation by definition,
+    so appends/drift keep working instead of failing on the missing
+    column)."""
+    import os
+
+    marker = os.path.join(path, "_GEN")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return int(f.read().strip())
+    vectors = spark.read.parquet(f"{path}/vectors")
+    if "gen" not in vectors.columns:
+        return 0
+    return int(
+        vectors.agg(F.coalesce(F.max("gen"), F.lit(0)).alias("g"))
+        .collect()[0]
+        .g
+    )
 
 
 def load_ivf_centroids(spark: SparkSession, path: str):
@@ -742,6 +773,9 @@ def ivf_index_drift(spark: SparkSession, path: str) -> DataFrame:
     generation since. Vectors already carry their cell, so this is a
     pure aggregation over the index — no re-assignment."""
     vectors = spark.read.parquet(f"{path}/vectors")
+    if "gen" not in vectors.columns:
+        # pre-lineage index: everything is build-generation
+        vectors = vectors.withColumn("gen", F.lit(0).cast("bigint"))
     cents = load_ivf_centroids(spark, path)
     return ivf_drift_stats(
         vectors.filter(F.col("gen") == 0),

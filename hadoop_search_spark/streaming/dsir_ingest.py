@@ -159,12 +159,19 @@ class StreamingDsirScorer:
         )
 
     def scores(self) -> DataFrame | None:
-        """All committed epoch scores (epoch surfaces as a partition
-        column)."""
-        if not any(
-            e.startswith("epoch=") for e in os.listdir(self.out_root)
-        ):
+        """All COMMITTED epoch scores (epoch surfaces as a partition
+        column). Committed = the epoch dir carries the _SUCCESS marker
+        process_batch keys idempotence on; a partial directory left by
+        a mid-write crash is excluded (it will be swept and rewritten
+        on replay) rather than surfaced as if it were committed."""
+        committed = [
+            os.path.join(self.out_root, e)
+            for e in os.listdir(self.out_root)
+            if e.startswith("epoch=")
+            and os.path.exists(os.path.join(self.out_root, e, "_SUCCESS"))
+        ]
+        if not committed:
             return None
         return self.spark.read.option("basePath", self.out_root).parquet(
-            self.out_root
+            *committed
         )

@@ -219,3 +219,26 @@ def test_decode_audio_end_to_end(spark):
         assert r.peak == max(abs(v) for v in vals)
         assert r.checksum == hashlib.md5(d * 25).hexdigest()
         assert r.decoder == "wav"
+
+
+def test_auto_degrades_unsupported_png_shapes_per_row(spark):
+    """A palette/16-bit PNG inside an all-PNG batch must not crash
+    codec='auto' (PIL absent here): the unsupported ROW degrades to
+    the stub features with decoder='stub', supported rows still
+    decode for real — the per-row graceful degrade the module
+    documents. Explicit codec='png' stays strict and raises."""
+    from hadoop_search_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+
+    good = encode_png(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    paletted = bytearray(encode_png(np.zeros((2, 2), dtype=np.uint8)))
+    paletted[8 + 8 + 9] = 3  # IHDR colortype -> palette
+    rows = [
+        (1, "image", bytearray(good), 1, 0),
+        (2, "image", paletted, 2, 0),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1)
+    out = {r.media_id: r for r in decode_media(media, codec="auto").collect()}
+    assert out[1].decoder == "png" and (out[1].width, out[1].height) == (4, 4)
+    assert out[2].decoder == "stub"
+    with pytest.raises(Exception):
+        decode_media(media, codec="png").collect()
