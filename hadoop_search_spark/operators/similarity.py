@@ -786,6 +786,167 @@ def ivf_index_drift(spark: SparkSession, path: str) -> DataFrame:
 
 # ------------------------------------------------------------- PCA
 
+# ------------------------------------------------ product quantization
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # centroids per subspace (4-bit codes)
+
+
+def pq_codebooks(
+    embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K, dim: int = 64
+):
+    """Product-quantization codebooks: the vector is split into ``m``
+    contiguous subspaces of dim/m dims, each with its own ``k``-entry
+    codebook. Centroids are the subvectors of the ``k`` smallest
+    vec_ids — the same deterministic-seed policy as
+    :func:`ivf_centroids` (and like there, the selection is pluggable:
+    per-subspace k-means offline at scale; everything downstream only
+    sees the codebook lists). Returns ``books[s][j]`` = centroid ``j``
+    of subspace ``s`` — a driver-side model of m·k·(dim/m) floats,
+    KBs for any realistic setting."""
+    sub = dim // m
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    books = []
+    for s in range(m):
+        books.append(
+            [
+                [float(x) for x in r.embedding[s * sub : (s + 1) * sub]]
+                for r in rows
+            ]
+        )
+    return books
+
+
+def _pq_sub_dist(emb: F.Column, s: int, cent: list, sub: int) -> F.Column:
+    """9dp-rounded squared L2 distance between subvector ``s`` of a
+    row and one codebook centroid — a fixed-length fold of pointwise
+    IEEE ops (sub, mul, add), deterministic cross-engine; the rounding
+    makes the downstream argmin/sum comparisons exact, the same
+    guard _cosine applies."""
+    terms = [
+        (F.element_at(emb, s * sub + i + 1).cast("double") - F.lit(cent[i]))
+        for i in range(sub)
+    ]
+    acc = F.lit(0.0)
+    for t in terms:
+        acc = acc + t * t
+    return F.round(acc, 9)
+
+
+def pq_encode(
+    embeddings: DataFrame, books, dim: int = 64
+) -> DataFrame:
+    """PQ encoding → ``(vec_id, code)`` with ``code`` packing the m
+    per-subspace centroid ids little-endian in base k (m=8, k=16 →
+    one BIGINT per 64-dim vector: 32 bytes → 8 nibbles, a 64×
+    compression of float32). Per subspace the code is the argmin of
+    the k squared distances, ties to the LOWEST centroid id (struct
+    array_min ordering, the _cell_ranking convention). Map-only: a
+    single projection of m·k fixed-length folds — no shuffle, no UDF,
+    no join against the model."""
+    m, k = len(books), len(books[0])
+    sub = dim // m
+    code = F.lit(0).cast("bigint")
+    for s in range(m):
+        scored = [
+            F.struct(
+                _pq_sub_dist(F.col("embedding"), s, books[s][j], sub).alias(
+                    "d"
+                ),
+                F.lit(j).cast("int").alias("j"),
+            )
+            for j in range(k)
+        ]
+        best = F.array_min(F.array(*scored)).getField("j")
+        code = code + best.cast("bigint") * F.lit(int(k**s))
+    return embeddings.select("vec_id", code.alias("code"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k_results: int = 10,
+    books=None,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search → ``(query_id, vec_id,
+    adist9, rn)``: corpus vectors are compared through their CODES
+    only — the approximate distance is the sum of m table lookups,
+    where the per-query lookup table holds the 9dp squared distance
+    from the query's true subvector to every codebook centroid.
+
+    Scale shape: the encoded corpus (one BIGINT per vector) is the
+    only big operand; the m·k LUT per query is literal-inlined via a
+    broadcast join, distance evaluation is m element_at lookups + a
+    fixed sum (whole-stage codegen), and the only wide op is the
+    per-query top-k window — the IVF probe pattern with codes instead
+    of floats, i.e. the memory layout that makes billion-scale ANN
+    serveable. Recall < 1 by design (quantization error), measured by
+    :func:`pq_recall`."""
+    if books is None:
+        books = pq_codebooks(embeddings, dim=dim)
+    m, kc = len(books), len(books[0])
+    sub = dim // m
+    codes = pq_encode(embeddings, books, dim)
+    q = (
+        embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        # no-op bound pinning maxRows so the plan gate can PROVE the
+        # broadcast build side of the non-equi join is bounded (the
+        # cosine_topk pattern)
+        .limit(len(query_ids))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    # per-query LUT: m*kc distances, flattened [s*kc + j]. Entries
+    # quantize to DECIMAL(18,9) BEFORE the m-way sum (cookbook rule:
+    # decimal addition is exact and order-independent, so the oracle
+    # may add the same 8 values in any join order and still match)
+    lut = F.array(
+        *[
+            _pq_sub_dist(F.col("embedding"), s, books[s][j], sub).cast(
+                "decimal(18,9)"
+            )
+            for s in range(m)
+            for j in range(kc)
+        ]
+    )
+    qlut = q.select("query_id", lut.alias("lut"))
+    pairs = codes.join(
+        F.broadcast(qlut), F.col("vec_id") != F.col("query_id")
+    )
+    adist = F.lit(0).cast("decimal(18,9)")
+    for s in range(m):
+        # integral code extraction (div/%) — no float arithmetic in
+        # the nibble decode
+        code_s = F.expr(f"CAST((code div {int(kc ** s)}) % {kc} AS INT)")
+        idx = F.lit(s * kc) + code_s + F.lit(1)
+        adist = adist + F.element_at(F.col("lut"), idx)
+    scored = pairs.select(
+        "query_id", "vec_id", adist.cast("double").alias("adist9")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist9"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k_results)
+    )
+
+
+def pq_recall(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10, books=None
+) -> float:
+    """Measured recall@k of ADC-PQ search against the exact cosine
+    top-k — the m/k tuning knob made observable (same contract as
+    :func:`ivf_recall`; note PQ ranks by L2 over raw vectors while
+    the exact baseline ranks by cosine, so recall reflects both
+    quantization AND metric mismatch on unnormalized corpora)."""
+    approx = pq_topk(embeddings, query_ids, k, books)
+    return _recall_vs_exact(embeddings, query_ids, k, approx)
+
+
 def embedding_quantize_int8(
     embeddings: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

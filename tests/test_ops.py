@@ -1352,3 +1352,60 @@ def test_resample_and_cohorts_hand_computed(spark):
     # cohort on day0, user 11 on day0+1; each counted once at offset 0
     # despite repeat events
     assert coh == {(day0, 0): 2, (day0 + 1, 0): 1}
+
+
+def test_pq_encode_matches_numpy_argmin_and_topk_is_adc(spark):
+    """PQ differential: codes must equal an independent numpy argmin
+    over each subspace's squared L2 (ties to lowest id, distances
+    rounded to 9dp first — the operator contract), seeds must encode
+    to their own repeated-nibble code, and the ADC top-k distance must
+    equal the sum of the per-subspace LUT entries for the stored
+    code."""
+    import numpy as np
+
+    from hadoop_search_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_recall,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks(emb)
+    codes = {r.vec_id: r.code for r in pq_encode(emb, books).collect()}
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    assert len(codes) == len(vecs)
+
+    def np_code(v):
+        total = 0
+        for s in range(8):
+            sub = v[s * 8 : (s + 1) * 8]
+            d = [round(float(((sub - np.array(c)) ** 2).sum()), 9)
+                 for c in books[s]]
+            total += int(np.argmin(d)) * 16**s  # argmin takes first min
+        return total
+
+    for vid in list(vecs)[:40]:
+        assert codes[vid] == np_code(vecs[vid]), vid
+    # seed j encodes to nibble j in every subspace
+    for j in range(16):
+        assert codes[j] == sum(j * 16**s for s in range(8))
+
+    top = pq_topk(emb, [0, 3], 5, books)
+    rows = top.collect()
+    assert {r.query_id for r in rows} == {0, 3}
+    from decimal import Decimal
+
+    for r in rows:
+        q, v = vecs[r.query_id], codes[r.vec_id]
+        want = Decimal(0)
+        for s in range(8):
+            j = (v // 16**s) % 16
+            sub = q[s * 8 : (s + 1) * 8]
+            d = round(float(((sub - np.array(books[s][j])) ** 2).sum()), 9)
+            want += Decimal(str(d))
+        assert r.adist9 == float(want)
+    # quantized search still finds a meaningful fraction of true
+    # neighbors on near-random vectors
+    assert pq_recall(emb, [0, 1, 2, 3, 4], 10, books) > 0.15
