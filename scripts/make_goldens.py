@@ -361,6 +361,27 @@ def golden_wav_decode(docs: list[tuple[int, str]]) -> list[tuple]:
     return rows
 
 
+def golden_mp4_decode(docs: list[tuple[int, str]]) -> list[tuple]:
+    """(media_id, n_tracks, timescale, duration_ms, width, height,
+    checksum, decoder): first-principles expectation for the video
+    container entry — header fields and mdat are DEFINED from
+    md5(text): duration = first 4 digest bytes (big-endian) % 100000
+    at timescale 1000, width/height = 16*(1 + digest[4|5] % 120),
+    mdat = digest*4. No BMFF writing or walking happens here."""
+    import hashlib
+
+    rows = []
+    for doc_id, text in docs:
+        d = hashlib.md5(text.encode("utf-8")).digest()
+        duration = int.from_bytes(d[:4], "big") % 100000
+        rows.append(
+            (doc_id, 1, 1000, duration * 1000 // 1000,
+             16 * (1 + d[4] % 120), 16 * (1 + d[5] % 120),
+             hashlib.md5(d * 4).hexdigest(), "mp4")
+        )
+    return rows
+
+
 def _spark_rows(sf_dir: str):
     """The real catalog entries' output, for the abort-on-divergence
     cross-check."""
@@ -397,7 +418,12 @@ def _spark_rows(sf_dir: str):
          r.duration_ms, r.peak, r.checksum, r.decoder)
         for r in CATALOG["media_decode_wav"].fn(spark, sf_dir).collect()
     )
-    return stemmed, sorted(render), bpe, pca, auth, png, wav
+    mp4 = sorted(
+        (r.media_id, r.n_tracks, r.timescale, r.duration_ms,
+         r.width, r.height, r.checksum, r.decoder)
+        for r in CATALOG["media_decode_mp4"].fn(spark, sf_dir).collect()
+    )
+    return stemmed, sorted(render), bpe, pca, auth, png, wav, mp4
 
 
 def _write_golden(con, name: str, ddl_cols: str, rows: list[tuple]) -> None:
@@ -429,6 +455,7 @@ def main() -> int:
     auth_rows: list[tuple] = []
     png_rows: list[tuple] = []
     wav_rows: list[tuple] = []
+    mp4_rows: list[tuple] = []
     ok = True
     for sf_dir in SF_DIRS:
         docs = _load_docs(sf_dir)
@@ -442,8 +469,9 @@ def main() -> int:
         auth = golden_graph_authority(sf_dir, docs)
         png = golden_png_decode(docs)
         wav = golden_wav_decode(docs)
+        mp4 = golden_mp4_decode(docs)
         (got_stemmed, got_render, got_bpe, got_pca, got_auth,
-         got_png, got_wav) = _spark_rows(sf_dir)
+         got_png, got_wav, got_mp4) = _spark_rows(sf_dir)
         if got_stemmed != stemmed:
             print(f"DIVERGENCE search_stemmed_cnf @ {sf_dir}")
             print("  golden:", stemmed[:3], "...")
@@ -497,6 +525,14 @@ def main() -> int:
                     print("  spark :", s_)
                     break
             ok = False
+        if got_mp4 != mp4:
+            print(f"DIVERGENCE media_decode_mp4 @ {sf_dir}")
+            for g, s_ in zip(mp4, got_mp4):
+                if g != s_:
+                    print("  golden:", g)
+                    print("  spark :", s_)
+                    break
+            ok = False
         stemmed_rows += [(d, s, tag) for d, s in stemmed]
         render_rows += [(d, s, sn, tag) for d, s, sn in render]
         bpe_rows += [(d, nw, nt, e, tag) for d, nw, nt, e in bpe]
@@ -504,6 +540,7 @@ def main() -> int:
         auth_rows += [(d, r, tag) for d, r in auth]
         png_rows += [(*row, tag) for row in png]
         wav_rows += [(*row, tag) for row in wav]
+        mp4_rows += [(*row, tag) for row in mp4]
         print(f"{sf_dir}: stemmed={len(stemmed)} rows, "
               f"render={len(render)} rows, bpe={len(bpe)} rows, "
               f"pca={len(pca)} rows (emb_fp={efp})")
@@ -546,6 +583,13 @@ def main() -> int:
         "duration_ms BIGINT, peak INT, checksum VARCHAR, decoder VARCHAR, "
         "corpus_bytes BIGINT",
         wav_rows,
+    )
+    _write_golden(
+        con, "media_decode_mp4",
+        "media_id BIGINT, n_tracks INT, timescale INT, duration_ms BIGINT, "
+        "width INT, height INT, checksum VARCHAR, decoder VARCHAR, "
+        "corpus_bytes BIGINT",
+        mp4_rows,
     )
     _write_golden(
         con, "sim_pca_project",

@@ -242,3 +242,47 @@ def test_auto_degrades_unsupported_png_shapes_per_row(spark):
     assert out[2].decoder == "stub"
     with pytest.raises(Exception):
         decode_media(media, codec="png").collect()
+
+
+def test_mp4_box_walk_round_trip_and_spark_path(spark):
+    """ISO-BMFF walker: encode→decode round-trip (incl. a 64-bit mvhd
+    v1 variant and unknown-box tolerance), rejection of non-BMFF
+    input, and the Spark decode_video_meta path against
+    first-principles digest features."""
+    from hadoop_search_spark.operators.multimodal import (
+        decode_mp4,
+        decode_video_meta,
+        encode_mp4,
+        synthesize_mp4_media,
+    )
+
+    payload = encode_mp4(1920, 1080, 123456, b"framedata", timescale=90000)
+    assert decode_mp4(payload)[:5] == (1, 90000, 123456, 1920, 1080)
+    assert decode_mp4(payload)[5] == b"framedata"
+
+    # unknown top-level box between ftyp and moov is skipped
+    extra = struct.pack(">I", 8 + 4) + b"free" + b"xxxx"
+    patched = payload[:24] + extra + payload[24:]
+    assert decode_mp4(patched)[:5] == (1, 90000, 123456, 1920, 1080)
+
+    with pytest.raises(ValueError):
+        decode_mp4(b"RIFFnope")
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark")], "doc_id LONG, text STRING"
+    )
+    out = {
+        r.media_id: r
+        for r in decode_video_meta(synthesize_mp4_media(docs)).collect()
+    }
+    for doc_id, text in ((1, "hello world"), (2, "spark")):
+        d = hashlib.md5(text.encode()).digest()
+        r = out[doc_id]
+        assert r.n_tracks == 1 and r.timescale == 1000
+        assert r.duration_ms == int.from_bytes(d[:4], "big") % 100000
+        assert (r.width, r.height) == (
+            16 * (1 + d[4] % 120),
+            16 * (1 + d[5] % 120),
+        )
+        assert r.checksum == hashlib.md5(d * 4).hexdigest()
+        assert r.decoder == "mp4"
