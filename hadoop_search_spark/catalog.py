@@ -5238,8 +5238,6 @@ _DRIVER_FRONT = [
     "q16_supplier_variety",
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
-    "q21_sole_late_shipper",
-    "q22_dormant_balance",
     # (the full r4 front-50 — HUGEINT fixes, media trio, r1 refreshes,
     # and the eight r4-new entries — all recorded green r4 rows and
     # rotate to the tail; mix_dsir_select was refactored this round
