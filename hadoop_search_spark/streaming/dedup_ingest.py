@@ -172,11 +172,18 @@ class StreamingDeduper:
             [(int(d),) for d in sorted(alive)] or [], "doc_id BIGINT"
         )
 
-    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+    def process_batch(
+        self, batch: DataFrame, epoch_id: int
+    ) -> DataFrame | None:
+        """Dedups and publishes one micro-batch; returns the epoch's
+        ACCEPTED doc ids (None for a replayed/empty epoch) so a
+        composing pipeline (streaming/curate_ingest.py) can continue
+        with the survivors without re-deriving them from store
+        diffs."""
         version = f"v{epoch_id}"
         cur = self._current_path()
         if cur is not None and os.path.basename(cur) == version:
-            return  # replay of a published epoch: no-op
+            return None  # replay of a published epoch: no-op
         out = os.path.join(self.root, version)
         if os.path.exists(out):
             import shutil
@@ -188,7 +195,7 @@ class StreamingDeduper:
         batch = batch.persist()
         try:
             if batch.isEmpty():
-                return
+                return None
             keep = self._accepted_ids(batch)
             survivors = batch.join(keep, "doc_id").persist()
             try:
@@ -218,6 +225,7 @@ class StreamingDeduper:
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, os.path.join(self.root, "_CURRENT"))
+        return keep
 
     def start(self, docs_stream: DataFrame, checkpoint: str):
         return (
