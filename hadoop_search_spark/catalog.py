@@ -3411,6 +3411,75 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_pq_topk",
+    oracle=_EMB_CTE
+    + """
+, cdots AS (
+  SELECT a.vec_id, c.vec_id AS cell, sum(a.x * c.x) AS dot
+  FROM exp_e a JOIN exp_e c ON c.vec_id < 8 AND c.i = a.i
+  GROUP BY a.vec_id, c.vec_id
+),
+ccos AS (
+  SELECT d.vec_id, d.cell,
+         row_number() OVER (
+           PARTITION BY d.vec_id
+           ORDER BY round(d.dot / (na.nrm * nc.nrm), 9) DESC, d.cell) AS crn
+  FROM cdots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cell
+),
+assign AS MATERIALIZED (SELECT vec_id, cell FROM ccos WHERE crn = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM ccos
+           WHERE crn <= 2 AND vec_id IN (0, 1, 2, 3, 4))"""
+    + _PQ_CTES
+    + """,
+qlut AS (
+  SELECT a.vec_id AS query_id, sd.j, CAST((a.i - 1) // 8 AS INT) AS s,
+         CAST(round(sum((a.x - c.x) * (a.x - c.x)), 9) AS DECIMAL(18,9)) AS d
+  FROM exp_e a
+  JOIN seeds sd ON TRUE
+  JOIN exp_e c ON c.vec_id = sd.sv AND c.i = a.i
+  WHERE a.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY a.vec_id, sd.j, (a.i - 1) // 8
+),
+vcodes AS (
+  SELECT c.vec_id, ss.s,
+         CAST((c.code // CAST(pow(16, ss.s) AS BIGINT)) % 16 AS INT) AS j
+  FROM pqcodes c CROSS JOIN (SELECT unnest(range(8)) AS s) ss
+),
+adist AS (
+  SELECT p.query_id, a.vec_id, CAST(sum(q.d) AS DOUBLE) AS adist9
+  FROM assign a
+  JOIN probes p ON p.cell = a.cell AND a.vec_id <> p.query_id
+  JOIN vcodes v ON v.vec_id = a.vec_id
+  JOIN qlut q ON q.query_id = p.query_id AND q.s = v.s AND q.j = v.j
+  GROUP BY p.query_id, a.vec_id
+)
+SELECT query_id, vec_id, adist9, rn FROM (
+  SELECT query_id, vec_id, adist9,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist9, vec_id) AS rn
+  FROM adist) t
+WHERE rn <= 10
+""",
+    note="the composed billion-scale ANN architecture (operators/"
+    "similarity.py:ivf_pq_topk): IVF coarse cells prune the search to "
+    "nprobe=2 of 8 cells, and candidates within them are compared "
+    "through packed PQ codes only (ADC over a broadcast per-query "
+    "LUT, decimal pre-sum). The index is one BIGINT code + one cell "
+    "id per vector; a query never reads a raw corpus vector. Both "
+    "approximations compound (ivf_pq_recall measures the product).",
+)
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], 10,
+        num_centroids=8, nprobe=2,
+    )
+
+
+@register(
     "sim_quantize_int8",
     oracle="""
 WITH ex AS (
@@ -5192,6 +5261,7 @@ _DRIVER_FRONT = [
     "media_decode_mp4",
     "sim_pq_encode",
     "sim_pq_topk",
+    "sim_ivf_pq_topk",
     # (b) the 28 entries whose latest driver row is r2 — the oldest
     # evidence in the catalog (verdict r4 item 2), all unchanged and
     # green on the local gate at sf0.001/0.01/0.1.
@@ -5223,7 +5293,7 @@ _DRIVER_FRONT = [
     "q_set_ops",
     "q_string_agg",
     "q_window_lead_lag",
-    # (c) r3-latest rows fill the remaining 12 slots (registration
+    # (c) r3-latest rows fill the remaining 11 slots (registration
     # order; the 24 r3 rows left in the tail are two rounds old at r5
     # and lead the r6 rotation together with any r4 stragglers).
     "q4_priority_check",
@@ -5237,7 +5307,6 @@ _DRIVER_FRONT = [
     "q15_top_supplier",
     "q16_supplier_variety",
     "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
     # (the full r4 front-50 — HUGEINT fixes, media trio, r1 refreshes,
     # and the eight r4-new entries — all recorded green r4 rows and
     # rotate to the tail; mix_dsir_select was refactored this round

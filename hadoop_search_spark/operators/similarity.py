@@ -856,6 +856,15 @@ def pq_encode(
     array_min ordering, the _cell_ranking convention). Map-only: a
     single projection of m·k fixed-length folds — no shuffle, no UDF,
     no join against the model."""
+    return embeddings.select(
+        "vec_id", _pq_code_expr(books, dim).alias("code")
+    )
+
+
+def _pq_code_expr(books, dim: int = 64) -> F.Column:
+    """The packed-code COLUMN over an ``embedding`` column — exposed
+    separately so composing operators (ivf_pq_topk) can project cell
+    and code in one scan instead of joining two derivations."""
     m, k = len(books), len(books[0])
     sub = dim // m
     code = F.lit(0).cast("bigint")
@@ -871,7 +880,7 @@ def pq_encode(
         ]
         best = F.array_min(F.array(*scored)).getField("j")
         code = code + best.cast("bigint") * F.lit(int(k**s))
-    return embeddings.select("vec_id", code.alias("code"))
+    return code
 
 
 def pq_topk(
@@ -940,6 +949,98 @@ def pq_topk(
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k_results)
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k_results: int = 10,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NPROBE,
+    centroids=None,
+    books=None,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF + PQ — the composed billion-scale ANN architecture: the
+    coarse quantizer prunes the search to ``nprobe`` cells (IVF), and
+    within them candidates are compared through their packed PQ codes
+    only (ADC). Returns (query_id, vec_id, adist9, rn).
+
+    At 100 TB this is the plan shape that serves: the index holds one
+    BIGINT code + one cell id per vector (cell-partitioned on disk,
+    as :func:`write_ivf_index` lays out), a query touches
+    nprobe/num_centroids of the corpus and never reads a raw vector —
+    the only float work is the per-query LUT (m·k distances against
+    the query's true subvectors, broadcast). Both reductions are
+    approximate (cell recall × code quantization), measured by
+    :func:`ivf_pq_recall`."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, num_centroids)
+    )
+    if books is None:
+        books = pq_codebooks(embeddings, dim=dim)
+    m, kc = len(books), len(books[0])
+    sub = dim // m
+    # index side: cell + code in ONE map-only projection over one scan
+    # (no self-join — the code expression composes into the assigned
+    # projection)
+    indexed = ivf_assign(embeddings, cents).select(
+        "vec_id", "cell", _pq_code_expr(books, dim).alias("code")
+    )
+    # query side: probe cells (the ann_ivf_topk expression) + LUT
+    q = (
+        embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        .limit(len(query_ids))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    ranking = _cell_ranking(F.col("embedding"), cents)
+    lut = F.array(
+        *[
+            _pq_sub_dist(F.col("embedding"), s, books[s][j], sub).cast(
+                "decimal(18,9)"
+            )
+            for s in range(m)
+            for j in range(kc)
+        ]
+    )
+    probes = q.select(
+        "query_id",
+        lut.alias("lut"),
+        F.explode(F.slice(ranking, 1, nprobe)).alias("probe"),
+    ).select("query_id", "lut", F.col("probe.cell").alias("cell"))
+    pairs = indexed.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adist = F.lit(0).cast("decimal(18,9)")
+    for s in range(m):
+        code_s = F.expr(f"CAST((code div {int(kc ** s)}) % {kc} AS INT)")
+        adist = adist + F.element_at(
+            F.col("lut"), F.lit(s * kc) + code_s + F.lit(1)
+        )
+    scored = pairs.select(
+        "query_id", "vec_id", adist.cast("double").alias("adist9")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist9"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k_results)
+    )
+
+
+def ivf_pq_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NPROBE,
+) -> float:
+    """Measured recall@k of the composed IVF+PQ path against the
+    exact top-k — the product of the two approximation knobs made
+    observable."""
+    approx = ivf_pq_topk(embeddings, query_ids, k, num_centroids, nprobe)
+    return _recall_vs_exact(embeddings, query_ids, k, approx)
 
 
 def pq_recall(

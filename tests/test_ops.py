@@ -1409,3 +1409,52 @@ def test_pq_encode_matches_numpy_argmin_and_topk_is_adc(spark):
     # quantized search still finds a meaningful fraction of true
     # neighbors on near-random vectors
     assert pq_recall(emb, [0, 1, 2, 3, 4], 10, books) > 0.15
+
+
+def test_ivf_pq_composed_candidates_and_distances(spark):
+    """IVF+PQ composition: every result must lie in one of the
+    query's nprobe coarse cells (the IVF restriction), and its ADC
+    distance must equal the PQ LUT sum for the stored code (the PQ
+    arithmetic) — i.e. the composition changes candidate GENERATION
+    only, never the scoring."""
+    from decimal import Decimal
+
+    import numpy as np
+
+    from hadoop_search_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_pq_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, 8)
+    books = pq_codebooks(emb)
+    rows = ivf_pq_topk(emb, [0, 2], 5, num_centroids=8, nprobe=2).collect()
+    assert {r.query_id for r in rows} == {0, 2}
+
+    cells = {r.vec_id: r.cell for r in ivf_assign(emb, cents).collect()}
+    codes = {r.vec_id: r.code for r in pq_encode(emb, books).collect()}
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+
+    # nprobe=2 best cells per query, via the same rounded-cosine rank
+    def probe_cells(qv):
+        scored = []
+        for cell, cvec in cents:
+            c = np.array(cvec)
+            cos = round(float(qv @ c) / (np.linalg.norm(qv) * np.linalg.norm(c)), 9)
+            scored.append((-cos, cell))
+        return {cell for _, cell in sorted(scored)[:2]}
+
+    for r in rows:
+        assert cells[r.vec_id] in probe_cells(vecs[r.query_id])
+        want = Decimal(0)
+        for s in range(8):
+            j = (codes[r.vec_id] // 16**s) % 16
+            subq = vecs[r.query_id][s * 8 : (s + 1) * 8]
+            d = round(float(((subq - np.array(books[s][j])) ** 2).sum()), 9)
+            want += Decimal(str(d))
+        assert r.adist9 == float(want)
