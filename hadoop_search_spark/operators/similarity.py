@@ -1029,6 +1029,133 @@ def ivf_pq_topk(
     )
 
 
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids=None,
+    books=None,
+    num_centroids: int = NUM_CENTROIDS,
+    dim: int = 64,
+):
+    """Persist the IVF-PQ index: ONE row per vector — (vec_id, code)
+    under ``{path}/codes/cell=N/`` — plus the two models
+    (``/centroids``, ``/codebooks``). No raw vectors are stored at
+    all: the serve path never needs them (ADC compares through codes),
+    so a 64-dim float32 corpus persists at ~1/32 the bytes before
+    columnar compression even starts. Probing prunes to cell
+    DIRECTORIES via partition filters, exactly like
+    :func:`write_ivf_index`. Returns (centroids, books)."""
+    spark = embeddings.sparkSession
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, num_centroids)
+    )
+    if books is None:
+        books = pq_codebooks(embeddings, dim=dim)
+    ivf_assign(embeddings, cents).select(
+        "vec_id", "cell", _pq_code_expr(books, dim).alias("code")
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (s, j, [float(x) for x in books[s][j]])
+            for s in range(len(books))
+            for j in range(len(books[0]))
+        ],
+        "s INT, j INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return cents, books
+
+
+def load_ivfpq_models(spark: SparkSession, path: str):
+    """(centroids, books) back from a published IVF-PQ index."""
+    cents = [
+        (int(r.cell), [float(x) for x in r.centroid])
+        for r in spark.read.parquet(f"{path}/centroids")
+        .orderBy("cell")
+        .collect()
+    ]
+    rows = spark.read.parquet(f"{path}/codebooks").orderBy("s", "j").collect()
+    m = max(r.s for r in rows) + 1
+    books = [[None] * (len(rows) // m) for _ in range(m)]
+    for r in rows:
+        books[r.s][r.j] = [float(x) for x in r.centroid]
+    return cents, books
+
+
+def ivfpq_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k_results: int = 10,
+    nprobe: int = NPROBE,
+    dim: int = 64,
+) -> DataFrame:
+    """Serve ADC top-k from a PUBLISHED IVF-PQ index. ``queries`` is a
+    (query_id, embedding) frame — the index stores no raw vectors, so
+    the query embedding arrives from the caller (an encoder service,
+    in production). Probe cells resolve from the tiny query frame via
+    the shared Catalyst ranking expression (collected — queries are
+    request-sized by definition), the code scan filters on the LITERAL
+    probed-cell set (PartitionFilters prune to those directories), and
+    scoring is the broadcast-LUT ADC sum. Pinned equal to the
+    in-memory :func:`ivf_pq_topk` for the same models."""
+    cents, books = load_ivfpq_models(spark, path)
+    m, kc = len(books), len(books[0])
+    sub = dim // m
+    lut = F.array(
+        *[
+            _pq_sub_dist(F.col("embedding"), s, books[s][j], sub).cast(
+                "decimal(18,9)"
+            )
+            for s in range(m)
+            for j in range(kc)
+        ]
+    )
+    ranking = _cell_ranking(F.col("embedding"), cents)
+    probe_rows = queries.select(
+        "query_id",
+        lut.alias("lut"),
+        F.explode(F.slice(ranking, 1, nprobe)).alias("probe"),
+    ).select("query_id", "lut", F.col("probe.cell").alias("cell")).collect()
+    # collect() yields java.math-backed Decimals; rebuilding the
+    # broadcast side as a literal frame keeps the probe subtree from
+    # re-executing per reference (the ivf_index_topk pattern), and the
+    # DECIMAL schema round-trips the LUT exactly — no float hop
+    probes_lit = spark.createDataFrame(
+        [
+            (int(r.query_id), list(r.lut), int(r.cell))
+            for r in probe_rows
+        ],
+        "query_id BIGINT, lut ARRAY<DECIMAL(18,9)>, cell BIGINT",
+    )
+    probed_cells = sorted({int(r.cell) for r in probe_rows})
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(probed_cells)
+    )
+    pairs = codes.join(F.broadcast(probes_lit), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adist = F.lit(0).cast("decimal(18,9)")
+    for s in range(m):
+        code_s = F.expr(f"CAST((code div {int(kc ** s)}) % {kc} AS INT)")
+        adist = adist + F.element_at(
+            F.col("lut"), F.lit(s * kc) + code_s + F.lit(1)
+        )
+    scored = pairs.select(
+        "query_id", "vec_id", adist.cast("double").alias("adist9")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist9"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k_results)
+    )
+
+
 def ivf_pq_recall(
     embeddings: DataFrame,
     query_ids: list[int],

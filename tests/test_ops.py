@@ -1458,3 +1458,40 @@ def test_ivf_pq_composed_candidates_and_distances(spark):
             d = round(float(((subq - np.array(books[s][j])) ** 2).sum()), 9)
             want += Decimal(str(d))
         assert r.adist9 == float(want)
+
+
+def test_ivfpq_index_serve_equals_in_memory(spark, tmp_path):
+    """Published IVF-PQ index: serving from the codes-only on-disk
+    layout (no raw vectors stored) must return EXACTLY what the
+    in-memory composed path returns for the same models, and the code
+    scan must prune to the probed cell directories."""
+    from hadoop_search_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivfpq_index_topk,
+        load_ivfpq_models,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    cents, books = write_ivfpq_index(emb, path)
+    c2, b2 = load_ivfpq_models(spark, path)
+    assert c2 == cents and b2 == books
+
+    qids = [0, 7, 123]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = ivfpq_index_topk(spark, path, queries, 8, nprobe=2)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    got = {
+        (r.query_id, r.vec_id, r.adist9, r.rn) for r in served.collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.adist9, r.rn)
+        for r in ivf_pq_topk(
+            emb, qids, 8, nprobe=2, centroids=cents, books=books
+        ).collect()
+    }
+    assert got == want and got
