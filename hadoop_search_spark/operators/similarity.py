@@ -861,6 +861,37 @@ def pq_encode(
     )
 
 
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = 64,
+    iterations: int = 2,
+    sample_fraction: float | None = None,
+):
+    """TRAINED product-quantization codebooks: per subspace, Lloyd's
+    k-means over the corpus's subvectors — literally
+    :func:`ivf_train_kmeans` applied to each dim/m-dim slice (same
+    determinism story: seed init, per-cell means recomputed from
+    k·(dim/m) driver-side scalars per round; ``sample_fraction`` is
+    the 100 TB path, a codebook needs a representative sample, not
+    the corpus). Returns the same ``books[s][j]`` shape as
+    :func:`pq_codebooks`, so encode/search/persist take either
+    interchangeably — the seed-vs-trained choice is a quality knob,
+    not an API fork."""
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = embeddings.select(
+            "vec_id", F.slice(F.col("embedding"), s * sub + 1, sub).alias("embedding")
+        )
+        cents = ivf_train_kmeans(
+            sliced, k=k, iterations=iterations, sample_fraction=sample_fraction
+        )
+        books.append([list(map(float, vec)) for _, vec in cents])
+    return books
+
+
 def _pq_code_expr(books, dim: int = 64) -> F.Column:
     """The packed-code COLUMN over an ``embedding`` column — exposed
     separately so composing operators (ivf_pq_topk) can project cell

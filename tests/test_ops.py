@@ -1495,3 +1495,41 @@ def test_ivfpq_index_serve_equals_in_memory(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_pq_trained_codebooks_reduce_quantization_error(spark):
+    """Per-subspace k-means codebooks must be deterministic,
+    interchangeable with the seed books in encode/search, and better
+    at the objective k-means optimizes: total squared reconstruction
+    error drops materially vs the seed codebooks (24.7% on this
+    fixture; recall against the cosine baseline is NOT asserted — on
+    near-random vectors it is metric-mismatch noise)."""
+    import numpy as np
+
+    from hadoop_search_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    trained = pq_train_codebooks(emb, iterations=2)
+    assert trained == pq_train_codebooks(emb, iterations=2)  # deterministic
+    assert len(trained) == 8 and all(len(b) == 16 for b in trained)
+
+    vecs = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+
+    def total_err(books):
+        codes = {r.vec_id: r.code for r in pq_encode(emb, books).collect()}
+        tot = 0.0
+        for vid, v in vecs.items():
+            for s in range(8):
+                j = (codes[vid] // 16**s) % 16
+                tot += float(
+                    ((v[s * 8 : (s + 1) * 8] - np.array(books[s][j])) ** 2).sum()
+                )
+        return tot
+
+    seed_err = total_err(pq_codebooks(emb))
+    trained_err = total_err(trained)
+    assert trained_err < 0.9 * seed_err
