@@ -566,8 +566,13 @@ def ivf_index_add(
     assigned = ivf_assign(new_embeddings, cents).withColumn(
         "gen", F.lit(gen).cast("bigint")
     )
-    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+    # claim the generation BEFORE the data lands: a crash between the
+    # two leaves a HOLE in the gen sequence (harmless — gens are
+    # lineage labels, not offsets), whereas the reverse order would
+    # leave a stale _GEN and MERGE the next append into this one's
+    # generation in the drift lineage
     _write_gen(path, gen)
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
     # count the WRITTEN frame (recomputed over the checkpointed batch,
     # so it equals what the write saw), not the raw input
     return assigned.count()
@@ -595,7 +600,12 @@ def _read_gen(spark: SparkSession, path: str) -> int:
     if os.path.exists(marker):
         with open(marker) as f:
             return int(f.read().strip())
-    vectors = spark.read.parquet(f"{path}/vectors")
+    # mergeSchema: a pre-lineage index that has since been appended to
+    # holds BOTH gen-less and gen-bearing files — a plain read may
+    # sample a legacy footer and drop the column entirely
+    vectors = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/vectors"
+    )
     if "gen" not in vectors.columns:
         return 0
     return int(
@@ -771,11 +781,25 @@ def ivf_index_drift(spark: SparkSession, path: str) -> DataFrame:
     """Drift report over a PUBLISHED index: original = the ``gen=0``
     build generation, appended = every :func:`ivf_index_add`
     generation since. Vectors already carry their cell, so this is a
-    pure aggregation over the index — no re-assignment."""
-    vectors = spark.read.parquet(f"{path}/vectors")
+    pure aggregation over the index — no re-assignment.
+
+    Lineage robustness: an index built BEFORE gen lineage existed and
+    appended to afterwards holds a mix of gen-less and gen-bearing
+    files. The read merges schemas (a plain read can sample a legacy
+    footer and lose the column) and legacy rows' NULL gen coalesces to
+    0 — they ARE the build generation, so the baseline slice keeps its
+    original vectors instead of silently dropping them and flagging
+    share_drift on every appended cell."""
+    vectors = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/vectors"
+    )
     if "gen" not in vectors.columns:
         # pre-lineage index: everything is build-generation
         vectors = vectors.withColumn("gen", F.lit(0).cast("bigint"))
+    else:
+        vectors = vectors.withColumn(
+            "gen", F.coalesce(F.col("gen"), F.lit(0).cast("bigint"))
+        )
     cents = load_ivf_centroids(spark, path)
     return ivf_drift_stats(
         vectors.filter(F.col("gen") == 0),

@@ -25,8 +25,13 @@ test strategy, as `dedup_ingest` itself.
 
 Crash story: stage 2 publishes through the versioned-store pointer
 flip and stage 3 through _SUCCESS-gated epoch dirs — both idempotent
-under replay, so the composition is too (a replayed epoch no-ops in
-both).
+under replay, AND the composition is: a replayed epoch whose store
+version is already published re-reads that version's recorded
+``accepted`` ids (it does not no-op to None), so stage 3 still runs
+and its own _SUCCESS gate decides whether scoring already happened.
+This closes the crash window between the deduper's pointer flip and
+the scorer's epoch commit — the one composition-level window the
+per-stage gates alone don't cover.
 
 Scale shape: stage 1 is a narrow filter fused into the batch scan;
 stages 2-3 inherit their components' documented shapes (bucket-keyed

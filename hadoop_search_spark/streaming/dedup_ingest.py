@@ -176,14 +176,26 @@ class StreamingDeduper:
         self, batch: DataFrame, epoch_id: int
     ) -> DataFrame | None:
         """Dedups and publishes one micro-batch; returns the epoch's
-        ACCEPTED doc ids (None for a replayed/empty epoch) so a
-        composing pipeline (streaming/curate_ingest.py) can continue
-        with the survivors without re-deriving them from store
-        diffs."""
+        ACCEPTED doc ids (None for an empty epoch) so a composing
+        pipeline (streaming/curate_ingest.py) can continue with the
+        survivors without re-deriving them from store diffs.
+
+        Each published version records its own epoch's accepted ids
+        under ``{version}/accepted``, so a REPLAY of a published epoch
+        still returns them (re-read, not recomputed): if the process
+        died after this store's pointer flip but before a downstream
+        stage (e.g. the DSIR scorer) committed its epoch, the replay
+        must reach that stage — its own idempotence gate, not this
+        pointer, decides whether it already ran."""
         version = f"v{epoch_id}"
         cur = self._current_path()
         if cur is not None and os.path.basename(cur) == version:
-            return None  # replay of a published epoch: no-op
+            # replay of a published epoch: the store write is a no-op,
+            # but downstream stages still need this epoch's accepted ids
+            acc = os.path.join(cur, "accepted")
+            if os.path.exists(acc):
+                return self.spark.read.parquet(acc)
+            return None  # pre-record store version: degrade to no-op
         out = os.path.join(self.root, version)
         if os.path.exists(out):
             import shutil
@@ -217,6 +229,9 @@ class StreamingDeduper:
                     else prev_bands.unionByName(new_bands)
                 )
                 bands.write.parquet(os.path.join(out, "bands"))
+                # the epoch's own accepted ids — the replay record that
+                # lets a composed pipeline's later stages run on replay
+                keep.write.parquet(os.path.join(out, "accepted"))
             finally:
                 survivors.unpersist()
         finally:

@@ -149,11 +149,24 @@ class StreamingVectorDeduper:
             [(int(v),) for v in sorted(alive)] or [], "vec_id BIGINT"
         )
 
-    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+    def process_batch(
+        self, batch: DataFrame, epoch_id: int
+    ) -> DataFrame | None:
+        """Dedups and publishes one micro-batch; returns the epoch's
+        ACCEPTED vec ids (None for an empty epoch). Each published
+        version records its accepted ids under ``{version}/accepted``
+        so a replay of a published epoch still returns them (re-read,
+        not recomputed) — a composed pipeline's downstream stages (e.g.
+        the live IVF index appender) then run under their OWN
+        idempotence gates instead of being skipped by this store's
+        pointer (the dedup_ingest crash-window contract)."""
         version = f"v{epoch_id}"
         cur = self._current_path()
         if cur is not None and os.path.basename(cur) == version:
-            return  # replay of a published epoch: no-op
+            acc = os.path.join(cur, "accepted")
+            if os.path.exists(acc):
+                return self.spark.read.parquet(acc)
+            return None  # pre-record store version: degrade to no-op
         out = os.path.join(self.root, version)
         if os.path.exists(out):
             import shutil
@@ -162,18 +175,20 @@ class StreamingVectorDeduper:
         batch = batch.persist()
         try:
             if batch.isEmpty():
-                return
+                return None
             keep = self._accepted_ids(batch)
             survivors = self._bucketed(batch.join(keep, "vec_id"))
             prev = self.current_vectors()
             vecs = survivors if prev is None else prev.unionByName(survivors)
             vecs.write.parquet(os.path.join(out, "vectors"))
+            keep.write.parquet(os.path.join(out, "accepted"))
         finally:
             batch.unpersist()
         tmp = os.path.join(self.root, "_CURRENT.tmp")
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, os.path.join(self.root, "_CURRENT"))
+        return keep
 
     def start(self, vec_stream: DataFrame, checkpoint: str):
         return (

@@ -104,3 +104,48 @@ def test_streaming_curator_composes_filters_dedup_and_scoring(
     cur.process_batch(docs.filter(F.col("doc_id") < 14), 2)
     assert {r.doc_id for r in cur.current_docs().collect()} == want
     assert cur.scores().count() == len(want)
+
+
+def test_curator_replay_scores_epoch_lost_between_publish_and_commit(
+    spark, tmp_path
+):
+    """The composition-level crash window: process dies AFTER the
+    deduper's pointer flip but BEFORE the scorer commits its epoch.
+    The replay must still score that epoch's accepted docs — the
+    deduper re-reads the published version's recorded accepted ids
+    instead of no-oping, and the scorer's own _SUCCESS gate (absent
+    for the lost epoch) lets scoring run."""
+    import shutil
+
+    rng = random.Random(23)
+    rows = _mk_corpus(rng, 28)
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    model_root = str(tmp_path / "model")
+    publish_dsir_weights(docs, model_root)
+    root = tmp_path / "curated"
+    cur = StreamingCurator(
+        spark, str(root), threshold=THRESHOLD, dsir_weights_root=model_root
+    )
+    b0 = docs.filter(F.col("doc_id") < 14)
+    b1 = docs.filter(F.col("doc_id") >= 14)
+    cur.process_batch(b0, 0)
+    cur.process_batch(b1, 1)
+    full = {(r.doc_id, r.score) for r in cur.scores().collect()}
+    epoch1_ids = {
+        r.doc_id for r in cur.scores().filter("epoch = 1").collect()
+    }
+    assert epoch1_ids  # the window must actually cover scored docs
+
+    # crash simulation: scorer's epoch-1 commit is lost, the deduper's
+    # store pointer (already at v1) is not
+    shutil.rmtree(root / "scores" / "epoch=1")
+    assert {r.doc_id for r in cur.scores().collect()} == {
+        d for d, _ in full
+    } - epoch1_ids
+
+    # streaming replay re-delivers epoch 1
+    cur.process_batch(b1, 1)
+    assert {(r.doc_id, r.score) for r in cur.scores().collect()} == full
+    # and a second replay (both sides now committed) stays a no-op
+    cur.process_batch(b1, 1)
+    assert {(r.doc_id, r.score) for r in cur.scores().collect()} == full

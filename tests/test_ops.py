@@ -1024,6 +1024,76 @@ def test_ivf_drift_flags_shifted_appends(spark, tmp_path):
     assert post[2].sum_cos9_orig > post[2].n_orig * 990_000_000
 
 
+def test_ivf_drift_survives_pre_lineage_index_and_gen_crash(
+    spark, tmp_path
+):
+    """Two lineage crash/compat windows: (1) an index written BEFORE
+    gen lineage (no gen column, no _GEN sidecar) then appended to
+    holds MIXED-schema files — the drift baseline must keep the
+    legacy rows as generation 0 (merge-schema read + NULL coalesce)
+    instead of dropping the build slice and flagging every appended
+    cell; (2) a crash that claimed a generation (_GEN written) without
+    landing its data must leave a HOLE in the gen sequence, never
+    merge the next append into the previous generation."""
+    from hadoop_search_spark.operators.similarity import (
+        _write_gen,
+        ivf_assign,
+        ivf_centroids,
+        ivf_index_add,
+        ivf_index_drift,
+    )
+
+    def vec(axis, tilt=0.0):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[32 + axis] = tilt
+        return v
+
+    build = [(i, vec(i % 4, tilt=0.05 * (i // 4 % 3))) for i in range(40)]
+    emb = spark.createDataFrame(build, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    path = str(tmp_path / "ivf_legacy")
+    # hand-write the PRE-LINEAGE layout: assigned vectors without a gen
+    # column, centroids, no _GEN sidecar
+    cents = ivf_centroids(emb, 4)
+    ivf_assign(emb, cents).write.partitionBy("cell").parquet(
+        f"{path}/vectors"
+    )
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.parquet(f"{path}/centroids")
+
+    # in-distribution append onto the legacy index → mixed schema
+    same = [(100 + i, vec(i % 4, tilt=0.05)) for i in range(8)]
+    ivf_index_add(
+        spark,
+        path,
+        spark.createDataFrame(same, "vec_id BIGINT, embedding ARRAY<DOUBLE>"),
+    )
+    rep = {r.cell: r for r in ivf_index_drift(spark, path).collect()}
+    assert sum(r.n_orig for r in rep.values()) == 40  # baseline intact
+    assert sum(r.n_new for r in rep.values()) == 8
+    assert not any(r.drifted for r in rep.values())
+
+    # crashed append claimed gen 5 but wrote no rows: the next append
+    # must take gen 6, not reuse 5 or fold into gen 1
+    _write_gen(path, 5)
+    more = [(200 + i, vec(i % 4, tilt=0.05)) for i in range(4)]
+    ivf_index_add(
+        spark,
+        path,
+        spark.createDataFrame(more, "vec_id BIGINT, embedding ARRAY<DOUBLE>"),
+    )
+    vecs = spark.read.option("mergeSchema", "true").parquet(f"{path}/vectors")
+    gens = {
+        (r.gen, r.cnt)
+        for r in vecs.groupBy(F.col("gen")).agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    }
+    assert gens == {(None, 40), (1, 8), (6, 4)}
+
+
 def test_bpe_encode_matches_pure_python(spark):
     import random
     from collections import Counter
