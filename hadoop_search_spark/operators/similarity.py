@@ -848,13 +848,12 @@ def pq_codebooks(
 
 def _pq_sub_dist(emb: F.Column, s: int, cent: list, sub: int) -> F.Column:
     """9dp-rounded squared L2 distance between subvector ``s`` of a
-    row and one codebook centroid — slice + zip_with + left-to-right
-    aggregate of pointwise IEEE ops (sub, mul, add), the same
-    ascending-index fold order as an unrolled expression but a ~10×
-    smaller tree (measured: the unrolled form cost 17 s of per-shape
-    plan compilation for the full m·k encode vs 7 s for this one,
-    bit-identical codes); the rounding makes the downstream
-    argmin/sum comparisons exact, the same guard _cosine applies."""
+    row and ONE codebook centroid — slice + zip_with + left-to-right
+    aggregate of pointwise IEEE ops (sub, mul, add); the rounding
+    makes downstream argmin/sum comparisons exact, the same guard
+    _cosine applies. Single-centroid form (used by the L2 k-means
+    assignment); the PQ hot paths use :func:`_pq_sub_dists`, which
+    evaluates a whole codebook per expression node."""
     sv = F.slice(emb, s * sub + 1, sub)
     carr = F.array(*[F.lit(float(x)) for x in cent])
     d = F.aggregate(
@@ -867,6 +866,61 @@ def _pq_sub_dist(emb: F.Column, s: int, cent: list, sub: int) -> F.Column:
         lambda acc, v: acc + v,
     )
     return F.round(d, 9)
+
+
+def _pq_sub_dists(
+    emb: F.Column, s: int, book_s: list, sub: int, as_decimal: bool = False
+) -> F.Column:
+    """ARRAY of the k 9dp-rounded squared L2 distances from subvector
+    ``s`` to EVERY centroid of its codebook — one ``transform`` over a
+    nested literal codebook array, so the k-loop lives in the HOF
+    runtime and the expression tree is O(1) per subspace instead of
+    O(k) independent fold trees. That tree-size difference is the
+    whole point: the unrolled m·k form cost ~17 s of per-shape plan
+    compilation for the full encode (halved once to ~7 s by
+    zip_with+aggregate, r5); this form compiles the same plan in
+    under a second with BIT-IDENTICAL values — element j is the same
+    slice → zip_with square-diff → ascending-index fold → round(9)
+    chain as :func:`_pq_sub_dist` on centroid j. ``as_decimal`` casts
+    each entry to DECIMAL(18,9) inside the lambda (exact on a
+    9dp-rounded double) for the ADC LUTs, whose entries must be
+    order-independent under addition."""
+    sv = F.slice(emb, s * sub + 1, sub)
+    books_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in cent]) for cent in book_s]
+    )
+
+    def one(carr):
+        d = F.round(
+            F.aggregate(
+                F.zip_with(
+                    sv,
+                    carr,
+                    lambda x, c: (x.cast("double") - c)
+                    * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        )
+        return d.cast("decimal(18,9)") if as_decimal else d
+
+    return F.transform(books_lit, one)
+
+
+def _pq_lut(emb: F.Column, books, sub: int) -> F.Column:
+    """Per-query ADC lookup table — m·k DECIMAL(18,9) distances
+    flattened ``[s*k + j]``: flatten of m per-subspace
+    :func:`_pq_sub_dists` arrays (O(m) expression nodes)."""
+    return F.flatten(
+        F.array(
+            *[
+                _pq_sub_dists(emb, s, books[s], sub, as_decimal=True)
+                for s in range(len(books))
+            ]
+        )
+    )
 
 
 def pq_encode(
@@ -919,22 +973,21 @@ def pq_train_codebooks(
 def _pq_code_expr(books, dim: int = 64) -> F.Column:
     """The packed-code COLUMN over an ``embedding`` column — exposed
     separately so composing operators (ivf_pq_topk) can project cell
-    and code in one scan instead of joining two derivations."""
+    and code in one scan instead of joining two derivations.
+
+    Argmin per subspace is ``array_position(d, array_min(d))`` over
+    the :func:`_pq_sub_dists` array — array_position returns the
+    FIRST index holding the minimum, i.e. ties break to the lowest
+    centroid id, the same ordering the previous struct-array_min
+    form (d asc, j asc) produced (pinned by the numpy differential
+    and unchanged driver hashes)."""
     m, k = len(books), len(books[0])
     sub = dim // m
     code = F.lit(0).cast("bigint")
     for s in range(m):
-        scored = [
-            F.struct(
-                _pq_sub_dist(F.col("embedding"), s, books[s][j], sub).alias(
-                    "d"
-                ),
-                F.lit(j).cast("int").alias("j"),
-            )
-            for j in range(k)
-        ]
-        best = F.array_min(F.array(*scored)).getField("j")
-        code = code + best.cast("bigint") * F.lit(int(k**s))
+        d = _pq_sub_dists(F.col("embedding"), s, books[s], sub)
+        best = F.array_position(d, F.array_min(d)) - F.lit(1).cast("bigint")
+        code = code + best * F.lit(int(k**s))
     return code
 
 
@@ -976,16 +1029,9 @@ def pq_topk(
     # quantize to DECIMAL(18,9) BEFORE the m-way sum (cookbook rule:
     # decimal addition is exact and order-independent, so the oracle
     # may add the same 8 values in any join order and still match)
-    lut = F.array(
-        *[
-            _pq_sub_dist(F.col("embedding"), s, books[s][j], sub).cast(
-                "decimal(18,9)"
-            )
-            for s in range(m)
-            for j in range(kc)
-        ]
+    qlut = q.select(
+        "query_id", _pq_lut(F.col("embedding"), books, sub).alias("lut")
     )
-    qlut = q.select("query_id", lut.alias("lut"))
     pairs = codes.join(
         F.broadcast(qlut), F.col("vec_id") != F.col("query_id")
     )
@@ -1051,15 +1097,7 @@ def ivf_pq_topk(
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     ranking = _cell_ranking(F.col("embedding"), cents)
-    lut = F.array(
-        *[
-            _pq_sub_dist(F.col("embedding"), s, books[s][j], sub).cast(
-                "decimal(18,9)"
-            )
-            for s in range(m)
-            for j in range(kc)
-        ]
-    )
+    lut = _pq_lut(F.col("embedding"), books, sub)
     probes = q.select(
         "query_id",
         lut.alias("lut"),
@@ -1162,15 +1200,7 @@ def ivfpq_index_topk(
     cents, books = load_ivfpq_models(spark, path)
     m, kc = len(books), len(books[0])
     sub = dim // m
-    lut = F.array(
-        *[
-            _pq_sub_dist(F.col("embedding"), s, books[s][j], sub).cast(
-                "decimal(18,9)"
-            )
-            for s in range(m)
-            for j in range(kc)
-        ]
-    )
+    lut = _pq_lut(F.col("embedding"), books, sub)
     ranking = _cell_ranking(F.col("embedding"), cents)
     probe_rows = queries.select(
         "query_id",
