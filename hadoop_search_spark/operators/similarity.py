@@ -238,13 +238,66 @@ def _py_norm(vec: list[float]) -> float:
     return acc**0.5
 
 
+def _cell_ranking_l2(emb: F.Column, centroids) -> F.Column:
+    """ARRAY<STRUCT<d, cell>> sorted best-first by 9dp-rounded SQUARED
+    L2 distance, ties to the lowest cell id — the L2 twin of
+    :func:`_cell_ranking`, built as one ``transform`` over a nested
+    literal centroid array (the :func:`_pq_sub_dists` tree shape:
+    O(1) expression nodes per ranking, the C-loop in the HOF runtime).
+
+    L2 needs no norm division, so an ALL-ZERO vector (common for a
+    subvector SLICE of a sparse embedding, the ADVICE-flagged 0/0 NaN
+    hazard in the cosine ranking) ranks finitely and deterministically
+    here — which is why PQ subspace training must assign by L2, not
+    cosine (besides matching the metric the quantizer actually
+    serves)."""
+    cells = [c for c, _ in centroids]
+    if cells != list(range(len(cells))):
+        raise ValueError(
+            f"L2 ranking requires dense 0..C-1 cell ids, got {cells}"
+        )
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in centroids]
+    )
+    return F.array_sort(
+        F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            emb,
+                            c,
+                            lambda x, cc: (x.cast("double") - cc)
+                            * (x.cast("double") - cc),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ),
+                    9,
+                ).alias("d"),
+                i.cast("bigint").alias("cell"),
+            ),
+        )
+    )
+
+
 def ivf_assign(
-    embeddings: DataFrame, centroids, out_col: str = "cell"
+    embeddings: DataFrame,
+    centroids,
+    out_col: str = "cell",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Adds the IVF cell id (nearest centroid by cosine) as a map-only
-    projection — the 100 TB path: one narrow scan, no join, no
-    shuffle; cells then act like partitions for probing. The row norm
-    is materialized once per row, not once per centroid."""
+    """Adds the IVF cell id (nearest centroid by ``metric``: cosine
+    for the IVF serving paths, squared L2 for PQ subspace training)
+    as a map-only projection — the 100 TB path: one narrow scan, no
+    join, no shuffle; cells then act like partitions for probing. The
+    row norm is materialized once per row, not once per centroid."""
+    if metric == "l2":
+        ranking = _cell_ranking_l2(F.col("embedding"), centroids)
+        return embeddings.withColumn(
+            out_col, ranking.getItem(0).getField("cell")
+        )
     with_norm = embeddings.withColumn("_nrm", _norm(F.col("embedding")))
     ranking = _cell_ranking(F.col("embedding"), centroids, F.col("_nrm"))
     return with_norm.withColumn(out_col, ranking.getItem(0).getField("cell")).drop(
@@ -258,6 +311,7 @@ def ivf_train_kmeans(
     iterations: int = 3,
     sample_fraction: float | None = None,
     seed: int = 7,
+    metric: str = "cosine",
 ):
     """Lloyd's k-means for the IVF coarse quantizer, as DataFrame ops.
 
@@ -268,6 +322,23 @@ def ivf_train_kmeans(
     k·dim result rows (a few KB) come back to the driver, which is
     where the model lives between iterations; the corpus itself never
     leaves the cluster. An emptied cell keeps its previous centroid.
+
+    The mean update is ORDER-INDEPENDENT: per-row contributions
+    quantize to DECIMAL(28,12) before the sum (exact decimal
+    addition under any partitioning — the classifier-GD recipe), and
+    the division happens driver-side in one IEEE float64 op. So the
+    trained model is bit-identical across partitionings AND
+    reproducible by an independent sequential evaluator (the golden
+    generator's twin) — a float ``avg`` would drift with the partial-
+    aggregation tree.
+
+    ``metric`` selects the assignment distance: ``"cosine"`` (the IVF
+    serving metric) or ``"l2"`` (squared L2 — REQUIRED for PQ
+    subspace training, where the quantizer serves L2 and an all-zero
+    subvector slice would hit 0/0 in a cosine ranking). The mean
+    update is the optimal centroid under L2 assignment; under cosine
+    it is the standard spherical-ish approximation the IVF coarse
+    quantizer tolerates.
 
     ``sample_fraction`` is the production path at 100 TB: a coarse
     quantizer needs only a representative sample (k-means converges on
@@ -312,16 +383,25 @@ def ivf_train_kmeans(
                 "distinct seed vectors (reduce k or raise sample_fraction)"
             )
     for _ in range(iterations):
-        assigned = ivf_assign(train, cents)
-        means = (
+        assigned = ivf_assign(train, cents, metric=metric)
+        sums = (
             assigned.select("cell", F.posexplode("embedding").alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(
+                    F.col("x").cast("double").cast("decimal(28,12)")
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
             .collect()
         )
         by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(int(r.cell), {})[int(r.dim)] = float(r.m)
+        for r in sums:
+            # float(Decimal) is correctly rounded; one float64 divide —
+            # the deterministic driver-side mean
+            by_cell.setdefault(int(r.cell), {})[int(r.dim)] = float(
+                r.s
+            ) / int(r.n)
         dim = len(cents[0][1])
         cents = [
             (
@@ -953,8 +1033,12 @@ def pq_train_codebooks(
     determinism story: seed init, per-cell means recomputed from
     k·(dim/m) driver-side scalars per round; ``sample_fraction`` is
     the 100 TB path, a codebook needs a representative sample, not
-    the corpus). Returns the same ``books[s][j]`` shape as
-    :func:`pq_codebooks`, so encode/search/persist take either
+    the corpus). Assignment runs under ``metric="l2"`` — the SAME
+    squared-L2 objective :func:`pq_encode`/:func:`pq_topk` quantize
+    by (a cosine-assigned codebook would train against a metric the
+    quantizer never serves, and an all-zero subvector slice would
+    NaN the cosine ranking). Returns the same ``books[s][j]`` shape
+    as :func:`pq_codebooks`, so encode/search/persist take either
     interchangeably — the seed-vs-trained choice is a quality knob,
     not an API fork."""
     sub = dim // m
@@ -964,7 +1048,11 @@ def pq_train_codebooks(
             "vec_id", F.slice(F.col("embedding"), s * sub + 1, sub).alias("embedding")
         )
         cents = ivf_train_kmeans(
-            sliced, k=k, iterations=iterations, sample_fraction=sample_fraction
+            sliced,
+            k=k,
+            iterations=iterations,
+            sample_fraction=sample_fraction,
+            metric="l2",
         )
         books.append([list(map(float, vec)) for _, vec in cents])
     return books
