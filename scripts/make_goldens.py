@@ -274,6 +274,111 @@ def golden_pca_project(embs: list[tuple[int, list[float]]]) -> list[tuple]:
     return sorted(out)
 
 
+PQ_M, PQ_K, PQ_DIM, PQ_ITERS = 8, 16, 64, 2
+PQ_QUERIES = [0, 1, 2, 3, 4]
+PQ_TOPK = 10
+
+
+def golden_pq_trained_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
+    """(query_id, vec_id, adist9, rn): independent sequential replay of
+    per-subspace L2 k-means training + ADC top-k — the trained twin of
+    the seed-codebook SQL oracle. Every arithmetic step mirrors the
+    engine's documented contract WITHOUT calling it:
+
+    * squared L2 per subspace = ascending-index float64 fold, rounded
+      via the round(double, 9) twin Decimal(str(x)).quantize(1e-9,
+      HALF_UP) (cookbook rule);
+    * assignment = argmin of (rounded dist, cell id) — ties to the
+      lowest centroid, the array_sort struct ordering;
+    * the k-means mean = exact sum of per-component DECIMAL(28,12)
+      quantizations (the cast-to-decimal twin Decimal(str(x))
+      .quantize(1e-12, HALF_UP)) divided ONCE in float64 — the
+      order-independent update ivf_train_kmeans performs;
+    * ADC = per-subspace LUT entries quantized to DECIMAL(18,9) after
+      the same round, summed exactly, ranked (adist asc, vec_id asc).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("1e-9")
+    q12 = Decimal("1e-12")
+
+    def r9(x: float) -> float:
+        return float(Decimal(str(x)).quantize(q9, rounding=ROUND_HALF_UP))
+
+    def sqdist(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, c in zip(a, b):
+            acc += (x - c) * (x - c)
+        return r9(acc)
+
+    sub = PQ_DIM // PQ_M
+    by_id = sorted(embs)
+    books: list[list[list[float]]] = []
+    for s in range(PQ_M):
+        slices = [(v, [float(x) for x in e[s * sub : (s + 1) * sub]])
+                  for v, e in by_id]
+        cents = [list(sl) for _, sl in slices[:PQ_K]]  # seed: first k ids
+        for _ in range(PQ_ITERS):
+            sums = [[Decimal(0)] * sub for _ in range(PQ_K)]
+            counts = [0] * PQ_K
+            for _, sl in slices:
+                best = min(
+                    range(PQ_K), key=lambda j: (sqdist(sl, cents[j]), j)
+                )
+                counts[best] += 1
+                for d in range(sub):
+                    sums[best][d] += Decimal(str(sl[d])).quantize(
+                        q12, rounding=ROUND_HALF_UP
+                    )
+            cents = [
+                [float(sums[j][d]) / counts[j] for d in range(sub)]
+                if counts[j]
+                else cents[j]  # emptied cell keeps its centroid
+                for j in range(PQ_K)
+            ]
+        books.append(cents)
+
+    codes = {}
+    for v, e in by_id:
+        code = 0
+        for s in range(PQ_M):
+            sl = [float(x) for x in e[s * sub : (s + 1) * sub]]
+            best = min(
+                range(PQ_K), key=lambda j: (sqdist(sl, books[s][j]), j)
+            )
+            code += best * PQ_K**s
+        codes[v] = code
+
+    out = []
+    emap = dict(by_id)
+    for qid in PQ_QUERIES:
+        qe = emap[qid]
+        lut = [
+            [
+                Decimal(str(sqdist(
+                    [float(x) for x in qe[s * sub : (s + 1) * sub]],
+                    books[s][j],
+                ))).quantize(q9, rounding=ROUND_HALF_UP)
+                for j in range(PQ_K)
+            ]
+            for s in range(PQ_M)
+        ]
+        scored = []
+        for v, _ in by_id:
+            if v == qid:
+                continue
+            adist = Decimal(0)
+            for s in range(PQ_M):
+                adist += lut[s][(codes[v] // PQ_K**s) % PQ_K]
+            scored.append((float(adist), v))
+        scored.sort()
+        out += [
+            (qid, v, a, rn + 1)
+            for rn, (a, v) in enumerate(scored[:PQ_TOPK])
+        ]
+    return sorted(out)
+
+
 def golden_graph_authority(
     sf_dir: str, docs: list[tuple[int, str]]
 ) -> list[tuple]:
@@ -423,7 +528,11 @@ def _spark_rows(sf_dir: str):
          r.width, r.height, r.checksum, r.decoder)
         for r in CATALOG["media_decode_mp4"].fn(spark, sf_dir).collect()
     )
-    return stemmed, sorted(render), bpe, pca, auth, png, wav, mp4
+    pqt = sorted(
+        (r.query_id, r.vec_id, r.adist9, r.rn)
+        for r in CATALOG["sim_pq_trained_topk"].fn(spark, sf_dir).collect()
+    )
+    return stemmed, sorted(render), bpe, pca, auth, png, wav, mp4, pqt
 
 
 def _write_golden(con, name: str, ddl_cols: str, rows: list[tuple]) -> None:
@@ -456,6 +565,7 @@ def main() -> int:
     png_rows: list[tuple] = []
     wav_rows: list[tuple] = []
     mp4_rows: list[tuple] = []
+    pqt_rows: list[tuple] = []
     ok = True
     for sf_dir in SF_DIRS:
         docs = _load_docs(sf_dir)
@@ -470,8 +580,9 @@ def main() -> int:
         png = golden_png_decode(docs)
         wav = golden_wav_decode(docs)
         mp4 = golden_mp4_decode(docs)
+        pqt = golden_pq_trained_topk(embs)
         (got_stemmed, got_render, got_bpe, got_pca, got_auth,
-         got_png, got_wav, got_mp4) = _spark_rows(sf_dir)
+         got_png, got_wav, got_mp4, got_pqt) = _spark_rows(sf_dir)
         if got_stemmed != stemmed:
             print(f"DIVERGENCE search_stemmed_cnf @ {sf_dir}")
             print("  golden:", stemmed[:3], "...")
@@ -533,6 +644,14 @@ def main() -> int:
                     print("  spark :", s_)
                     break
             ok = False
+        if got_pqt != pqt:
+            print(f"DIVERGENCE sim_pq_trained_topk @ {sf_dir}")
+            for g, s_ in zip(pqt, got_pqt):
+                if g != s_:
+                    print("  golden:", g)
+                    print("  spark :", s_)
+                    break
+            ok = False
         stemmed_rows += [(d, s, tag) for d, s in stemmed]
         render_rows += [(d, s, sn, tag) for d, s, sn in render]
         bpe_rows += [(d, nw, nt, e, tag) for d, nw, nt, e in bpe]
@@ -541,6 +660,7 @@ def main() -> int:
         png_rows += [(*row, tag) for row in png]
         wav_rows += [(*row, tag) for row in wav]
         mp4_rows += [(*row, tag) for row in mp4]
+        pqt_rows += [(*row, efp) for row in pqt]
         print(f"{sf_dir}: stemmed={len(stemmed)} rows, "
               f"render={len(render)} rows, bpe={len(bpe)} rows, "
               f"pca={len(pca)} rows (emb_fp={efp})")
@@ -596,6 +716,12 @@ def main() -> int:
         "vec_id BIGINT, p0 DOUBLE, p1 DOUBLE, p2 DOUBLE, p3 DOUBLE, "
         "emb_fp BIGINT",
         pca_rows,
+    )
+    _write_golden(
+        con, "sim_pq_trained_topk",
+        "query_id BIGINT, vec_id BIGINT, adist9 DOUBLE, rn BIGINT, "
+        "emb_fp BIGINT",
+        pqt_rows,
     )
     con.close()
     return 0
