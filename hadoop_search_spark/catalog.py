@@ -3534,6 +3534,112 @@ def sim_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivfpq_drift",
+    oracle=_EMB_CTE
+    + """
+, cents AS (
+  SELECT vec_id AS cvec, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+  FROM embeddings WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 8
+),
+cdots AS (
+  SELECT a.vec_id, ct.cell, ct.cvec, sum(a.x * c.x) AS dot
+  FROM exp_e a
+  JOIN cents ct ON TRUE
+  JOIN exp_e c ON c.vec_id = ct.cvec AND c.i = a.i
+  GROUP BY a.vec_id, ct.cell, ct.cvec
+),
+assigned AS (
+  SELECT vec_id, cell, vec_id % 4 <> 0 AS is_orig FROM (
+    SELECT d.vec_id, d.cell,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY round(d.dot / (na.nrm * nc.nrm), 9)
+                                       DESC, d.cell) AS crn
+    FROM cdots d
+    JOIN norms na ON na.vec_id = d.vec_id
+    JOIN norms nc ON nc.vec_id = d.cvec) t
+  WHERE crn = 1
+),
+seeds AS (
+  SELECT vec_id AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS j
+  FROM embeddings WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 16
+),
+sdist AS MATERIALIZED (
+  SELECT a.vec_id, sd.j, CAST((a.i - 1) // 8 AS INT) AS s,
+         round(sum((a.x - c.x) * (a.x - c.x)), 9) AS d
+  FROM exp_e a
+  JOIN seeds sd ON TRUE
+  JOIN exp_e c ON c.vec_id = sd.sv AND c.i = a.i
+  GROUP BY a.vec_id, sd.j, (a.i - 1) // 8
+),
+best AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+    FROM sdist) t WHERE rn = 1
+),
+counts AS (
+  SELECT asg.cell, b.s, b.j,
+         CAST(sum(CASE WHEN asg.is_orig THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orig_j,
+         CAST(sum(CASE WHEN asg.is_orig THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_new_j
+  FROM assigned asg JOIN best b USING (vec_id)
+  GROUP BY asg.cell, b.s, b.j
+),
+tots AS (
+  SELECT cell, s, CAST(sum(n_orig_j) AS BIGINT) AS t_orig,
+         CAST(sum(n_new_j) AS BIGINT) AS t_new
+  FROM counts GROUP BY cell, s
+),
+agg AS (
+  SELECT c.cell, c.s, t.t_orig AS n_orig, t.t_new AS n_new,
+         CAST(sum(abs(CAST(c.n_new_j AS HUGEINT) * t.t_orig
+                    - CAST(c.n_orig_j AS HUGEINT) * t.t_new))
+              AS DECIMAL(38,0)) AS l1x
+  FROM counts c JOIN tots t ON t.cell = c.cell AND t.s = c.s
+  GROUP BY c.cell, c.s, t.t_orig, t.t_new
+)
+SELECT cell, CAST(s AS INT) AS s, n_orig, n_new, l1x,
+       (n_new >= 10 AND ((n_orig = 0 AND n_new > 0)
+         OR CAST(1000 AS HUGEINT) * CAST(l1x AS HUGEINT)
+            > CAST(1000 AS HUGEINT) * n_orig * n_new)) AS code_drift
+FROM agg
+""",
+    note="IVF-PQ code-space drift report (operators/similarity.py:"
+    "ivfpq_drift_stats): original corpus = vec_id%4<>0 (centroids AND "
+    "codebooks frozen from it), appended = vec_id%4=0; per (cell, "
+    "subspace) the appended rows' code histogram vs the build's as a "
+    "cross-multiplied L1 numerator in DECIMAL(38,0) — no division, "
+    "no float, bit-exact — with an evidence gate (n_new >= 10 here, "
+    "fixture-scaled; default 50) because an n-sample histogram's "
+    "own sampling noise is ~sqrt(2k/pi*n). The published-index twin "
+    "(ivfpq_index_drift over gen lineage, frozen-model append via "
+    "ivfpq_index_add) is pinned by pytest.",
+)
+def sim_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import (
+        _pq_code_expr,
+        ivf_assign,
+        ivf_centroids,
+        ivfpq_drift_stats,
+        pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    orig = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    cents = ivf_centroids(orig, 8)
+    books = pq_codebooks(orig)
+
+    def codes(df):
+        return ivf_assign(df, cents).select(
+            "cell", _pq_code_expr(books).alias("code")
+        )
+
+    return ivfpq_drift_stats(codes(orig), codes(new), min_new=10)
+
+
+@register(
     "sim_quantize_int8",
     oracle="""
 WITH ex AS (

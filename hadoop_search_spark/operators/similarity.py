@@ -667,13 +667,14 @@ def _write_gen(path: str, gen: int) -> None:
     os.replace(tmp, os.path.join(path, "_GEN"))
 
 
-def _read_gen(spark: SparkSession, path: str) -> int:
+def _read_gen(spark: SparkSession, path: str, table: str = "vectors") -> int:
     """Current index generation in O(1) from the _GEN sidecar;
     pre-sidecar indexes (or ones written before gen lineage existed)
     fall back to one pruned scan — max(gen) if the column exists,
     else 0 (a gen-less index is all build-generation by definition,
     so appends/drift keep working instead of failing on the missing
-    column)."""
+    column). ``table`` is the row store under the index root:
+    ``vectors`` for plain IVF, ``codes`` for IVF-PQ."""
     import os
 
     marker = os.path.join(path, "_GEN")
@@ -683,13 +684,13 @@ def _read_gen(spark: SparkSession, path: str) -> int:
     # mergeSchema: a pre-lineage index that has since been appended to
     # holds BOTH gen-less and gen-bearing files — a plain read may
     # sample a legacy footer and drop the column entirely
-    vectors = spark.read.option("mergeSchema", "true").parquet(
-        f"{path}/vectors"
+    rows = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/{table}"
     )
-    if "gen" not in vectors.columns:
+    if "gen" not in rows.columns:
         return 0
     return int(
-        vectors.agg(F.coalesce(F.max("gen"), F.lit(0)).alias("g"))
+        rows.agg(F.coalesce(F.max("gen"), F.lit(0)).alias("g"))
         .collect()[0]
         .g
     )
@@ -1225,7 +1226,11 @@ def write_ivfpq_index(
     so a 64-dim float32 corpus persists at ~1/32 the bytes before
     columnar compression even starts. Probing prunes to cell
     DIRECTORIES via partition filters, exactly like
-    :func:`write_ivf_index`. Returns (centroids, books)."""
+    :func:`write_ivf_index`. Codes carry the same ``gen`` lineage +
+    ``_GEN`` sidecar as the IVF vectors table (build = 0, appends
+    stamp next) so :func:`ivfpq_index_drift` can compare appended
+    code distributions against the build's. Returns
+    (centroids, books)."""
     spark = embeddings.sparkSession
     cents = (
         centroids
@@ -1236,7 +1241,10 @@ def write_ivfpq_index(
         books = pq_codebooks(embeddings, dim=dim)
     ivf_assign(embeddings, cents).select(
         "vec_id", "cell", _pq_code_expr(books, dim).alias("code")
-    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    ).withColumn("gen", F.lit(0).cast("bigint")).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/codes")
+    _write_gen(path, 0)
     spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in cents],
         "cell INT, centroid ARRAY<DOUBLE>",
@@ -1326,6 +1334,191 @@ def ivfpq_index_topk(
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k_results)
+    )
+
+
+def ivfpq_index_add(
+    spark: SparkSession,
+    path: str,
+    new_embeddings: DataFrame,
+    check_ids: bool = True,
+    dim: int = 64,
+) -> int:
+    """Incremental IVF-PQ index maintenance — :func:`ivf_index_add`
+    for the codes-only layout: assign NEW vectors with the published
+    index's FROZEN coarse centroids AND frozen codebooks, encode, and
+    append (vec_id, code, gen) rows into their cell partitions. Only
+    touched ``cell=N`` directories gain files — O(|new|) regardless
+    of index size — and a serve sees exactly what a full rebuild with
+    the same models would (pinned by test). Returns rows added.
+
+    Both models are intentionally frozen: cell assignments AND code
+    meanings of existing rows must stay valid for appended files to
+    compose with them (re-trained codebooks would silently re-define
+    every stored nibble). Model drift is observability + offline
+    rebuild, exactly the IVF contract — :func:`ivfpq_index_drift`
+    watches the CODE distribution per cell, the layout's analogue of
+    the vector-space drift report.
+
+    Gen lineage follows ivf_index_add's crash ordering: the ``_GEN``
+    claim lands BEFORE the data write (a crashed append leaves a gen
+    hole, never merges into the previous generation)."""
+    cents, books = load_ivfpq_models(spark, path)
+    new_embeddings = new_embeddings.localCheckpoint()
+    if check_ids:
+        n_intra = (
+            new_embeddings.groupBy("vec_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        if n_intra:
+            raise ValueError(
+                f"{n_intra} vec_ids appear more than once in the new batch; "
+                "IVF-PQ append cannot deduplicate — distinct the batch first"
+            )
+        existing = spark.read.parquet(f"{path}/codes").select("vec_id")
+        n_dup = new_embeddings.join(existing, "vec_id").count()
+        if n_dup:
+            raise ValueError(
+                f"{n_dup} vec_ids already exist in the index at {path}; "
+                "IVF-PQ append cannot replace vectors — rebuild, or use "
+                "fresh ids"
+            )
+    gen = _read_gen(spark, path, table="codes") + 1
+    assigned = (
+        ivf_assign(new_embeddings, cents)
+        .select("vec_id", "cell", _pq_code_expr(books, dim).alias("code"))
+        .withColumn("gen", F.lit(gen).cast("bigint"))
+    )
+    _write_gen(path, gen)
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/codes"
+    )
+    return assigned.count()
+
+
+def ivfpq_drift_stats(
+    orig_codes: DataFrame,
+    new_codes: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    l1_permille: int = 1000,
+    min_new: int = 50,
+) -> DataFrame:
+    """Code-space drift report for an IVF-PQ index — the
+    observability half of the frozen-codebook contract: per
+    (cell, subspace), how far has the APPENDED rows' code histogram
+    moved from the BUILD generation's? Inputs are two (cell, code)
+    frames; output one row per (cell, s) →
+    ``(cell, s, n_orig, n_new, l1x, code_drift)``:
+
+    * the per-subspace code ``j`` unpacks from the packed BIGINT by
+      integer div/mod (explode of the m subspace indexes + scalar
+      arithmetic — no float anywhere);
+    * ``l1x = Σ_j |n_new_j·T_orig − n_orig_j·T_new|`` over the k code
+      bins, with ``T_*`` the (cell, s) totals — the cross-multiplied
+      numerator of the L1 histogram distance (÷ T_orig·T_new would
+      give the usual [0,2] value; no division keeps it bit-exact, as
+      a DECIMAL(38,0) result column so web-scale counts cannot
+      overflow);
+    * ``code_drift`` flags when the normalized L1 exceeds
+      ``l1_permille``/1000 — i.e. ``1000·l1x > l1_permille·T_o·T_n``
+      — or when a (cell, s) has appends but no build rows at all.
+      Both require ``n_new ≥ min_new``: the empirical L1 of an
+      n-sample histogram against its own source distribution is
+      ~√(2k/πn) (≈1.0 at n=11, k=16 — pure sampling noise), so small
+      appends carry no evidence either way; the default pair
+      (1000‰, 50) sits well above the noise floor at the minimum
+      sample and tightens as appends accumulate.
+
+    A flagged subspace means appended vectors exercise codebook
+    entries the build distribution didn't — quantization error is no
+    longer what the build measured, and the documented offline
+    rebuild (with retrained codebooks) should run.
+
+    Scale shape: one union + one m-way explode (constant fan-out) +
+    two aggregations over (cell, s[, j]) — bins are C·m·k regardless
+    of corpus size; the totals join-back is against that tiny frame.
+    Pure aggregation, no division, SQL-oracle-exact."""
+    powk = [int(k**s) for s in range(m)]
+    tagged = orig_codes.select(
+        "cell", "code", F.lit(True).alias("is_orig")
+    ).unionByName(
+        new_codes.select("cell", "code", F.lit(False).alias("is_orig"))
+    )
+    # posexplode the subspace power array: s = position, p = k^s;
+    # IntegralDivide (`div`) keeps the unpack in exact long arithmetic
+    # for ANY k — float `/` would only be exact for power-of-two k
+    subs = tagged.select(
+        "cell",
+        "is_orig",
+        F.posexplode(F.array(*[F.lit(p) for p in powk])).alias("s", "p"),
+        "code",
+    ).withColumn("j", F.expr(f"(code div p) % {int(k)}"))
+    counts = subs.groupBy("cell", "s", "j").agg(
+        F.sum(F.when(F.col("is_orig"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orig_j"),
+        F.sum(F.when(~F.col("is_orig"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new_j"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    tots = counts.groupBy("cell", "s").agg(
+        F.sum("n_orig_j").cast("bigint").alias("t_orig"),
+        F.sum("n_new_j").cast("bigint").alias("t_new"),
+    )
+    joined = counts.join(F.broadcast(tots), ["cell", "s"])
+    agg = joined.groupBy("cell", "s").agg(
+        F.max("t_orig").alias("n_orig"),
+        F.max("t_new").alias("n_new"),
+        F.sum(
+            F.abs(
+                dec(F.col("n_new_j")) * dec(F.col("t_orig"))
+                - dec(F.col("n_orig_j")) * dec(F.col("t_new"))
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("l1x"),
+    )
+    drift = (F.col("n_new") >= min_new) & (
+        ((F.col("n_orig") == 0) & (F.col("n_new") > 0))
+        | (
+            F.lit(1000).cast("decimal(38,0)") * F.col("l1x")
+            > F.lit(l1_permille).cast("decimal(38,0)")
+            * dec(F.col("n_orig"))
+            * dec(F.col("n_new"))
+        )
+    )
+    return agg.withColumn("code_drift", drift)
+
+
+def ivfpq_index_drift(spark: SparkSession, path: str) -> DataFrame:
+    """Code-space drift over a PUBLISHED IVF-PQ index: build
+    generation (gen=0) vs every append since — a pure aggregation
+    over the codes table, no raw vectors anywhere (the index stores
+    none). Same lineage robustness as :func:`ivf_index_drift`:
+    merge-schema read, legacy NULL gen coalesces to the build
+    generation."""
+    codes = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/codes"
+    )
+    if "gen" not in codes.columns:
+        codes = codes.withColumn("gen", F.lit(0).cast("bigint"))
+    else:
+        codes = codes.withColumn(
+            "gen", F.coalesce(F.col("gen"), F.lit(0).cast("bigint"))
+        )
+    _, books = load_ivfpq_models(spark, path)
+    return ivfpq_drift_stats(
+        codes.filter(F.col("gen") == 0),
+        codes.filter(F.col("gen") > 0),
+        m=len(books),
+        k=len(books[0]),
     )
 
 

@@ -1567,6 +1567,97 @@ def test_ivfpq_index_serve_equals_in_memory(spark, tmp_path):
     assert got == want and got
 
 
+def test_ivfpq_index_add_equals_rebuild_and_code_drift_flags(
+    spark, tmp_path
+):
+    """IVF-PQ incremental maintenance: build the codes-only index on
+    the first 400 vectors, append the last 100 with the FROZEN
+    centroids+codebooks — serving must return exactly what a full
+    rebuild with the same models returns; collisions fail fast; only
+    touched cell dirs gain files. Then the code-space drift report:
+    clean on an in-distribution append, and an append saturating one
+    codebook entry flags code_drift in the right subspace while the
+    in-distribution cells stay quiet."""
+    import os
+
+    from hadoop_search_spark.operators.similarity import (
+        ivfpq_index_add,
+        ivfpq_index_drift,
+        ivfpq_index_topk,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") < 400)
+    rest = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivfpq_inc")
+    cents, books = write_ivfpq_index(first, path)
+    files_before = {
+        f"{d}/{f}"
+        for d, _, fs in os.walk(f"{path}/codes")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert ivfpq_index_add(spark, path, rest) == rest.count()
+    files_after = {
+        f"{d}/{f}"
+        for d, _, fs in os.walk(f"{path}/codes")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert files_before <= files_after and len(files_after) > len(files_before)
+
+    full_path = str(tmp_path / "ivfpq_full")
+    write_ivfpq_index(emb, full_path, centroids=cents, books=books)
+    queries = emb.filter(F.col("vec_id").isin(3, 17, 450)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inc = {
+        (r.query_id, r.vec_id, r.adist9, r.rn)
+        for r in ivfpq_index_topk(spark, path, queries, k_results=5).collect()
+    }
+    full = {
+        (r.query_id, r.vec_id, r.adist9, r.rn)
+        for r in ivfpq_index_topk(
+            spark, full_path, queries, k_results=5
+        ).collect()
+    }
+    assert inc == full and inc
+    with pytest.raises(ValueError, match="already exist"):
+        ivfpq_index_add(spark, path, emb.filter(F.col("vec_id") == 10))
+
+    # in-distribution append: no drift flag anywhere
+    rep = ivfpq_index_drift(spark, path).collect()
+    assert rep and not any(r.code_drift for r in rep)
+    assert {(r.cell, r.s) for r in rep} >= {(0, 0), (0, 7)}
+
+    # shifted append: constant vectors quantize to ONE code per
+    # subspace — the histogram collapses; 60 rows clear the min_new
+    # evidence gate, so every (cell, s) they populate must flag
+    shifted = spark.createDataFrame(
+        [(1000 + i, [9.0] * 64) for i in range(60)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    ivfpq_index_add(spark, path, shifted)
+    rep2 = {(r.cell, r.s): r for r in ivfpq_index_drift(spark, path).collect()}
+    flagged = [r for r in rep2.values() if r.code_drift]
+    assert flagged, "constant-vector append must flag code drift"
+    # cells untouched by the shifted batch keep their clean report
+    shifted_cells = {
+        r.cell
+        for r in spark.read.parquet(f"{path}/codes")
+        .filter(F.col("vec_id") >= 1000)
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    assert all(
+        not r.code_drift
+        for r in rep2.values()
+        if r.cell not in shifted_cells
+    )
+
+
 def test_pq_trained_codebooks_reduce_quantization_error(spark):
     """Per-subspace k-means codebooks must be deterministic,
     interchangeable with the seed books in encode/search, and better
