@@ -1,0 +1,168 @@
+"""Streaming IVF index maintenance — the full online ANN loop:
+arriving embeddings are greedy-deduped against the accepted store
+(`StreamingVectorDeduper`), the epoch's ADMITTED vectors append into
+a published IVF index under its FROZEN quantizer (`ivf_index_add`),
+and the quantizer drift report (`ivf_index_drift`) runs as the epoch
+postcondition — ingest → dedup → append → drift flag → documented
+offline-rebuild trigger.
+
+This is the composition the batch operators were shaped for: the
+index append is O(|admitted|) (only touched cell partitions gain
+files), the drift report is a pure aggregation with bit-exact integer
+flags, and dedup is the bucket-keyed store join. Nothing here adds a
+new shuffle.
+
+Idempotence / crash windows (three stages, three gates):
+
+1. the deduper publishes via the versioned-store pointer flip and
+   RETURNS the epoch's accepted ids on replay (recorded per version —
+   the dedup_ingest contract), so a replayed epoch still reaches the
+   later stages;
+2. the index append keys idempotence on an epoch LEDGER marker
+   (``{index}/_EPOCHS/epoch-N``) written after the append commits. A
+   crash between the append and the marker self-heals on replay: if
+   the epoch's accepted ids are ALL already in the index the append
+   committed (Spark's file-commit protocol exposes either the whole
+   job or none of it) and only the marker is rewritten; a torn state
+   (some but not all ids present) cannot arise from that protocol and
+   fails fast rather than appending duplicates;
+3. the drift report writes per-epoch under ``{root}/drift/epoch=N``
+   with the standard _SUCCESS-gated sweep-and-rewrite sink.
+
+Rebuild trigger (documented contract, not automated): when an epoch's
+report flags any cell, the operator rebuilds offline with
+``write_ivf_index`` (fresh quantizer over store + index corpus) and
+points a new indexer at it — the same offline/online split as the
+text index. The per-epoch report is O(index) aggregation here; at
+real scale the (cell, gen) partial sums it aggregates are maintained
+incrementally in a stats table, same math.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_search_spark.operators.similarity import (
+    ivf_index_add,
+    ivf_index_drift,
+)
+from hadoop_search_spark.streaming.vector_ingest import (
+    VECS_SCHEMA,  # noqa: F401  (re-export: the composed schema is the same)
+    StreamingVectorDeduper,
+)
+
+
+class StreamingIvfIndexer:
+    """Maintains ``{root}/store`` (accepted-vector store) and a
+    PUBLISHED IVF index at ``index_path`` (pre-built offline with
+    ``write_ivf_index`` — the frozen quantizer is the composition's
+    premise) from an embedding stream; per-epoch drift reports land
+    under ``{root}/drift``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        index_path: str,
+        threshold: float = 0.95,
+        num_planes: int = 8,
+        dim: int = 64,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.index_path = index_path
+        if not os.path.exists(os.path.join(index_path, "centroids")):
+            raise ValueError(
+                f"no published IVF index at {index_path}; build one with "
+                "write_ivf_index first (the frozen-quantizer contract)"
+            )
+        self.deduper = StreamingVectorDeduper(
+            spark, os.path.join(root, "store"), threshold, num_planes, dim
+        )
+        os.makedirs(os.path.join(index_path, "_EPOCHS"), exist_ok=True)
+        os.makedirs(os.path.join(root, "drift"), exist_ok=True)
+
+    # -- stage 2: ledgered frozen-quantizer append ---------------------
+
+    def _append_epoch(self, admitted: DataFrame, epoch_id: int) -> int:
+        marker = os.path.join(
+            self.index_path, "_EPOCHS", f"epoch-{int(epoch_id)}"
+        )
+        if os.path.exists(marker):
+            return 0  # replay of a ledgered epoch
+        ids = admitted.select("vec_id")
+        n_kept = ids.count()
+        if n_kept:
+            index_ids = self.spark.read.parquet(
+                f"{self.index_path}/vectors"
+            ).select("vec_id")
+            n_present = ids.join(index_ids, "vec_id").count()
+            if n_present == n_kept:
+                pass  # append committed, marker write crashed: self-heal
+            elif n_present == 0:
+                # ids proven fresh above — skip the O(index) re-check
+                ivf_index_add(
+                    self.spark,
+                    self.index_path,
+                    admitted.select("vec_id", "embedding"),
+                    check_ids=False,
+                )
+            else:
+                raise RuntimeError(
+                    f"torn epoch {epoch_id}: {n_present}/{n_kept} admitted "
+                    f"ids already in {self.index_path} — the commit protocol "
+                    "should expose all or none; rebuild the index"
+                )
+        with open(marker, "w") as f:
+            f.write(str(int(epoch_id)))
+        return n_kept
+
+    # -- stage 3: drift postcondition ----------------------------------
+
+    def _drift_epoch(self, epoch_id: int) -> None:
+        out = os.path.join(self.root, "drift", f"epoch={int(epoch_id)}")
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            return
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        ivf_index_drift(self.spark, self.index_path).write.parquet(out)
+
+    # -- the composed batch body ---------------------------------------
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        kept = self.deduper.process_batch(batch, epoch_id)
+        if kept is not None:
+            admitted = batch.join(kept, "vec_id")
+            self._append_epoch(admitted, epoch_id)
+        self._drift_epoch(epoch_id)
+
+    def start(self, vec_stream: DataFrame, checkpoint: str):
+        return (
+            vec_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .start()
+        )
+
+    # -- published-state accessors -------------------------------------
+
+    def current_vectors(self) -> DataFrame | None:
+        return self.deduper.current_vectors()
+
+    def drift_reports(self) -> DataFrame | None:
+        """All COMMITTED per-epoch drift reports (epoch is a partition
+        column)."""
+        base = os.path.join(self.root, "drift")
+        committed = [
+            os.path.join(base, e)
+            for e in os.listdir(base)
+            if e.startswith("epoch=")
+            and os.path.exists(os.path.join(base, e, "_SUCCESS"))
+        ]
+        if not committed:
+            return None
+        return self.spark.read.option("basePath", base).parquet(*committed)

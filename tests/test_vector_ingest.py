@@ -107,6 +107,103 @@ def test_streaming_vector_dedup_matches_sequential_greedy(spark, tmp_path):
     assert {r.vec_id for r in dd.current_vectors().collect()} == want
 
 
+def test_streaming_ivf_indexer_full_online_loop(spark, tmp_path):
+    """The composed online index-maintenance loop: stream epochs
+    through dedup → frozen-quantizer append → drift postcondition.
+    Asserts (a) the index equals offline build + appends of exactly
+    the ADMITTED vectors (rejected near-dups never reach it),
+    (b) ledgered epochs replay as no-ops and the append-committed/
+    marker-lost crash window self-heals without duplicate rows,
+    (c) the drift flag fires on a shifted epoch and names the right
+    cell, with earlier epochs' reports staying quiet."""
+    import os
+
+    from hadoop_search_spark.operators.similarity import (
+        ivf_assign,
+        write_ivf_index,
+    )
+    from hadoop_search_spark.streaming.ivf_ingest import StreamingIvfIndexer
+
+    def vec(axis, tilt_dim, w):
+        v = [0.0] * DIM
+        v[axis] = 1.0
+        v[tilt_dim] = w
+        return v
+
+    # offline corpus: 4 axis clusters, members tilted w=0.3 on varying
+    # high dims (pairwise cosine ~0.69–0.92 < dedup threshold; cosine
+    # to centroid ~0.96)
+    base_rows = [
+        (i, vec(i % 4, 8 + (i // 4) % 8, 0.3)) for i in range(40)
+    ]
+    base = spark.createDataFrame(base_rows, VECS_SCHEMA)
+    index_path = str(tmp_path / "ivf")
+    cents = write_ivf_index(base, index_path, num_centroids=4)
+
+    ix = StreamingIvfIndexer(
+        spark, str(tmp_path / "online"), index_path,
+        threshold=THRESHOLD, num_planes=PLANES, dim=DIM,
+    )
+
+    # epoch 0: 8 in-distribution vectors, plus 101 = exact dup of 100
+    e0_rows = [(100 + i, vec(i % 4, 8 + i % 8, 0.3)) for i in range(8)]
+    e0_rows.append((108, list(e0_rows[0][1])))  # near-dup: rejected
+    ix.process_batch(spark.createDataFrame(e0_rows, VECS_SCHEMA), 0)
+    # epoch 1: 8 more, distinct tilt dims
+    e1_rows = [(200 + i, vec((i + 1) % 4, 8 + (i + 3) % 8, 0.3))
+               for i in range(8)]
+    ix.process_batch(spark.createDataFrame(e1_rows, VECS_SCHEMA), 1)
+
+    admitted = {r.vec_id for r in ix.current_vectors().collect()}
+    assert 108 not in admitted and {100, 200} <= admitted
+
+    def index_pairs():
+        return {
+            (r.vec_id, r.cell)
+            for r in spark.read.parquet(f"{index_path}/vectors")
+            .select("vec_id", "cell")
+            .collect()
+        }
+
+    all_rows = base_rows + [r for r in e0_rows + e1_rows
+                            if r[0] in admitted or r[0] < 100]
+    expect = {
+        (r.vec_id, r.cell)
+        for r in ivf_assign(
+            spark.createDataFrame(all_rows, VECS_SCHEMA), cents
+        ).collect()
+    }
+    assert index_pairs() == expect
+
+    # ledgered replay: no-op
+    ix.process_batch(spark.createDataFrame(e1_rows, VECS_SCHEMA), 1)
+    assert index_pairs() == expect
+    # crash window: append committed, marker lost — replay self-heals
+    os.remove(os.path.join(index_path, "_EPOCHS", "epoch-1"))
+    ix.process_batch(spark.createDataFrame(e1_rows, VECS_SCHEMA), 1)
+    assert index_pairs() == expect
+    assert os.path.exists(os.path.join(index_path, "_EPOCHS", "epoch-1"))
+    rows = spark.read.parquet(f"{index_path}/vectors").count()
+    assert rows == len(expect)  # no duplicate appends
+
+    # quiet epochs: no drift flags yet
+    rep = ix.drift_reports()
+    assert rep is not None
+    assert rep.filter("drifted").count() == 0
+
+    # epoch 2: shifted — all into cell 2's neighborhood, far off its
+    # centroid (w=2 tilt), mutually non-duplicate (distinct tilt dims)
+    e2_rows = [(300 + i, vec(2, 4 + i, 2.0)) for i in range(10)]
+    ix.process_batch(spark.createDataFrame(e2_rows, VECS_SCHEMA), 2)
+    last = ix.drift_reports().filter("epoch = 2")
+    flagged = {r.cell for r in last.filter("drifted").collect()}
+    assert 2 in flagged
+    # earlier epochs' committed reports unchanged (still quiet)
+    assert ix.drift_reports().filter(
+        "epoch < 2 AND drifted"
+    ).count() == 0
+
+
 def test_streaming_vector_dedup_stream_api(spark, tmp_path):
     rng = random.Random(5)
     rows = _mk_vectors(rng, 24)
