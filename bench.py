@@ -219,6 +219,9 @@ def main() -> int:
         "instead of row-pickle collect() — same full driver-side "
         "materialization, faster transfer encoding; r1-r4 numbers "
         "include the pickle overhead (~0.5s on the largest result). "
+        "r6: scripts/bench_duckdb.py times its pass via .arrow() too, "
+        "so both engines pay the same materialization (it also "
+        "records fetchall_total once for r1-r5 series continuity). "
         "vm_contention_* record spread across passes: this VM takes "
         "CPU-steal spikes (r3's driver-recorded 7.63s cold-concurrent "
         "re-ran at 3.42s idle), so a >2x min-to-max spread means the "

@@ -724,6 +724,39 @@ def bpe_encode(
     )
 
 
+def bpe_decode(
+    encoded: DataFrame, encoded_col: str = "encoded"
+) -> DataFrame:
+    """Invert :func:`bpe_encode` → ``(doc_id, decoded)``. BPE merges
+    only CONCATENATE characters, so decoding a symbol stream is
+    splitting on the token separator and re-concatenating — no model
+    needed, map-only, one narrow projection. The inverse is exact up
+    to the ONE documented loss: word boundaries. ``bpe_encode`` joins
+    every word's symbols into a single space-separated stream, so the
+    original inter-word spaces are indistinguishable from
+    inter-symbol separators and cannot be restored —
+    ``decode(encode(x))`` equals ``x`` lowercased with all whitespace
+    removed (the normalization the round-trip property test pins). A
+    boundary-preserving scheme (GPT-2's Ġ word-start marker) would
+    make the loss zero; the reference's corpus format has no such
+    convention, so neither does this encode.
+
+    Malformed input degrades predictably: symbols are validated only
+    structurally (the split), not against a vocabulary — decoding a
+    stream an arbitrary model produced still concatenates its
+    symbols, which is the correct BPE semantics (detokenization never
+    consults the merge table)."""
+    return encoded.select(
+        "doc_id",
+        F.array_join(
+            F.filter(
+                F.split(F.col(encoded_col), " "), lambda s: s != ""
+            ),
+            "",
+        ).alias("decoded"),
+    )
+
+
 def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-trained bigram-LM scoring (the CCNet-style perplexity
     quality filter, one conditioning level up from

@@ -10,7 +10,12 @@ compares against) at ``$SPARK_GRAFT_SF_DIR`` (default
 
 Queries with no oracle (stemmed CNF search) are skipped and listed in
 the output. Same methodology as bench.py: results fully materialized,
-an untimed warm-up pass, then a timed steady-state pass.
+an untimed warm-up pass, then a timed steady-state pass. Since r6 the
+timed pass materializes via ``.arrow()`` — the SAME Arrow columnar
+transfer bench.py switched to in r5 — so neither side pays Python
+tuple-construction costs the other skips; ``fetchall_total`` records
+the old row-materialization timing once for series continuity
+(r1–r5 baselines were fetchall-timed).
 """
 
 from __future__ import annotations
@@ -47,14 +52,25 @@ def main() -> int:
     skipped = [q for q in HEADLINE if q not in oracles]
 
     for name in runnable:  # warm-up: buffer pool + parquet metadata
-        con.execute(oracles[name]).fetchall()
+        con.execute(oracles[name]).arrow()
 
     timings: dict[str, float] = {}
     for name in runnable:
         t0 = time.time()
-        rows = con.execute(oracles[name]).fetchall()
+        tbl = con.execute(oracles[name]).arrow()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {timings[name]}s ({tbl.num_rows} rows)",
+            file=sys.stderr,
+        )
+
+    # one fetchall pass for continuity with the r1-r5 recordings
+    # (Python-tuple materialization, the old timed path)
+    fetchall_total = 0.0
+    for name in runnable:
+        t0 = time.time()
+        con.execute(oracles[name]).fetchall()
+        fetchall_total += time.time() - t0
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -68,6 +84,8 @@ def main() -> int:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "materialization": "arrow",
+                "fetchall_total": round(fetchall_total, 3),
                 "skipped_no_oracle": skipped,
                 "sf": sf_val,
             }

@@ -1094,6 +1094,52 @@ def test_ivf_drift_survives_pre_lineage_index_and_gen_crash(
     assert gens == {(None, 40), (1, 8), (6, 4)}
 
 
+def test_bpe_decode_round_trip(spark):
+    """decode(encode(x)) == x lowercased with whitespace removed — the
+    documented word-boundary loss and nothing else — for (a) randomized
+    multi-word texts under a trained model, (b) the real sf0.001
+    corpus, (c) edge shapes: empty text, runs of spaces, mixed case,
+    and a doc whose every word fuses to one symbol."""
+    import random
+
+    from hadoop_search_spark.operators.textstats import (
+        bpe_decode,
+        bpe_encode,
+        bpe_train,
+    )
+
+    rng = random.Random(31)
+    vocab = ["banana", "bandana", "cabana", "anna", "NAB", "ban", "aaa"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6))))
+        for i in range(25)
+    ] + [(100, ""), (101, "   "), (102, "  aaa   AAA  ")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    merges, _ = bpe_train(df, n_merges=6)
+
+    got = {
+        r.doc_id: r.decoded
+        for r in bpe_decode(bpe_encode(df, merges)).collect()
+    }
+    want = {i: "".join(t.lower().split()) for i, t in rows}
+    assert got == want
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m2, _ = bpe_train(docs.limit(50), n_merges=4)
+    joined = bpe_decode(bpe_encode(docs, m2)).join(
+        docs.select(
+            "doc_id",
+            F.array_join(
+                F.filter(F.split(F.lower("text"), " "), lambda s: s != ""),
+                "",
+            ).alias("norm"),
+        ),
+        "doc_id",
+    )
+    assert joined.filter(F.col("decoded") != F.col("norm")).count() == 0
+    assert joined.count() == docs.count()
+
+
 def test_bpe_encode_matches_pure_python(spark):
     import random
     from collections import Counter
