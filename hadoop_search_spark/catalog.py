@@ -1834,6 +1834,80 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_hybrid_rrf",
+    oracle=BM25_CTE
+    + """
+, brank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(sum(bm25), 9) DESC,
+                                    doc_id) AS rb
+  FROM bm25 WHERE term IN ('table', 'scan') GROUP BY doc_id
+),
+btop AS (SELECT * FROM brank WHERE rb <= 50),
+eexp AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+enorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM eexp GROUP BY vec_id),
+vdots AS (
+  SELECT a.vec_id, sum(a.x * q.x) AS dot
+  FROM eexp a JOIN eexp q ON q.vec_id = 0 AND q.i = a.i
+  WHERE a.vec_id <> 0 GROUP BY a.vec_id
+),
+vrank AS (
+  SELECT d.vec_id AS doc_id,
+         row_number() OVER (ORDER BY round(d.dot / (na.nrm * nq.nrm), 9)
+                                     DESC, d.vec_id) AS rv
+  FROM vdots d
+  JOIN enorm na ON na.vec_id = d.vec_id
+  JOIN enorm nq ON nq.vec_id = 0
+),
+vtop AS (SELECT * FROM vrank WHERE rv <= 50),
+fused AS (
+  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id, b.rb, v.rv,
+         coalesce(1e0 / (60 + b.rb), 0e0)
+       + coalesce(1e0 / (60 + v.rv), 0e0) AS rrf
+  FROM btop b FULL OUTER JOIN vtop v ON b.doc_id = v.doc_id
+)
+SELECT doc_id, CAST(coalesce(rb, -1) AS BIGINT) AS rank_1,
+       CAST(coalesce(rv, -1) AS BIGINT) AS rank_2, rrf, rn
+FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused) t
+WHERE rn <= 20
+""",
+    note="hybrid retrieval: reciprocal-rank fusion (k0=60) of the "
+    "BM25 ranking for ('table','scan') with the exact-cosine ranking "
+    "for query vector 0 (doc_id==vec_id id bridge, the fixture "
+    "convention), top-50 per ranker, fused top-20. Ranks, not "
+    "scores, fuse — no calibration across incomparable scales; each "
+    "rrf is two correctly-rounded IEEE divisions + one addition, so "
+    "the oracle matches bit-for-bit with no quantization. Absent "
+    "ranks surface as -1. The serving-side composition of the text "
+    "index and the vector engine (operators/vocab.py:rrf_fuse).",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.index import bm25_idf_lookup, bm25_scores
+    from hadoop_search_spark.operators.similarity import cosine_topk
+    from hadoop_search_spark.operators.vocab import rrf_fuse
+
+    eng = _plain_engine(spark, sf_dir)
+    n = _t(spark, sf_dir, "documents").count()
+    scored = bm25_scores(eng.postings, n, idf_lookup=bm25_idf_lookup(spark, n))
+    wb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    btop = (
+        scored.filter(F.col("term").isin("table", "scan"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("bm25"), 9).alias("score"))
+        .withColumn("rn", F.row_number().over(wb).cast("bigint"))
+        .filter(F.col("rn") <= 50)
+    )
+    vtop = cosine_topk(_t(spark, sf_dir, "embeddings"), [0], k=50).select(
+        F.col("vec_id").alias("doc_id"), "rn"
+    )
+    return rrf_fuse([btop, vtop], key="doc_id", k0=60, k=20)
+
+
+@register(
     "search_and",
     oracle=POSTINGS_CTE
     + """
@@ -3637,6 +3711,51 @@ def sim_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return ivfpq_drift_stats(codes(orig), codes(new), min_new=10)
+
+
+@register(
+    "sim_hamming_topk",
+    oracle=_EMB_CTE
+    + """
+, bits AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN x > 0 AND i <= 32
+                       THEN CAST(pow(2, 32 - i) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN x > 0 AND i > 32
+                       THEN CAST(pow(2, 64 - i) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS lo
+  FROM exp_e GROUP BY vec_id
+),
+pairs AS (
+  SELECT qb.vec_id AS query_id, b.vec_id,
+         CAST(bit_count(xor(b.hi, qb.hi))
+            + bit_count(xor(b.lo, qb.lo)) AS BIGINT) AS hamming
+  FROM bits b
+  JOIN bits qb ON qb.vec_id IN (0, 1, 2, 3, 4)
+             AND b.vec_id <> qb.vec_id
+)
+SELECT query_id, vec_id, hamming, rn FROM (
+  SELECT query_id, vec_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming, vec_id) AS rn
+  FROM pairs) t
+WHERE rn <= 10
+""",
+    note="Hamming top-10 over binary sign sketches (operators/"
+    "similarity.py:hamming_topk): each 64-dim float32 vector "
+    "quantizes to TWO BIGINTs of sign bits (1 bit/component — 128x "
+    "compression, the aggressive end of the float->int8->PQ->sign "
+    "ladder), distance = bit_count(xor) per half. Every value is "
+    "integer, so the oracle is exact by construction — no rounding "
+    "discipline needed. The billion-scale first-stage filter in "
+    "front of PQ/exact rerank; recall vs exact cosine is the 1-bit "
+    "LSH bound (hamming_recall measures it).",
+)
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import hamming_topk
+
+    return hamming_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], 10)
 
 
 @register(

@@ -1548,6 +1548,99 @@ def pq_recall(
     return _recall_vs_exact(embeddings, query_ids, k, approx)
 
 
+def binary_sketch_exprs(vec_col: str = "embedding", dim: int = 64):
+    """Binary (sign) quantization of an embedding into two BIGINT
+    halves — ``(sketch_hi, sketch_lo)``, 32 sign bits each: bit j of a
+    half is 1 iff the corresponding component is > 0. One float32
+    component becomes ONE bit (32× beyond int8, 128× vs float32), and
+    every downstream comparison is pure integer — the aggressive end
+    of the quantization ladder (float → int8 → PQ nibbles → sign
+    bits), used as a Hamming pre-filter in front of exact/ADC
+    reranking at billion scale.
+
+    Two halves, not one 64-bit word: packing bit 63 would overflow
+    signed BIGINT arithmetic (Java long wraps silently where DuckDB
+    raises — a cross-engine trap), while 32-bit halves stay exact in
+    both engines and generalize to any dim as ceil(dim/32) words.
+    The pack is an ascending-index integer fold (acc·2 + sign), so
+    element j of a half carries weight 2^(31−j)."""
+
+    def half(h: int) -> F.Column:
+        return F.aggregate(
+            F.transform(
+                F.slice(F.col(vec_col), h * 32 + 1, 32),
+                lambda x: F.when(x.cast("double") > 0, 1)
+                .otherwise(0)
+                .cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + acc + v,
+        )
+
+    if dim != 64:
+        raise ValueError("binary_sketch_exprs packs dim=64 as 2x32 bits")
+    return half(0).alias("sketch_hi"), half(1).alias("sketch_lo")
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k by Hamming distance between binary sign sketches →
+    ``(query_id, vec_id, hamming, rn)`` — the integer-only ANN path:
+    the corpus side is a map-only projection to two BIGINTs per
+    vector, distance is ``bit_count(xor)`` on each half (whole-stage
+    codegen, no floats anywhere, so the SQL oracle is exact by
+    construction, not by rounding discipline), ranking ties to the
+    lowest vec_id. Same broadcast-queries / corpus-streams /
+    per-query-window shape as :func:`cosine_topk`.
+
+    At 100 TB this is the first-stage filter: 16 bytes/vector scans
+    at memory bandwidth, survivors rerank through PQ codes or raw
+    vectors (compose with :func:`pq_topk` / :func:`cosine_topk`).
+    Recall vs exact cosine is the documented approximation —
+    sign-bit agreement is a monotone proxy for angular similarity
+    (the 1-bit LSH bound)."""
+    from hadoop_search_spark.partitioning import spread
+
+    hi, lo = binary_sketch_exprs(dim=dim)
+    sk = spread(embeddings, "vec_id").select("vec_id", hi, lo)
+    q = (
+        sk.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        .limit(len(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("sketch_hi").alias("q_hi"),
+            F.col("sketch_lo").alias("q_lo"),
+        )
+    )
+    pairs = sk.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    ham = (
+        F.bit_count(F.col("sketch_hi").bitwiseXOR(F.col("q_hi")))
+        + F.bit_count(F.col("sketch_lo").bitwiseXOR(F.col("q_lo")))
+    ).cast("bigint")
+    scored = pairs.select(
+        "query_id", "vec_id", ham.alias("hamming")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    return scored.withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rn") <= k)
+
+
+def hamming_recall(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> float:
+    """Measured recall@k of the sign-sketch Hamming path against the
+    exact cosine top-k — the 1-bit quantization loss made a number."""
+    approx = hamming_topk(embeddings, query_ids, k)
+    return _recall_vs_exact(embeddings, query_ids, k, approx)
+
+
 def embedding_quantize_int8(
     embeddings: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

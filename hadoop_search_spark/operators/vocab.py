@@ -21,7 +21,7 @@ would use.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -96,4 +96,55 @@ def related_terms(
         pairs.select("t1", "t2", "n_docs", lift.alias("lift"))
         .orderBy(F.desc("n_docs"), F.asc("t1"), F.asc("t2"))
         .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    key: str = "doc_id",
+    rank_col: str = "rn",
+    k0: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankers (Cormack et al.) →
+    ``(key, rank_1..rank_N, rrf, rn)``: each input is a
+    ``(key, rank)`` frame (1-based, deduplicated), fused by
+    ``rrf = Σ 1/(k0 + rank_i)`` with absent keys contributing 0, then
+    re-ranked (rrf desc, key asc) and cut to ``k``. The standard
+    hybrid-retrieval combiner: rank positions, not scores, so BM25
+    and cosine (incomparable scales) fuse without calibration.
+
+    Cross-engine exactness: each term is ONE correctly-rounded IEEE
+    division and the combination is a fixed left-to-right chain of
+    N−1 additions — no folds over data-dependent order — so a SQL
+    oracle reproduces every rrf bit-for-bit. Absent ranks surface as
+    −1 (never NULL: the driver hash treats NULL and −1 differently,
+    and −1 is unambiguous since ranks are 1-based).
+
+    Scale shape: inputs are already top-K frames (window-limited by
+    their producers), so the N−1 full-outer joins touch K rows per
+    ranker — request-sized, broadcastable; nothing here scales with
+    the corpus."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    fused = None
+    for i, r in enumerate(rankings, start=1):
+        side = r.select(
+            F.col(key), F.col(rank_col).cast("bigint").alias(f"rank_{i}")
+        )
+        fused = side if fused is None else fused.join(side, key, "full_outer")
+    rrf = None
+    for i in range(1, len(rankings) + 1):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        rrf = term if rrf is None else rrf + term
+    out = fused.withColumn("rrf", rrf)
+    for i in range(1, len(rankings) + 1):
+        out = out.withColumn(
+            f"rank_{i}", F.coalesce(F.col(f"rank_{i}"), F.lit(-1).cast("bigint"))
+        )
+    w = Window.orderBy(F.desc("rrf"), F.asc(key))
+    return out.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rn") <= k
     )

@@ -1704,6 +1704,42 @@ def test_ivfpq_index_add_equals_rebuild_and_code_drift_flags(
     )
 
 
+def test_hamming_topk_matches_numpy_and_recall_floor(spark):
+    """Sign sketches and Hamming ranking against an independent numpy
+    evaluator (exact integer semantics: bit j of a half = component
+    strictly > 0, ties to lowest vec_id), plus a recall floor vs the
+    exact cosine top-k — 1-bit quantization still beats random on
+    near-random vectors."""
+    import numpy as np
+
+    from hadoop_search_spark.operators.similarity import (
+        hamming_recall,
+        hamming_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    bits = {v: (a > 0).astype(np.int64) for v, a in vecs.items()}
+    qids = [0, 1, 2, 3, 4]
+    want = set()
+    for q in qids:
+        scored = sorted(
+            (int((bits[q] != bits[v]).sum()), v)
+            for v in vecs
+            if v != q
+        )
+        want |= {(q, v, h, rn + 1) for rn, (h, v) in enumerate(scored[:10])}
+    got = {
+        (r.query_id, r.vec_id, r.hamming, r.rn)
+        for r in hamming_topk(emb, qids, 10).collect()
+    }
+    assert got == want
+
+    rec = hamming_recall(emb, qids, 10)
+    assert rec > 0.15  # 1-bit proxy beats the 10/499 random floor
+
+
 def test_pq_trained_codebooks_reduce_quantization_error(spark):
     """Per-subspace k-means codebooks must be deterministic,
     interchangeable with the seed books in encode/search, and better
