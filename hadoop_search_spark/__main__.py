@@ -288,6 +288,50 @@ def cmd_datacard(args) -> int:
     return 0
 
 
+def cmd_drift(args) -> int:
+    """Quantizer-drift report over a published ANN index — vector
+    space for a plain-IVF index, code space for an IVF-PQ one
+    (auto-detected by layout). Exit code 1 when any cell flags, so
+    the command slots into a cron/orchestrator as the documented
+    offline-rebuild trigger."""
+    import os
+
+    from hadoop_search_spark.operators.similarity import (
+        ivf_index_drift,
+        ivfpq_index_drift,
+    )
+
+    spark = _spark(args.cpus)
+    if os.path.exists(os.path.join(args.index, "codes")):
+        rows = ivfpq_index_drift(spark, args.index).orderBy("cell", "s").collect()
+        print(f"{'cell':>5}{'s':>3}{'n_orig':>8}{'n_new':>8}{'l1x':>12}{'drift':>7}")
+        flagged = False
+        for r in rows:
+            flagged |= bool(r.code_drift)
+            print(
+                f"{r.cell:>5}{r.s:>3}{r.n_orig:>8}{r.n_new:>8}"
+                f"{str(r.l1x):>12}{'YES' if r.code_drift else '-':>7}"
+            )
+    else:
+        rows = ivf_index_drift(spark, args.index).orderBy("cell").collect()
+        print(
+            f"{'cell':>5}{'n_orig':>8}{'n_new':>8}{'share':>7}{'dist':>6}{'drift':>7}"
+        )
+        flagged = False
+        for r in rows:
+            flagged |= bool(r.drifted)
+            print(
+                f"{r.cell:>5}{r.n_orig:>8}{r.n_new:>8}"
+                f"{'Y' if r.share_drift else '-':>7}"
+                f"{'Y' if r.dist_drift else '-':>6}"
+                f"{'YES' if r.drifted else '-':>7}"
+            )
+    if flagged:
+        print("DRIFTED: schedule an offline rebuild (write_ivf_index / "
+              "write_ivfpq_index with retrained models)")
+    return 1 if flagged else 0
+
+
 def cmd_decontaminate(args) -> int:
     """Flag (and optionally drop) training docs that share n-gram
     shingles with an evaluation benchmark — the eval-hygiene pass a
@@ -403,6 +447,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     pdc.add_argument("--corpus", required=True, help="corpus parquet path")
     pdc.set_defaults(fn=cmd_datacard)
+
+    pdr = sub.add_parser(
+        "drift",
+        help="quantizer-drift report over a published IVF/IVF-PQ index "
+        "(exit 1 when any cell flags — the rebuild trigger)",
+    )
+    pdr.add_argument("--index", required=True, help="published index dir")
+    pdr.set_defaults(fn=cmd_drift)
 
     pd = sub.add_parser(
         "decontaminate", help="flag/drop docs overlapping an eval benchmark"

@@ -2669,10 +2669,11 @@ sh AS (
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
 
 
-def _lsh_band_ctes() -> str:
-    """hs/mh/bands/cand CTE bodies: 12-hex-digit shingle hashes,
-    XOR-salted MinHash signatures over ``sh``, 4x4 banded keys, and
-    the LSH candidate-pair self-join."""
+def _minhash_band_ctes() -> str:
+    """hs/mh/bands CTE bodies: 12-hex-digit shingle hashes, XOR-salted
+    MinHash signatures over ``sh``, 4x4 banded keys — per-doc
+    functions, so one definition serves self-join AND cross-corpus
+    candidate generation."""
     return f"""hs AS (
   SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h FROM sh
 ),
@@ -2685,12 +2686,21 @@ bands AS (
   SELECT doc_id, (seed // 4)::INT AS band,
          string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
   FROM mh GROUP BY doc_id, (seed // 4)::INT
-),
+)"""
+
+
+def _lsh_band_ctes() -> str:
+    """hs/mh/bands/cand CTE bodies — the band block plus the LSH
+    candidate-pair SELF-join."""
+    return (
+        _minhash_band_ctes()
+        + """,
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )"""
+    )
 
 
 _SHARED_CTE = """shared AS (
@@ -2791,6 +2801,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return minhash_lsh_dedup(
         _t(spark, sf_dir, "documents"), threshold=0.5, shingles=_shingles(spark, sf_dir)
+    )
+
+
+@register(
+    "dedup_cross_corpus",
+    oracle=_SHINGLES_CTE
+    + ",\n"
+    + _minhash_band_ctes()
+    + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+),
+"""
+    + _SHARED_CTE
+    + """,
+verified AS (
+  SELECT s.doc_a, s.doc_b
+  FROM shared s
+  JOIN sizes za ON za.doc_id = s.doc_a
+  JOIN sizes zb ON zb.doc_id = s.doc_b
+  WHERE round(s.shared / (za.n_sh + zb.n_sh - s.shared), 9) >= 0.5
+)
+SELECT d.doc_id, CAST(coalesce(min(v.doc_a), -1) AS BIGINT) AS dup_of,
+       min(v.doc_a) IS NULL AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+LEFT JOIN verified v ON v.doc_b = d.doc_id
+GROUP BY d.doc_id
+""",
+    note="snapshot-incremental near-dup dedup (operators/dedup.py:"
+    "cross_corpus_dedup): NEW docs (doc_id%3=0) checked against the "
+    "settled REFERENCE corpus (doc_id%3<>0) only — the band join is "
+    "new-bands x ref-bands, so ref-ref/new-new pairs are never "
+    "generated; exact-Jaccard >= 0.5 verify, verdict row per new doc "
+    "with dup_of = smallest matching reference id (-1 when kept). "
+    "The daily-snapshot shape between the batch self-join and the "
+    "greedy online store: verify cost ~ |new| x dup-rate, never "
+    "O(corpus^2). MinHash/band CTEs shared with the self-join oracle "
+    "(one definition, cannot drift).",
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.dedup import cross_corpus_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles(spark, sf_dir)
+    return cross_corpus_dedup(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        threshold=0.5,
+        new_shingles=sh.filter(F.col("doc_id") % 3 == 0),
+        ref_shingles=sh.filter(F.col("doc_id") % 3 != 0),
     )
 
 
@@ -5173,6 +5236,38 @@ def curation_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_tokenizer_report",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+       CAST(sum(len(toks)) AS BIGINT) AS n_words,
+       CAST(sum(coalesce(list_sum(list_transform(toks,
+              x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0))
+            AS BIGINT) AS n_subword,
+       CAST(max(coalesce(list_max(list_transform(toks,
+              x -> length(x))), 0)) AS BIGINT) AS max_word_len
+FROM (SELECT source, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents) t
+GROUP BY source
+""",
+    note="per-source tokenizer accounting (operators/curation.py:"
+    "tokenizer_report): chars vs UTF-8 bytes (the multilinguality "
+    "signal for byte-level tokenizer budgets), whitespace words vs "
+    "BPE-ish subword units (fertility), and the longest-word bound "
+    "(pathological-token tail). Raw integer sums only — ratios are "
+    "the consumer's division, so every column is exact cross-engine. "
+    "One scan, one per-source agg, pure expressions.",
+)
+def curation_tokenizer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.curation import tokenizer_report
+
+    return tokenizer_report(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "curation_summary",
     oracle=f"""
 SELECT count(*) AS n_docs,
@@ -5521,79 +5616,74 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries in the tail. Registration order is unchanged — only the
 # accessors reorder.
 _DRIVER_FRONT = [
-    # r5 rotation. Rule (learned the hard way in r2): every entry that
+    # r6 rotation. Rule (learned the hard way in r2): every entry that
     # is NEW or CHANGED this round goes inside the front list in the
     # SAME round it lands — never behind the cap.
     #
-    # (a) NEW this round: the IVF quantizer drift report (integer
-    # cross-multiplied flags), the v3 curation pipeline (semantic
-    # dedup over derived hashing-trick doc embeddings), the
-    # leakage-safe cluster-atomic split, and int8 embedding
-    # quantization.
-    "sim_ivf_drift_report",
-    "curation_pipeline_v3",
-    "sample_split_leakage_safe",
-    "sim_quantize_int8",
-    "curation_datacard",
-    "media_decode_png",
-    "media_decode_wav",
-    "media_decode_mp4",
+    # (a) NEW this round: trained-PQ ADC search (golden oracle),
+    # IVF-PQ code-space drift, binary sign-sketch Hamming top-k,
+    # hybrid BM25+vector RRF retrieval, snapshot-incremental
+    # cross-corpus dedup, and the per-source tokenizer report.
+    "sim_pq_trained_topk",
+    "sim_ivfpq_drift",
+    "sim_hamming_topk",
+    "search_hybrid_rrf",
+    "dedup_cross_corpus",
+    "curation_tokenizer_report",
+    # (b) CHANGED this round: sessionize re-implemented over native
+    # session_window; the PQ family's expression trees restructured to
+    # data-driven HOFs (hash-identical, but the rule is the rule); the
+    # IVF entries sit on the touched ivf_assign/gen-lineage code.
+    "events_sessionize",
     "sim_pq_encode",
     "sim_pq_topk",
     "sim_ivf_pq_topk",
-    # (b) the 28 entries whose latest driver row is r2 — the oldest
-    # evidence in the catalog (verdict r4 item 2), all unchanged and
-    # green on the local gate at sf0.001/0.01/0.1.
-    "events_interval_join",
-    "events_asof_attribution",
-    "events_sessionize",
-    "events_json",
-    "events_hourly",
-    "search_not_clause",
-    "search_exact_phrase",
-    "search_suggest_terms",
-    "terms_related",
-    "dedup_minhash_lsh",
-    "dedup_decontaminate",
-    "sim_ann_lsh_topk",
-    "sim_embedding_dedup",
-    "mix_token_budget",
-    "q_approx_stats",
-    "q_argmin_join_back",
-    "q_corr_subquery",
-    "q_cube_grouping",
-    "q_date_parts",
-    "q_having",
-    "q_large_orders",
-    "q_median_per_group",
-    "q_order_count_distribution",
-    "q_running_total",
-    "q_scalar_functions",
-    "q_set_ops",
-    "q_string_agg",
-    "q_window_lead_lag",
-    # (c) r3-latest rows fill the remaining 11 slots (registration
-    # order; the 24 r3 rows left in the tail are two rounds old at r5
-    # and lead the r6 rotation together with any r4 stragglers).
-    "q4_priority_check",
-    "q7_volume_shipping",
-    "q10_returned_revenue",
-    "q14_promo_revenue",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_part_concentration",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    # (the full r4 front-50 — HUGEINT fixes, media trio, r1 refreshes,
-    # and the eight r4-new entries — all recorded green r4 rows and
-    # rotate to the tail; mix_dsir_select was refactored this round
-    # into dsir_weights+dsir_score but its output is oracle-verified
-    # identical at all three SFs, and dedup_bloom_decontaminate gained
-    # an internal tier-2 distinct that is a no-op for its
-    # word_shingles input — neither output changed, so their r4 rows
-    # stand.)
+    "sim_ann_ivf_topk",
+    "sim_ivf_drift_report",
+    # (c) the two r5-CHANGED entries whose re-front the r4 rule bent
+    # (verdict r5 What's-wrong #3): close the process gap with fresh
+    # driver rows.
+    "mix_dsir_select",
+    "dedup_bloom_decontaminate",
+    # (d) the 32 remaining r3-latest entries (verdict r6 item 1) — the
+    # oldest driver evidence in the catalog, all unchanged and green
+    # on the local gate at sf0.001/0.01/0.1.
+    "corpus_apply_changes",
+    "curation_pipeline",
+    "dedup_edit_distance",
+    "dedup_ngram_jaccard",
+    "dedup_span_overlap",
+    "dedup_span_rewrite",
+    "doc_chunks",
+    "events_cohorts",
+    "events_funnel",
+    "events_rate_anomaly",
+    "events_resample",
+    "graph_authority",
+    "mix_shuffle_shard",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_sole_late_shipper",
+    "q22_dormant_balance",
+    "q_trailing_window_spend",
+    "q_unpivot_measures",
+    "search_bm25",
+    "search_cnf_mixed",
+    "search_render_page",
+    "search_stemmed_cnf",
+    "sim_cosine_topk",
+    "sim_pca_project",
+    "text_bigram_surprisal",
+    "text_bpe_encode",
+    "text_bpe_pair_counts",
+    "text_classifier_score",
+    "text_repetition",
+    "text_surprisal",
+    "text_zipf_histogram",
+    # (the r5 front-50 — the media trio, r2-stale refreshes, and the
+    # eleven r5-new entries — all recorded green r5 rows and rotate to
+    # the tail. After r6 records, no entry's latest driver row should
+    # be older than r4.)
 ]
 
 def _ordered() -> list[str]:

@@ -299,3 +299,51 @@ def curate_v3(
         F.col("node").alias("doc_id")
     )
     return kept.join(keepers, "doc_id")
+
+
+def tokenizer_report(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source tokenizer accounting — the fertility/compression
+    companion to :func:`corpus_datacard` → ``(source, n_docs,
+    n_chars, n_bytes, n_words, n_subword, max_word_len)``:
+
+    * ``n_chars`` vs ``n_bytes`` (characters vs UTF-8 octets) is the
+      multilinguality signal a byte-level tokenizer budget needs;
+    * ``n_subword`` is the BPE-ish subword estimate
+      (:func:`textstats.token_counts`'s ceil(len/4) units) — its
+      ratio to ``n_words`` is tokenizer FERTILITY, to ``n_bytes``
+      the compression ratio; the report ships the raw integer sums
+      and leaves division to the consumer, so every column is an
+      exact cross-engine integer;
+    * ``max_word_len`` bounds the pathological-token tail (URLs,
+      DNA strings) that breaks fixed-width tokenizer buffers.
+
+    One scan, one per-source aggregation, all expressions — the
+    datacard scale shape."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
+    subword = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.ceil(F.length(x) / F.lit(4.0)).cast("bigint"),
+    )
+    maxw = F.coalesce(
+        F.array_max(F.transform(toks, lambda x: F.length(x))), F.lit(0)
+    )
+    rows = docs.select(
+        source_col,
+        F.length(t).cast("bigint").alias("_chars"),
+        F.octet_length(t).cast("bigint").alias("_bytes"),
+        F.size(toks).cast("bigint").alias("_words"),
+        subword.alias("_subword"),
+        maxw.cast("bigint").alias("_maxw"),
+    )
+    return rows.groupBy(source_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_chars").cast("bigint").alias("n_chars"),
+        F.sum("_bytes").cast("bigint").alias("n_bytes"),
+        F.sum("_words").cast("bigint").alias("n_words"),
+        F.sum("_subword").cast("bigint").alias("n_subword"),
+        F.max("_maxw").cast("bigint").alias("max_word_len"),
+    )

@@ -395,6 +395,89 @@ def minhash_lsh_dedup(
     return jaccard_verify(cand, sh, threshold)
 
 
+def cross_corpus_pairs(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = NUM_MINHASHES,
+    band_rows: int = LSH_BAND_ROWS,
+    new_shingles: DataFrame | None = None,
+    ref_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs of a NEW snapshot against a REFERENCE corpus
+    only → (doc_a [ref], doc_b [new], jaccard): the band join is
+    new-bands × ref-bands, so ref-ref and new-new pairs are never
+    generated or verified — the snapshot-over-snapshot dedup shape
+    (yesterday's corpus is settled; only arrivals need checking),
+    sitting between the full batch self-join
+    (:func:`minhash_lsh_dedup`) and the greedy online store
+    (`streaming/dedup_ingest.py`). Doc ids must be disjoint across
+    the two corpora (they identify sides in the shared shingle
+    frame).
+
+    Scale shape: identical to the self-join family — band/bucket
+    equi-join, never all-pairs — but the verify cost is
+    O(candidate pairs across the boundary), which for a daily
+    snapshot is ~|new| · dup-rate, not O(corpus²)."""
+    sh_new = (
+        new_shingles
+        if new_shingles is not None
+        else word_shingles(new_docs, text_col)
+    )
+    sh_ref = (
+        ref_shingles
+        if ref_shingles is not None
+        else word_shingles(ref_docs, text_col)
+    )
+    bnew = minhash_bands_wide(sh_new, num_hashes, band_rows)
+    bref = minhash_bands_wide(sh_ref, num_hashes, band_rows)
+    cand = (
+        bnew.withColumnRenamed("doc_id", "doc_b")
+        .join(
+            bref.withColumnRenamed("doc_id", "doc_a"),
+            ["band", "band_key"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_verify(cand, sh_ref.unionByName(sh_new), threshold)
+
+
+def cross_corpus_dedup(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    new_shingles: DataFrame | None = None,
+    ref_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Admission verdict per NEW doc → ``(doc_id, dup_of, keep)``:
+    ``keep`` = no reference doc verifies at ≥ threshold, ``dup_of`` =
+    the smallest matching reference id (deterministic evidence row;
+    −1 when kept — never NULL, the driver-hash convention). One
+    aggregation over :func:`cross_corpus_pairs` + a left join back to
+    the new snapshot — every new doc gets a row, matched or not."""
+    pairs = cross_corpus_pairs(
+        new_docs,
+        ref_docs,
+        text_col,
+        threshold,
+        new_shingles=new_shingles,
+        ref_shingles=ref_shingles,
+    )
+    best = pairs.groupBy("doc_b").agg(F.min("doc_a").alias("dup_of"))
+    return (
+        new_docs.select("doc_id")
+        .join(best.withColumnRenamed("doc_b", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_of", F.lit(-1)).cast("bigint").alias("dup_of"),
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )
+
+
 # ------------------------------------------------------------ SimHash
 
 

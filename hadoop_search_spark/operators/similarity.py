@@ -614,6 +614,17 @@ def ivf_index_add(
     pruning); pass False when the caller guarantees fresh ids (e.g.
     monotone ingest offsets) and the scan is not worth it."""
     cents = load_ivf_centroids(spark, path)
+    # normalize to the INDEX's stored embedding type BEFORE assigning:
+    # appending ARRAY<DOUBLE> rows into an ARRAY<FLOAT> store makes
+    # the vectors dir unreadable under schema merge (float/double
+    # arrays don't reconcile), and assignment must run on the values
+    # AS STORED for append == rebuild to hold exactly
+    stored_type = spark.read.parquet(f"{path}/vectors").schema[
+        "embedding"
+    ].dataType
+    new_embeddings = new_embeddings.withColumn(
+        "embedding", F.col("embedding").cast(stored_type)
+    )
     # pin the batch ONCE: it is evaluated by the dup checks, the
     # append write and the returned count — a non-deterministic
     # source (sampling, a mutating stream batch) could pass the

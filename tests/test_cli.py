@@ -166,3 +166,38 @@ def test_cli_stats_report(tmp_path):
     assert re.search(r"tokens: \d+ \(mean [\d.]+, median [\d.]+\)", r.stdout)
     assert "languages:" in r.stdout and "en=" in r.stdout
     assert re.search(r"exact duplicates: \d+ \([\d.]+%\)", r.stdout)
+
+
+def test_cli_drift(tmp_path, spark):
+    """`drift` reports both index layouts (auto-detected) and exits 1
+    exactly when a cell flags — the cron-able rebuild trigger."""
+    from pyspark.sql import functions as F
+
+    from hadoop_search_spark.operators.similarity import (
+        ivf_index_add,
+        write_ivf_index,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf = str(tmp_path / "ivf")
+    write_ivf_index(emb.filter(F.col("vec_id") < 400), ivf)
+    r = run_cli("drift", "--index", ivf)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "cell" in r.stdout and "DRIFTED" not in r.stdout
+
+    # pile a far-off-centroid constant batch into one cell -> exit 1
+    shifted = spark.createDataFrame(
+        [(2000 + i, [7.0] * 64) for i in range(40)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    ivf_index_add(spark, ivf, shifted)
+    r2 = run_cli("drift", "--index", ivf)
+    assert r2.returncode == 1, r2.stdout + r2.stderr[-300:]
+    assert "DRIFTED" in r2.stdout
+
+    ivfpq = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, ivfpq)
+    r3 = run_cli("drift", "--index", ivfpq)
+    assert r3.returncode == 0, r3.stderr[-500:]
+    assert " s" in r3.stdout.splitlines()[0] or "l1x" in r3.stdout.splitlines()[0]

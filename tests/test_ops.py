@@ -1704,6 +1704,39 @@ def test_ivfpq_index_add_equals_rebuild_and_code_drift_flags(
     )
 
 
+def test_cross_corpus_dedup_sides_and_verdicts(spark):
+    """Cross-corpus pairs are strictly ref-side x new-side (never
+    ref-ref or new-new even for identical texts WITHIN a side), the
+    verdict covers every new doc exactly once, and an exact duplicate
+    across the boundary is rejected with the smallest matching ref id
+    as evidence."""
+    from hadoop_search_spark.operators.dedup import (
+        cross_corpus_dedup,
+        cross_corpus_pairs,
+    )
+
+    long = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words about spark shuffles and parquet"
+    ref = spark.createDataFrame(
+        [(1, long), (2, long), (3, other)], "doc_id BIGINT, text STRING"
+    )
+    new = spark.createDataFrame(
+        [(10, long), (11, other + " plus a tail"), (12, "unrelated "
+          "fresh content with many novel tokens in this snapshot")],
+        "doc_id BIGINT, text STRING",
+    )
+    pairs = cross_corpus_pairs(new, ref).collect()
+    assert all(r.doc_a in {1, 2, 3} and r.doc_b in {10, 11, 12}
+               for r in pairs)
+    assert {(r.doc_a, r.doc_b) for r in pairs} >= {(1, 10), (2, 10)}
+
+    verdict = {r.doc_id: (r.dup_of, r.keep)
+               for r in cross_corpus_dedup(new, ref).collect()}
+    assert set(verdict) == {10, 11, 12}
+    assert verdict[10] == (1, False)  # smallest matching ref id
+    assert verdict[12] == (-1, True)
+
+
 def test_hamming_topk_matches_numpy_and_recall_floor(spark):
     """Sign sketches and Hamming ranking against an independent numpy
     evaluator (exact integer semantics: bit j of a half = component
