@@ -89,6 +89,12 @@ class StreamingIvfIndexer:
     # -- stage 2: ledgered frozen-quantizer append ---------------------
 
     def _append_epoch(self, admitted: DataFrame, epoch_id: int) -> int:
+        # The presence probe below is a pruned single-column scan of
+        # the index's vec_ids per epoch — the price of marker-after-
+        # commit idempotence on a plain filesystem. At real scale the
+        # ledger lives in the transactional table's commit log (the
+        # same substitution documented for every versioned store) and
+        # the probe disappears.
         marker = os.path.join(
             self.index_path, "_EPOCHS", f"epoch-{int(epoch_id)}"
         )

@@ -306,6 +306,59 @@ def main() -> int:
 
     stage("ivf_drift_stats", drift_stage)
 
+    def hamming_stage():
+        from hadoop_search_spark.operators.similarity import hamming_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        big = emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * 2000).alias("vec_id"),
+            "embedding",
+        )
+        return hamming_topk(big, [0, 1, 2, 3, 4], 10).count()
+
+    stage("hamming_topk", hamming_stage)
+
+    def cross_corpus_stage():
+        from hadoop_search_spark.operators.dedup import cross_corpus_dedup
+
+        # last replica = the arriving snapshot, the rest = reference;
+        # replicas ARE near-dups of each other, so the boundary join
+        # carries a realistic dup-heavy load
+        ref = docs.filter(F.col("doc_id") < (replicas - 1) * n_base)
+        new = docs.filter(F.col("doc_id") >= (replicas - 1) * n_base)
+        out = cross_corpus_dedup(new, ref, threshold=0.5)
+        return out.filter("NOT keep").count()
+
+    stage("cross_corpus_dedup_tail", cross_corpus_stage)
+
+    def ivfpq_drift_stage():
+        from hadoop_search_spark.operators.similarity import (
+            _pq_code_expr,
+            ivf_assign,
+            ivf_centroids,
+            ivfpq_drift_stats,
+            pq_codebooks,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        big = emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * 2000).alias("vec_id"),
+            "embedding",
+        )
+        orig = big.filter(F.col("vec_id") % 4 != 0)
+        new = big.filter(F.col("vec_id") % 4 == 0)
+        cents = ivf_centroids(orig, 8)
+        books = pq_codebooks(orig)
+
+        def codes(df):
+            return ivf_assign(df, cents).select(
+                "cell", _pq_code_expr(books).alias("code")
+            )
+
+        return ivfpq_drift_stats(codes(orig), codes(new)).count()
+
+    stage("ivfpq_code_drift", ivfpq_drift_stage)
+
     print(json.dumps(timings))
     spark.stop()
     return 0
