@@ -46,9 +46,45 @@ COMMENTARY = {
         "ranking by a window partitioned on query_id."
     ),
     "events_sessionize": (
-        "Gaps-and-islands sessionization: one shuffle by user_id feeds "
-        "both window functions (lag and running sum share the sort "
-        "order) and the final per-session aggregate."
+        "Native session_window aggregation (r6): map-side PARTIAL "
+        "session aggregates before the one user_id exchange, "
+        "MergingSessions fuses overlapping windows, and the ordinal "
+        "session_id row_number runs over the SESSION-sized output "
+        "reusing the agg's partitioning — a Sort but no second "
+        "Exchange. No lag/cumsum window over the raw event stream."
+    ),
+    "sim_hamming_topk": (
+        "Binary sign-sketch ANN: the corpus side is a map-only "
+        "projection to two BIGINTs of sign bits (one transform fold "
+        "per half), the distance is bit_count(xor) — all-integer, "
+        "whole-stage codegen end to end — and the only wide ops are "
+        "the bounded broadcast of the query sketches and the "
+        "per-query top-k window. 16 bytes/vector scan: the "
+        "billion-scale first-stage filter."
+    ),
+    "search_hybrid_rrf": (
+        "Hybrid retrieval: the BM25 branch (stored index stats, "
+        "TakeOrdered-style rank window) and the exact-cosine branch "
+        "(broadcast query vector, corpus streams) each produce a "
+        "top-50, then ONE full-outer join of two 50-row frames and a "
+        "single-partition rank window fuse them — everything after "
+        "the per-ranker top-Ks is request-sized."
+    ),
+    "dedup_cross_corpus": (
+        "Snapshot-incremental dedup: new-side bands equi-join "
+        "ref-side bands on (band, band_key) — the candidate set is "
+        "cross-boundary only, ref-ref/new-new pairs never exist in "
+        "the plan — then the exact-Jaccard verify joins only "
+        "candidate docs' shingles. Verify cost ~ |new| x dup-rate."
+    ),
+    "sim_ivfpq_drift": (
+        "Code-space drift: one union of the two code frames, a "
+        "constant m-way posexplode (subspace powers), exact "
+        "IntegralDivide nibble unpack, then two aggregations over "
+        "(cell, s[, j]) — bins are C*m*k regardless of corpus size, "
+        "and the totals join-back broadcasts that tiny frame. No "
+        "division, no float: every flag is a DECIMAL(38,0) "
+        "cross-multiplication."
     ),
     "events_asof_attribution": (
         "As-of join as union+window: both event scans union (no join "
