@@ -3822,6 +3822,71 @@ def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_cascade_topk",
+    oracle=_EMB_CTE
+    + """
+, bits AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN x > 0 AND i <= 32
+                       THEN CAST(pow(2, 32 - i) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN x > 0 AND i > 32
+                       THEN CAST(pow(2, 64 - i) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS lo
+  FROM exp_e GROUP BY vec_id
+),
+hpairs AS (
+  SELECT qb.vec_id AS query_id, b.vec_id,
+         CAST(bit_count(xor(b.hi, qb.hi))
+            + bit_count(xor(b.lo, qb.lo)) AS BIGINT) AS hamming
+  FROM bits b
+  JOIN bits qb ON qb.vec_id IN (0, 1, 2, 3, 4)
+             AND b.vec_id <> qb.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, vec_id) AS hrn
+    FROM hpairs) t
+  WHERE hrn <= 100
+),
+cdots AS (
+  SELECT c.query_id, c.vec_id, sum(a.x * q.x) AS dot
+  FROM cand c
+  JOIN exp_e a ON a.vec_id = c.vec_id
+  JOIN exp_q q ON q.query_id = c.query_id AND q.i = a.i
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT d.query_id, d.vec_id,
+         round(d.dot / (na.nrm * nq.nrm), 9) AS cosine,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY round(d.dot / (na.nrm * nq.nrm), 9)
+                                     DESC, d.vec_id) AS rn
+  FROM cdots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN norms nq ON nq.vec_id = d.query_id) t
+WHERE rn <= 10
+""",
+    note="staged retrieval cascade (operators/similarity.py:"
+    "cascade_topk): Hamming prefilter over sign sketches (16 bytes/"
+    "vector, all-integer full scan) keeps top-100 per query, then "
+    "EXACT cosine reranks only those candidates — the serving "
+    "composition of the quantization ladder; exact scores over an "
+    "approximate candidate set, deterministic cutoffs at both "
+    "stages. Recall strictly >= plain hamming_topk at equal k "
+    "(pytest); prefilter width is the recall knob.",
+)
+def sim_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import cascade_topk
+
+    return cascade_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], 10, prefilter=100
+    )
+
+
+@register(
     "sim_quantize_int8",
     oracle="""
 WITH ex AS (
@@ -5630,6 +5695,7 @@ _DRIVER_FRONT = [
     "search_hybrid_rrf",
     "dedup_cross_corpus",
     "curation_tokenizer_report",
+    "sim_cascade_topk",
     # (b) CHANGED this round: sessionize re-implemented over native
     # session_window; the PQ family's expression trees restructured to
     # data-driven HOFs (hash-identical, but the rule is the rule); the

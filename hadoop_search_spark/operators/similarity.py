@@ -1652,6 +1652,60 @@ def hamming_recall(
     return _recall_vs_exact(embeddings, query_ids, k, approx)
 
 
+def cascade_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    prefilter: int = 100,
+    dim: int = 64,
+) -> DataFrame:
+    """Staged retrieval cascade — the serving composition of the
+    quantization ladder: stage 1 ranks the WHOLE corpus by sign-sketch
+    Hamming distance (16 bytes/vector, all-integer, memory-bandwidth
+    scan) and keeps the top ``prefilter`` per query; stage 2 reranks
+    ONLY those candidates by exact cosine over the raw vectors.
+    Output is :func:`cosine_topk`'s shape (query_id, vec_id, cosine,
+    rn) — exact scores, approximate candidate set.
+
+    Scale shape: stage 1 never touches a float; stage 2 touches
+    ``prefilter × |queries|`` raw vectors, fetched by broadcasting the
+    REQUEST-SIZED candidate id list against the corpus (a point-lookup
+    join on the primary key — at 100 TB, an id-sorted/bucketed vector
+    store serves it with file pruning). Recall vs the exact top-k is
+    the prefilter-width knob (:func:`cascade_recall`) — wider floor,
+    same exact rerank; at prefilter = corpus size the cascade IS
+    cosine_topk. Deterministic end to end: the Hamming cutoff ties
+    break on vec_id, the rerank ties on (cosine desc, vec_id)."""
+    cand = hamming_topk(embeddings, query_ids, prefilter, dim).select(
+        "query_id", "vec_id"
+    )
+    q = (
+        embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        .limit(len(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    pairs = embeddings.join(F.broadcast(cand), "vec_id").join(
+        F.broadcast(q), "query_id"
+    )
+    return _topk_per_query(pairs, k)
+
+
+def cascade_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    prefilter: int = 100,
+) -> float:
+    """Measured recall@k of the Hamming→exact cascade — strictly ≥
+    plain :func:`hamming_recall` at the same k (the rerank can only
+    fix stage-1 ordering mistakes inside the candidate set)."""
+    approx = cascade_topk(embeddings, query_ids, k, prefilter)
+    return _recall_vs_exact(embeddings, query_ids, k, approx)
+
+
 def embedding_quantize_int8(
     embeddings: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -1772,6 +1772,24 @@ def test_hamming_topk_matches_numpy_and_recall_floor(spark):
     rec = hamming_recall(emb, qids, 10)
     assert rec > 0.15  # 1-bit proxy beats the 10/499 random floor
 
+    # the cascade reranks hamming candidates with EXACT cosine: recall
+    # at equal k is >= the plain hamming path, and every returned row
+    # carries the true cosine (subset of the exact all-pairs scores)
+    from hadoop_search_spark.operators.similarity import (
+        cascade_recall,
+        cascade_topk,
+        cosine_topk,
+    )
+
+    crec = cascade_recall(emb, qids, 10, prefilter=100)
+    assert crec >= rec
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in cosine_topk(emb, qids, 499).collect()
+    }
+    for r in cascade_topk(emb, qids, 10, prefilter=100).collect():
+        assert exact[(r.query_id, r.vec_id)] == r.cosine
+
 
 def test_pq_trained_codebooks_reduce_quantization_error(spark):
     """Per-subspace k-means codebooks must be deterministic,
