@@ -3822,6 +3822,116 @@ def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivfpq_residual_topk",
+    oracle=_EMB_CTE
+    + """
+, cents AS (
+  SELECT vec_id AS cvec, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+cdots AS (
+  SELECT a.vec_id, ct.cell, ct.cvec, sum(a.x * c.x) AS dot
+  FROM exp_e a JOIN cents ct ON TRUE
+  JOIN exp_e c ON c.vec_id = ct.cvec AND c.i = a.i
+  GROUP BY a.vec_id, ct.cell, ct.cvec
+),
+ranked AS (
+  SELECT d.vec_id, d.cell,
+         row_number() OVER (PARTITION BY d.vec_id
+                            ORDER BY round(d.dot / (na.nrm * nc.nrm), 9)
+                                     DESC, d.cell) AS crn
+  FROM cdots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cvec
+),
+assigned AS (SELECT vec_id, cell FROM ranked WHERE crn = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM ranked
+           WHERE crn <= 2 AND vec_id IN (0, 1, 2, 3, 4)),
+rexp AS MATERIALIZED (
+  SELECT a.vec_id, a.i, a.x - c.x AS x, asg.cell
+  FROM exp_e a
+  JOIN assigned asg ON asg.vec_id = a.vec_id
+  JOIN cents ct ON ct.cell = asg.cell
+  JOIN exp_e c ON c.vec_id = ct.cvec AND c.i = a.i
+),
+seeds AS (
+  SELECT vec_id AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS j
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+sres AS MATERIALIZED (
+  SELECT sd.j, r.i, r.x FROM seeds sd JOIN rexp r ON r.vec_id = sd.sv
+),
+sdist AS MATERIALIZED (
+  SELECT r.vec_id, sr.j, CAST((r.i - 1) // 8 AS INT) AS s,
+         round(sum((r.x - sr.x) * (r.x - sr.x)), 9) AS d
+  FROM rexp r JOIN sres sr ON sr.i = r.i
+  GROUP BY r.vec_id, sr.j, (r.i - 1) // 8
+),
+best AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+    FROM sdist) t WHERE rn = 1
+),
+qres AS (
+  SELECT p.query_id, p.cell, e.i, e.x - c.x AS x
+  FROM probes p
+  JOIN exp_e e ON e.vec_id = p.query_id
+  JOIN cents ct ON ct.cell = p.cell
+  JOIN exp_e c ON c.vec_id = ct.cvec AND c.i = e.i
+),
+qdist AS MATERIALIZED (
+  SELECT q.query_id, q.cell, sr.j, CAST((q.i - 1) // 8 AS INT) AS s,
+         CAST(round(sum((q.x - sr.x) * (q.x - sr.x)), 9)
+              AS DECIMAL(18,9)) AS d
+  FROM qres q JOIN sres sr ON sr.i = q.i
+  GROUP BY q.query_id, q.cell, sr.j, (q.i - 1) // 8
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, a.cell
+  FROM probes p JOIN assigned a
+    ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+ad AS (
+  SELECT c.query_id, c.vec_id, CAST(sum(qd.d) AS DOUBLE) AS adist9
+  FROM cand c
+  JOIN best b ON b.vec_id = c.vec_id
+  JOIN qdist qd ON qd.query_id = c.query_id AND qd.cell = c.cell
+               AND qd.s = b.s AND qd.j = b.j
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, vec_id, adist9, rn FROM (
+  SELECT query_id, vec_id, adist9,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist9, vec_id) AS rn
+  FROM ad) t
+WHERE rn <= 10
+""",
+    note="RESIDUAL IVF-PQ — the standard FAISS IVFADC layout "
+    "(operators/similarity.py:ivf_pq_residual_topk): codes quantize "
+    "x - centroid[cell], the ADC LUT is per (query, PROBED CELL) "
+    "since the query's residual is relative to the candidate's cell "
+    "(nprobe x m·k decimals per query, still broadcast). Seed "
+    "residual codebooks here (SQL-replayable; the first 8 seeds are "
+    "the centroids themselves so their residuals are zero vectors). "
+    "Honest recall accounting on the clusterless fixture: "
+    "seed-residual 0.24/0.28/0.10 vs plain-seed 0.36/0.36/0.24 at "
+    "sf0.001/0.01/0.1 (trained-residual codebooks restore parity at "
+    "0.24/0.36/0.24) — residuals of near-RANDOM vectors are not "
+    "concentrated, so the layout's win only materializes on "
+    "clustered real embeddings; it ships for the architecture, "
+    "pinned exact by the numpy ADC differential and this oracle.",
+)
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import ivf_pq_residual_topk
+
+    return ivf_pq_residual_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], 10,
+        num_centroids=8, nprobe=2,
+    )
+
+
+@register(
     "sim_cascade_topk",
     oracle=_EMB_CTE
     + """
@@ -5696,6 +5806,7 @@ _DRIVER_FRONT = [
     "dedup_cross_corpus",
     "curation_tokenizer_report",
     "sim_cascade_topk",
+    "sim_ivfpq_residual_topk",
     # (b) CHANGED this round: sessionize re-implemented over native
     # session_window; the PQ family's expression trees restructured to
     # data-driven HOFs (hash-identical, but the rule is the rule); the

@@ -1070,8 +1070,10 @@ def pq_train_codebooks(
     return books
 
 
-def _pq_code_expr(books, dim: int = 64) -> F.Column:
-    """The packed-code COLUMN over an ``embedding`` column — exposed
+def _pq_code_expr(books, dim: int = 64, col: F.Column | None = None) -> F.Column:
+    """The packed-code COLUMN over an ``embedding`` column (or any
+    array column passed as ``col`` — the residual path encodes
+    ``embedding − centroid[cell]``) — exposed
     separately so composing operators (ivf_pq_topk) can project cell
     and code in one scan instead of joining two derivations.
 
@@ -1083,9 +1085,10 @@ def _pq_code_expr(books, dim: int = 64) -> F.Column:
     and unchanged driver hashes)."""
     m, k = len(books), len(books[0])
     sub = dim // m
+    vec = F.col("embedding") if col is None else col
     code = F.lit(0).cast("bigint")
     for s in range(m):
-        d = _pq_sub_dists(F.col("embedding"), s, books[s], sub)
+        d = _pq_sub_dists(vec, s, books[s], sub)
         best = F.array_position(d, F.array_min(d)) - F.lit(1).cast("bigint")
         code = code + best * F.lit(int(k**s))
     return code
@@ -1220,6 +1223,151 @@ def ivf_pq_topk(
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k_results)
     )
+
+
+def _residual_expr(emb: F.Column, centroids) -> F.Column:
+    """``embedding − centroid[cell]`` as a pointwise array expression
+    (requires a ``cell`` column in scope). Pure IEEE subtraction —
+    bit-identical cross-engine, no rounding needed."""
+    cvecs = F.array(
+        *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in centroids]
+    )
+    return F.zip_with(
+        emb,
+        F.element_at(cvecs, (F.col("cell") + 1).cast("int")),
+        lambda x, c: x.cast("double") - c,
+    )
+
+
+def pq_residual_codebooks(
+    embeddings: DataFrame,
+    centroids,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = 64,
+):
+    """Seed PQ codebooks over RESIDUALS: the subvectors of the ``k``
+    smallest vec_ids' ``x − centroid[cell]`` vectors — the
+    :func:`pq_codebooks` policy applied in residual space (note the
+    first ``num_centroids`` seeds ARE the coarse centroids, so their
+    residuals are zero vectors; deterministic, and the quality path is
+    the trained variant — :func:`pq_train_codebooks` over a residual
+    frame). Residual arithmetic here is the same pointwise float64
+    subtraction the Spark expression performs."""
+    sub = dim // m
+    cmap = {c: vec for c, vec in centroids}
+    rows = (
+        ivf_assign(embeddings, centroids)
+        .select("vec_id", "cell", "embedding")
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    books = []
+    for s in range(m):
+        books.append(
+            [
+                [
+                    float(r.embedding[s * sub + i])
+                    - float(cmap[int(r.cell)][s * sub + i])
+                    for i in range(sub)
+                ]
+                for r in rows
+            ]
+        )
+    return books
+
+
+def ivf_pq_residual_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k_results: int = 10,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NPROBE,
+    centroids=None,
+    books=None,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF + RESIDUAL product quantization — the standard IVFADC
+    layout: each vector's code quantizes ``x − centroid[cell]``, not
+    ``x``. Residuals concentrate near the origin (the coarse
+    quantizer has already explained the cell's mean), so the same
+    m·k code budget spends its resolution on the part of the vector
+    the cell DIDN'T capture — tighter codes at identical bits, which
+    is why FAISS's IVFADC defaults to residual encoding.
+
+    The ADC table becomes per (query, PROBED CELL): the query's
+    residual is relative to the candidate's cell, so each probe row
+    carries its own LUT (nprobe × m·k decimals per query — still
+    request-sized, still broadcast). Everything else is
+    :func:`ivf_pq_topk`'s shape: one map-only index projection of
+    (vec_id, cell, code), candidates only from probed cells, exact
+    decimal ADC sums, (adist asc, vec_id) ranking."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, num_centroids)
+    )
+    if books is None:
+        books = pq_residual_codebooks(embeddings, cents, dim=dim)
+    m, kc = len(books), len(books[0])
+    sub = dim // m
+    indexed = ivf_assign(embeddings, cents).select(
+        "vec_id",
+        "cell",
+        _pq_code_expr(
+            books, dim, col=_residual_expr(F.col("embedding"), cents)
+        ).alias("code"),
+    )
+    q = (
+        embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        .limit(len(query_ids))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    ranking = _cell_ranking(F.col("embedding"), cents)
+    probes = q.select(
+        "query_id",
+        "embedding",
+        F.explode(F.slice(ranking, 1, nprobe)).alias("probe"),
+    ).select("query_id", "embedding", F.col("probe.cell").alias("cell"))
+    qres = _residual_expr(F.col("embedding"), cents)
+    probes_lut = probes.select(
+        "query_id", "cell", _pq_lut(qres, books, sub).alias("lut")
+    )
+    pairs = indexed.join(F.broadcast(probes_lut), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adist = F.lit(0).cast("decimal(18,9)")
+    for s in range(m):
+        code_s = F.expr(f"CAST((code div {int(kc ** s)}) % {kc} AS INT)")
+        adist = adist + F.element_at(
+            F.col("lut"), F.lit(s * kc) + code_s + F.lit(1)
+        )
+    scored = pairs.select(
+        "query_id", "vec_id", adist.cast("double").alias("adist9")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist9"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k_results)
+    )
+
+
+def ivf_pq_residual_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NPROBE,
+) -> float:
+    """Measured recall@k of the residual IVFADC path vs the exact
+    top-k — comparable against :func:`ivf_pq_recall` at identical
+    (num_centroids, nprobe, m, k) to see what residual encoding
+    buys."""
+    approx = ivf_pq_residual_topk(
+        embeddings, query_ids, k, num_centroids, nprobe
+    )
+    return _recall_vs_exact(embeddings, query_ids, k, approx)
 
 
 def write_ivfpq_index(

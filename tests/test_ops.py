@@ -1576,6 +1576,68 @@ def test_ivf_pq_composed_candidates_and_distances(spark):
         assert r.adist9 == float(want)
 
 
+def test_ivf_pq_residual_matches_manual_adc(spark):
+    """Residual IVFADC (FAISS layout): every result lies in a probed
+    coarse cell; the stored code quantizes the RESIDUAL
+    x − centroid[cell] (codes re-derived independently by numpy argmin
+    over residual subvectors, ties to lowest id); and the ADC distance
+    equals the per-(query, candidate-cell) residual LUT sum for that
+    code — the query's residual is taken against the CANDIDATE's
+    cell."""
+    from decimal import Decimal
+
+    import numpy as np
+
+    from hadoop_search_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_pq_residual_topk,
+        pq_residual_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, 8)
+    books = pq_residual_codebooks(emb, cents)
+    rows = ivf_pq_residual_topk(
+        emb, [0, 2], 5, num_centroids=8, nprobe=2
+    ).collect()
+    assert {r.query_id for r in rows} == {0, 2}
+
+    cells = {r.vec_id: int(r.cell) for r in ivf_assign(emb, cents).collect()}
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+    cvecs = {c: np.array(v) for c, v in cents}
+
+    def res(v):
+        return vecs[v] - cvecs[cells[v]]
+
+    def code_j(v, s):
+        rsub = res(v)[s * 8 : (s + 1) * 8]
+        ds = [round(float(((rsub - np.array(books[s][j])) ** 2).sum()), 9)
+              for j in range(16)]
+        return min(range(16), key=lambda j: (ds[j], j))
+
+    def probe_cells(qv):
+        scored = []
+        for cell, cvec in cents:
+            c = np.array(cvec)
+            cos = round(float(qv @ c) / (np.linalg.norm(qv) * np.linalg.norm(c)), 9)
+            scored.append((-cos, cell))
+        return {cell for _, cell in sorted(scored)[:2]}
+
+    for r in rows:
+        cand_cell = cells[r.vec_id]
+        assert cand_cell in probe_cells(vecs[r.query_id])
+        qres = vecs[r.query_id] - cvecs[cand_cell]
+        want = Decimal(0)
+        for s in range(8):
+            j = code_j(r.vec_id, s)
+            d = round(float(((qres[s * 8 : (s + 1) * 8]
+                              - np.array(books[s][j])) ** 2).sum()), 9)
+            want += Decimal(str(d))
+        assert r.adist9 == float(want)
+
+
 def test_ivfpq_index_serve_equals_in_memory(spark, tmp_path):
     """Published IVF-PQ index: serving from the codes-only on-disk
     layout (no raw vectors stored) must return EXACTLY what the
