@@ -77,6 +77,23 @@ COMMENTARY = {
         "the plan — then the exact-Jaccard verify joins only "
         "candidate docs' shingles. Verify cost ~ |new| x dup-rate."
     ),
+    "sim_cascade_topk": (
+        "Staged retrieval: stage 1 is the all-integer Hamming scan "
+        "with its partial+final WindowGroupLimit (top-100 per query); "
+        "stage 2 broadcasts that REQUEST-SIZED candidate list back "
+        "against the corpus (equi-join on the primary key — a point "
+        "lookup at scale) and reranks by exact cosine, so only "
+        "prefilter x |queries| raw vectors are ever touched with "
+        "floats."
+    ),
+    "sim_ivfpq_residual_topk": (
+        "Residual IVFADC: the index side is ONE map-only projection — "
+        "cell assignment, residual subtraction, and the HOF code "
+        "expression compose into a single scan — and the query side "
+        "broadcasts per-(query, probed-cell) residual LUTs. Candidate "
+        "generation and scoring identical in shape to the plain "
+        "IVF-PQ plan; only the encoded quantity changed."
+    ),
     "sim_ivfpq_drift": (
         "Code-space drift: one union of the two code frames, a "
         "constant m-way posexplode (subspace powers), exact "
