@@ -172,3 +172,37 @@ class StreamingIvfIndexer:
         if not committed:
             return None
         return self.spark.read.option("basePath", base).parquet(*committed)
+
+    def persistent_drift(self, k: int = 2) -> DataFrame | None:
+        """Cells flagged in EACH of the last ``k`` committed epochs →
+        (cell) — the trend form of the rebuild trigger: one odd batch
+        trips a single epoch's flag, a genuinely shifted distribution
+        keeps tripping it (every epoch's report compares the FULL
+        appended lineage against the build, so persistence means the
+        drift isn't washing out as data accumulates). Returns None
+        with fewer than k committed epochs (no evidence either way) —
+        never an empty frame masquerading as 'no drift'."""
+        rep = self.drift_reports()
+        if rep is None:
+            return None
+        last = [
+            r.epoch
+            for r in rep.select("epoch")
+            .distinct()
+            .orderBy(F.desc("epoch"))
+            .limit(k)
+            .collect()
+        ]
+        if len(last) < k:
+            return None
+        return (
+            rep.filter(F.col("epoch").isin(last))
+            .groupBy("cell")
+            .agg(
+                F.sum(F.when(F.col("drifted"), 1).otherwise(0)).alias(
+                    "n_drifted"
+                )
+            )
+            .filter(F.col("n_drifted") >= k)
+            .select("cell")
+        )

@@ -203,6 +203,14 @@ def test_streaming_ivf_indexer_full_online_loop(spark, tmp_path):
         "epoch < 2 AND drifted"
     ).count() == 0
 
+    # trend trigger: one flagged epoch is not yet persistent at k=2
+    # (epoch 1 was quiet); a second shifted epoch makes it so
+    assert {r.cell for r in ix.persistent_drift(k=1).collect()} == {2}
+    assert ix.persistent_drift(k=2).count() == 0
+    e3_rows = [(400 + i, vec(2, 4 + i, 2.2)) for i in range(10)]
+    ix.process_batch(spark.createDataFrame(e3_rows, VECS_SCHEMA), 3)
+    assert {r.cell for r in ix.persistent_drift(k=2).collect()} == {2}
+
 
 def test_streaming_vector_dedup_stream_api(spark, tmp_path):
     rng = random.Random(5)
