@@ -3822,6 +3822,105 @@ def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_cascade3_topk",
+    oracle=_EMB_CTE
+    + _PQ_CTES
+    + """,
+bits AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN x > 0 AND i <= 32
+                       THEN CAST(pow(2, 32 - i) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN x > 0 AND i > 32
+                       THEN CAST(pow(2, 64 - i) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS lo
+  FROM exp_e GROUP BY vec_id
+),
+hpairs AS (
+  SELECT qb.vec_id AS query_id, b.vec_id,
+         CAST(bit_count(xor(b.hi, qb.hi))
+            + bit_count(xor(b.lo, qb.lo)) AS BIGINT) AS hamming
+  FROM bits b
+  JOIN bits qb ON qb.vec_id IN (0, 1, 2, 3, 4)
+             AND b.vec_id <> qb.vec_id
+),
+cand1 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, vec_id) AS hrn
+    FROM hpairs) t
+  WHERE hrn <= 200
+),
+qlut AS (
+  SELECT a.vec_id AS query_id, sd.j, CAST((a.i - 1) // 8 AS INT) AS s,
+         CAST(round(sum((a.x - c.x) * (a.x - c.x)), 9) AS DECIMAL(18,9)) AS d
+  FROM exp_e a
+  JOIN seeds sd ON TRUE
+  JOIN exp_e c ON c.vec_id = sd.sv AND c.i = a.i
+  WHERE a.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY a.vec_id, sd.j, (a.i - 1) // 8
+),
+vcodes AS (
+  SELECT c.vec_id, ss.s,
+         CAST((c.code // CAST(pow(16, ss.s) AS BIGINT)) % 16 AS INT) AS j
+  FROM pqcodes c CROSS JOIN (SELECT unnest(range(8)) AS s) ss
+),
+adist AS (
+  SELECT c1.query_id, c1.vec_id, CAST(sum(q.d) AS DOUBLE) AS adist9
+  FROM cand1 c1
+  JOIN vcodes v ON v.vec_id = c1.vec_id
+  JOIN qlut q ON q.query_id = c1.query_id AND q.s = v.s AND q.j = v.j
+  GROUP BY c1.query_id, c1.vec_id
+),
+cand2 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist9, vec_id) AS arn
+    FROM adist) t
+  WHERE arn <= 40
+),
+cdots3 AS (
+  SELECT c2.query_id, c2.vec_id, sum(a.x * qq.x) AS dot
+  FROM cand2 c2
+  JOIN exp_e a ON a.vec_id = c2.vec_id
+  JOIN exp_q qq ON qq.query_id = c2.query_id AND qq.i = a.i
+  GROUP BY c2.query_id, c2.vec_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT d.query_id, d.vec_id,
+         round(d.dot / (na.nrm * nq.nrm), 9) AS cosine,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY round(d.dot / (na.nrm * nq.nrm), 9)
+                                     DESC, d.vec_id) AS rn
+  FROM cdots3 d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN norms nq ON nq.vec_id = d.query_id) t
+WHERE rn <= 10
+""",
+    note="three-stage retrieval funnel (operators/similarity.py:"
+    "cascade3_topk) — every tier of the quantization ladder in one "
+    "plan: sign-bit Hamming scan (16 B/vector) -> top-200, PQ ADC "
+    "rerank through the broadcast LUT (1 BIGINT code/vector) -> "
+    "top-40, exact cosine over the survivors -> top-10. The corpus "
+    "is only ever scanned at the bit tier; codes and floats are "
+    "point-fetched for width x |queries| candidates. Deterministic "
+    "cutoffs at every stage (rank + id tie-breaks) make the whole "
+    "funnel SQL-exact; (w1, w2) is the recall/byte-traffic dial.",
+)
+def sim_cascade3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import (
+        cascade3_topk,
+        pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cascade3_topk(emb, [0, 1, 2, 3, 4], 10, w1=200, w2=40,
+                         books=pq_codebooks(emb))
+
+
+@register(
     "sim_ivfpq_residual_topk",
     oracle=_EMB_CTE
     + """
@@ -5807,6 +5906,7 @@ _DRIVER_FRONT = [
     "curation_tokenizer_report",
     "sim_cascade_topk",
     "sim_ivfpq_residual_topk",
+    "sim_cascade3_topk",
     # (b) CHANGED this round: sessionize re-implemented over native
     # session_window; the PQ family's expression trees restructured to
     # data-driven HOFs (hash-identical, but the rule is the rule); the

@@ -1854,6 +1854,90 @@ def cascade_recall(
     return _recall_vs_exact(embeddings, query_ids, k, approx)
 
 
+def cascade3_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    w1: int = 200,
+    w2: int = 40,
+    books=None,
+    dim: int = 64,
+) -> DataFrame:
+    """The FULL three-stage retrieval cascade — every tier of the
+    quantization ladder in one serving plan:
+
+    1. **sign bits** (2 BIGINTs/vector): Hamming scan of the whole
+       corpus, keep top ``w1`` per query;
+    2. **PQ codes** (1 BIGINT/vector): ADC rerank of the w1
+       candidates through the broadcast per-query LUT, keep top
+       ``w2`` (ties on adist break by vec_id);
+    3. **raw floats**: exact cosine over the surviving w2.
+
+    Each stage touches ~width × |queries| rows of the NEXT tier's
+    representation — the corpus is only ever scanned at 16
+    bytes/vector; codes and floats are point-fetched for candidates
+    (broadcast id joins; pruned lookups against the stored index at
+    scale). Output is :func:`cosine_topk`'s shape with exact final
+    scores. Every cutoff is deterministic (rank + id tie-breaks), so
+    the whole funnel is SQL-oracle-exact; the width pair (w1, w2) is
+    the recall/byte-traffic dial."""
+    if books is None:
+        books = pq_codebooks(embeddings, dim=dim)
+    m, kc = len(books), len(books[0])
+    sub = dim // m
+    c1 = hamming_topk(embeddings, query_ids, w1, dim).select(
+        "query_id", "vec_id"
+    )
+    q = (
+        embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        .limit(len(query_ids))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    qlut = q.select(
+        "query_id", _pq_lut(F.col("embedding"), books, sub).alias("lut")
+    )
+    cand_codes = (
+        embeddings.join(F.broadcast(c1), "vec_id")
+        .select("query_id", "vec_id", _pq_code_expr(books, dim).alias("code"))
+        .join(F.broadcast(qlut), "query_id")
+    )
+    adist = F.lit(0).cast("decimal(18,9)")
+    for s in range(m):
+        code_s = F.expr(f"CAST((code div {int(kc ** s)}) % {kc} AS INT)")
+        adist = adist + F.element_at(
+            F.col("lut"), F.lit(s * kc) + code_s + F.lit(1)
+        )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adist9"), F.asc("vec_id")
+    )
+    c2 = (
+        cand_codes.select(
+            "query_id", "vec_id", adist.cast("double").alias("adist9")
+        )
+        .withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= w2)
+        .select("query_id", "vec_id")
+    )
+    pairs = embeddings.join(F.broadcast(c2), "vec_id").join(
+        F.broadcast(q.select("query_id", F.col("embedding").alias("q_emb"))),
+        "query_id",
+    )
+    return _topk_per_query(pairs, k)
+
+
+def cascade3_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    w1: int = 200,
+    w2: int = 40,
+) -> float:
+    """Measured recall@k of the three-stage funnel vs the exact
+    top-k — the (w1, w2) width dial made a number."""
+    approx = cascade3_topk(embeddings, query_ids, k, w1, w2)
+    return _recall_vs_exact(embeddings, query_ids, k, approx)
+
+
 def embedding_quantize_int8(
     embeddings: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -1766,6 +1766,35 @@ def test_ivfpq_index_add_equals_rebuild_and_code_drift_flags(
     )
 
 
+def test_cascade3_full_width_equals_exact(spark):
+    """The three-stage funnel at full widths IS the exact search
+    (both cutoffs become no-ops), and at the default widths every
+    returned cosine is still the true all-pairs score — the funnel
+    approximates candidate GENERATION only, never scoring."""
+    from hadoop_search_spark.operators.similarity import (
+        cascade3_topk,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = {
+        (r.query_id, r.vec_id, r.cosine, r.rn)
+        for r in cascade3_topk(emb, [0, 2], 10, w1=499, w2=499).collect()
+    }
+    exact_top = {
+        (r.query_id, r.vec_id, r.cosine, r.rn)
+        for r in cosine_topk(emb, [0, 2], 10).collect()
+    }
+    assert full == exact_top and full
+
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in cosine_topk(emb, [0, 2], 499).collect()
+    }
+    for r in cascade3_topk(emb, [0, 2], 10).collect():
+        assert exact[(r.query_id, r.vec_id)] == r.cosine
+
+
 def test_cross_corpus_dedup_sides_and_verdicts(spark):
     """Cross-corpus pairs are strictly ref-side x new-side (never
     ref-ref or new-new even for identical texts WITHIN a side), the
