@@ -86,6 +86,15 @@ COMMENTARY = {
         "prefilter x |queries| raw vectors are ever touched with "
         "floats."
     ),
+    "sim_cascade3_topk": (
+        "The full quantization funnel: the Hamming stage's "
+        "partial+final WindowGroupLimit bounds the corpus scan's "
+        "output to w1 rows/query; the ADC stage joins that broadcast "
+        "candidate list back to the corpus ONLY to project codes "
+        "(map-only encode on request-sized rows) and windows to w2; "
+        "the exact stage point-fetches w2 raw vectors. Three tiers, "
+        "one plan, floats touched only at the end."
+    ),
     "sim_ivfpq_residual_topk": (
         "Residual IVFADC: the index side is ONE map-only projection — "
         "cell assignment, residual subtraction, and the HOF code "
