@@ -1646,6 +1646,63 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_boundary",
+    # Boundary-preserving BPE (GPT-2's Ġ word-start convention) —
+    # training is iterative, so the oracle is a golden parquet from
+    # the INDEPENDENT pure-Python trainer+encoder+decoder
+    # (scripts/make_goldens.py:golden_bpe_boundary), corpus-bytes
+    # keyed per scale factor with the explicit GOLDEN-MISS sentinel.
+    oracle=f"""
+WITH g AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/text_bpe_boundary.parquet')),
+fp AS (SELECT CAST(sum(strlen(text)) AS BIGINT) AS cb FROM documents)
+SELECT doc_id, n_words, n_tokens, encoded, roundtrip_ok
+FROM g, fp WHERE g.corpus_bytes = fp.cb
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS n_words,
+       CAST(-1 AS BIGINT) AS n_tokens,
+       'GOLDEN-MISS: no golden rows for corpus_bytes=' || CAST(fp.cb AS VARCHAR) AS encoded,
+       FALSE AS roundtrip_ok
+FROM fp WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.corpus_bytes = fp.cb)
+""",
+    note="LOSSLESS tokenization round trip: train 16 merges on the "
+    "boundary-marked raw-case word stream (every space absorbed into "
+    "the following word as GPT-2's Ġ marker, empty pieces carrying "
+    "space runs), encode every doc, decode it back, and emit per-doc "
+    "roundtrip_ok = (decode(encode(text)) == text) — TRUE for every "
+    "fixture doc, so a regression in either direction of the codec "
+    "fails the driver hash. Same distinct-word-table scale shape as "
+    "text_bpe_encode (model applies to the Zipf-small vocabulary, "
+    "one Arrow-batched pandas UDF, JVM-side reassembly); decode is "
+    "map-only split+concat+translate. The one documented boundary: "
+    "input text containing the marker itself (U+0120) decodes its Ġ "
+    "as a space — surfaced by the flag, absent from the fixtures, "
+    "pinned by pytest.",
+)
+def text_bpe_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.textstats import (
+        bpe_decode,
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=16, boundary=True)
+    enc = bpe_encode(docs, merges, boundary=True)
+    dec = bpe_decode(enc, boundary=True)
+    return (
+        enc.join(dec, "doc_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            "encoded",
+            (F.col("decoded") == F.col("text")).alias("roundtrip_ok"),
+        )
+    )
+
+
+@register(
     "text_heavy_hitters",
     oracle="""
 SELECT word, count(*) AS n FROM (
@@ -5957,6 +6014,10 @@ _DRIVER_FRONT = [
     "text_repetition",
     "text_surprisal",
     "text_zipf_histogram",
+    # (e) NEW in the late-r6 continuation session, taking the one free
+    # slot under the driver's 50-entry cap (the slot was a bonus
+    # re-verify of q1_pricing_summary, which holds fresh r4/r5 rows):
+    "text_bpe_boundary",
     # (the r5 front-50 — the media trio, r2-stale refreshes, and the
     # eleven r5-new entries — all recorded green r5 rows and rotate to
     # the tail. After r6 records, no entry's latest driver row should

@@ -587,8 +587,43 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text", top: int = 32) -> D
     )
 
 
+BOUNDARY_MARK = "Ġ"  # 'Ġ' — GPT-2's word-start marker
+
+def _boundary_words(docs: DataFrame, text_col: str) -> DataFrame:
+    """Positional marked-word stream for the boundary-preserving BPE
+    variant → ``(doc_id, pos, w)``. The RAW text (no lowercasing —
+    case is information) splits on single spaces with empties KEPT:
+    an empty piece at pos > 0 carries one space of a run, and each
+    piece after the first is prefixed with ``BOUNDARY_MARK`` standing
+    for the space that preceded it (GPT-2's Ġ convention). Every
+    character of the original text therefore lives in exactly one
+    marked word — the encode of this stream is invertible. Tabs and
+    newlines are ordinary in-word characters (only the ASCII space is
+    a word boundary, exactly the corpus separator)."""
+    pieces = F.split(F.col(text_col), " ", -1)
+    raw = docs.select("doc_id", F.posexplode(pieces).alias("pos", "piece"))
+    marked = F.when(
+        F.col("pos") > 0, F.concat(F.lit(BOUNDARY_MARK), F.col("piece"))
+    ).otherwise(F.col("piece"))
+    return raw.select("doc_id", "pos", marked.alias("w"))
+
+
+def _boundary_word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """Marked-word frequency table for boundary-mode training. Empty
+    pieces (a doc's pos-0 piece when the text starts with a space)
+    have no symbols and are excluded — they could contribute no pairs
+    and the char-split expression assumes length >= 1."""
+    return (
+        _boundary_words(docs, text_col)
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+
+
 def bpe_train(
-    docs: DataFrame, n_merges: int = 10, text_col: str = "text"
+    docs: DataFrame, n_merges: int = 10, text_col: str = "text",
+    boundary: bool = False,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Iterative BPE training as DataFrame ops: learn ``n_merges``
     merges from the corpus, greedily taking the most frequent
@@ -596,6 +631,13 @@ def bpe_train(
     and merging it left-to-right in every word. Returns the ordered
     merge list (the MODEL — driver-held, like k-means centroids) and
     the final (w, c, syms) symbol table.
+
+    With ``boundary=True`` the word table is the boundary-preserving
+    marked stream (:func:`_boundary_words`): raw-case words carrying
+    GPT-2's Ġ word-start marker, so the learned merges can absorb the
+    marker into frequent word-initial sequences ("Ġt" + "he") exactly
+    as GPT-2's tokenizer does, and :func:`bpe_decode` can restore the
+    original spaces losslessly.
 
     The merge application is a Catalyst ``aggregate`` fold over the
     symbol array (append, or fuse with the accumulator's last element
@@ -605,8 +647,13 @@ def bpe_train(
     pattern); only the single winning pair crosses to the driver per
     round."""
     chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    wc = (
+        _boundary_word_counts(docs, text_col)
+        if boundary
+        else _word_counts(docs, text_col)
+    )
     syms = (
-        _word_counts(docs, text_col)
+        wc
         .select("w", "c", chars.alias("syms"))
         .localCheckpoint(eager=False)
     )
@@ -648,7 +695,8 @@ def bpe_train(
 
 
 def bpe_encode(
-    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text",
+    boundary: bool = False,
 ) -> DataFrame:
     """Apply a trained BPE merge list (the model from
     :func:`bpe_train`) to the corpus → ``(doc_id, n_words, n_tokens,
@@ -656,6 +704,15 @@ def bpe_encode(
     ``n_tokens`` its length. Completes the tokenizer lifecycle:
     ``bpe_pair_counts`` (candidates) → ``bpe_train`` (model) →
     ``bpe_encode`` (application).
+
+    With ``boundary=True`` the stream is the boundary-preserving
+    marked form (:func:`_boundary_words`): raw case, every original
+    space absorbed into the following word as the Ġ marker, empty
+    pieces kept (they carry runs of spaces). The encode is then
+    INVERTIBLE — ``bpe_decode(..., boundary=True)`` restores the
+    exact original text for any input that does not itself contain
+    the marker character — and ``n_words`` counts split pieces
+    (spaces + 1), not non-empty tokens.
 
     Merges are applied in rank order, each greedily left-to-right
     with the fused symbol blocking overlap ("aaa" + (a,a) → [aa, a])
@@ -698,8 +755,13 @@ def bpe_encode(
 
         return ws.map(one)
 
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
-    words = docs.select("doc_id", F.posexplode(toks).alias("pos", "w"))
+    if boundary:
+        words = _boundary_words(docs, text_col)
+    else:
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+        )
+        words = docs.select("doc_id", F.posexplode(toks).alias("pos", "w"))
     table = words.select("w").distinct().select("w", enc("w").alias("syms"))
     ordered = F.array_sort(F.collect_list(F.struct("pos", "syms")))
     flat = F.flatten(F.transform(ordered, lambda s: s["syms"]))
@@ -725,7 +787,8 @@ def bpe_encode(
 
 
 def bpe_decode(
-    encoded: DataFrame, encoded_col: str = "encoded"
+    encoded: DataFrame, encoded_col: str = "encoded",
+    boundary: bool = False,
 ) -> DataFrame:
     """Invert :func:`bpe_encode` → ``(doc_id, decoded)``. BPE merges
     only CONCATENATE characters, so decoding a symbol stream is
@@ -736,25 +799,30 @@ def bpe_decode(
     original inter-word spaces are indistinguishable from
     inter-symbol separators and cannot be restored —
     ``decode(encode(x))`` equals ``x`` lowercased with all whitespace
-    removed (the normalization the round-trip property test pins). A
-    boundary-preserving scheme (GPT-2's Ġ word-start marker) would
-    make the loss zero; the reference's corpus format has no such
-    convention, so neither does this encode.
+    removed (the normalization the round-trip property test pins).
+
+    With ``boundary=True`` (inverting ``bpe_encode(...,
+    boundary=True)``) the loss is ZERO: symbols re-concatenate and
+    every Ġ marker translates back to the space it absorbed, so
+    ``decode(encode(x)) == x`` exactly — raw case, leading/trailing/
+    consecutive spaces, tabs and newlines included — for any ``x``
+    that does not itself contain the marker character U+0120 (an
+    input Ġ is indistinguishable from an absorbed space; the catalog
+    entry surfaces this as a per-doc ``roundtrip_ok`` flag rather
+    than guessing).
 
     Malformed input degrades predictably: symbols are validated only
     structurally (the split), not against a vocabulary — decoding a
     stream an arbitrary model produced still concatenates its
     symbols, which is the correct BPE semantics (detokenization never
     consults the merge table)."""
-    return encoded.select(
-        "doc_id",
-        F.array_join(
-            F.filter(
-                F.split(F.col(encoded_col), " "), lambda s: s != ""
-            ),
-            "",
-        ).alias("decoded"),
+    joined = F.array_join(
+        F.filter(F.split(F.col(encoded_col), " "), lambda s: s != ""),
+        "",
     )
+    if boundary:
+        joined = F.translate(joined, BOUNDARY_MARK, " ")
+    return encoded.select("doc_id", joined.alias("decoded"))
 
 
 def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:

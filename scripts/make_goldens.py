@@ -197,6 +197,57 @@ def golden_bpe_encode(docs: list[tuple[int, str]]) -> list[tuple]:
     return sorted(rows)
 
 
+BOUNDARY_MARK = "Ġ"  # Ġ — must match textstats.BOUNDARY_MARK
+
+
+def golden_bpe_boundary(docs: list[tuple[int, str]]) -> list[tuple]:
+    """(doc_id, n_words, n_tokens, encoded, roundtrip_ok):
+    independent pure-Python boundary-preserving BPE — the raw-case
+    text splits on single spaces with empties kept, every piece after
+    the first absorbs its preceding space as a Ġ prefix, BPE_MERGES
+    merges train on the non-empty marked-word counts (count desc,
+    pair-tuple asc ties) and apply in rank order left-to-right with
+    the fused symbol blocking overlap; decode re-concatenates the
+    symbol stream and translates Ġ back to a space, and roundtrip_ok
+    records whether that restores the original text exactly."""
+
+    def marked(text: str) -> list[str]:
+        ps = text.split(" ")
+        return [ps[0]] + [BOUNDARY_MARK + p for p in ps[1:]]
+
+    wc = Counter(w for _, t in docs for w in marked(t) if w)
+    syms = {w: list(w) for w in wc}
+    merges: list[tuple[str, str]] = []
+    for _ in range(BPE_MERGES):
+        pc: Counter[tuple[str, str]] = Counter()
+        for w, c in wc.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        x, y = best
+        for w, s in syms.items():
+            out: list[str] = []
+            for tok in s:
+                if out and out[-1] == x and tok == y:
+                    out[-1] = x + y
+                else:
+                    out.append(tok)
+            syms[w] = out
+    rows = []
+    for doc_id, text in docs:
+        ws = marked(text)
+        enc = [t for w in ws for t in syms.get(w, [])]
+        decoded = "".join(enc).replace(BOUNDARY_MARK, " ")
+        rows.append(
+            (doc_id, len(ws), len(enc), " ".join(enc), decoded == text)
+        )
+    return sorted(rows)
+
+
 def _load_embeddings(sf_dir: str) -> list[tuple[int, list[float]]]:
     con = duckdb.connect()
     rows = con.execute(
@@ -506,6 +557,10 @@ def _spark_rows(sf_dir: str):
         (r.doc_id, r.n_words, r.n_tokens, r.encoded)
         for r in CATALOG["text_bpe_encode"].fn(spark, sf_dir).collect()
     )
+    bpeb = sorted(
+        (r.doc_id, r.n_words, r.n_tokens, r.encoded, r.roundtrip_ok)
+        for r in CATALOG["text_bpe_boundary"].fn(spark, sf_dir).collect()
+    )
     pca = sorted(
         (r.vec_id, r.p0, r.p1, r.p2, r.p3)
         for r in CATALOG["sim_pca_project"].fn(spark, sf_dir).collect()
@@ -532,7 +587,7 @@ def _spark_rows(sf_dir: str):
         (r.query_id, r.vec_id, r.adist9, r.rn)
         for r in CATALOG["sim_pq_trained_topk"].fn(spark, sf_dir).collect()
     )
-    return stemmed, sorted(render), bpe, pca, auth, png, wav, mp4, pqt
+    return stemmed, sorted(render), bpe, bpeb, pca, auth, png, wav, mp4, pqt
 
 
 def _write_golden(con, name: str, ddl_cols: str, rows: list[tuple]) -> None:
@@ -560,6 +615,7 @@ def main() -> int:
     stemmed_rows: list[tuple] = []
     render_rows: list[tuple] = []
     bpe_rows: list[tuple] = []
+    bpeb_rows: list[tuple] = []
     pca_rows: list[tuple] = []
     auth_rows: list[tuple] = []
     png_rows: list[tuple] = []
@@ -575,13 +631,14 @@ def main() -> int:
         stemmed = golden_stemmed_cnf(docs)
         render = golden_render_page(docs)
         bpe = golden_bpe_encode(docs)
+        bpeb = golden_bpe_boundary(docs)
         pca = golden_pca_project(embs)
         auth = golden_graph_authority(sf_dir, docs)
         png = golden_png_decode(docs)
         wav = golden_wav_decode(docs)
         mp4 = golden_mp4_decode(docs)
         pqt = golden_pq_trained_topk(embs)
-        (got_stemmed, got_render, got_bpe, got_pca, got_auth,
+        (got_stemmed, got_render, got_bpe, got_bpeb, got_pca, got_auth,
          got_png, got_wav, got_mp4, got_pqt) = _spark_rows(sf_dir)
         if got_stemmed != stemmed:
             print(f"DIVERGENCE search_stemmed_cnf @ {sf_dir}")
@@ -603,6 +660,20 @@ def main() -> int:
                     print("  golden:", g)
                     print("  spark :", s)
                     break
+            ok = False
+        if got_bpeb != bpeb:
+            print(f"DIVERGENCE text_bpe_boundary @ {sf_dir}")
+            for g, s in zip(bpeb, got_bpeb):
+                if g != s:
+                    print("  golden:", g)
+                    print("  spark :", s)
+                    break
+            ok = False
+        if not all(row[4] for row in bpeb):
+            bad = [row[0] for row in bpeb if not row[4]]
+            print(f"ROUNDTRIP FAILURE text_bpe_boundary @ {sf_dir}: "
+                  f"docs {bad[:5]} not lossless (fixtures contain no "
+                  f"marker char — this is a codec bug)")
             ok = False
         if got_pca != pca:
             print(f"DIVERGENCE sim_pca_project @ {sf_dir}")
@@ -655,6 +726,7 @@ def main() -> int:
         stemmed_rows += [(d, s, tag) for d, s in stemmed]
         render_rows += [(d, s, sn, tag) for d, s, sn in render]
         bpe_rows += [(d, nw, nt, e, tag) for d, nw, nt, e in bpe]
+        bpeb_rows += [(d, nw, nt, e, rt, tag) for d, nw, nt, e, rt in bpeb]
         pca_rows += [(v, *ps, efp) for v, *ps in pca]
         auth_rows += [(d, r, tag) for d, r in auth]
         png_rows += [(*row, tag) for row in png]
@@ -685,6 +757,12 @@ def main() -> int:
         "doc_id BIGINT, n_words BIGINT, n_tokens BIGINT, encoded VARCHAR, "
         "corpus_bytes BIGINT",
         bpe_rows,
+    )
+    _write_golden(
+        con, "text_bpe_boundary",
+        "doc_id BIGINT, n_words BIGINT, n_tokens BIGINT, encoded VARCHAR, "
+        "roundtrip_ok BOOLEAN, corpus_bytes BIGINT",
+        bpeb_rows,
     )
     _write_golden(
         con, "graph_authority",

@@ -1918,3 +1918,126 @@ def test_pq_trained_codebooks_reduce_quantization_error(spark):
     seed_err = total_err(pq_codebooks(emb))
     trained_err = total_err(trained)
     assert trained_err < 0.9 * seed_err
+
+
+def test_bpe_boundary_round_trip_exact(spark):
+    """Boundary-preserving BPE (GPT-2's Ġ marker): decode(encode(x))
+    == x EXACTLY — raw case, leading/trailing/consecutive spaces,
+    tabs, newlines, unicode — for every input without the marker
+    char; an input containing Ġ is the one documented loss (its
+    marker decodes as a space) and must be flagged, not mangled."""
+    import random
+
+    from hadoop_search_spark.operators.textstats import (
+        BOUNDARY_MARK,
+        bpe_decode,
+        bpe_encode,
+        bpe_train,
+    )
+
+    rng = random.Random(47)
+    alphabet = list("ab XY\t\n.é") + ["漢"]
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30))))
+        for i in range(40)
+    ] + [
+        (100, ""),
+        (101, " "),
+        (102, "   "),
+        (103, "a  b"),
+        (104, " lead"),
+        (105, "trail "),
+        (106, "Tab\tand\nnewline mix"),
+        (107, "UPPER lower MiXeD"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    merges, _ = bpe_train(df, n_merges=8, boundary=True)
+    got = {
+        r.doc_id: r.decoded
+        for r in bpe_decode(
+            bpe_encode(df, merges, boundary=True), boundary=True
+        ).collect()
+    }
+    assert got == dict(rows)
+
+    # the documented loss: a marker in the INPUT decodes as a space
+    marked = spark.createDataFrame(
+        [(0, f"has {BOUNDARY_MARK} inside")], "doc_id LONG, text STRING"
+    )
+    dec = bpe_decode(
+        bpe_encode(marked, merges, boundary=True), boundary=True
+    ).collect()[0]
+    assert dec.decoded == "has   inside"
+
+    # the real corpus round-trips exactly under its own trained model
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m2, _ = bpe_train(docs.limit(50), n_merges=6, boundary=True)
+    joined = bpe_decode(
+        bpe_encode(docs, m2, boundary=True), boundary=True
+    ).join(docs.select("doc_id", "text"), "doc_id")
+    assert joined.filter(F.col("decoded") != F.col("text")).count() == 0
+    assert joined.count() == docs.count()
+
+
+def test_bpe_boundary_matches_pure_python(spark):
+    """Spark boundary-mode train+encode vs an independent pure-Python
+    implementation (the make_goldens.py recipe re-derived inline):
+    same merges, same encodings, same piece/token counts."""
+    import random
+    from collections import Counter
+
+    from hadoop_search_spark.operators.textstats import (
+        BOUNDARY_MARK,
+        bpe_encode,
+        bpe_train,
+    )
+
+    rng = random.Random(53)
+    vocab = ["The", "the", "then", "There", "bet", "BEE", "he"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 5))))
+        for i in range(30)
+    ] + [(100, ""), (101, "  the  THE "), (102, "he\nthe")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def marked(text):
+        ps = text.split(" ")
+        return [ps[0]] + [BOUNDARY_MARK + p for p in ps[1:]]
+
+    n_merges = 6
+    wc = Counter(w for _, t in rows for w in marked(t) if w)
+    syms = {w: list(w) for w in wc}
+    want_merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, c in wc.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want_merges.append(best)
+        x, y = best
+        for w, s in syms.items():
+            out = []
+            for tok in s:
+                if out and out[-1] == x and tok == y:
+                    out[-1] = x + y
+                else:
+                    out.append(tok)
+            syms[w] = out
+
+    merges, _ = bpe_train(df, n_merges=n_merges, boundary=True)
+    assert merges == want_merges
+
+    want = {}
+    for doc_id, text in rows:
+        ws = marked(text)
+        enc = [t for w in ws for t in syms.get(w, [])]
+        want[doc_id] = (len(ws), len(enc), " ".join(enc))
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.encoded)
+        for r in bpe_encode(df, merges, boundary=True).collect()
+    }
+    assert got == want
