@@ -213,6 +213,16 @@ COMMENTARY = {
         "fold-loop jobs before this plan was built (the model, like "
         "k-means centroids)."
     ),
+    "text_bpe_boundary": (
+        "Lossless (boundary-preserving) BPE round trip: the same "
+        "distinct-word-table shape as text_bpe_encode — marked words "
+        "(posexplode keeps EMPTY pieces so space runs survive) encode "
+        "through one vocabulary-sized ArrowEvalPython, join back, "
+        "reassemble per doc — then the decode branch is a map-only "
+        "split+concat+translate and the roundtrip_ok flag is one "
+        "equi-join against the original text. Everything after the "
+        "encode is narrow; no second Python stage."
+    ),
     "corpus_apply_changes": (
         "Lakehouse MERGE without a table format: ONE left-anti join "
         "drops deleted and to-be-replaced keys in the same pass (the "
