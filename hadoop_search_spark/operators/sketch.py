@@ -1,0 +1,196 @@
+"""HyperLogLog distinct-count sketch as pure relational algebra.
+
+The mergeable cardinality sketch (Flajolet et al. 2007) re-expressed
+so that EVERY step is an exact integer/string expression available in
+both Spark and DuckDB — no platform hash, no float folds — making the
+register table (and therefore the estimate's numerator/denominator)
+bit-identical cross-engine. Spark's own ``approx_count_distinct`` is
+also HLL but its hash/registers are engine-private; this one is the
+auditable, oracle-checkable twin.
+
+Recipe (precision ``p``, 60-bit md5-prefix hash — the repo's shared
+cross-engine hash, ``operators/dedup.md5_int``):
+
+* ``register`` = ``h % 2^p``  (low p bits),
+* ``rest``     = ``h div 2^p`` (the remaining ``w = 60 − p`` bits),
+* ``rho``      = position of the highest set bit from the top:
+  ``w − bitlen(rest) + 1`` with ``bitlen(x) = length(bin(x))`` for
+  ``x > 0`` and the all-zero case pinned to ``w + 1`` (``bin(0)`` is
+  the 1-char string "0" in both engines, so the CASE is explicit).
+* sketch = ``groupBy(register).max(rho)`` — a ≤ 2^p-row table.
+
+Estimation keeps the sum INTEGER: the harmonic-mean denominator
+``Z = Σ 2^−rho_j`` is scaled by ``2^(w+1)`` so each term is
+``shiftleft(1, w + 1 − rho_j)`` (absent registers contribute the full
+``2^(w+1)``), summing to at most ``2^p · 2^(w+1)`` = 2^61 at p=12 —
+inside BIGINT, exact in any summation order. The final estimate is
+ONE IEEE division of a Python-float literal by that BIGINT, so an SQL
+oracle reproduces it bit-for-bit. The standard small-range
+linear-counting correction needs ``ln`` (libm — not cross-engine
+reproducible), so this module ships the correction INPUTS
+(``n_zero``) and leaves the branch to the consumer; at the fixture
+cardinalities the raw estimator is already inside its error bound.
+
+Scale shape (the reason this exists): exact ``COUNT(DISTINCT x)``
+over 100 TB shuffles every distinct value; the sketch is one narrow
+map + ONE p-bit-key aggregation that map-side-combines down to
+≤ 2^p rows per partition, constant memory, and sketches of disjoint
+corpora (daily snapshots, per-source shards) MERGE by register-wise
+max without touching the data again — the property the pipeline's
+incremental accounting needs. Standard error ≈ 1.04/√(2^p) (~1.6 %
+at p = 12).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_search_spark.operators.dedup import md5_int
+
+HLL_P = 12  # 4096 registers, ~1.6% standard error
+_HASH_HEX = 15  # 60-bit hash — the repo's md5_int budget (fits BIGINT)
+
+
+def _alpha(m: int) -> float:
+    """Bias-correction constant for m >= 128 (Flajolet et al. §4)."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, col: str, p: int = HLL_P
+) -> DataFrame:
+    """Sketch a column → ``(register, max_rho)``, ≤ 2^p rows. The
+    ONLY aggregation is ``max`` over a p-bit key: order-independent,
+    partition-invariant, map-side combined — and two sketches merge
+    by the same aggregation (:func:`hll_merge`). NULLs are skipped
+    (COUNT DISTINCT semantics)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p={p} out of the sane 4..18 range")
+    m = 1 << p
+    w = 60 - p
+    h = md5_int(F.col(col).cast("string"), _HASH_HEX)
+    # integral h div 2^p as a shift — h/m through DOUBLE would lose
+    # bits above 2^53 (h is 60-bit); shiftright on BIGINT is exact
+    rest = F.shiftright(h, p)
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rest))
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            (h % F.lit(m)).cast("bigint").alias("register"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables (same p) → one register table: union +
+    register-wise max. Sketch(A ∪ B) == merge(sketch(A), sketch(B))
+    EXACTLY — max commutes with union — which is what makes per-shard
+    /per-day sketches composable without rescanning data."""
+    if not sketches:
+        raise ValueError("hll_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = HLL_P) -> DataFrame:
+    """Estimate from a register table → one row ``(m, n_zero,
+    z_scaled, est_distinct)``:
+
+    * ``z_scaled`` = Σ_j 2^(w+1−rho_j) over ALL m registers (absent
+      ⇒ rho 0 ⇒ full 2^(w+1)) — an exact BIGINT;
+    * ``est_distinct`` = α_m · m² · 2^(w+1) / z_scaled — the raw HLL
+      estimator as ONE float division of a constant (bit-identical
+      cross-engine);
+    * ``n_zero`` (registers never hit) is the linear-counting input
+      for consumers that apply the small-range correction
+      (m·ln(m/n_zero) — ln is libm, deliberately not computed here).
+    """
+    m = 1 << p
+    w = 60 - p
+    # SQL form: the Python F.shiftleft wrapper wants a literal int
+    # for numBits; the engine function takes any integral expression
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - max_rho)")
+    agg = sketch.agg(
+        F.count("*").cast("bigint").alias("n_present"),
+        F.coalesce(F.sum(term), F.lit(0)).cast("bigint").alias("z_present"),
+    )
+    numer = _alpha(m) * m * m * float(1 << (w + 1))
+    n_zero = F.lit(m) - F.col("n_present")
+    z = F.col("z_present") + n_zero * F.lit(1 << (w + 1)).cast("bigint")
+    est = F.when(F.col("n_present") == 0, F.lit(0.0)).otherwise(
+        F.lit(numer) / z.cast("double")
+    )
+    return agg.select(
+        F.lit(m).cast("bigint").alias("m"),
+        n_zero.cast("bigint").alias("n_zero"),
+        z.cast("bigint").alias("z_scaled"),
+        # raw estimator; empty sketch pinned to the exactly-known 0
+        # (the α·m the raw formula yields there is a small-range
+        # artifact linear counting would fix)
+        est.alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, col: str, p: int = HLL_P
+) -> DataFrame:
+    """sketch + estimate in one call → the one-row summary."""
+    return hll_estimate(hll_registers(df, col, p), p)
+
+
+def hll_corrected(row, p: int = HLL_P) -> float:
+    """Apply Flajolet's small/large-range corrections to a collected
+    :func:`hll_estimate` row — DRIVER-side Python on the one summary
+    row, deliberately outside the cross-engine-hashed columns because
+    ``ln`` is libm (not bit-reproducible between engines). Linear
+    counting m·ln(m/n_zero) when the raw estimate is under 2.5·m and
+    zero registers remain; the raw estimate otherwise (the 60-bit
+    hash space makes the 2^32 large-range correction unreachable)."""
+    import math
+
+    m = 1 << p
+    if row.est_distinct <= 2.5 * m and row.n_zero > 0:
+        return m * math.log(m / row.n_zero)
+    return float(row.est_distinct)
+
+
+def hll_oracle_sql(table: str, col: str, p: int = HLL_P) -> str:
+    """The DuckDB twin of :func:`hll_distinct` — the exact same
+    recipe spelled in SQL (shared single source for tests and the
+    catalog oracle, so the two can never drift apart)."""
+    m = 1 << p
+    w = 60 - p
+    numer = repr(_alpha(m) * m * m * float(1 << (w + 1)))
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, {_HASH_HEX}))::BIGINT AS hv
+  FROM {table} WHERE {col} IS NOT NULL
+),
+regs AS (
+  SELECT hv % {m} AS register,
+         CASE WHEN hv // {m} = 0 THEN {w + 1}
+              ELSE {w + 1} - length(bin(hv // {m})) END AS rho
+  FROM h
+),
+sk AS (SELECT register, MAX(rho) AS max_rho FROM regs GROUP BY register),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_present,
+         CAST(coalesce(sum(CAST(1 AS BIGINT) << ({w + 1} - max_rho)), 0) AS BIGINT) AS z_present
+  FROM sk
+)
+SELECT CAST({m} AS BIGINT) AS m,
+       CAST({m} - n_present AS BIGINT) AS n_zero,
+       CAST(z_present + ({m} - n_present) * (CAST(1 AS BIGINT) << {w + 1}) AS BIGINT) AS z_scaled,
+       CASE WHEN n_present = 0 THEN 0.0
+            ELSE {numer} / CAST(z_present + ({m} - n_present) * (CAST(1 AS BIGINT) << {w + 1}) AS DOUBLE)
+       END AS est_distinct
+FROM agg
+"""
