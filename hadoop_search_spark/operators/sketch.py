@@ -194,3 +194,132 @@ SELECT CAST({m} AS BIGINT) AS m,
        END AS est_distinct
 FROM agg
 """
+
+
+# ------------------------------------------------------------ Count-Min
+
+CMS_D = 5      # hash rows: P(all rows collide) decays as e^-d
+CMS_W = 8192   # counters per row: overestimate <= (e/w)·N w.h.p.
+
+
+def _cms_col(col: F.Column, i: int, w: int) -> F.Column:
+    """Row-i counter index: the bloom_decontaminate seed-salt recipe
+    ('cms{i}:' prefix into the shared md5 hash, 48-bit budget) modulo
+    the row width — exact in both engines."""
+    return md5_int(F.concat(F.lit(f"cms{i}:"), col.cast("string")), 12) % F.lit(w)
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch of a column → ``(row, col, cnt)``, ≤ d·w
+    cells: the mergeable FREQUENCY companion to :func:`hll_registers`
+    (cardinality). Each value increments one counter per hash row;
+    ``weight_col`` (optional BIGINT) turns it into a weighted sketch.
+    All arithmetic is integer and the per-row hash is the shared
+    md5 recipe, so the cell table is bit-identical cross-engine.
+
+    Scale shape: one map-only explode (a fixed ×d row cost) + ONE
+    aggregation that map-side-combines down to ≤ d·w cells per
+    partition — constant memory at any corpus size, and sketches of
+    disjoint shards merge by cell-wise SUM (:func:`cms_merge`) —
+    exact, since each input row lands in exactly one shard. Unlike
+    the HLL max-merge, sum-merge is NOT replay-idempotent: a
+    streaming maintainer must fence replays with an epoch ledger
+    (the standard protocol), not algebra."""
+    c = F.col(col)
+    wgt = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("row"),
+                _cms_col(c, i, w).cast("bigint").alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.filter(c.isNotNull())
+        .select(F.explode(cells).alias("cell"), wgt.alias("_w"))
+        .groupBy(
+            F.col("cell.row").alias("row"), F.col("cell.col").alias("col")
+        )
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge cell tables (same d, w) by cell-wise sum:
+    sketch(A ⊎ B) == merge(sketch(A), sketch(B)) exactly for a
+    disjoint row split (multiset union)."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    values: DataFrame,
+    col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Point-query a batch of values → ``(value, est)`` with
+    ``est = min over the d rows`` of the addressed counters — the
+    classic one-sided estimate: NEVER below the true count, above it
+    only when every row collides. Values absent from the sketch read
+    counter 0 rows as 0 via the left join's coalesce.
+
+    The sketch is ≤ d·w rows (a few hundred KB) — broadcast side of
+    the join; the values side can be any size."""
+    v = F.col("value")
+    addr = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("row"),
+                _cms_col(v, i, w).cast("bigint").alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+    probes = (
+        values.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias("value"))
+        .distinct()
+        .select("value", F.explode(addr).alias("cell"))
+        .select("value", F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "col"], "left")
+    return joined.groupBy("value").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est")
+    )
+
+
+def cms_oracle_sql(table: str, col: str, d: int = CMS_D, w: int = CMS_W) -> str:
+    """DuckDB twin of :func:`cms_sketch`'s cell table (single source
+    for tests and a future catalog oracle)."""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS row, "
+        f"('0x' || substr(md5('cms{i}:' || CAST({col} AS VARCHAR)), 1, 12))::BIGINT % {w} AS col, "
+        f"CAST(1 AS BIGINT) AS c "
+        f"FROM {table} WHERE {col} IS NOT NULL"
+        for i in range(d)
+    )
+    return f"""
+WITH cells AS (
+{rows}
+)
+SELECT row, col, CAST(sum(c) AS BIGINT) AS cnt
+FROM cells GROUP BY row, col
+"""

@@ -359,6 +359,46 @@ def main() -> int:
 
     stage("ivfpq_code_drift", ivfpq_drift_stage)
 
+    def bpe_boundary_stage():
+        from hadoop_search_spark.operators.textstats import (
+            bpe_decode,
+            bpe_encode,
+            bpe_train,
+        )
+
+        merges, _ = bpe_train(docs, n_merges=16, boundary=True)
+        enc = bpe_encode(docs, merges, boundary=True)
+        dec = bpe_decode(enc, boundary=True)
+        bad = (
+            dec.join(docs.select("doc_id", "text"), "doc_id")
+            .filter(F.col("decoded") != F.col("text"))
+            .count()
+        )
+        assert bad == 0, f"{bad} docs failed the lossless round trip"
+        return f"lossless at n={n}"
+
+    stage("bpe_boundary_roundtrip", bpe_boundary_stage)
+
+    def hll_stage():
+        from hadoop_search_spark.operators.sketch import (
+            hll_distinct,
+            hll_merge,
+            hll_registers,
+        )
+
+        row = hll_distinct(docs, "text").collect()[0]
+        # registers of two disjoint halves merge to the full sketch —
+        # the snapshot-composability property at scale
+        a = hll_registers(docs.filter(F.col("doc_id") % 2 == 0), "text")
+        b = hll_registers(docs.filter(F.col("doc_id") % 2 == 1), "text")
+        merged = hll_merge(a, b).count()
+        true = docs.select("text").distinct().count()
+        rel = abs(row.est_distinct - true) / true
+        assert rel < 0.05, f"HLL error {rel:.3f} out of bound"
+        return f"est={row.est_distinct:.0f} (true {true}), {merged} registers"
+
+    stage("hll_distinct_sketch", hll_stage)
+
     print(json.dumps(timings))
     spark.stop()
     return 0

@@ -94,3 +94,90 @@ def test_hll_partition_invariance_and_empty(spark):
     row = hll_estimate(hll_registers(empty, "l_suppkey")).collect()[0]
     assert row.n_zero == row.m and row.est_distinct == 0.0
     assert row.z_scaled == row.m * (1 << (60 - HLL_P + 1))
+
+
+# ------------------------------------------------------------ Count-Min
+
+
+def test_cms_never_underestimates_and_tight(spark):
+    """The one-sided CMS guarantee: est >= true count for EVERY
+    value, and at N=6k into d=5 rows of w=8192 counters the expected
+    overestimate (e/w)·N < 2 — assert a loose integer ceiling."""
+    from hadoop_search_spark.operators.sketch import cms_query, cms_sketch
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    sk = cms_sketch(li, "l_partkey")
+    true = {
+        r.l_partkey: r.n
+        for r in li.groupBy("l_partkey").agg(F.count("*").alias("n")).collect()
+    }
+    est = {
+        r.value: r.est
+        for r in cms_query(sk, li.select("l_partkey"), "l_partkey").collect()
+    }
+    assert set(est) == set(true)
+    n_total = sum(true.values())
+    for v, t in true.items():
+        assert est[v] >= t, (v, t, est[v])
+        assert est[v] <= t + max(3, int(0.002 * n_total)), (v, t, est[v])
+
+
+def test_cms_merge_equals_union_sketch(spark):
+    """Cell-wise sum merge == sketch of the concatenated multiset —
+    exact for a disjoint row split; weighted sketch honors weights."""
+    from hadoop_search_spark.operators.sketch import cms_merge, cms_sketch
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    got = {
+        (r.row, r.col): r.cnt
+        for r in cms_merge(
+            cms_sketch(a, "l_partkey"), cms_sketch(b, "l_partkey")
+        ).collect()
+    }
+    want = {
+        (r.row, r.col): r.cnt for r in cms_sketch(li, "l_partkey").collect()
+    }
+    assert got == want
+
+    wsk = cms_sketch(li, "l_partkey", weight_col="l_linenumber")
+    wtot = sum(r.cnt for r in wsk.collect())
+    assert wtot == 5 * li.agg(F.sum("l_linenumber")).collect()[0][0]
+
+
+def test_cms_cells_match_duckdb(spark):
+    """The full cell table is bit-identical between the Spark sketch
+    and the bundled DuckDB recipe — the future oracle contract."""
+    from hadoop_search_spark.operators.sketch import cms_oracle_sql, cms_sketch
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = {
+        (r.row, r.col): r.cnt for r in cms_sketch(li, "l_partkey").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    want = {
+        (row, col): cnt
+        for row, col, cnt in con.execute(
+            cms_oracle_sql("lineitem", "l_partkey")
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+def test_cms_absent_value_reads_zero(spark):
+    """A value never sketched can still collide into nonzero counters
+    but a left-join miss must read 0, never NULL; with w >> values a
+    fresh probe usually lands on empty cells."""
+    from hadoop_search_spark.operators.sketch import cms_query, cms_sketch
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    sk = cms_sketch(li, "l_partkey")
+    probe = spark.createDataFrame([(999999999,)], "l_partkey BIGINT")
+    [r] = cms_query(sk, probe, "l_partkey").collect()
+    assert r.est is not None and 0 <= r.est
