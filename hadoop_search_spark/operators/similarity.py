@@ -101,9 +101,13 @@ def cosine_topk(
     return _topk_per_query(pairs, k)
 
 
-def hyperplane_sign(emb: F.Column, plane: int, dim: int) -> F.Column:
-    """Sign of <v, h_plane> where h_plane's components are ±1 derived
-    from md5(plane:i) parity — deterministic in any engine."""
+def hyperplane_proj(emb: F.Column, plane: int, dim: int) -> F.Column:
+    """Rounded projection <v, h_plane> where h_plane's components are
+    ±1 derived from md5(plane:i) parity — deterministic in any
+    engine. Rounded to 9 places before ANY consumer because the sum's
+    accumulation order differs across engines; both the sign test
+    (bucketing) and the |margin| ordering (multi-probe) must see the
+    stabilized value."""
     comps = F.array(*[F.lit(i) for i in range(dim)])
     signed = F.zip_with(
         emb,
@@ -121,11 +125,15 @@ def hyperplane_sign(emb: F.Column, plane: int, dim: int) -> F.Column:
         ).cast("double"),
     )
     s = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
-    # round before the sign test: the projection is a float sum whose
-    # accumulation order differs across engines, and an unguarded
-    # `> 0` on a near-zero projection would flip the bucket bit
-    # between this and the SQL oracle
-    return F.when(F.round(s, 9) > 0, 1).otherwise(0)
+    return F.round(s, 9)
+
+
+def hyperplane_sign(emb: F.Column, plane: int, dim: int) -> F.Column:
+    """Sign bit of the (rounded) hyperplane projection — an unguarded
+    `> 0` on a near-zero float sum would flip the bucket bit between
+    this and the SQL oracle, hence the shared rounding in
+    :func:`hyperplane_proj`."""
+    return F.when(hyperplane_proj(emb, plane, dim) > 0, 1).otherwise(0)
 
 
 def lsh_bucket(emb: F.Column, num_planes: int, dim: int) -> F.Column:
@@ -164,6 +172,136 @@ def ann_lsh_topk(
         (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
     )
     return _topk_per_query(pairs, k)
+
+
+def _probe_buckets(
+    emb: F.Column, num_planes: int, dim: int, flips: int
+) -> F.Column:
+    """Multi-probe bucket sequence for a query vector → an array of
+    2^flips bucket ids: the query's own bucket plus every bucket
+    reachable by flipping subsets of the ``flips`` planes with the
+    SMALLEST |projection| (Lv et al. 2007 — the planes the query sits
+    closest to are the ones most likely to have cut it off from its
+    true neighbors). Pure Catalyst: the plane order comes from one
+    array_sort over (|proj|, plane) structs (rounded projections, so
+    the order is engine-stable; ties break on plane index), and each
+    probe bucket is the base bucket XOR a mask assembled from the
+    flip planes' bit weights. Buckets are disjoint, so the probes
+    produce each candidate at most once — no dedup stage."""
+    if not 0 <= flips <= num_planes:
+        raise ValueError(f"flips={flips} out of 0..{num_planes}")
+    proj = F.array(
+        *[hyperplane_proj(emb, p, dim) for p in range(num_planes)]
+    )
+    # plane p contributes bit weight 2^(P-1-p) to the bucket id
+    weights = F.array(
+        *[
+            F.lit(1 << (num_planes - 1 - p)).cast("bigint")
+            for p in range(num_planes)
+        ]
+    )
+    bucket = F.aggregate(
+        proj,
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc + acc + F.when(s > 0, 1).otherwise(0).cast("bigint"),
+    )
+    order = F.transform(
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_planes - 1)),
+                lambda i: F.struct(
+                    F.abs(F.element_at(proj, i + 1)).alias("a"),
+                    i.alias("idx"),
+                ),
+            )
+        ),
+        lambda s: s["idx"],
+    )
+    flip_weights = F.transform(
+        F.slice(order, 1, flips) if flips > 0 else F.array().cast("array<int>"),
+        lambda i: F.element_at(weights, i + 1),
+    )
+
+    def mask_for(m: F.Column) -> F.Column:
+        acc = F.lit(0).cast("bigint")
+        for j in range(flips):
+            acc = acc + F.when(
+                m.bitwiseAND(F.lit(1 << j)) != 0,
+                F.element_at(flip_weights, j + 1),
+            ).otherwise(F.lit(0).cast("bigint"))
+        return acc
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit((1 << flips) - 1)),
+        lambda m: bucket.bitwiseXOR(mask_for(m)),
+    )
+
+
+def ann_lsh_multiprobe_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_planes: int = NUM_HYPERPLANES,
+    flips: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe LSH top-k: search the query's bucket AND the
+    2^flips − 1 neighboring buckets reached by flipping the
+    lowest-|margin| planes, exact-cosine-verifying every candidate —
+    same output shape as :func:`cosine_topk`. Fixes single-probe
+    LSH's recall cliff (one bucket holds ~|corpus|/2^P vectors — at
+    the default 8 planes that's 0.4 % of the corpus, and measured
+    recall@10 sits at 0.01–0.02 on the fixture; docs/ANN_QUALITY.md)
+    without the L-index storage cost of classic multi-TABLE LSH: one
+    stored bucket id per vector, probing is query-side only.
+
+    ``flips`` dials candidates from one bucket (flips=0 — exactly
+    :func:`ann_lsh_topk`) to the whole corpus (flips=num_planes —
+    exactly :func:`cosine_topk`, pinned by test).
+
+    Scale shape: probes explode to 2^flips request-sized rows and
+    broadcast; the corpus side equi-joins on its ONE stored bucket id
+    (hash join, no nested loop), so the scan touches only the probed
+    buckets — at 100 TB with a bucket-partitioned vector store the
+    probe list prunes files the same way the IVF cell filter does."""
+    from hadoop_search_spark.partitioning import spread
+
+    bucketed = spread(embeddings, "vec_id").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), num_planes, dim)
+    )
+    q = (
+        bucketed.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        .limit(len(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _probe_buckets(
+                F.col("embedding"), num_planes, dim, flips
+            ).alias("probes"),
+        )
+    )
+    probes = q.select(
+        "query_id", "q_emb", F.explode("probes").alias("q_bucket")
+    )
+    pairs = bucketed.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    return _topk_per_query(pairs, k)
+
+
+def ann_lsh_multiprobe_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_planes: int = NUM_HYPERPLANES,
+    flips: int = 4,
+) -> float:
+    """Measured recall@k of the multi-probe path — the flips dial
+    made a number (compare :func:`ann_recall` at flips=0)."""
+    approx = ann_lsh_multiprobe_topk(embeddings, query_ids, k, num_planes, flips)
+    return _recall_vs_exact(embeddings, query_ids, k, approx)
 
 
 NUM_CENTROIDS = 8

@@ -2041,3 +2041,43 @@ def test_bpe_boundary_matches_pure_python(spark):
         for r in bpe_encode(df, merges, boundary=True).collect()
     }
     assert got == want
+
+
+def test_ann_lsh_multiprobe_dials_from_single_bucket_to_exact(spark):
+    """Multi-probe LSH endpoints and monotonicity: flips=0 equals the
+    single-bucket path exactly; flips=num_planes probes every bucket
+    and equals exact cosine_topk exactly; in between, candidates are
+    supersets so measured recall never drops as flips grow; no
+    (query, vec) pair is ever produced twice (buckets are disjoint)."""
+    from hadoop_search_spark.operators.similarity import (
+        ann_lsh_multiprobe_recall,
+        ann_lsh_multiprobe_topk,
+        ann_lsh_topk,
+        ann_recall,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2]
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.vec_id, r.rn) for r in df.collect()
+        )
+
+    assert rows(ann_lsh_multiprobe_topk(emb, qids, 5, flips=0)) == rows(
+        ann_lsh_topk(emb, qids, 5)
+    )
+    assert rows(ann_lsh_multiprobe_topk(emb, qids, 5, flips=8)) == rows(
+        cosine_topk(emb, qids, 5)
+    )
+
+    base = ann_recall(emb, qids, 10)
+    r2 = ann_lsh_multiprobe_recall(emb, qids, 10, flips=2)
+    r4 = ann_lsh_multiprobe_recall(emb, qids, 10, flips=4)
+    r6 = ann_lsh_multiprobe_recall(emb, qids, 10, flips=6)
+    assert base <= r2 <= r4 <= r6 <= 1.0
+
+    out = ann_lsh_multiprobe_topk(emb, qids, 10, flips=4).collect()
+    pairs = [(r.query_id, r.vec_id) for r in out]
+    assert len(pairs) == len(set(pairs))
