@@ -57,14 +57,18 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_registers(
-    df: DataFrame, col: str, p: int = HLL_P
+def hll_registers_by(
+    df: DataFrame, group_cols: list[str], col: str, p: int = HLL_P
 ) -> DataFrame:
-    """Sketch a column → ``(register, max_rho)``, ≤ 2^p rows. The
-    ONLY aggregation is ``max`` over a p-bit key: order-independent,
-    partition-invariant, map-side combined — and two sketches merge
-    by the same aggregation (:func:`hll_merge`). NULLs are skipped
-    (COUNT DISTINCT semantics)."""
+    """Sketch a column per group → ``(*group_cols, register,
+    max_rho)``, ≤ 2^p rows PER GROUP. The ONLY aggregation is ``max``
+    over a (group, p-bit) key: order-independent, partition-
+    invariant, map-side combined — and two sketches merge by the same
+    aggregation (:func:`hll_merge`). NULLs are skipped (COUNT
+    DISTINCT semantics). With ``group_cols=[]`` this is the plain
+    corpus sketch (:func:`hll_registers`); with a source/shard/day
+    column it is the datacard's per-group distinct accounting —
+    |groups|·2^p rows of state instead of |groups|·|distinct values|."""
     if not 4 <= p <= 18:
         raise ValueError(f"p={p} out of the sane 4..18 range")
     m = 1 << p
@@ -79,12 +83,21 @@ def hll_registers(
     return (
         df.filter(F.col(col).isNotNull())
         .select(
+            *group_cols,
             (h % F.lit(m)).cast("bigint").alias("register"),
             rho.cast("int").alias("rho"),
         )
-        .groupBy("register")
+        .groupBy(*group_cols, "register")
         .agg(F.max("rho").alias("max_rho"))
     )
+
+
+def hll_registers(
+    df: DataFrame, col: str, p: int = HLL_P
+) -> DataFrame:
+    """Sketch a column → ``(register, max_rho)``, ≤ 2^p rows — the
+    ungrouped form of :func:`hll_registers_by`."""
+    return hll_registers_by(df, [], col, p)
 
 
 def hll_merge(*sketches: DataFrame) -> DataFrame:
@@ -136,6 +149,35 @@ def hll_estimate(sketch: DataFrame, p: int = HLL_P) -> DataFrame:
         # (the α·m the raw formula yields there is a small-range
         # artifact linear counting would fix)
         est.alias("est_distinct"),
+    )
+
+
+def hll_estimate_by(
+    sketch: DataFrame, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
+    """Per-group estimate from a grouped register table
+    (:func:`hll_registers_by`) → one row per group ``(*group_cols, m,
+    n_zero, z_scaled, est_distinct)`` — the same exact-integer
+    z_scaled and single-division estimator as :func:`hll_estimate`,
+    keyed by the group columns. A group appears iff it had at least
+    one non-NULL value (its sketch has ≥ 1 register), so n_present
+    ≥ 1 and the empty-sketch pin is unreachable here."""
+    m = 1 << p
+    w = 60 - p
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - max_rho)")
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n_present"),
+        F.sum(term).cast("bigint").alias("z_present"),
+    )
+    numer = _alpha(m) * m * m * float(1 << (w + 1))
+    n_zero = F.lit(m) - F.col("n_present")
+    z = F.col("z_present") + n_zero * F.lit(1 << (w + 1)).cast("bigint")
+    return agg.select(
+        *group_cols,
+        F.lit(m).cast("bigint").alias("m"),
+        n_zero.cast("bigint").alias("n_zero"),
+        z.cast("bigint").alias("z_scaled"),
+        (F.lit(numer) / z.cast("double")).alias("est_distinct"),
     )
 
 

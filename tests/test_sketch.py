@@ -181,3 +181,47 @@ def test_cms_absent_value_reads_zero(spark):
     probe = spark.createDataFrame([(999999999,)], "l_partkey BIGINT")
     [r] = cms_query(sk, probe, "l_partkey").collect()
     assert r.est is not None and 0 <= r.est
+
+
+# ------------------------------------------------------------ grouped HLL
+
+
+def test_hll_grouped_equals_per_group_sketches(spark):
+    """The grouped sketch is exactly the per-group sketches stacked:
+    slicing the corpus by source and sketching each slice reproduces
+    hll_registers_by's rows; per-group estimates (with the small-range
+    correction) land within 3σ of each group's true cardinality."""
+    from hadoop_search_spark.operators.sketch import (
+        hll_corrected,
+        hll_estimate_by,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    grouped = hll_registers_by(docs, ["source"], "text")
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    for s in sources:
+        want = _regs(hll_registers(docs.filter(F.col("source") == s), "text"))
+        got = {
+            (r.register, r.max_rho)
+            for r in grouped.filter(F.col("source") == s)
+            .select("register", "max_rho")
+            .collect()
+        }
+        assert got == want, s
+
+    bound = 3 * 1.04 / 4096**0.5
+    true = {
+        r.source: r.n
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct("text").alias("n"))
+        .collect()
+    }
+    for row in hll_estimate_by(grouped, ["source"]).collect():
+        corrected = hll_corrected(row)
+        assert abs(corrected - true[row.source]) / true[row.source] < bound, (
+            row.source,
+            true[row.source],
+            corrected,
+        )
