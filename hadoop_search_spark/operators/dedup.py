@@ -239,6 +239,76 @@ def span_rewrite(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFra
     )
 
 
+def exact_span_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_len: int = 8,
+    n: int = SHINGLE_SIZE,
+) -> DataFrame:
+    """MAXIMAL cross-document duplicated substrings with coordinates —
+    the pair-evidence form of Lee et al.'s ExactSubstr dedup (the
+    doc-level mass is :func:`span_overlap`, the removal is
+    :func:`span_rewrite`; this is the audit view: WHO shares WHAT,
+    WHERE, and HOW LONG) → ``(doc_a, doc_b, a_start, a_end, b_start,
+    b_end, len_words)``, 1-based inclusive word positions, doc_a <
+    doc_b, one row per maximal aligned run of at least ``min_len``
+    words (``min_len`` ≥ ``n`` — shorter runs have no anchor).
+
+    The suffix-array step of the original becomes pure relational
+    algebra: word ``n``-gram anchors equi-join across docs on the
+    span TEXT (exact — no hash-collision caveat), and maximality
+    falls out of the classic diagonal + gaps-and-islands trick: on a
+    fixed alignment diagonal ``d = a_pos − b_pos``, consecutive
+    anchor matches share ``a_pos − row_number()``, so one window +
+    one aggregate turns anchor matches into maximal runs — no text
+    re-reading, no extension loop.
+
+    Scale shape: anchors explode linearly; the cross-doc join is
+    anchor-keyed (never all-pairs); the run window partitions by
+    (pair, diagonal) — request-bounded per duplicated region. The
+    honest skew note: an anchor occurring in D docs yields O(D²)
+    pair rows (boilerplate headers) — the same blowup Lee et al.'s
+    suffix intervals face; cap upstream by dropping ultra-high-df
+    anchors or pre-deduplicating exact copies
+    (:func:`exact_dedup_groups`) if the corpus carries viral
+    boilerplate."""
+    if min_len < n:
+        raise ValueError(f"min_len={min_len} must be >= anchor width n={n}")
+    spans = exploded_spans(docs, text_col, n)
+    a = spans.select(
+        F.col("span"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("i").alias("a_pos"),
+    )
+    b = spans.select(
+        F.col("span"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("i").alias("b_pos"),
+    )
+    matches = a.join(b, "span").filter(F.col("doc_a") < F.col("doc_b"))
+    d = (F.col("a_pos") - F.col("b_pos")).alias("d")
+    w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("a_pos")
+    runs = (
+        matches.select("doc_a", "doc_b", d, "a_pos")
+        .withColumn("island", F.col("a_pos") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "d", "island")
+        .agg(
+            F.min("a_pos").alias("a_start"),
+            (F.max("a_pos") + F.lit(n - 1)).alias("a_end"),
+        )
+    )
+    out = runs.select(
+        "doc_a",
+        "doc_b",
+        F.col("a_start").cast("bigint").alias("a_start"),
+        F.col("a_end").cast("bigint").alias("a_end"),
+        (F.col("a_start") - F.col("d")).cast("bigint").alias("b_start"),
+        (F.col("a_end") - F.col("d")).cast("bigint").alias("b_end"),
+        (F.col("a_end") - F.col("a_start") + 1).cast("bigint").alias("len_words"),
+    )
+    return out.filter(F.col("len_words") >= min_len)
+
+
 # ------------------------------------------------------- MinHash + LSH
 
 

@@ -44,7 +44,7 @@ at p = 12).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hadoop_search_spark.operators.dedup import md5_int
 
@@ -365,3 +365,112 @@ WITH cells AS (
 SELECT row, col, CAST(sum(c) AS BIGINT) AS cnt
 FROM cells GROUP BY row, col
 """
+
+
+# ---------------------------------------------------------- histogram
+
+HIST_BUCKETS = 256
+
+
+def hist_bounds(df: DataFrame, col: str) -> tuple[float, float]:
+    """One min/max aggregate → the sketch's value range (the
+    compact_zorder ranges pattern: a model-sized driver collect)."""
+    row = df.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+    ).collect()[0]
+    return float(row.lo), float(row.hi)
+
+
+def _hist_bucket(col: F.Column, lo: float, hi: float, buckets: int) -> F.Column:
+    """Equi-width bucket id, clamped to [0, buckets−1]. The index is
+    one multiply + one divide + one floor on doubles — each correctly
+    rounded IEEE, identical cross-engine when spelled identically
+    (the SQL twin uses the same expression order)."""
+    raw = F.floor(
+        (col.cast("double") - F.lit(lo))
+        / F.lit(hi - lo)
+        * F.lit(float(buckets))
+    ).cast("bigint")
+    return F.least(F.lit(buckets - 1).cast("bigint"), F.greatest(F.lit(0).cast("bigint"), raw))
+
+
+def hist_sketch(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    buckets: int = HIST_BUCKETS,
+) -> DataFrame:
+    """Equi-width histogram sketch → ``(bucket, cnt)``, ≤ ``buckets``
+    rows — the QUANTILE member of the sketch family (HLL: distinct,
+    CMS: frequency): constant-size, mergeable by bucket-wise SUM over
+    disjoint shards, and any quantile answers from the cumulative
+    counts with rank error bounded by the heaviest bucket's mass
+    (value error by the bucket width). NULLs are skipped; values
+    outside [lo, hi) clamp into the edge buckets (the bounds come
+    from :func:`hist_bounds` or domain knowledge — a later shard
+    exceeding them degrades the edge bucket's value bound, never
+    correctness of the rank math). Like CMS (and unlike HLL), SUM
+    merge is not replay-idempotent — a streaming maintainer needs the
+    ledger fence."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(_hist_bucket(F.col(col), lo, hi, buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histograms (same lo/hi/buckets) by bucket-wise sum."""
+    if not sketches:
+        raise ValueError("hist_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile_bounds(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    buckets: int = HIST_BUCKETS,
+) -> DataFrame:
+    """Quantile brackets from a histogram → ``(q, bucket, value_lo,
+    value_hi, rank, n)``: for each q, the bucket where the cumulative
+    count first reaches ``rank = ceil(q·n)`` — the TRUE rank-q value
+    provably lies inside [value_lo, value_hi] (pinned by test against
+    exact percentiles). One window over ≤ ``buckets`` rows; the
+    bracket endpoints are the same two-flop expressions in the SQL
+    twin."""
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(
+            sketch.agg(F.sum("cnt").cast("bigint").alias("n"))
+        )
+    )
+    q_df = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    ranked = cum.crossJoin(F.broadcast(q_df)).withColumn(
+        "rank", F.ceil(F.col("q") * F.col("n")).cast("bigint")
+    )
+    width = (hi - lo) / buckets
+    hit = (
+        ranked.filter(F.col("cum") >= F.col("rank"))
+        .groupBy("q", "rank", "n")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return hit.select(
+        "q",
+        "bucket",
+        (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("value_lo"),
+        (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("value_hi"),
+        "rank",
+        "n",
+    )

@@ -379,6 +379,17 @@ def main() -> int:
 
     stage("bpe_boundary_roundtrip", bpe_boundary_stage)
 
+    def exact_span_pairs_stage():
+        from hadoop_search_spark.operators.dedup import exact_span_pairs
+
+        # three replicas of each base doc: every replica pair shares
+        # the full doc body minus the distinct prefixes — the
+        # boilerplate-heavy regime the docstring's skew note is about
+        three = docs.filter(F.col("doc_id") < 3 * n_base)
+        return exact_span_pairs(three, min_len=20).count()
+
+    stage("exact_span_pairs_3rep", exact_span_pairs_stage)
+
     def hll_stage():
         from hadoop_search_spark.operators.sketch import (
             hll_distinct,

@@ -2081,3 +2081,71 @@ def test_ann_lsh_multiprobe_dials_from_single_bucket_to_exact(spark):
     out = ann_lsh_multiprobe_topk(emb, qids, 10, flips=4).collect()
     pairs = [(r.query_id, r.vec_id) for r in out]
     assert len(pairs) == len(set(pairs))
+
+
+def test_exact_span_pairs_matches_brute_force(spark):
+    """exact_span_pairs vs an INDEPENDENT per-pair diagonal scan over
+    the raw word arrays (no n-gram anchoring): identical maximal
+    shared runs >= min_len, coordinates included — on engineered
+    repeats (shared sentences, multiple occurrences within one doc,
+    self-overlapping token runs) plus random filler."""
+    import random
+
+    from hadoop_search_spark.operators.dedup import exact_span_pairs
+
+    rng = random.Random(61)
+    vocab = [f"w{i}" for i in range(30)]
+    shared_a = "the quick brown fox jumps over the lazy dog today".split()
+    shared_b = "a b a b a b a b".split()
+
+    def filler(k):
+        return [rng.choice(vocab) for _ in range(k)]
+
+    texts = {
+        0: filler(6) + shared_a + filler(5),
+        1: filler(3) + shared_a + filler(9) + shared_b,
+        2: shared_b + filler(4) + shared_a[:6],
+        3: filler(20),
+        4: shared_a + filler(2) + shared_a,  # twice in one doc
+        5: "x " * 15 + "y",  # degenerate self-overlap
+    }
+    texts = {k: " ".join(v) if isinstance(v, list) else v for k, v in texts.items()}
+    df = spark.createDataFrame(
+        [(k, t) for k, t in texts.items()], "doc_id LONG, text STRING"
+    )
+    min_len, n = 6, 5
+
+    def words(t):
+        return [w for w in t.lower().split(" ") if w]
+
+    def brute(a, b):
+        """All maximal aligned runs >= min_len between word lists."""
+        out = set()
+        for dgl in range(-(len(b) - 1), len(a)):
+            run = 0
+            for i in range(max(0, dgl), min(len(a), len(b) + dgl)):
+                j = i - dgl
+                if a[i] == b[j]:
+                    run += 1
+                else:
+                    if run >= min_len:
+                        out.add((i - run + 1, i, i - dgl - run + 1, i - dgl))
+                    run = 0
+            i = min(len(a), len(b) + dgl) - 1
+            if run >= min_len:
+                out.add((i - run + 2, i + 1, i - dgl - run + 2, i + 1 - dgl))
+        return out
+
+    want = set()
+    ids = sorted(texts)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                for (s1, e1, s2, e2) in brute(words(texts[x]), words(texts[y])):
+                    want.add((x, y, s1, e1, s2, e2, e1 - s1 + 1))
+
+    got = {
+        (r.doc_a, r.doc_b, r.a_start, r.a_end, r.b_start, r.b_end, r.len_words)
+        for r in exact_span_pairs(df, min_len=min_len, n=n).collect()
+    }
+    assert got == want

@@ -225,3 +225,76 @@ def test_hll_grouped_equals_per_group_sketches(spark):
             true[row.source],
             corrected,
         )
+
+
+# ------------------------------------------------------------ histogram
+
+
+def test_hist_merge_and_duckdb_parity(spark):
+    """Bucket-wise sum merge == sketch of the union; the bucket table
+    is bit-identical to the same expression spelled in DuckDB SQL
+    (floor((x − lo)/(hi − lo)·B), clamped)."""
+    from hadoop_search_spark.operators.sketch import (
+        hist_bounds,
+        hist_merge,
+        hist_sketch,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    lo, hi = hist_bounds(li, "l_extendedprice")
+    hi += 1e-9  # half-open top: max value clamps into the last bucket
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    got = {
+        (r.bucket, r.cnt)
+        for r in hist_merge(
+            hist_sketch(a, "l_extendedprice", lo, hi),
+            hist_sketch(b, "l_extendedprice", lo, hi),
+        ).collect()
+    }
+    want = {
+        (r.bucket, r.cnt)
+        for r in hist_sketch(li, "l_extendedprice", lo, hi).collect()
+    }
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    sql = f"""
+      SELECT least(255, greatest(0, CAST(floor(
+               (CAST(l_extendedprice AS DOUBLE) - {lo!r}) / {hi - lo!r} * 256.0
+             ) AS BIGINT))) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1"""
+    oracle = {(r, c) for r, c in con.execute(sql).fetchall()}
+    con.close()
+    assert want == oracle
+
+
+def test_hist_quantile_bounds_bracket_exact(spark):
+    """For every q, the exact rank-q value lies inside the sketch's
+    [value_lo, value_hi] bracket, and the bracket is one bucket wide."""
+    from hadoop_search_spark.operators.sketch import (
+        hist_bounds,
+        hist_quantile_bounds,
+        hist_sketch,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    lo, hi = hist_bounds(li, "l_extendedprice")
+    hi += 1e-9
+    sk = hist_sketch(li, "l_extendedprice", lo, hi)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    vals = sorted(r.l_extendedprice for r in li.select("l_extendedprice").collect())
+    out = {r.q: r for r in hist_quantile_bounds(sk, qs, lo, hi).collect()}
+    import math
+
+    for q in qs:
+        row = out[q]
+        exact = vals[math.ceil(q * len(vals)) - 1]  # rank-q, 1-based
+        assert row.n == len(vals) and row.rank == math.ceil(q * len(vals))
+        assert row.value_lo <= exact <= row.value_hi, (q, exact, row)
+        assert abs((row.value_hi - row.value_lo) - (hi - lo) / 256) < 1e-6
