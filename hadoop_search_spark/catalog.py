@@ -3386,8 +3386,16 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_ivf_topk",
     oracle=_EMB_CTE
     + """
-, cdots AS (
-  SELECT a.vec_id, c.vec_id AS cell, sum(a.x * c.x) AS dot
+, qnorms AS (
+  SELECT vec_id,
+         CAST(sum(CAST(floor((x * x) * 1000000000000) AS BIGINT))
+              AS BIGINT) AS q
+  FROM exp_e GROUP BY vec_id
+),
+cdots AS (
+  SELECT a.vec_id, c.vec_id AS cell,
+         CAST(sum(CAST(floor((a.x * c.x) * 1000000000000) AS BIGINT))
+              AS BIGINT) AS dotq
   FROM exp_e a JOIN exp_e c ON c.vec_id < 8 AND c.i = a.i
   GROUP BY a.vec_id, c.vec_id
 ),
@@ -3395,10 +3403,12 @@ ccos AS (
   SELECT d.vec_id, d.cell,
          row_number() OVER (
            PARTITION BY d.vec_id
-           ORDER BY round(d.dot / (na.nrm * nc.nrm), 9) DESC, d.cell) AS crn
+           ORDER BY CAST(d.dotq AS DOUBLE)
+                    / sqrt(CAST(qa.q AS DOUBLE) * CAST(qc.q AS DOUBLE))
+                    DESC, d.cell) AS crn
   FROM cdots d
-  JOIN norms na ON na.vec_id = d.vec_id
-  JOIN norms nc ON nc.vec_id = d.cell
+  JOIN qnorms qa ON qa.vec_id = d.vec_id
+  JOIN qnorms qc ON qc.vec_id = d.cell
 ),
 assign AS (SELECT vec_id, cell FROM ccos WHERE crn = 1),
 probes AS (SELECT vec_id AS query_id, cell FROM ccos
@@ -3448,8 +3458,16 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT vec_id AS cvec, row_number() OVER (ORDER BY vec_id) - 1 AS cell
   FROM embeddings WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 8
 ),
+qnorms AS (
+  SELECT vec_id,
+         CAST(sum(CAST(floor((x * x) * 1000000000000) AS BIGINT))
+              AS BIGINT) AS q
+  FROM exp_e GROUP BY vec_id
+),
 cdots AS (
-  SELECT a.vec_id, ct.cell, ct.cvec, sum(a.x * c.x) AS dot
+  SELECT a.vec_id, ct.cell, ct.cvec,
+         CAST(sum(CAST(floor((a.x * c.x) * 1000000000000) AS BIGINT))
+              AS BIGINT) AS dotq
   FROM exp_e a
   JOIN cents ct ON TRUE
   JOIN exp_e c ON c.vec_id = ct.cvec AND c.i = a.i
@@ -3457,17 +3475,20 @@ cdots AS (
 ),
 ranked AS (
   SELECT d.vec_id, d.cell,
-         CAST(round(d.dot / (na.nrm * nc.nrm), 9) AS DECIMAL(12,9)) AS c12,
+         CAST(d.dotq AS DOUBLE)
+           / sqrt(CAST(qa.q AS DOUBLE) * CAST(qc.q AS DOUBLE)) AS cosd,
          row_number() OVER (PARTITION BY d.vec_id
-                            ORDER BY round(d.dot / (na.nrm * nc.nrm), 9) DESC,
+                            ORDER BY CAST(d.dotq AS DOUBLE)
+                              / sqrt(CAST(qa.q AS DOUBLE)
+                                     * CAST(qc.q AS DOUBLE)) DESC,
                                      d.cell) AS crn
   FROM cdots d
-  JOIN norms na ON na.vec_id = d.vec_id
-  JOIN norms nc ON nc.vec_id = d.cvec
+  JOIN qnorms qa ON qa.vec_id = d.vec_id
+  JOIN qnorms qc ON qc.vec_id = d.cvec
 ),
 assigned AS (
   SELECT vec_id, cell,
-         CAST(c12 * CAST(1000000000 AS DECIMAL(19,0)) AS BIGINT) AS cos9i,
+         CAST(floor(cosd * 1000000000) AS BIGINT) AS cos9i,
          vec_id % 4 <> 0 AS is_orig
   FROM ranked WHERE crn = 1
 ),
@@ -3527,7 +3548,8 @@ _PQ_CTES = """
 ),
 sdist AS MATERIALIZED (
   SELECT a.vec_id, sd.j, CAST((a.i - 1) // 8 AS INT) AS s,
-         round(sum((a.x - c.x) * (a.x - c.x)), 9) AS d
+         CAST(sum(CAST(floor(((a.x - c.x) * (a.x - c.x)) * 1000000000000)
+                       AS BIGINT)) AS BIGINT) AS d
   FROM exp_e a
   JOIN seeds sd ON TRUE
   JOIN exp_e c ON c.vec_id = sd.sv AND c.i = a.i
@@ -3572,7 +3594,8 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """,
 qlut AS (
   SELECT a.vec_id AS query_id, sd.j, CAST((a.i - 1) // 8 AS INT) AS s,
-         CAST(round(sum((a.x - c.x) * (a.x - c.x)), 9) AS DECIMAL(18,9)) AS d
+         CAST(sum(CAST(floor(((a.x - c.x) * (a.x - c.x)) * 1000000000000)
+                       AS BIGINT)) AS BIGINT) AS d
   FROM exp_e a
   JOIN seeds sd ON TRUE
   JOIN exp_e c ON c.vec_id = sd.sv AND c.i = a.i
@@ -3585,7 +3608,8 @@ vcodes AS (
   FROM pqcodes c CROSS JOIN (SELECT unnest(range(8)) AS s) ss
 ),
 adist AS (
-  SELECT q.query_id, v.vec_id, CAST(sum(q.d) AS DOUBLE) AS adist9
+  SELECT q.query_id, v.vec_id, CAST(CAST(sum(q.d) AS BIGINT) AS DOUBLE)
+           / CAST(1000000000000 AS DOUBLE) AS adist9
   FROM vcodes v JOIN qlut q ON q.s = v.s AND q.j = v.j
   WHERE v.vec_id <> q.query_id
   GROUP BY q.query_id, v.vec_id
@@ -3617,8 +3641,16 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf_pq_topk",
     oracle=_EMB_CTE
     + """
-, cdots AS (
-  SELECT a.vec_id, c.vec_id AS cell, sum(a.x * c.x) AS dot
+, qnorms AS (
+  SELECT vec_id,
+         CAST(sum(CAST(floor((x * x) * 1000000000000) AS BIGINT))
+              AS BIGINT) AS q
+  FROM exp_e GROUP BY vec_id
+),
+cdots AS (
+  SELECT a.vec_id, c.vec_id AS cell,
+         CAST(sum(CAST(floor((a.x * c.x) * 1000000000000) AS BIGINT))
+              AS BIGINT) AS dotq
   FROM exp_e a JOIN exp_e c ON c.vec_id < 8 AND c.i = a.i
   GROUP BY a.vec_id, c.vec_id
 ),
@@ -3626,10 +3658,12 @@ ccos AS (
   SELECT d.vec_id, d.cell,
          row_number() OVER (
            PARTITION BY d.vec_id
-           ORDER BY round(d.dot / (na.nrm * nc.nrm), 9) DESC, d.cell) AS crn
+           ORDER BY CAST(d.dotq AS DOUBLE)
+                    / sqrt(CAST(qa.q AS DOUBLE) * CAST(qc.q AS DOUBLE))
+                    DESC, d.cell) AS crn
   FROM cdots d
-  JOIN norms na ON na.vec_id = d.vec_id
-  JOIN norms nc ON nc.vec_id = d.cell
+  JOIN qnorms qa ON qa.vec_id = d.vec_id
+  JOIN qnorms qc ON qc.vec_id = d.cell
 ),
 assign AS MATERIALIZED (SELECT vec_id, cell FROM ccos WHERE crn = 1),
 probes AS (SELECT vec_id AS query_id, cell FROM ccos
@@ -3638,7 +3672,8 @@ probes AS (SELECT vec_id AS query_id, cell FROM ccos
     + """,
 qlut AS (
   SELECT a.vec_id AS query_id, sd.j, CAST((a.i - 1) // 8 AS INT) AS s,
-         CAST(round(sum((a.x - c.x) * (a.x - c.x)), 9) AS DECIMAL(18,9)) AS d
+         CAST(sum(CAST(floor(((a.x - c.x) * (a.x - c.x)) * 1000000000000)
+                       AS BIGINT)) AS BIGINT) AS d
   FROM exp_e a
   JOIN seeds sd ON TRUE
   JOIN exp_e c ON c.vec_id = sd.sv AND c.i = a.i
@@ -3651,7 +3686,8 @@ vcodes AS (
   FROM pqcodes c CROSS JOIN (SELECT unnest(range(8)) AS s) ss
 ),
 adist AS (
-  SELECT p.query_id, a.vec_id, CAST(sum(q.d) AS DOUBLE) AS adist9
+  SELECT p.query_id, a.vec_id, CAST(CAST(sum(q.d) AS BIGINT) AS DOUBLE)
+           / CAST(1000000000000 AS DOUBLE) AS adist9
   FROM assign a
   JOIN probes p ON p.cell = a.cell AND a.vec_id <> p.query_id
   JOIN vcodes v ON v.vec_id = a.vec_id
@@ -3735,8 +3771,16 @@ def sim_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT vec_id AS cvec, row_number() OVER (ORDER BY vec_id) - 1 AS cell
   FROM embeddings WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 8
 ),
+qnorms AS (
+  SELECT vec_id,
+         CAST(sum(CAST(floor((x * x) * 1000000000000) AS BIGINT))
+              AS BIGINT) AS q
+  FROM exp_e GROUP BY vec_id
+),
 cdots AS (
-  SELECT a.vec_id, ct.cell, ct.cvec, sum(a.x * c.x) AS dot
+  SELECT a.vec_id, ct.cell, ct.cvec,
+         CAST(sum(CAST(floor((a.x * c.x) * 1000000000000) AS BIGINT))
+              AS BIGINT) AS dotq
   FROM exp_e a
   JOIN cents ct ON TRUE
   JOIN exp_e c ON c.vec_id = ct.cvec AND c.i = a.i
@@ -3746,11 +3790,13 @@ assigned AS (
   SELECT vec_id, cell, vec_id % 4 <> 0 AS is_orig FROM (
     SELECT d.vec_id, d.cell,
            row_number() OVER (PARTITION BY d.vec_id
-                              ORDER BY round(d.dot / (na.nrm * nc.nrm), 9)
+                              ORDER BY CAST(d.dotq AS DOUBLE)
+                                / sqrt(CAST(qa.q AS DOUBLE)
+                                       * CAST(qc.q AS DOUBLE))
                                        DESC, d.cell) AS crn
     FROM cdots d
-    JOIN norms na ON na.vec_id = d.vec_id
-    JOIN norms nc ON nc.vec_id = d.cvec) t
+    JOIN qnorms qa ON qa.vec_id = d.vec_id
+    JOIN qnorms qc ON qc.vec_id = d.cvec) t
   WHERE crn = 1
 ),
 seeds AS (
@@ -3759,7 +3805,8 @@ seeds AS (
 ),
 sdist AS MATERIALIZED (
   SELECT a.vec_id, sd.j, CAST((a.i - 1) // 8 AS INT) AS s,
-         round(sum((a.x - c.x) * (a.x - c.x)), 9) AS d
+         CAST(sum(CAST(floor(((a.x - c.x) * (a.x - c.x)) * 1000000000000)
+                       AS BIGINT)) AS BIGINT) AS d
   FROM exp_e a
   JOIN seeds sd ON TRUE
   JOIN exp_e c ON c.vec_id = sd.sv AND c.i = a.i
@@ -3911,7 +3958,8 @@ cand1 AS (
 ),
 qlut AS (
   SELECT a.vec_id AS query_id, sd.j, CAST((a.i - 1) // 8 AS INT) AS s,
-         CAST(round(sum((a.x - c.x) * (a.x - c.x)), 9) AS DECIMAL(18,9)) AS d
+         CAST(sum(CAST(floor(((a.x - c.x) * (a.x - c.x)) * 1000000000000)
+                       AS BIGINT)) AS BIGINT) AS d
   FROM exp_e a
   JOIN seeds sd ON TRUE
   JOIN exp_e c ON c.vec_id = sd.sv AND c.i = a.i
@@ -3924,7 +3972,8 @@ vcodes AS (
   FROM pqcodes c CROSS JOIN (SELECT unnest(range(8)) AS s) ss
 ),
 adist AS (
-  SELECT c1.query_id, c1.vec_id, CAST(sum(q.d) AS DOUBLE) AS adist9
+  SELECT c1.query_id, c1.vec_id, CAST(CAST(sum(q.d) AS BIGINT) AS DOUBLE)
+           / CAST(1000000000000 AS DOUBLE) AS adist9
   FROM cand1 c1
   JOIN vcodes v ON v.vec_id = c1.vec_id
   JOIN qlut q ON q.query_id = c1.query_id AND q.s = v.s AND q.j = v.j
@@ -3985,8 +4034,16 @@ def sim_cascade3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT vec_id AS cvec, row_number() OVER (ORDER BY vec_id) - 1 AS cell
   FROM embeddings ORDER BY vec_id LIMIT 8
 ),
+qnorms AS (
+  SELECT vec_id,
+         CAST(sum(CAST(floor((x * x) * 1000000000000) AS BIGINT))
+              AS BIGINT) AS q
+  FROM exp_e GROUP BY vec_id
+),
 cdots AS (
-  SELECT a.vec_id, ct.cell, ct.cvec, sum(a.x * c.x) AS dot
+  SELECT a.vec_id, ct.cell, ct.cvec,
+         CAST(sum(CAST(floor((a.x * c.x) * 1000000000000) AS BIGINT))
+              AS BIGINT) AS dotq
   FROM exp_e a JOIN cents ct ON TRUE
   JOIN exp_e c ON c.vec_id = ct.cvec AND c.i = a.i
   GROUP BY a.vec_id, ct.cell, ct.cvec
@@ -3994,11 +4051,13 @@ cdots AS (
 ranked AS (
   SELECT d.vec_id, d.cell,
          row_number() OVER (PARTITION BY d.vec_id
-                            ORDER BY round(d.dot / (na.nrm * nc.nrm), 9)
+                            ORDER BY CAST(d.dotq AS DOUBLE)
+                              / sqrt(CAST(qa.q AS DOUBLE)
+                                     * CAST(qc.q AS DOUBLE))
                                      DESC, d.cell) AS crn
   FROM cdots d
-  JOIN norms na ON na.vec_id = d.vec_id
-  JOIN norms nc ON nc.vec_id = d.cvec
+  JOIN qnorms qa ON qa.vec_id = d.vec_id
+  JOIN qnorms qc ON qc.vec_id = d.cvec
 ),
 assigned AS (SELECT vec_id, cell FROM ranked WHERE crn = 1),
 probes AS (SELECT vec_id AS query_id, cell FROM ranked
@@ -4019,7 +4078,8 @@ sres AS MATERIALIZED (
 ),
 sdist AS MATERIALIZED (
   SELECT r.vec_id, sr.j, CAST((r.i - 1) // 8 AS INT) AS s,
-         round(sum((r.x - sr.x) * (r.x - sr.x)), 9) AS d
+         CAST(sum(CAST(floor(((r.x - sr.x) * (r.x - sr.x)) * 1000000000000)
+                       AS BIGINT)) AS BIGINT) AS d
   FROM rexp r JOIN sres sr ON sr.i = r.i
   GROUP BY r.vec_id, sr.j, (r.i - 1) // 8
 ),
@@ -4038,8 +4098,8 @@ qres AS (
 ),
 qdist AS MATERIALIZED (
   SELECT q.query_id, q.cell, sr.j, CAST((q.i - 1) // 8 AS INT) AS s,
-         CAST(round(sum((q.x - sr.x) * (q.x - sr.x)), 9)
-              AS DECIMAL(18,9)) AS d
+         CAST(sum(CAST(floor(((q.x - sr.x) * (q.x - sr.x)) * 1000000000000)
+                       AS BIGINT)) AS BIGINT) AS d
   FROM qres q JOIN sres sr ON sr.i = q.i
   GROUP BY q.query_id, q.cell, sr.j, (q.i - 1) // 8
 ),
@@ -4049,7 +4109,8 @@ cand AS (
     ON a.cell = p.cell AND a.vec_id <> p.query_id
 ),
 ad AS (
-  SELECT c.query_id, c.vec_id, CAST(sum(qd.d) AS DOUBLE) AS adist9
+  SELECT c.query_id, c.vec_id, CAST(CAST(sum(qd.d) AS BIGINT) AS DOUBLE)
+           / CAST(1000000000000 AS DOUBLE) AS adist9
   FROM cand c
   JOIN best b ON b.vec_id = c.vec_id
   JOIN qdist qd ON qd.query_id = c.query_id AND qd.cell = c.cell

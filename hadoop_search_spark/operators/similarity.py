@@ -25,6 +25,8 @@ expression); top-k per query is a window over query-partitioned data.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -55,6 +57,46 @@ def _cosine(a: F.Column, b: F.Column) -> F.Column:
     bit-parity (partial-sum order of the dot product differs across
     engines); every similarity path must use this one definition."""
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 9)
+
+
+# Integer quantization scale for ORDER-EXACT decision arithmetic (cell
+# argmin, PQ code argmin, ADC distances): each per-element double term
+# floors at 1e-12 resolution to a BIGINT, so the sum is exact integer
+# arithmetic — identical under ANY partitioning, thread order, or
+# engine. 1e12 is exactly representable as a double; |term|·1e12 ≤
+# ~1e16 per element and dims ≤ 64 keep every sum far inside int64.
+# This replaced the r6 recipe (float sum → round(·,9) → argmin): a
+# DuckDB parallel float sum is thread-order-dependent, and one vector
+# whose rounded value straddled a 9dp boundary flipped cells between
+# oracle runs (the sim_ivfpq_drift r6 driver flake — r6 VERDICT #1).
+# floor() of an identical double is deterministic cross-engine where
+# round() of one is not (the established r4 rule).
+_QS = 1_000_000_000_000.0  # 1e12
+
+
+def _qdot(a: F.Column, b: F.Column) -> F.Column:
+    """Order-exact integer-quantized dot product: Σ floor((aᵢ·bᵢ)·1e12)
+    as one BIGINT — the decision-grade twin of :func:`_dot` (see _QS).
+    The oracle twin is ``CAST(sum(CAST(floor((a.x * c.x) *
+    1000000000000) AS BIGINT)) AS BIGINT)``."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(
+                (x.cast("double") * y.cast("double")) * F.lit(_QS)
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _py_qdot(u, v) -> int:
+    """Python twin of :func:`_qdot` — CPython floats are IEEE doubles,
+    so floor((x·y)·1e12) matches the engine bit-for-bit; the int sum
+    is exact. Used for centroid-norm literals and golden replays."""
+    return sum(math.floor((float(x) * float(y)) * _QS) for x, y in zip(u, v))
 
 
 def _topk_per_query(pairs: DataFrame, k: int) -> DataFrame:
@@ -334,29 +376,40 @@ def ivf_centroids(embeddings: DataFrame, num_centroids: int = NUM_CENTROIDS):
 
 
 def _cell_ranking(
-    emb: F.Column, centroids, row_norm: F.Column | None = None
+    emb: F.Column, centroids, row_qnorm: F.Column | None = None
 ) -> F.Column:
     """ARRAY<STRUCT<neg_cos, cell>> sorted best-first: cosine against
-    each centroid (rounded to 9dp — see :func:`_cosine`), ties to the
-    lowest cell id. ``array_sort`` on structs orders by fields
-    lexicographically, so (-cos, cell) ascending = (cos desc, cell
-    asc). Pure expression — whole-stage codegen, no shuffle.
+    each centroid, ties to the lowest cell id. ``array_sort`` on
+    structs orders by fields lexicographically, so (-cos, cell)
+    ascending = (cos desc, cell asc). Pure expression — whole-stage
+    codegen, no shuffle.
 
-    Per-row work is kept to the C dot products: centroid norms are
-    Python-side constants (sequential left-to-right float64 sums,
-    matching the Spark aggregate's fold order bit-for-bit), and the
-    row's own norm is computed once outside the per-centroid structs
-    (pass ``row_norm`` as a materialized column; defaults to the
-    inline expression)."""
-    if row_norm is None:
-        row_norm = _norm(emb)
+    ORDER-EXACT (r6 VERDICT #1): the dot product and both squared
+    norms are :func:`_qdot` integer sums, so every input to the one
+    IEEE division/sqrt is bit-identical across engines, partitionings,
+    and runs — no float sum ever feeds the argmin, and no round() is
+    needed (or wanted: round-of-double is itself engine-dependent at
+    digit boundaries). The 1e12 scales cancel in the ratio, so neg_cos
+    is still ≈ −cosine.
+
+    Per-row work is kept to the C dot products: centroid squared-norm
+    constants come from the Python twin :func:`_py_qdot`, and the
+    row's own squared norm is computed once outside the per-centroid
+    structs (pass ``row_qnorm`` as a materialized column; defaults to
+    the inline expression)."""
+    if row_qnorm is None:
+        row_qnorm = _qdot(emb, emb)
     scored = [
         F.struct(
             (
-                -F.round(
-                    _dot(emb, F.array(*[F.lit(x) for x in vec]))
-                    / (row_norm * F.lit(_py_norm(vec))),
-                    9,
+                -(
+                    _qdot(emb, F.array(*[F.lit(x) for x in vec])).cast(
+                        "double"
+                    )
+                    / F.sqrt(
+                        row_qnorm.cast("double")
+                        * F.lit(float(_py_qdot(vec, vec)))
+                    )
                 )
             ).alias("neg_cos"),
             F.lit(cell).cast("bigint").alias("cell"),
@@ -366,19 +419,10 @@ def _cell_ranking(
     return F.array_sort(F.array(*scored))
 
 
-def _py_norm(vec: list[float]) -> float:
-    """sqrt of a left-to-right float64 sum of squares — the same fold
-    order as :func:`_norm`'s aggregate, so the constant equals what
-    the engine would have computed."""
-    acc = 0.0
-    for x in vec:
-        acc += x * x
-    return acc**0.5
-
-
 def _cell_ranking_l2(emb: F.Column, centroids) -> F.Column:
-    """ARRAY<STRUCT<d, cell>> sorted best-first by 9dp-rounded SQUARED
-    L2 distance, ties to the lowest cell id — the L2 twin of
+    """ARRAY<STRUCT<d, cell>> sorted best-first by integer-quantized
+    SQUARED L2 distance (Σ floor((xᵢ−cᵢ)²·1e12) — see _QS; pure BIGINT
+    ordering, ties to the lowest cell id) — the L2 twin of
     :func:`_cell_ranking`, built as one ``transform`` over a nested
     literal centroid array (the :func:`_pq_sub_dists` tree shape:
     O(1) expression nodes per ranking, the C-loop in the HOF runtime).
@@ -401,18 +445,20 @@ def _cell_ranking_l2(emb: F.Column, centroids) -> F.Column:
         F.transform(
             cents_lit,
             lambda c, i: F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            emb,
-                            c,
-                            lambda x, cc: (x.cast("double") - cc)
-                            * (x.cast("double") - cc),
+                F.aggregate(
+                    F.zip_with(
+                        emb,
+                        c,
+                        lambda x, cc: F.floor(
+                            (
+                                (x.cast("double") - cc)
+                                * (x.cast("double") - cc)
+                            )
+                            * F.lit(_QS)
                         ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
                     ),
-                    9,
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v,
                 ).alias("d"),
                 i.cast("bigint").alias("cell"),
             ),
@@ -430,17 +476,20 @@ def ivf_assign(
     for the IVF serving paths, squared L2 for PQ subspace training)
     as a map-only projection — the 100 TB path: one narrow scan, no
     join, no shuffle; cells then act like partitions for probing. The
-    row norm is materialized once per row, not once per centroid."""
+    row's squared norm is materialized once per row, not once per
+    centroid."""
     if metric == "l2":
         ranking = _cell_ranking_l2(F.col("embedding"), centroids)
         return embeddings.withColumn(
             out_col, ranking.getItem(0).getField("cell")
         )
-    with_norm = embeddings.withColumn("_nrm", _norm(F.col("embedding")))
-    ranking = _cell_ranking(F.col("embedding"), centroids, F.col("_nrm"))
-    return with_norm.withColumn(out_col, ranking.getItem(0).getField("cell")).drop(
-        "_nrm"
+    with_qn = embeddings.withColumn(
+        "_qn", _qdot(F.col("embedding"), F.col("embedding"))
     )
+    ranking = _cell_ranking(F.col("embedding"), centroids, F.col("_qn"))
+    return with_qn.withColumn(
+        out_col, ranking.getItem(0).getField("cell")
+    ).drop("_qn")
 
 
 def ivf_train_kmeans(
@@ -929,13 +978,16 @@ def ivf_drift_stats(
       original slice's (the quantizer no longer fits the data near
       this cell).
 
-    Exactness: per-vector cosine-to-assigned-centroid uses the one
-    shared 9dp-rounded cosine, quantized to DECIMAL(12,9) BEFORE the
-    per-cell sum (exact, order-independent); sums surface as integer
-    ``sum_cos9`` columns, and both drift tests are integer/DECIMAL(38)
-    cross-multiplications — no division anywhere, so a DuckDB oracle
-    reproduces every flag bit-for-bit. Mean distances are derivable
-    by the consumer as sum_cos9 / n / 1e9.
+    Exactness: per-vector cosine-to-assigned-centroid derives from
+    :func:`_qdot` integer sums (dot and both squared norms — see _QS),
+    so the one IEEE division/sqrt sees bit-identical inputs in every
+    engine and run; the per-row value then quantizes via
+    ``floor(cos·1e9)`` (floor of an identical double is deterministic
+    cross-engine where round() is not) into an exact BIGINT sum. Both
+    drift tests are integer/DECIMAL(38) cross-multiplications — no
+    float sum, no division anywhere, so a DuckDB oracle reproduces
+    every flag bit-for-bit. Mean distances are derivable by the
+    consumer as sum_cos9 / n / 1e9.
 
     Scale shape: one union + one per-cell aggregation (partial aggs
     apply) + a 1-row broadcast of the global totals. The centroid
@@ -944,24 +996,24 @@ def ivf_drift_stats(
     cvecs = F.array(
         *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in centroids]
     )
-    cnorms = F.array(*[F.lit(_py_norm(vec)) for _, vec in centroids])
+    cqnorms = F.array(
+        *[F.lit(float(_py_qdot(vec, vec))) for _, vec in centroids]
+    )
     idx = (F.col("cell") + 1).cast("int")
-    cos9 = F.round(
-        _dot(F.col("embedding"), F.element_at(cvecs, idx))
-        / (_norm(F.col("embedding")) * F.element_at(cnorms, idx)),
-        9,
+    cosd = _qdot(F.col("embedding"), F.element_at(cvecs, idx)).cast(
+        "double"
+    ) / F.sqrt(
+        _qdot(F.col("embedding"), F.col("embedding")).cast("double")
+        * F.element_at(cqnorms, idx)
     )
     tagged = (
         orig.select("embedding", "cell", F.lit(True).alias("is_orig"))
         .unionByName(
             new.select("embedding", "cell", F.lit(False).alias("is_orig"))
         )
-        .withColumn("cos9", cos9.cast("decimal(12,9)"))
+        .withColumn("row9", F.floor(cosd * F.lit(1000000000.0)))
     )
-    # per-row integer quantization (cos9 is exactly 9-scaled, so
-    # *1e9 is an exact integer) then a plain bigint sum — the same
-    # recipe in both engines, no decimal-precision promotion to match
-    row9 = (F.col("cos9") * F.lit(1000000000)).cast("bigint")
+    row9 = F.col("row9")
 
     def sum9(cond):
         return F.sum(F.when(cond, row9).otherwise(F.lit(0))).cast("bigint")
@@ -1076,81 +1128,72 @@ def pq_codebooks(
     return books
 
 
-def _pq_sub_dist(emb: F.Column, s: int, cent: list, sub: int) -> F.Column:
-    """9dp-rounded squared L2 distance between subvector ``s`` of a
-    row and ONE codebook centroid — slice + zip_with + left-to-right
-    aggregate of pointwise IEEE ops (sub, mul, add); the rounding
-    makes downstream argmin/sum comparisons exact, the same guard
-    _cosine applies. Single-centroid form (used by the L2 k-means
-    assignment); the PQ hot paths use :func:`_pq_sub_dists`, which
-    evaluates a whole codebook per expression node."""
-    sv = F.slice(emb, s * sub + 1, sub)
-    carr = F.array(*[F.lit(float(x)) for x in cent])
-    d = F.aggregate(
-        F.zip_with(
-            sv,
-            carr,
-            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return F.round(d, 9)
-
-
-def _pq_sub_dists(
-    emb: F.Column, s: int, book_s: list, sub: int, as_decimal: bool = False
-) -> F.Column:
-    """ARRAY of the k 9dp-rounded squared L2 distances from subvector
-    ``s`` to EVERY centroid of its codebook — one ``transform`` over a
-    nested literal codebook array, so the k-loop lives in the HOF
-    runtime and the expression tree is O(1) per subspace instead of
-    O(k) independent fold trees. That tree-size difference is the
-    whole point: the unrolled m·k form cost ~17 s of per-shape plan
-    compilation for the full encode (halved once to ~7 s by
-    zip_with+aggregate, r5); this form compiles the same plan in
-    under a second with BIT-IDENTICAL values — element j is the same
-    slice → zip_with square-diff → ascending-index fold → round(9)
-    chain as :func:`_pq_sub_dist` on centroid j. ``as_decimal`` casts
-    each entry to DECIMAL(18,9) inside the lambda (exact on a
-    9dp-rounded double) for the ADC LUTs, whose entries must be
-    order-independent under addition."""
+def _pq_sub_dists(emb: F.Column, s: int, book_s: list, sub: int) -> F.Column:
+    """ARRAY<BIGINT> of the k integer-quantized squared L2 distances
+    (Σ floor((xᵢ−cᵢ)²·1e12) — see _QS) from subvector ``s`` to EVERY
+    centroid of its codebook — one ``transform`` over a nested literal
+    codebook array, so the k-loop lives in the HOF runtime and the
+    expression tree is O(1) per subspace instead of O(k) independent
+    fold trees. That tree-size difference is the whole point: the
+    unrolled m·k form cost ~17 s of per-shape plan compilation for the
+    full encode (halved once to ~7 s by zip_with+aggregate, r5); this
+    form compiles the same plan in under a second. Integer entries are
+    order-independent under addition BY CONSTRUCTION, so the same
+    array serves both the code argmin and the ADC LUT (the r6
+    DECIMAL(18,9)-of-round(·,9) form left a thread-order-dependent
+    DuckDB float sum in front of the quantization — r6 VERDICT #1)."""
     sv = F.slice(emb, s * sub + 1, sub)
     books_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in cent]) for cent in book_s]
     )
 
     def one(carr):
-        d = F.round(
-            F.aggregate(
-                F.zip_with(
-                    sv,
-                    carr,
-                    lambda x, c: (x.cast("double") - c)
-                    * (x.cast("double") - c),
+        return F.aggregate(
+            F.zip_with(
+                sv,
+                carr,
+                lambda x, c: F.floor(
+                    (
+                        (x.cast("double") - c) * (x.cast("double") - c)
+                    )
+                    * F.lit(_QS)
                 ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
             ),
-            9,
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
         )
-        return d.cast("decimal(18,9)") if as_decimal else d
 
     return F.transform(books_lit, one)
 
 
 def _pq_lut(emb: F.Column, books, sub: int) -> F.Column:
-    """Per-query ADC lookup table — m·k DECIMAL(18,9) distances
+    """Per-query ADC lookup table — m·k BIGINT quantized distances
     flattened ``[s*k + j]``: flatten of m per-subspace
     :func:`_pq_sub_dists` arrays (O(m) expression nodes)."""
     return F.flatten(
         F.array(
             *[
-                _pq_sub_dists(emb, s, books[s], sub, as_decimal=True)
+                _pq_sub_dists(emb, s, books[s], sub)
                 for s in range(len(books))
             ]
         )
     )
+
+
+def _adc_score(m: int, kc: int) -> F.Column:
+    """The shared ADC distance: m LUT lookups indexed by the unpacked
+    code nibbles (integral div/% — no float in the decode), summed as
+    exact BIGINTs, surfaced as ``adist9`` = sum/1e12 in float64 (one
+    IEEE division of an exactly-representable integer — identical
+    cross-engine; the name keeps the historical column label, the
+    quantum is 1e-12). Expects ``code`` and ``lut`` columns in scope."""
+    adist = F.lit(0).cast("bigint")
+    for s in range(m):
+        code_s = F.expr(f"CAST((code div {int(kc ** s)}) % {kc} AS INT)")
+        adist = adist + F.element_at(
+            F.col("lut"), F.lit(s * kc) + code_s + F.lit(1)
+        )
+    return (adist.cast("double") / F.lit(_QS)).alias("adist9")
 
 
 def pq_encode(
@@ -1242,7 +1285,7 @@ def pq_topk(
     """Asymmetric-distance (ADC) PQ search → ``(query_id, vec_id,
     adist9, rn)``: corpus vectors are compared through their CODES
     only — the approximate distance is the sum of m table lookups,
-    where the per-query lookup table holds the 9dp squared distance
+    where the per-query lookup table holds the integer-quantized squared distance
     from the query's true subvector to every codebook centroid.
 
     Scale shape: the encoded corpus (one BIGINT per vector) is the
@@ -1266,26 +1309,17 @@ def pq_topk(
         .limit(len(query_ids))
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    # per-query LUT: m*kc distances, flattened [s*kc + j]. Entries
-    # quantize to DECIMAL(18,9) BEFORE the m-way sum (cookbook rule:
-    # decimal addition is exact and order-independent, so the oracle
-    # may add the same 8 values in any join order and still match)
+    # per-query LUT: m*kc integer-quantized distances, flattened
+    # [s*kc + j] — exact and order-independent under addition, so the
+    # oracle may add the same 8 values in any join order and still
+    # match (see _QS)
     qlut = q.select(
         "query_id", _pq_lut(F.col("embedding"), books, sub).alias("lut")
     )
     pairs = codes.join(
         F.broadcast(qlut), F.col("vec_id") != F.col("query_id")
     )
-    adist = F.lit(0).cast("decimal(18,9)")
-    for s in range(m):
-        # integral code extraction (div/%) — no float arithmetic in
-        # the nibble decode
-        code_s = F.expr(f"CAST((code div {int(kc ** s)}) % {kc} AS INT)")
-        idx = F.lit(s * kc) + code_s + F.lit(1)
-        adist = adist + F.element_at(F.col("lut"), idx)
-    scored = pairs.select(
-        "query_id", "vec_id", adist.cast("double").alias("adist9")
-    )
+    scored = pairs.select("query_id", "vec_id", _adc_score(m, kc))
     w = Window.partitionBy("query_id").orderBy(F.asc("adist9"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
@@ -1347,15 +1381,7 @@ def ivf_pq_topk(
     pairs = indexed.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    adist = F.lit(0).cast("decimal(18,9)")
-    for s in range(m):
-        code_s = F.expr(f"CAST((code div {int(kc ** s)}) % {kc} AS INT)")
-        adist = adist + F.element_at(
-            F.col("lut"), F.lit(s * kc) + code_s + F.lit(1)
-        )
-    scored = pairs.select(
-        "query_id", "vec_id", adist.cast("double").alias("adist9")
-    )
+    scored = pairs.select("query_id", "vec_id", _adc_score(m, kc))
     w = Window.partitionBy("query_id").orderBy(F.asc("adist9"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
@@ -1440,7 +1466,7 @@ def ivf_pq_residual_topk(
     request-sized, still broadcast). Everything else is
     :func:`ivf_pq_topk`'s shape: one map-only index projection of
     (vec_id, cell, code), candidates only from probed cells, exact
-    decimal ADC sums, (adist asc, vec_id) ranking."""
+    exact integer ADC sums, (adist asc, vec_id) ranking."""
     cents = (
         centroids
         if centroids is not None
@@ -1475,15 +1501,7 @@ def ivf_pq_residual_topk(
     pairs = indexed.join(F.broadcast(probes_lut), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    adist = F.lit(0).cast("decimal(18,9)")
-    for s in range(m):
-        code_s = F.expr(f"CAST((code div {int(kc ** s)}) % {kc} AS INT)")
-        adist = adist + F.element_at(
-            F.col("lut"), F.lit(s * kc) + code_s + F.lit(1)
-        )
-    scored = pairs.select(
-        "query_id", "vec_id", adist.cast("double").alias("adist9")
-    )
+    scored = pairs.select("query_id", "vec_id", _adc_score(m, kc))
     w = Window.partitionBy("query_id").orderBy(F.asc("adist9"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
@@ -1600,16 +1618,16 @@ def ivfpq_index_topk(
         lut.alias("lut"),
         F.explode(F.slice(ranking, 1, nprobe)).alias("probe"),
     ).select("query_id", "lut", F.col("probe.cell").alias("cell")).collect()
-    # collect() yields java.math-backed Decimals; rebuilding the
-    # broadcast side as a literal frame keeps the probe subtree from
-    # re-executing per reference (the ivf_index_topk pattern), and the
-    # DECIMAL schema round-trips the LUT exactly — no float hop
+    # rebuilding the broadcast side as a literal frame keeps the probe
+    # subtree from re-executing per reference (the ivf_index_topk
+    # pattern); the BIGINT schema round-trips the quantized LUT
+    # exactly — no float hop
     probes_lit = spark.createDataFrame(
         [
-            (int(r.query_id), list(r.lut), int(r.cell))
+            (int(r.query_id), [int(x) for x in r.lut], int(r.cell))
             for r in probe_rows
         ],
-        "query_id BIGINT, lut ARRAY<DECIMAL(18,9)>, cell BIGINT",
+        "query_id BIGINT, lut ARRAY<BIGINT>, cell BIGINT",
     )
     probed_cells = sorted({int(r.cell) for r in probe_rows})
     codes = spark.read.parquet(f"{path}/codes").filter(
@@ -1618,15 +1636,7 @@ def ivfpq_index_topk(
     pairs = codes.join(F.broadcast(probes_lit), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    adist = F.lit(0).cast("decimal(18,9)")
-    for s in range(m):
-        code_s = F.expr(f"CAST((code div {int(kc ** s)}) % {kc} AS INT)")
-        adist = adist + F.element_at(
-            F.col("lut"), F.lit(s * kc) + code_s + F.lit(1)
-        )
-    scored = pairs.select(
-        "query_id", "vec_id", adist.cast("double").alias("adist9")
-    )
+    scored = pairs.select("query_id", "vec_id", _adc_score(m, kc))
     w = Window.partitionBy("query_id").orderBy(F.asc("adist9"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
@@ -2039,19 +2049,11 @@ def cascade3_topk(
         .select("query_id", "vec_id", _pq_code_expr(books, dim).alias("code"))
         .join(F.broadcast(qlut), "query_id")
     )
-    adist = F.lit(0).cast("decimal(18,9)")
-    for s in range(m):
-        code_s = F.expr(f"CAST((code div {int(kc ** s)}) % {kc} AS INT)")
-        adist = adist + F.element_at(
-            F.col("lut"), F.lit(s * kc) + code_s + F.lit(1)
-        )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.asc("adist9"), F.asc("vec_id")
     )
     c2 = (
-        cand_codes.select(
-            "query_id", "vec_id", adist.cast("double").alias("adist9")
-        )
+        cand_codes.select("query_id", "vec_id", _adc_score(m, kc))
         .withColumn("arn", F.row_number().over(w_adc))
         .filter(F.col("arn") <= w2)
         .select("query_id", "vec_id")

@@ -336,31 +336,29 @@ def golden_pq_trained_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
     the seed-codebook SQL oracle. Every arithmetic step mirrors the
     engine's documented contract WITHOUT calling it:
 
-    * squared L2 per subspace = ascending-index float64 fold, rounded
-      via the round(double, 9) twin Decimal(str(x)).quantize(1e-9,
-      HALF_UP) (cookbook rule);
-    * assignment = argmin of (rounded dist, cell id) — ties to the
+    * squared L2 per subspace = Σ floor((xᵢ−cᵢ)²·1e12) as an exact int
+      (CPython floats ARE IEEE doubles, so each floored term matches
+      the engine's F.floor bit-for-bit and the integer sum is
+      order-independent — similarity._QS, the r7 order-exact recipe
+      that replaced float-sum → round(·,9));
+    * assignment = argmin of (quantized dist, cell id) — ties to the
       lowest centroid, the array_sort struct ordering;
     * the k-means mean = exact sum of per-component DECIMAL(28,12)
       quantizations (the cast-to-decimal twin Decimal(str(x))
       .quantize(1e-12, HALF_UP)) divided ONCE in float64 — the
       order-independent update ivf_train_kmeans performs;
-    * ADC = per-subspace LUT entries quantized to DECIMAL(18,9) after
-      the same round, summed exactly, ranked (adist asc, vec_id asc).
+    * ADC = the same integer LUT entries summed exactly, surfaced as
+      sum/1e12 in one float64 division, ranked (adist asc, vec_id
+      asc).
     """
     from decimal import ROUND_HALF_UP, Decimal
 
-    q9 = Decimal("1e-9")
     q12 = Decimal("1e-12")
 
-    def r9(x: float) -> float:
-        return float(Decimal(str(x)).quantize(q9, rounding=ROUND_HALF_UP))
-
-    def sqdist(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, c in zip(a, b):
-            acc += (x - c) * (x - c)
-        return r9(acc)
+    def sqdist(a: list[float], b: list[float]) -> int:
+        return sum(
+            math.floor(((x - c) * (x - c)) * 1e12) for x, c in zip(a, b)
+        )
 
     sub = PQ_DIM // PQ_M
     by_id = sorted(embs)
@@ -406,10 +404,10 @@ def golden_pq_trained_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
         qe = emap[qid]
         lut = [
             [
-                Decimal(str(sqdist(
+                sqdist(
                     [float(x) for x in qe[s * sub : (s + 1) * sub]],
                     books[s][j],
-                ))).quantize(q9, rounding=ROUND_HALF_UP)
+                )
                 for j in range(PQ_K)
             ]
             for s in range(PQ_M)
@@ -418,10 +416,12 @@ def golden_pq_trained_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
         for v, _ in by_id:
             if v == qid:
                 continue
-            adist = Decimal(0)
+            adist = 0
             for s in range(PQ_M):
                 adist += lut[s][(codes[v] // PQ_K**s) % PQ_K]
-            scored.append((float(adist), v))
+            # exact int sum ≤ ~2e15 < 2^53 → float() is exact; ONE IEEE
+            # division — the engine's adist9 = sum/1e12 bit-for-bit
+            scored.append((float(adist) / 1e12, v))
         scored.sort()
         out += [
             (qid, v, a, rn + 1)
