@@ -3738,8 +3738,10 @@ FROM fp WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.emb_fp = fp.fp)
 """,
     note="ADC top-10 over TRAINED PQ codebooks (operators/similarity."
     "py:pq_train_codebooks): per-subspace Lloyd's k-means under the "
-    "same L2 objective the quantizer serves (assignment by 9dp-rounded "
-    "squared L2, means via order-independent DECIMAL(28,12) pre-sum + "
+    "same L2 objective the quantizer serves (assignment by the _QS "
+    "integer-quantized squared L2 — Σ floor(d²·1e12) as exact BIGINT, "
+    "the r7 order-exact recipe — means via order-independent "
+    "DECIMAL(28,12) pre-sum + "
     "one driver-side float64 divide), then the sim_pq_topk ADC search "
     "with the trained books. Training reduces total squared "
     "reconstruction error ~25% vs the seed codebooks (pytest-pinned); "
@@ -3763,10 +3765,19 @@ def sim_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, [0, 1, 2, 3, 4], 10, books=books)
 
 
-@register(
-    "sim_ivfpq_drift",
-    oracle=_EMB_CTE
-    + """
+# Shared by sim_ivfpq_drift AND sim_ivfpq_assign_probe (single source
+# so the two oracles can never desynchronize — the _shingles_ctes
+# pattern): the vec_id%4 orig/new split, seed centroids+codebooks from
+# the ORIGINAL slice, and the FULLY-INTEGER cell assignment. The r6/r7
+# assignment ranked by CAST(dotq AS DOUBLE)/sqrt(qa·qc) — one IEEE
+# division+sqrt whose inputs were bit-identical integers, yet the
+# driver hash diverged two rounds running while every local gate was
+# green (r7 VERDICT #3). This form removes the last non-integer op
+# from the decision: cos_a > cos_b over a shared row norm ⟺ sign-aware
+# dotq_a²·qc_b vs dotq_b²·qc_a in HUGEINT (≤ ~1e36 for unit-ish
+# vectors — inside int128 AND Spark's DECIMAL(38,0) twin,
+# similarity._cell_argmax_exact). Exact ties take the LOWER cell id.
+_IVFPQ_EXACT_ASSIGN_CTES = """
 , cents AS (
   SELECT vec_id AS cvec, row_number() OVER (ORDER BY vec_id) - 1 AS cell
   FROM embeddings WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 8
@@ -3778,26 +3789,34 @@ qnorms AS (
   FROM exp_e GROUP BY vec_id
 ),
 cdots AS (
-  SELECT a.vec_id, ct.cell, ct.cvec,
+  SELECT a.vec_id, ct.cell,
          CAST(sum(CAST(floor((a.x * c.x) * 1000000000000) AS BIGINT))
-              AS BIGINT) AS dotq
+              AS BIGINT) AS dotq,
+         qc.q AS qc
   FROM exp_e a
   JOIN cents ct ON TRUE
   JOIN exp_e c ON c.vec_id = ct.cvec AND c.i = a.i
-  GROUP BY a.vec_id, ct.cell, ct.cvec
+  JOIN qnorms qc ON qc.vec_id = ct.cvec
+  GROUP BY a.vec_id, ct.cell, qc.q
 ),
 assigned AS (
-  SELECT vec_id, cell, vec_id % 4 <> 0 AS is_orig FROM (
-    SELECT d.vec_id, d.cell,
-           row_number() OVER (PARTITION BY d.vec_id
-                              ORDER BY CAST(d.dotq AS DOUBLE)
-                                / sqrt(CAST(qa.q AS DOUBLE)
-                                       * CAST(qc.q AS DOUBLE))
-                                       DESC, d.cell) AS crn
-    FROM cdots d
-    JOIN qnorms qa ON qa.vec_id = d.vec_id
-    JOIN qnorms qc ON qc.vec_id = d.cvec) t
-  WHERE crn = 1
+  SELECT vec_id, cell, vec_id % 4 <> 0 AS is_orig
+  FROM cdots a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cdots b
+    WHERE b.vec_id = a.vec_id AND (
+      (b.dotq >= 0 AND a.dotq < 0)
+      OR (b.dotq >= 0 AND a.dotq >= 0
+          AND CAST(b.dotq AS HUGEINT) * b.dotq * a.qc
+            > CAST(a.dotq AS HUGEINT) * a.dotq * b.qc)
+      OR (b.dotq < 0 AND a.dotq < 0
+          AND CAST(b.dotq AS HUGEINT) * b.dotq * a.qc
+            < CAST(a.dotq AS HUGEINT) * a.dotq * b.qc)
+      OR ((b.dotq >= 0) = (a.dotq >= 0)
+          AND CAST(b.dotq AS HUGEINT) * b.dotq * a.qc
+            = CAST(a.dotq AS HUGEINT) * a.dotq * b.qc
+          AND b.cell < a.cell)
+    ))
 ),
 seeds AS (
   SELECT vec_id AS sv, row_number() OVER (ORDER BY vec_id) - 1 AS j
@@ -3818,7 +3837,55 @@ best AS (
            row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
     FROM sdist) t WHERE rn = 1
 ),
-counts AS (
+pcodes AS (
+  SELECT vec_id,
+         CAST(sum(j * (CAST(1 AS BIGINT) << (4 * s))) AS BIGINT) AS code
+  FROM best GROUP BY vec_id
+)"""
+
+
+@register(
+    "sim_ivfpq_assign_probe",
+    oracle=_EMB_CTE
+    + _IVFPQ_EXACT_ASSIGN_CTES
+    + """
+SELECT a.vec_id, a.cell, p.code
+FROM assigned a JOIN pcodes p USING (vec_id)
+""",
+    note="Pure-integer IVF-PQ assignment probe — the r7-verdict "
+    "diagnostic for the two-round sim_ivfpq_drift driver-hash "
+    "divergence: (vec_id, cell, code) for EVERY vector under the "
+    "drift entry's exact split/models (orig = vec_id%4<>0; seed "
+    "centroids+codebooks from the orig slice). Every output value is "
+    "BIGINT and every decision is integer arithmetic end-to-end "
+    "(similarity._cell_argmax_exact cross-multiplied argmax; _QS "
+    "floor-quantized code argmin), so a driver mismatch here "
+    "localizes the divergence to assignment/encoding while a green "
+    "row + red drift row localizes it to the drift aggregation.",
+)
+def sim_ivfpq_assign_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import (
+        _pq_code_expr,
+        ivf_assign,
+        ivf_centroids,
+        pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    orig = emb.filter(F.col("vec_id") % 4 != 0)
+    cents = ivf_centroids(orig, 8)
+    books = pq_codebooks(orig)
+    return ivf_assign(emb, cents, metric="cosine_exact").select(
+        "vec_id", "cell", _pq_code_expr(books).alias("code")
+    )
+
+
+@register(
+    "sim_ivfpq_drift",
+    oracle=_EMB_CTE
+    + _IVFPQ_EXACT_ASSIGN_CTES
+    + """
+, counts AS (
   SELECT asg.cell, b.s, b.j,
          CAST(sum(CASE WHEN asg.is_orig THEN 1 ELSE 0 END) AS BIGINT)
            AS n_orig_j,
@@ -3848,7 +3915,11 @@ FROM agg
 """,
     note="IVF-PQ code-space drift report (operators/similarity.py:"
     "ivfpq_drift_stats): original corpus = vec_id%4<>0 (centroids AND "
-    "codebooks frozen from it), appended = vec_id%4=0; per (cell, "
+    "codebooks frozen from it), appended = vec_id%4=0. r8: the cell "
+    "assignment is the fully-integer cross-multiplied argmax "
+    "(_cell_argmax_exact / _IVFPQ_EXACT_ASSIGN_CTES) — no IEEE op "
+    "anywhere in this entry after two rounds of driver-only hash "
+    "divergence under the division/sqrt ranking. Per (cell, "
     "subspace) the appended rows' code histogram vs the build's as a "
     "cross-multiplied L1 numerator in DECIMAL(38,0) — no division, "
     "no float, bit-exact — with an evidence gate (n_new >= 10 here, "
@@ -3873,7 +3944,9 @@ def sim_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_codebooks(orig)
 
     def codes(df):
-        return ivf_assign(df, cents).select(
+        # cosine_exact: the r8 fully-integer argmax (no IEEE op in the
+        # assignment decision — see _IVFPQ_EXACT_ASSIGN_CTES)
+        return ivf_assign(df, cents, metric="cosine_exact").select(
             "cell", _pq_code_expr(books).alias("code")
         )
 
@@ -5994,6 +6067,249 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     mean, comps, _vals = pca_train(emb, k=4)
     return pca_project(emb, mean, comps)
+
+
+
+# ---- r8 registrations: the sketch family, multi-probe LSH, span
+# pair evidence (r6/r7 verdict item: finished operators without
+# driver rows) -----------------------------------------------------------
+
+from hadoop_search_spark.operators.sketch import (  # noqa: E402
+    cms_oracle_sql,
+    hll_oracle_sql,
+)
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle=hll_oracle_sql("events", "user_id"),
+    note="HyperLogLog distinct-user summary over events (operators/"
+    "sketch.py:hll_distinct, p=12): 60-bit md5 hash, register/rho via "
+    "integer shifts + length(bin()), z_scaled as an exact BIGINT sum, "
+    "ONE IEEE division for the estimate — bit-identical cross-engine "
+    "(the oracle is hll_oracle_sql, the SAME single-source recipe "
+    "pytest pins). The 100 TB story: COUNT(DISTINCT) shuffles every "
+    "value; this is one map + a 2^p-key aggregation with map-side "
+    "combine, constant memory, register-max mergeable across shards.",
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.sketch import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "sketch_cms_counts",
+    oracle=cms_oracle_sql("events", "user_id"),
+    note="Count-Min sketch cell table over events.user_id (operators/"
+    "sketch.py:cms_sketch, d=5 x w=8192): each value increments one "
+    "counter per hash row ('cms{i}:'-salted md5 % w — the shared "
+    "cross-engine hash recipe); all-integer, so the table is bit-"
+    "identical to cms_oracle_sql (the pytest-pinned single source). "
+    "Constant d*w state at any corpus size, cell-wise-sum mergeable "
+    "across disjoint shards; point queries read min over d rows "
+    "(cms_query, pinned never-below-true by pytest).",
+)
+def sketch_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.sketch import cms_sketch
+
+    return cms_sketch(_t(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "sketch_hist_quantiles",
+    oracle="""
+WITH b AS (
+  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+         CAST(max(l_extendedprice) AS DOUBLE) + 1e-9 AS hi
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+h AS (
+  SELECT least(255, greatest(0, CAST(floor(
+           (CAST(l_extendedprice AS DOUBLE) - b.lo) / (b.hi - b.lo) * 2.56e2
+         ) AS BIGINT))) AS bucket
+  FROM lineitem, b WHERE l_extendedprice IS NOT NULL
+),
+sk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY bucket),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk),
+cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM sk),
+qs AS (SELECT unnest([1e-2, 2.5e-1, 5e-1, 7.5e-1, 9e-1, 9.9e-1]) AS q),
+ranked AS (
+  SELECT q, CAST(ceil(q * tot.n) AS BIGINT) AS "rank", tot.n FROM qs, tot
+),
+hit AS (
+  SELECT r.q, r."rank", r.n, min(c.bucket) AS bucket
+  FROM ranked r JOIN cum c ON c.cum >= r."rank"
+  GROUP BY r.q, r."rank", r.n
+)
+SELECT q, bucket,
+       b.lo + CAST(bucket AS DOUBLE) * ((b.hi - b.lo) / 2.56e2) AS value_lo,
+       b.lo + (CAST(bucket AS DOUBLE) + 1e0) * ((b.hi - b.lo) / 2.56e2) AS value_hi,
+       "rank", n
+FROM hit, b
+""",
+    note="equi-width histogram sketch (256 buckets) + quantile "
+    "brackets over lineitem.l_extendedprice (operators/sketch.py:"
+    "hist_sketch/hist_quantile_bounds): for each q the TRUE rank-q "
+    "value provably lies in [value_lo, value_hi] (pytest-pinned vs "
+    "exact percentiles). Bounds come from one min/max aggregate "
+    "(+1e-9 half-open top, the pinned convention); the bucket index, "
+    "rank = ceil(q*n), and bracket endpoints are the same IEEE "
+    "expression order in both engines so the row set is bit-"
+    "identical. Constant 256-row state, bucket-sum mergeable — the "
+    "QUANTILE member of the sketch family (HLL distinct, CMS "
+    "frequency).",
+)
+def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.sketch import (
+        hist_bounds,
+        hist_quantile_bounds,
+        hist_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi = hist_bounds(li, "l_extendedprice")
+    hi = hi + 1e-9
+    sk = hist_sketch(li, "l_extendedprice", lo, hi)
+    return hist_quantile_bounds(
+        sk, [0.01, 0.25, 0.5, 0.75, 0.9, 0.99], lo, hi
+    )
+
+
+@register(
+    "sim_ann_lsh_multiprobe",
+    oracle=_EMB_CTE
+    + _EMB_BUCKET_CTES
+    + """,
+qproj AS (
+  SELECT p.vec_id AS query_id, p.p, round(p.proj, 9) AS pr
+  FROM proj p WHERE p.vec_id IN (0, 1, 2, 3, 4)
+),
+qord AS (
+  SELECT query_id, p,
+         row_number() OVER (PARTITION BY query_id ORDER BY abs(pr), p) AS j
+  FROM qproj
+),
+flipw AS (
+  SELECT query_id, j, (CAST(1 AS BIGINT) << (7 - p)) AS wgt
+  FROM qord WHERE j <= 4
+),
+pmask AS (
+  SELECT f.query_id, m.m,
+         CAST(coalesce(sum(CASE WHEN (m.m >> (f.j - 1)) % 2 = 1
+                                THEN f.wgt END), 0) AS BIGINT) AS mask
+  FROM flipw f CROSS JOIN (SELECT unnest(range(16)) AS m) m
+  GROUP BY f.query_id, m.m
+),
+qb AS (SELECT q.query_id, b.bucket AS q_bucket0
+       FROM q JOIN buckets b ON b.vec_id = q.query_id),
+probes AS (
+  SELECT qb.query_id, xor(qb.q_bucket0, pm.mask) AS q_bucket
+  FROM qb JOIN pmask pm ON pm.query_id = qb.query_id
+),
+cand AS (
+  SELECT e.vec_id, pr.query_id
+  FROM buckets e
+  JOIN probes pr ON e.bucket = pr.q_bucket AND e.vec_id <> pr.query_id
+),
+dots AS (
+  SELECT c.vec_id, c.query_id, sum(a.x * b.x) AS dot
+  FROM cand c
+  JOIN exp_e a ON a.vec_id = c.vec_id
+  JOIN exp_q b ON b.query_id = c.query_id AND b.i = a.i
+  GROUP BY c.vec_id, c.query_id
+),
+cos AS (
+  SELECT d.query_id, d.vec_id, round(d.dot / (na.nrm * nq.nrm), 9) AS cosine
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN norms nq ON nq.vec_id = d.query_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM cos) t
+WHERE rn <= 10
+""",
+    note="multi-probe LSH ANN top-10 (operators/similarity.py:"
+    "ann_lsh_multiprobe_topk; Lv et al. 2007): probe the query's "
+    "bucket AND the 2^4-1 neighbors reached by flipping the 4 lowest-"
+    "|margin| planes (rounded projections -> engine-stable order; "
+    "probe bucket = base XOR the flip planes' bit weights), exact-"
+    "cosine-verify candidates. flips=0 == ann_lsh_topk and flips=8 == "
+    "cosine_topk are pytest-pinned endpoints; measured recall@10 "
+    "0.02 -> 0.54 on the fixture vs single-probe (docs/ANN_QUALITY"
+    ".md). One stored bucket id per vector (no L-table storage); "
+    "probes are query-side and broadcast, the corpus side stays an "
+    "equi-join on its bucket — at 100 TB the probe list prunes a "
+    "bucket-partitioned store like the IVF cell filter does.",
+)
+def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import (
+        ann_lsh_multiprobe_topk,
+    )
+
+    return ann_lsh_multiprobe_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10, flips=4
+    )
+
+
+@register(
+    "dedup_exact_span_pairs",
+    oracle="""
+WITH rawtoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos
+  FROM documents
+),
+spans AS (
+  SELECT a.doc_id, a.pos AS i,
+         a.tok || ' ' || b.tok || ' ' || c.tok AS span
+  FROM rawtoks a
+  JOIN rawtoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN rawtoks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+m AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.i AS a_pos, x.i - y.i AS d
+  FROM spans x JOIN spans y ON y.span = x.span AND x.doc_id < y.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, d, a_pos,
+         a_pos - row_number() OVER (PARTITION BY doc_a, doc_b, d
+                                    ORDER BY a_pos) AS island
+  FROM m
+),
+agg AS (
+  SELECT doc_a, doc_b, d,
+         CAST(min(a_pos) AS BIGINT) AS a_start,
+         CAST(max(a_pos) + 2 AS BIGINT) AS a_end
+  FROM runs GROUP BY doc_a, doc_b, d, island
+)
+SELECT doc_a, doc_b, a_start, a_end,
+       CAST(a_start - d AS BIGINT) AS b_start,
+       CAST(a_end - d AS BIGINT) AS b_end,
+       CAST(a_end - a_start + 1 AS BIGINT) AS len_words
+FROM agg WHERE a_end - a_start + 1 >= 8
+""",
+    note="maximal cross-document duplicated substrings with "
+    "coordinates (operators/dedup.py:exact_span_pairs) — the pair-"
+    "evidence form of Lee et al. ExactSubstr dedup (doc-level mass = "
+    "dedup_span_overlap, removal = dedup_span_rewrite; this is the "
+    "audit view: WHO shares WHAT, WHERE, HOW LONG). Word 3-gram "
+    "anchors equi-join across docs on span TEXT (exact, no hash "
+    "caveat); maximality via the diagonal d = a_pos - b_pos + gaps-"
+    "and-islands window — no text re-reading, no extension loop. "
+    "Anchor-keyed join, never all-pairs; the honest skew note (an "
+    "anchor in D docs -> O(D^2) pair rows) is documented with the "
+    "upstream caps. min_len=8 words, pytest-pinned vs an independent "
+    "per-pair diagonal scan.",
+)
+def dedup_exact_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.dedup import exact_span_pairs
+
+    return exact_span_pairs(_t(spark, sf_dir, "documents"), min_len=8, n=3)
 
 
 # ---- public accessors -------------------------------------------------

@@ -53,7 +53,16 @@ _HASH_HEX = 15  # 60-bit hash — the repo's md5_int budget (fits BIGINT)
 
 
 def _alpha(m: int) -> float:
-    """Bias-correction constant for m >= 128 (Flajolet et al. §4)."""
+    """Bias-correction constant (Flajolet et al. §4): the closed form
+    holds for m ≥ 128; the small register counts the p=4..6 corner of
+    the supported range produces use the paper's tabulated constants
+    (r7 ADVICE: the closed form silently overestimated α there)."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
     return 0.7213 / (1.0 + 1.079 / m)
 
 
@@ -107,10 +116,42 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     /per-day sketches composable without rescanning data."""
     if not sketches:
         raise ValueError("hll_merge needs at least one sketch")
+    for s in sketches:
+        # the r7-ADVICE footgun: merging GROUPED register tables here
+        # would silently max-merge ACROSS groups (one collapsed sketch
+        # instead of per-group sketches)
+        if set(s.columns) != {"register", "max_rho"}:
+            raise ValueError(
+                "hll_merge merges UNGROUPED sketches (register, "
+                f"max_rho); got columns {s.columns} — merge grouped "
+                "sketches with hll_merge_by(group_cols, ...)"
+            )
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_merge_by(group_cols: list[str], *sketches: DataFrame) -> DataFrame:
+    """Merge GROUPED register tables (:func:`hll_registers_by`, same
+    p and group columns) preserving the groups: union + per-(group,
+    register) max — sketch_by(A ∪ B) == merge_by(sketch_by(A),
+    sketch_by(B)) exactly, groupwise."""
+    if not sketches:
+        raise ValueError("hll_merge_by needs at least one sketch")
+    want = set(group_cols) | {"register", "max_rho"}
+    for s in sketches:
+        if set(s.columns) != want:
+            raise ValueError(
+                f"hll_merge_by({group_cols}) expects columns {sorted(want)}; "
+                f"got {s.columns}"
+            )
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
 
 
 def hll_estimate(sketch: DataFrame, p: int = HLL_P) -> DataFrame:
@@ -304,6 +345,14 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     disjoint row split (multiset union)."""
     if not sketches:
         raise ValueError("cms_merge needs at least one sketch")
+    for s in sketches:
+        # same footgun class as hll_merge: extra key columns would be
+        # silently summed away
+        if set(s.columns) != {"row", "col", "cnt"}:
+            raise ValueError(
+                f"cms_merge expects (row, col, cnt) cell tables; got "
+                f"columns {s.columns}"
+            )
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
@@ -379,6 +428,11 @@ def hist_bounds(df: DataFrame, col: str) -> tuple[float, float]:
         F.min(F.col(col).cast("double")).alias("lo"),
         F.max(F.col(col).cast("double")).alias("hi"),
     ).collect()[0]
+    if row.lo is None:
+        # r7 ADVICE: float(None) raised a bare TypeError here
+        raise ValueError(
+            f"hist_bounds({col!r}): no non-NULL values to bound"
+        )
     return float(row.lo), float(row.hi)
 
 
@@ -387,6 +441,11 @@ def _hist_bucket(col: F.Column, lo: float, hi: float, buckets: int) -> F.Column:
     one multiply + one divide + one floor on doubles — each correctly
     rounded IEEE, identical cross-engine when spelled identically
     (the SQL twin uses the same expression order)."""
+    if hi == lo:
+        # degenerate range (constant column, r7 ADVICE): every value
+        # clamps into bucket 0 — rank math stays correct, the value
+        # bracket collapses to the exact point [lo, lo]
+        return F.lit(0).cast("bigint")
     raw = F.floor(
         (col.cast("double") - F.lit(lo))
         / F.lit(hi - lo)
@@ -414,8 +473,8 @@ def hist_sketch(
     correctness of the rank math). Like CMS (and unlike HLL), SUM
     merge is not replay-idempotent — a streaming maintainer needs the
     ledger fence."""
-    if not hi > lo:
-        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    if hi < lo:
+        raise ValueError(f"need hi >= lo, got [{lo}, {hi}]")
     return (
         df.filter(F.col(col).isNotNull())
         .select(_hist_bucket(F.col(col), lo, hi, buckets).alias("bucket"))
@@ -428,6 +487,12 @@ def hist_merge(*sketches: DataFrame) -> DataFrame:
     """Merge histograms (same lo/hi/buckets) by bucket-wise sum."""
     if not sketches:
         raise ValueError("hist_merge needs at least one sketch")
+    for s in sketches:
+        if set(s.columns) != {"bucket", "cnt"}:
+            raise ValueError(
+                f"hist_merge expects (bucket, cnt) tables; got "
+                f"columns {s.columns}"
+            )
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
@@ -448,6 +513,11 @@ def hist_quantile_bounds(
     exact percentiles). One window over ≤ ``buckets`` rows; the
     bracket endpoints are the same two-flop expressions in the SQL
     twin."""
+    bad = [q for q in qs if not 0.0 <= float(q) <= 1.0]
+    if bad:
+        # r7 ADVICE: a q outside [0,1] produced rank > n, matched no
+        # bucket, and silently VANISHED from the output
+        raise ValueError(f"quantiles must be in [0, 1]; got {bad}")
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = sketch.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
         F.broadcast(

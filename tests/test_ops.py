@@ -1470,13 +1470,27 @@ def test_resample_and_cohorts_hand_computed(spark):
     assert coh == {(day0, 0): 2, (day0 + 1, 0): 1}
 
 
+def _qdist(sub, cent):
+    """Independent twin of the engine's integer-quantized squared L2
+    (similarity._pq_sub_dists): Σ floor((xᵢ−cᵢ)²·1e12) as an exact
+    int — per-element floor of the identical IEEE double product, so
+    the sum is order-independent and matches the engine bit-for-bit
+    (the r7 _QS recipe that replaced round(float_sum, 9))."""
+    import math
+
+    return sum(
+        math.floor((float(x) - float(c)) * (float(x) - float(c)) * 1e12)
+        for x, c in zip(sub, cent)
+    )
+
+
 def test_pq_encode_matches_numpy_argmin_and_topk_is_adc(spark):
-    """PQ differential: codes must equal an independent numpy argmin
-    over each subspace's squared L2 (ties to lowest id, distances
-    rounded to 9dp first — the operator contract), seeds must encode
-    to their own repeated-nibble code, and the ADC top-k distance must
-    equal the sum of the per-subspace LUT entries for the stored
-    code."""
+    """PQ differential: codes must equal an independent argmin over
+    each subspace's integer-quantized squared L2 (Σ floor(d²·1e12),
+    ties to lowest id — the r7 _QS operator contract), seeds must
+    encode to their own repeated-nibble code, and the ADC top-k
+    distance must equal the exact-integer sum of the per-subspace LUT
+    entries for the stored code, surfaced as sum/1e12."""
     import numpy as np
 
     from hadoop_search_spark.operators.similarity import (
@@ -1497,8 +1511,7 @@ def test_pq_encode_matches_numpy_argmin_and_topk_is_adc(spark):
         total = 0
         for s in range(8):
             sub = v[s * 8 : (s + 1) * 8]
-            d = [round(float(((sub - np.array(c)) ** 2).sum()), 9)
-                 for c in books[s]]
+            d = [_qdist(sub, c) for c in books[s]]
             total += int(np.argmin(d)) * 16**s  # argmin takes first min
         return total
 
@@ -1511,17 +1524,14 @@ def test_pq_encode_matches_numpy_argmin_and_topk_is_adc(spark):
     top = pq_topk(emb, [0, 3], 5, books)
     rows = top.collect()
     assert {r.query_id for r in rows} == {0, 3}
-    from decimal import Decimal
 
     for r in rows:
         q, v = vecs[r.query_id], codes[r.vec_id]
-        want = Decimal(0)
+        want = 0
         for s in range(8):
             j = (v // 16**s) % 16
-            sub = q[s * 8 : (s + 1) * 8]
-            d = round(float(((sub - np.array(books[s][j])) ** 2).sum()), 9)
-            want += Decimal(str(d))
-        assert r.adist9 == float(want)
+            want += _qdist(q[s * 8 : (s + 1) * 8], books[s][j])
+        assert r.adist9 == want / 1e12
     # quantized search still finds a meaningful fraction of true
     # neighbors on near-random vectors
     assert pq_recall(emb, [0, 1, 2, 3, 4], 10, books) > 0.15
@@ -1533,8 +1543,6 @@ def test_ivf_pq_composed_candidates_and_distances(spark):
     distance must equal the PQ LUT sum for the stored code (the PQ
     arithmetic) — i.e. the composition changes candidate GENERATION
     only, never the scoring."""
-    from decimal import Decimal
-
     import numpy as np
 
     from hadoop_search_spark.operators.similarity import (
@@ -1567,13 +1575,13 @@ def test_ivf_pq_composed_candidates_and_distances(spark):
 
     for r in rows:
         assert cells[r.vec_id] in probe_cells(vecs[r.query_id])
-        want = Decimal(0)
+        want = 0
         for s in range(8):
             j = (codes[r.vec_id] // 16**s) % 16
-            subq = vecs[r.query_id][s * 8 : (s + 1) * 8]
-            d = round(float(((subq - np.array(books[s][j])) ** 2).sum()), 9)
-            want += Decimal(str(d))
-        assert r.adist9 == float(want)
+            want += _qdist(
+                vecs[r.query_id][s * 8 : (s + 1) * 8], books[s][j]
+            )
+        assert r.adist9 == want / 1e12
 
 
 def test_ivf_pq_residual_matches_manual_adc(spark):
@@ -1584,8 +1592,6 @@ def test_ivf_pq_residual_matches_manual_adc(spark):
     equals the per-(query, candidate-cell) residual LUT sum for that
     code — the query's residual is taken against the CANDIDATE's
     cell."""
-    from decimal import Decimal
-
     import numpy as np
 
     from hadoop_search_spark.operators.similarity import (
@@ -1613,8 +1619,7 @@ def test_ivf_pq_residual_matches_manual_adc(spark):
 
     def code_j(v, s):
         rsub = res(v)[s * 8 : (s + 1) * 8]
-        ds = [round(float(((rsub - np.array(books[s][j])) ** 2).sum()), 9)
-              for j in range(16)]
+        ds = [_qdist(rsub, books[s][j]) for j in range(16)]
         return min(range(16), key=lambda j: (ds[j], j))
 
     def probe_cells(qv):
@@ -1629,13 +1634,11 @@ def test_ivf_pq_residual_matches_manual_adc(spark):
         cand_cell = cells[r.vec_id]
         assert cand_cell in probe_cells(vecs[r.query_id])
         qres = vecs[r.query_id] - cvecs[cand_cell]
-        want = Decimal(0)
+        want = 0
         for s in range(8):
             j = code_j(r.vec_id, s)
-            d = round(float(((qres[s * 8 : (s + 1) * 8]
-                              - np.array(books[s][j])) ** 2).sum()), 9)
-            want += Decimal(str(d))
-        assert r.adist9 == float(want)
+            want += _qdist(qres[s * 8 : (s + 1) * 8], books[s][j])
+        assert r.adist9 == want / 1e12
 
 
 def test_ivfpq_index_serve_equals_in_memory(spark, tmp_path):

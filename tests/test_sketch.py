@@ -298,3 +298,92 @@ def test_hist_quantile_bounds_bracket_exact(spark):
         assert row.n == len(vals) and row.rank == math.ceil(q * len(vals))
         assert row.value_lo <= exact <= row.value_hi, (q, exact, row)
         assert abs((row.value_hi - row.value_lo) - (hi - lo) / 256) < 1e-6
+
+
+# --------------------------------------------------- r8 edge-case guards
+
+
+def test_small_p_alpha_uses_tabulated_constants(spark):
+    """p=4..6 (m=16/32/64) must use Flajolet's tabulated α, not the
+    m>=128 closed form (r7 ADVICE) — and the estimate at p=4 still
+    lands inside the (loose, 1.04/√16 ≈ 26%) 3σ bound on a small
+    exact-cardinality fixture."""
+    from hadoop_search_spark.operators.sketch import _alpha
+
+    assert _alpha(16) == 0.673
+    assert _alpha(32) == 0.697
+    assert _alpha(64) == 0.709
+    assert abs(_alpha(128) - 0.7213 / (1.0 + 1.079 / 128)) < 1e-12
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exact = li.select("l_partkey").distinct().count()
+    row = hll_distinct(li, "l_partkey", p=4).collect()[0]
+    est = hll_corrected(row, p=4)
+    assert abs(est - exact) <= 3 * 1.04 / 4.0 * exact
+
+
+def test_merge_guards_reject_mismatched_columns(spark):
+    """The grouped-merge footgun (r7 ADVICE): merging GROUPED register
+    tables through the ungrouped merges must raise, not silently
+    collapse groups; hll_merge_by preserves them exactly."""
+    import pytest
+
+    from hadoop_search_spark.operators.sketch import (
+        cms_merge,
+        cms_sketch,
+        hist_merge,
+        hll_merge_by,
+        hll_registers_by,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    grouped = hll_registers_by(li, ["l_returnflag"], "l_partkey")
+    with pytest.raises(ValueError, match="hll_merge_by"):
+        hll_merge(grouped, grouped)
+    with pytest.raises(ValueError, match="cell tables"):
+        cms_merge(cms_sketch(li, "l_partkey").withColumn("extra", F.lit(1)))
+    with pytest.raises(ValueError, match="bucket, cnt"):
+        hist_merge(grouped)
+
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = {
+        (r.l_returnflag, r.register, r.max_rho)
+        for r in hll_merge_by(
+            ["l_returnflag"],
+            hll_registers_by(a, ["l_returnflag"], "l_partkey"),
+            hll_registers_by(b, ["l_returnflag"], "l_partkey"),
+        ).collect()
+    }
+    want = {
+        (r.l_returnflag, r.register, r.max_rho) for r in grouped.collect()
+    }
+    assert merged == want
+
+
+def test_hist_degenerate_range_and_bad_q(spark):
+    """Constant column (lo == hi): one bucket 0 holding everything and
+    exact point brackets; empty bounds raise a clear error; out-of-
+    range quantiles raise instead of silently vanishing (r7 ADVICE)."""
+    import pytest
+
+    from hadoop_search_spark.operators.sketch import (
+        hist_bounds,
+        hist_quantile_bounds,
+        hist_sketch,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    const = li.select(F.lit(7.5).alias("v"))
+    lo, hi = hist_bounds(const, "v")
+    assert (lo, hi) == (7.5, 7.5)
+    sk = hist_sketch(const, "v", lo, hi)
+    rows = sk.collect()
+    assert len(rows) == 1 and rows[0].bucket == 0
+    q = hist_quantile_bounds(sk, [0.5], lo, hi).collect()[0]
+    assert q.value_lo == q.value_hi == 7.5
+
+    with pytest.raises(ValueError, match="no non-NULL"):
+        hist_bounds(li.filter(F.lit(False)), "l_extendedprice")
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        hist_quantile_bounds(sk, [0.5, 1.5], lo, hi)
