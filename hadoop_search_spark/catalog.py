@@ -3637,10 +3637,12 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, [0, 1, 2, 3, 4], 10, pq_codebooks(emb))
 
 
-@register(
-    "sim_ivf_pq_topk",
-    oracle=_EMB_CTE
-    + """
+# The full IVF+PQ ADC candidate/score chain (seed books, nprobe=2 of 8
+# cells, queries 0-4) shared by sim_ivf_pq_topk and the IVF-PQ-tier
+# cascade — single source, ends at CTE `adist` (query_id, vec_id,
+# adist9). Consumers add their own ranking tail.
+_IVFPQ_ADC_CTES = (
+    """
 , qnorms AS (
   SELECT vec_id,
          CAST(sum(CAST(floor((x * x) * 1000000000000) AS BIGINT))
@@ -3693,7 +3695,15 @@ adist AS (
   JOIN vcodes v ON v.vec_id = a.vec_id
   JOIN qlut q ON q.query_id = p.query_id AND q.s = v.s AND q.j = v.j
   GROUP BY p.query_id, a.vec_id
+)"""
 )
+
+
+@register(
+    "sim_ivf_pq_topk",
+    oracle=_EMB_CTE
+    + _IVFPQ_ADC_CTES
+    + """
 SELECT query_id, vec_id, adist9, rn FROM (
   SELECT query_id, vec_id, adist9,
          row_number() OVER (PARTITION BY query_id
@@ -6312,6 +6322,182 @@ def dedup_exact_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_span_pairs(_t(spark, sf_dir, "documents"), min_len=8, n=3)
 
 
+
+@register(
+    "sim_cascade_ivfpq_topk",
+    oracle=_EMB_CTE
+    + _IVFPQ_ADC_CTES
+    + """,
+ccand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist9, vec_id) AS arn
+    FROM adist) t
+  WHERE arn <= 50
+),
+rdots AS (
+  SELECT c.query_id, c.vec_id, sum(a.x * b.x) AS dot
+  FROM ccand c
+  JOIN exp_e a ON a.vec_id = c.vec_id
+  JOIN exp_q b ON b.query_id = c.query_id AND b.i = a.i
+  GROUP BY c.query_id, c.vec_id
+),
+rcos AS (
+  SELECT d.query_id, d.vec_id, round(d.dot / (na.nrm * nq.nrm), 9) AS cosine
+  FROM rdots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN norms nq ON nq.vec_id = d.query_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM rcos) t
+WHERE rn <= 10
+""",
+    note="IVF-PQ as the CHEAP tier of a retrieval cascade (operators/"
+    "similarity.py:cascade_ivfpq_topk) — the production serving "
+    "shape: stage 1 = ivf_pq_topk (nprobe=2 of 8 cells, ADC over "
+    "packed codes, never reads a raw corpus vector) keeps top w=50 "
+    "per query; stage 2 reranks ONLY those by exact cosine (raw "
+    "floats point-fetched via a broadcast id join). Completes the "
+    "cascade family (hamming->exact = sim_cascade_topk, hamming->PQ->"
+    "exact = sim_cascade3_topk): IVF+PQ standalone recall@10 is 0.19 "
+    "at sf0.1 (ANN_QUALITY.md) because ADC ordering error compounds "
+    "cell misses — the exact rerank cancels the quantization half at "
+    "w x |queries| lookup cost, leaving only cell recall. All "
+    "cutoffs deterministic (adist/vec_id, cosine/vec_id), so the "
+    "funnel is SQL-oracle-exact.",
+)
+def sim_cascade_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import cascade_ivfpq_topk
+
+    return cascade_ivfpq_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10, w=50,
+        num_centroids=8, nprobe=2,
+    )
+
+
+@register(
+    "sim_ivfpq_residual_trained",
+    # trained residual IVFADC: per-subspace k-means over RESIDUALS is
+    # not SQL-expressible — golden parquet from the independent
+    # sequential replay (scripts/make_goldens.py:
+    # golden_ivfpq_residual_trained), keyed by the embeddings content
+    # fingerprint, explicit GOLDEN-MISS sentinel
+    oracle=f"""
+WITH g AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/sim_ivfpq_residual_trained.parquet')),
+fp AS (
+  SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
+         AS BIGINT) AS fp
+  FROM embeddings)
+SELECT query_id, vec_id, adist9, rn FROM g, fp WHERE g.emb_fp = fp.fp
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS vec_id,
+       CAST(fp AS DOUBLE) AS adist9, CAST(-1 AS BIGINT) AS rn
+FROM fp WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.emb_fp = fp.fp)
+""",
+    note="TRAINED residual IVFADC search (the FAISS production "
+    "layout with learned codebooks): coarse cells from ivf_centroids, "
+    "per-subspace k-means over RESIDUALS x - centroid[cell] "
+    "(pq_train_codebooks on the residual frame — L2 objective, "
+    "order-independent DECIMAL pre-sum means), then "
+    "ivf_pq_residual_topk with the trained books (per-(query, probed "
+    "cell) residual LUTs, exact-integer ADC sums). Golden oracle "
+    "replays centroid selection, cosine assignment, residuals, "
+    "training, encoding, and search sequentially and independently "
+    "(make_goldens.py:golden_ivfpq_residual_trained).",
+)
+def sim_ivfpq_residual_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import (
+        _residual_expr,
+        ivf_assign,
+        ivf_centroids,
+        ivf_pq_residual_topk,
+        pq_train_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, 8)
+    res = ivf_assign(emb, cents).select(
+        "vec_id", _residual_expr(F.col("embedding"), cents).alias("embedding")
+    )
+    books = pq_train_codebooks(res, iterations=2)
+    return ivf_pq_residual_topk(
+        emb, [0, 1, 2, 3, 4], 10, num_centroids=8, nprobe=2,
+        centroids=cents, books=books,
+    )
+
+
+
+from hadoop_search_spark.operators.sketch import (  # noqa: E402
+    hll_registers_sql,
+)
+
+
+@register(
+    "stream_hll_replay",
+    oracle=hll_registers_sql("events", "user_id")
+    + "\nSELECT CAST(register AS BIGINT) AS register, "
+    "CAST(max_rho AS INT) AS max_rho FROM sk",
+    note="streaming==batch equivalence for the HLL register store "
+    "(streaming/hll_ingest.py:StreamingHllCounter): events split into "
+    "4 deterministic epochs (event_id % 4), each merged into the "
+    "versioned store (register-wise max, _CURRENT pointer + epoch "
+    "ledger), epoch 2 then REPLAYED (ledger no-op) — the final "
+    "published register table must equal the one-shot batch sketch "
+    "of ALL events bit-for-bit (max commutes with union; replay "
+    "idempotent by ALGEBRA, the exactly-once story a sum-merge store "
+    "needs a fence for). Oracle is the single-source register SQL "
+    "(hll_registers_sql). State is <= 2^p rows per version at any "
+    "corpus size.",
+)
+def stream_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_search_spark.streaming.hll_ingest import StreamingHllCounter
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    store = tempfile.mkdtemp(prefix="hll_replay_store_")
+    c = StreamingHllCounter(spark, store, "user_id")
+    for epoch in range(4):
+        c.process_batch(ev.filter(F.col("event_id") % 4 == epoch), epoch)
+    c.process_batch(ev.filter(F.col("event_id") % 4 == 2), 2)  # replay
+    regs = c.registers()
+    return regs.select(
+        F.col("register").cast("bigint").alias("register"),
+        F.col("max_rho").cast("int").alias("max_rho"),
+    )
+
+
+@register(
+    "stream_cms_replay",
+    oracle=cms_oracle_sql("events", "user_id"),
+    note="streaming==batch equivalence for the Count-Min cell store "
+    "(streaming/cms_ingest.py:StreamingCmsCounter): the same 4-epoch "
+    "split + epoch-2 replay as stream_hll_replay, but the merge is "
+    "cell-wise SUM — NOT replay-idempotent, so exactly-once comes "
+    "from the epoch ledger written BEFORE the pointer flip (the "
+    "fence; the torn window self-heals by re-flip, pinned by "
+    "pytest). Final published cell table must equal the one-shot "
+    "batch sketch of ALL events (disjoint multiset union ⇒ exact). "
+    "Oracle is the single-source cms_oracle_sql.",
+)
+def stream_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_search_spark.streaming.cms_ingest import StreamingCmsCounter
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    store = tempfile.mkdtemp(prefix="cms_replay_store_")
+    c = StreamingCmsCounter(spark, store, "user_id")
+    for epoch in range(4):
+        c.process_batch(ev.filter(F.col("event_id") % 4 == epoch), epoch)
+    c.process_batch(ev.filter(F.col("event_id") % 4 == 2), 2)  # replay
+    return c.cells()
+
+
 # ---- public accessors -------------------------------------------------
 
 # The correctness driver records at most the FIRST 50 queries() entries
@@ -6324,81 +6510,76 @@ def dedup_exact_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries in the tail. Registration order is unchanged — only the
 # accessors reorder.
 _DRIVER_FRONT = [
-    # r6 rotation. Rule (learned the hard way in r2): every entry that
-    # is NEW or CHANGED this round goes inside the front list in the
-    # SAME round it lands — never behind the cap.
+    # r8 rotation. Rule: every entry NEW or CHANGED this round goes
+    # inside the front list in the SAME round it lands.
     #
-    # (a) NEW this round: trained-PQ ADC search (golden oracle),
-    # IVF-PQ code-space drift, binary sign-sketch Hamming top-k,
-    # hybrid BM25+vector RRF retrieval, snapshot-incremental
-    # cross-corpus dedup, and the per-source tokenizer report.
-    "sim_pq_trained_topk",
+    # (a) NEW this round: the pure-integer IVF-PQ assignment probe
+    # (the r7-verdict diagnostic), the sketch family (HLL distinct,
+    # CMS cells, histogram quantile brackets), multi-probe LSH,
+    # exact-substring pair evidence, the IVF-PQ-tier cascade, the
+    # trained residual IVFADC golden entry, and the two streaming
+    # sketch-store batch-replay equivalence entries.
+    "sim_ivfpq_assign_probe",
+    "sketch_hll_distinct",
+    "sketch_cms_counts",
+    "sketch_hist_quantiles",
+    "sim_ann_lsh_multiprobe",
+    "dedup_exact_span_pairs",
+    "sim_cascade_ivfpq_topk",
+    "sim_ivfpq_residual_trained",
+    "stream_hll_replay",
+    "stream_cms_replay",
+    # (b) CHANGED this round: the drift entry now assigns cells via
+    # the fully-integer cross-multiplied argmax (two-round driver-red
+    # target); the trained-PQ golden regenerated under the _QS
+    # integer recipe; sim_ivf_pq_topk oracle recomposed from the
+    # shared _IVFPQ_ADC_CTES (value-identical, but the rule is the
+    # rule).
     "sim_ivfpq_drift",
-    "sim_hamming_topk",
-    "search_hybrid_rrf",
-    "dedup_cross_corpus",
-    "curation_tokenizer_report",
-    "sim_cascade_topk",
-    "sim_ivfpq_residual_topk",
-    "sim_cascade3_topk",
-    # (b) CHANGED this round: sessionize re-implemented over native
-    # session_window; the PQ family's expression trees restructured to
-    # data-driven HOFs (hash-identical, but the rule is the rule); the
-    # IVF entries sit on the touched ivf_assign/gen-lineage code.
-    "events_sessionize",
-    "sim_pq_encode",
-    "sim_pq_topk",
+    "sim_pq_trained_topk",
     "sim_ivf_pq_topk",
-    "sim_ann_ivf_topk",
-    "sim_ivf_drift_report",
-    # (c) the two r5-CHANGED entries whose re-front the r4 rule bent
-    # (verdict r5 What's-wrong #3): close the process gap with fresh
-    # driver rows.
-    "mix_dsir_select",
-    "dedup_bloom_decontaminate",
-    # (d) the 32 remaining r3-latest entries (verdict r6 item 1) — the
-    # oldest driver evidence in the catalog, all unchanged and green
-    # on the local gate at sf0.001/0.01/0.1.
-    "corpus_apply_changes",
-    "curation_pipeline",
-    "dedup_edit_distance",
-    "dedup_ngram_jaccard",
-    "dedup_span_overlap",
-    "dedup_span_rewrite",
-    "doc_chunks",
-    "events_cohorts",
-    "events_funnel",
-    "events_rate_anomaly",
-    "events_resample",
-    "graph_authority",
-    "mix_shuffle_shard",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q21_sole_late_shipper",
-    "q22_dormant_balance",
-    "q_trailing_window_spend",
-    "q_unpivot_measures",
-    "search_bm25",
-    "search_cnf_mixed",
-    "search_render_page",
-    "search_stemmed_cnf",
-    "sim_cosine_topk",
-    "sim_pca_project",
-    "text_bigram_surprisal",
-    "text_bpe_encode",
-    "text_bpe_pair_counts",
-    "text_classifier_score",
-    "text_repetition",
-    "text_surprisal",
-    "text_zipf_histogram",
-    # (e) NEW in the late-r6 continuation session, taking the one free
-    # slot under the driver's 50-entry cap (the slot was a bonus
-    # re-verify of q1_pricing_summary, which holds fresh r4/r5 rows):
-    "text_bpe_boundary",
-    # (the r5 front-50 — the media trio, r2-stale refreshes, and the
-    # eleven r5-new entries — all recorded green r5 rows and rotate to
-    # the tail. After r6 records, no entry's latest driver row should
-    # be older than r4.)
+    # (c) the three owed re-fronts (late-r6 hyperplane_proj refactor,
+    # NOTES r7 #5; latest rows r5/r5/r4):
+    "sim_ann_lsh_topk",
+    "sim_embedding_dedup",
+    "sim_semantic_dedup",
+    # (d) 34 of the 47 remaining r4-latest entries (the oldest
+    # driver evidence; the other 13 — search_and_not, search_or, search_phrase, text_fingerprint,
+    # ... — lead the r9 fill, see NOTES.md):
+    "curation_pipeline_v2",
+    "curation_summary",
+    "dedup_benchmark_report",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_count",
+    "doc_keywords",
+    "media_decode",
+    "media_frames",
+    "media_stats",
+    "mix_sequence_pack",
+    "mix_temperature_sample",
+    "postings_bm25",
+    "postings_incremental_merge",
+    "postings_tf",
+    "postings_tfidf",
+    "q12_ship_lag_priority",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q_anti_join",
+    "q_case_pivot",
+    "q_distinct_agg",
+    "q_pagination",
+    "q_point_lookup",
+    "q_rollup",
+    "q_semi_join",
+    "q_window_topk",
+    "sample_split",
+    "sample_stratified",
+    "search_and",
 ]
 
 def _ordered() -> list[str]:

@@ -2146,6 +2146,70 @@ def cascade3_recall(
     return _recall_vs_exact(embeddings, query_ids, k, approx)
 
 
+def cascade_ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    w: int = 50,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NPROBE,
+    centroids=None,
+    books=None,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ as the CHEAP tier of a retrieval cascade — the
+    production serving shape: stage 1 is :func:`ivf_pq_topk` (probe
+    nprobe cells, rank candidates by ADC over packed codes — never
+    reads a raw corpus vector) keeping the top ``w`` per query;
+    stage 2 reranks only those ``w`` by exact cosine over the raw
+    floats. Output is :func:`cosine_topk`'s shape (query_id, vec_id,
+    cosine, rn) — EXACT scores over an IVF-PQ candidate set.
+
+    Why this tier pairing: IVF+PQ standalone carries both cell-miss
+    AND quantization error in its final ORDER (recall@10 ≈ 0.19 at
+    sf0.1, docs/ANN_QUALITY.md); the exact rerank cancels the
+    quantization half at ``w × |queries|`` raw-vector point-lookup
+    cost, leaving only cell recall — the knob ``w`` buys back ADC
+    ordering mistakes, ``nprobe`` buys back cell misses. Same
+    deterministic tie-breaks as every cascade stage (adist/vec_id at
+    the cutoff, cosine/vec_id in the rerank), so the funnel is
+    SQL-oracle-exact."""
+    cand = ivf_pq_topk(
+        embeddings, query_ids, w, num_centroids, nprobe, centroids,
+        books, dim,
+    ).select("query_id", "vec_id")
+    q = (
+        embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        .limit(len(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    pairs = embeddings.join(F.broadcast(cand), "vec_id").join(
+        F.broadcast(q), "query_id"
+    )
+    return _topk_per_query(pairs, k)
+
+
+def cascade_ivfpq_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    w: int = 50,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NPROBE,
+) -> float:
+    """Measured recall@k of the IVF-PQ→exact cascade — strictly ≥
+    :func:`ivf_pq_recall` at the same (num_centroids, nprobe) for
+    w ≥ k (the rerank can only fix ADC ordering inside the
+    candidate set)."""
+    approx = cascade_ivfpq_topk(
+        embeddings, query_ids, k, w, num_centroids, nprobe
+    )
+    return _recall_vs_exact(embeddings, query_ids, k, approx)
+
+
 def embedding_quantize_int8(
     embeddings: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -245,13 +245,13 @@ def hll_corrected(row, p: int = HLL_P) -> float:
     return float(row.est_distinct)
 
 
-def hll_oracle_sql(table: str, col: str, p: int = HLL_P) -> str:
-    """The DuckDB twin of :func:`hll_distinct` — the exact same
-    recipe spelled in SQL (shared single source for tests and the
-    catalog oracle, so the two can never drift apart)."""
+def hll_registers_sql(table: str, col: str, p: int = HLL_P) -> str:
+    """DuckDB twin of :func:`hll_registers` — the h/regs/sk CTE chain
+    (no trailing SELECT), single-sourced so the register recipe can
+    never drift between the summary oracle, the streaming-replay
+    oracle, and the tests."""
     m = 1 << p
     w = 60 - p
-    numer = repr(_alpha(m) * m * m * float(1 << (w + 1)))
     return f"""
 WITH h AS (
   SELECT ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, {_HASH_HEX}))::BIGINT AS hv
@@ -263,7 +263,17 @@ regs AS (
               ELSE {w + 1} - length(bin(hv // {m})) END AS rho
   FROM h
 ),
-sk AS (SELECT register, MAX(rho) AS max_rho FROM regs GROUP BY register),
+sk AS (SELECT register, MAX(rho) AS max_rho FROM regs GROUP BY register)"""
+
+
+def hll_oracle_sql(table: str, col: str, p: int = HLL_P) -> str:
+    """The DuckDB twin of :func:`hll_distinct` — the exact same
+    recipe spelled in SQL (shared single source for tests and the
+    catalog oracle, so the two can never drift apart)."""
+    m = 1 << p
+    w = 60 - p
+    numer = repr(_alpha(m) * m * m * float(1 << (w + 1)))
+    return hll_registers_sql(table, col, p) + f""",
 agg AS (
   SELECT CAST(count(*) AS BIGINT) AS n_present,
          CAST(coalesce(sum(CAST(1 AS BIGINT) << ({w + 1} - max_rho)), 0) AS BIGINT) AS z_present
@@ -524,8 +534,13 @@ def hist_quantile_bounds(
             sketch.agg(F.sum("cnt").cast("bigint").alias("n"))
         )
     )
-    q_df = cum.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q double"
+    # literal pick-list via range(), not createDataFrame: the latter
+    # plans as Scan ExistingRDD with UNDEFINED maxRows, failing the
+    # catalog's provably-bounded-broadcast gate; Range carries
+    # maxRows = len(qs) through the Project
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    q_df = sketch.sparkSession.range(len(qs)).select(
+        F.element_at(qarr, (F.col("id") + 1).cast("int")).alias("q")
     )
     ranked = cum.crossJoin(F.broadcast(q_df)).withColumn(
         "rank", F.ceil(F.col("q") * F.col("n")).cast("bigint")

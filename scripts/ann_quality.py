@@ -32,9 +32,11 @@ ROWS = [
     ("PQ ADC (trained books)", 8, "code scan + per-query LUT"),
     ("IVF+PQ", 8 + 2, "nprobe cells of codes, ADC"),
     ("IVF+PQ residual (IVFADC)", 8 + 2, "nprobe cells, residual LUT"),
+    ("IVF+PQ residual (trained books)", 8 + 2, "nprobe cells, trained residual LUT"),
     ("sign-bit Hamming", 16, "integer scan of 2 BIGINTs/vector"),
     ("cascade (hamming→exact)", 16 + 256, "hamming top-100 → exact rerank"),
     ("cascade3 (sign→PQ→exact)", 16 + 8 + 256, "top-200 → ADC top-40 → exact"),
+    ("cascade (IVF+PQ→exact)", 8 + 2 + 256, "nprobe cells, ADC top-50 → exact rerank"),
 ]
 
 
@@ -43,15 +45,23 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
         ann_lsh_multiprobe_recall,
         ann_recall,
         cascade3_recall,
+        cascade_ivfpq_recall,
         cascade_recall,
         hamming_recall,
         ivf_centroids,
+        ivf_assign,
         ivf_pq_recall,
         ivf_pq_residual_recall,
         ivf_recall,
         ivf_train_kmeans,
         pq_recall,
         pq_train_codebooks,
+    )
+    import pyspark.sql.functions as F
+    from hadoop_search_spark.operators.similarity import (
+        _recall_vs_exact,
+        _residual_expr,
+        ivf_pq_residual_topk,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
@@ -85,13 +95,35 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
             "IVF+PQ residual (IVFADC)",
             lambda: ivf_pq_residual_recall(emb, QUERY_IDS, K),
         ),
+        (
+            "IVF+PQ residual (trained books)",
+            lambda: _trained_residual_recall(),
+        ),
         ("sign-bit Hamming", lambda: hamming_recall(emb, QUERY_IDS, K)),
         ("cascade (hamming→exact)", lambda: cascade_recall(emb, QUERY_IDS, K)),
         (
             "cascade3 (sign→PQ→exact)",
             lambda: cascade3_recall(emb, QUERY_IDS, K),
         ),
+        (
+            "cascade (IVF+PQ→exact)",
+            lambda: cascade_ivfpq_recall(emb, QUERY_IDS, K, w=50),
+        ),
     ]
+
+    def _trained_residual_recall() -> float:
+        # the sim_ivfpq_residual_trained recipe: train the residual
+        # books once, search with them
+        cents = ivf_centroids(emb, 8)
+        res = ivf_assign(emb, cents).select(
+            "vec_id",
+            _residual_expr(F.col("embedding"), cents).alias("embedding"),
+        )
+        books = pq_train_codebooks(res, iterations=2)
+        approx = ivf_pq_residual_topk(
+            emb, QUERY_IDS, K, centroids=cents, books=books
+        )
+        return _recall_vs_exact(emb, QUERY_IDS, K, approx)
     out = []
     for label, fn in runs:
         t0 = time.time()

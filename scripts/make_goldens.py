@@ -330,6 +330,55 @@ PQ_QUERIES = [0, 1, 2, 3, 4]
 PQ_TOPK = 10
 
 
+def _sqdist_q(a: list[float], b: list[float]) -> int:
+    """Integer-quantized squared L2 — Σ floor((xᵢ−cᵢ)²·1e12) as an
+    exact int (CPython floats ARE IEEE doubles, so each floored term
+    matches the engine's F.floor bit-for-bit and the integer sum is
+    order-independent — similarity._QS)."""
+    return sum(
+        math.floor(((x - c) * (x - c)) * 1e12) for x, c in zip(a, b)
+    )
+
+
+def _train_pq_books(
+    by_id: list[tuple[int, list[float]]]
+) -> list[list[list[float]]]:
+    """Sequential replay of pq_train_codebooks: per subspace, Lloyd's
+    k-means under the _QS integer squared-L2 objective — seed = the
+    first PQ_K ids' subvectors, assignment argmin of (quantized dist,
+    id), means via exact DECIMAL(1e-12, HALF_UP) pre-sum + ONE float64
+    division (the order-independent ivf_train_kmeans update)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q12 = Decimal("1e-12")
+    sub = PQ_DIM // PQ_M
+    books: list[list[list[float]]] = []
+    for s in range(PQ_M):
+        slices = [(v, [float(x) for x in e[s * sub : (s + 1) * sub]])
+                  for v, e in by_id]
+        cents = [list(sl) for _, sl in slices[:PQ_K]]  # seed: first k ids
+        for _ in range(PQ_ITERS):
+            sums = [[Decimal(0)] * sub for _ in range(PQ_K)]
+            counts = [0] * PQ_K
+            for _, sl in slices:
+                best = min(
+                    range(PQ_K), key=lambda j: (_sqdist_q(sl, cents[j]), j)
+                )
+                counts[best] += 1
+                for d in range(sub):
+                    sums[best][d] += Decimal(str(sl[d])).quantize(
+                        q12, rounding=ROUND_HALF_UP
+                    )
+            cents = [
+                [float(sums[j][d]) / counts[j] for d in range(sub)]
+                if counts[j]
+                else cents[j]  # emptied cell keeps its centroid
+                for j in range(PQ_K)
+            ]
+        books.append(cents)
+    return books
+
+
 def golden_pq_trained_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
     """(query_id, vec_id, adist9, rn): independent sequential replay of
     per-subspace L2 k-means training + ADC top-k — the trained twin of
@@ -351,41 +400,9 @@ def golden_pq_trained_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
       sum/1e12 in one float64 division, ranked (adist asc, vec_id
       asc).
     """
-    from decimal import ROUND_HALF_UP, Decimal
-
-    q12 = Decimal("1e-12")
-
-    def sqdist(a: list[float], b: list[float]) -> int:
-        return sum(
-            math.floor(((x - c) * (x - c)) * 1e12) for x, c in zip(a, b)
-        )
-
     sub = PQ_DIM // PQ_M
     by_id = sorted(embs)
-    books: list[list[list[float]]] = []
-    for s in range(PQ_M):
-        slices = [(v, [float(x) for x in e[s * sub : (s + 1) * sub]])
-                  for v, e in by_id]
-        cents = [list(sl) for _, sl in slices[:PQ_K]]  # seed: first k ids
-        for _ in range(PQ_ITERS):
-            sums = [[Decimal(0)] * sub for _ in range(PQ_K)]
-            counts = [0] * PQ_K
-            for _, sl in slices:
-                best = min(
-                    range(PQ_K), key=lambda j: (sqdist(sl, cents[j]), j)
-                )
-                counts[best] += 1
-                for d in range(sub):
-                    sums[best][d] += Decimal(str(sl[d])).quantize(
-                        q12, rounding=ROUND_HALF_UP
-                    )
-            cents = [
-                [float(sums[j][d]) / counts[j] for d in range(sub)]
-                if counts[j]
-                else cents[j]  # emptied cell keeps its centroid
-                for j in range(PQ_K)
-            ]
-        books.append(cents)
+    books = _train_pq_books(by_id)
 
     codes = {}
     for v, e in by_id:
@@ -393,7 +410,7 @@ def golden_pq_trained_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
         for s in range(PQ_M):
             sl = [float(x) for x in e[s * sub : (s + 1) * sub]]
             best = min(
-                range(PQ_K), key=lambda j: (sqdist(sl, books[s][j]), j)
+                range(PQ_K), key=lambda j: (_sqdist_q(sl, books[s][j]), j)
             )
             code += best * PQ_K**s
         codes[v] = code
@@ -404,7 +421,7 @@ def golden_pq_trained_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
         qe = emap[qid]
         lut = [
             [
-                sqdist(
+                _sqdist_q(
                     [float(x) for x in qe[s * sub : (s + 1) * sub]],
                     books[s][j],
                 )
@@ -421,6 +438,100 @@ def golden_pq_trained_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
                 adist += lut[s][(codes[v] // PQ_K**s) % PQ_K]
             # exact int sum ≤ ~2e15 < 2^53 → float() is exact; ONE IEEE
             # division — the engine's adist9 = sum/1e12 bit-for-bit
+            scored.append((float(adist) / 1e12, v))
+        scored.sort()
+        out += [
+            (qid, v, a, rn + 1)
+            for rn, (a, v) in enumerate(scored[:PQ_TOPK])
+        ]
+    return sorted(out)
+
+
+def golden_ivfpq_residual_trained(
+    embs: list[tuple[int, list[float]]]
+) -> list[tuple]:
+    """(query_id, vec_id, adist9, rn): independent sequential replay
+    of the FULL trained residual IVFADC pipeline (FAISS layout, the
+    trained twin of the seed-book sim_ivfpq_residual_topk SQL oracle):
+
+    * coarse centroids = the 8 smallest vec_ids (ivf_centroids
+      policy); assignment by the engine's cosine ranking — integer
+      _qdot sums feeding ONE IEEE division/sqrt per (vector, cell),
+      ties to the lowest cell (operators/similarity._cell_ranking);
+    * residual = x − centroid[cell], pointwise float64 (the
+      _residual_expr twin);
+    * per-subspace k-means over RESIDUAL subvectors — the exact
+      _train_pq_books trainer (pq_train_codebooks over the residual
+      frame);
+    * codes = _QS integer argmin per residual subspace, ties to the
+      lowest id;
+    * ADC per (query, PROBED cell): the query's residual is taken
+      against the CANDIDATE's cell; nprobe=2 cells ranked by the same
+      cosine ranking; adist9 = exact-int LUT sum / 1e12, ranked
+      (adist asc, vec_id asc), top 10 per query.
+    """
+    n_cells, nprobe = 8, 2
+    sub = PQ_DIM // PQ_M
+    by_id = sorted(embs)
+    emap = {v: [float(x) for x in e] for v, e in by_id}
+
+    def qdot(a, b):
+        return sum(math.floor((x * y) * 1e12) for x, y in zip(a, b))
+
+    cents = [(c, emap[by_id[c][0]]) for c in range(n_cells)]
+    cqn = {c: qdot(v, v) for c, v in cents}
+
+    def rank_cells(v):
+        qv = qdot(v, v)
+        scored = sorted(
+            (
+                -(float(qdot(v, cv)) / math.sqrt(float(qv) * float(cqn[c]))),
+                c,
+            )
+            for c, cv in cents
+        )
+        return [c for _, c in scored]
+
+    cells = {v: rank_cells(vec)[0] for v, vec in emap.items()}
+    cmap = dict(cents)
+    res = {
+        v: [x - c for x, c in zip(vec, cmap[cells[v]])]
+        for v, vec in emap.items()
+    }
+    books = _train_pq_books(sorted(res.items()))
+
+    codes = {}
+    for v in emap:
+        code = 0
+        for s in range(PQ_M):
+            sl = res[v][s * sub : (s + 1) * sub]
+            best = min(
+                range(PQ_K), key=lambda j: (_sqdist_q(sl, books[s][j]), j)
+            )
+            code += best * PQ_K**s
+        codes[v] = code
+
+    out = []
+    for qid in PQ_QUERIES:
+        probed = rank_cells(emap[qid])[:nprobe]
+        luts = {}
+        for pc in probed:
+            qres = [x - c for x, c in zip(emap[qid], cmap[pc])]
+            luts[pc] = [
+                [
+                    _sqdist_q(qres[s * sub : (s + 1) * sub], books[s][j])
+                    for j in range(PQ_K)
+                ]
+                for s in range(PQ_M)
+            ]
+        scored = []
+        for v in emap:
+            if v == qid or cells[v] not in luts:
+                continue
+            lut = luts[cells[v]]
+            adist = 0
+            for s in range(PQ_M):
+                adist += lut[s][(codes[v] // PQ_K**s) % PQ_K]
             scored.append((float(adist) / 1e12, v))
         scored.sort()
         out += [
@@ -587,7 +698,14 @@ def _spark_rows(sf_dir: str):
         (r.query_id, r.vec_id, r.adist9, r.rn)
         for r in CATALOG["sim_pq_trained_topk"].fn(spark, sf_dir).collect()
     )
-    return stemmed, sorted(render), bpe, bpeb, pca, auth, png, wav, mp4, pqt
+    pqrt = sorted(
+        (r.query_id, r.vec_id, r.adist9, r.rn)
+        for r in CATALOG["sim_ivfpq_residual_trained"].fn(
+            spark, sf_dir
+        ).collect()
+    )
+    return (stemmed, sorted(render), bpe, bpeb, pca, auth, png, wav, mp4,
+            pqt, pqrt)
 
 
 def _write_golden(con, name: str, ddl_cols: str, rows: list[tuple]) -> None:
@@ -622,6 +740,7 @@ def main() -> int:
     wav_rows: list[tuple] = []
     mp4_rows: list[tuple] = []
     pqt_rows: list[tuple] = []
+    pqrt_rows: list[tuple] = []
     ok = True
     for sf_dir in SF_DIRS:
         docs = _load_docs(sf_dir)
@@ -638,8 +757,9 @@ def main() -> int:
         wav = golden_wav_decode(docs)
         mp4 = golden_mp4_decode(docs)
         pqt = golden_pq_trained_topk(embs)
+        pqrt = golden_ivfpq_residual_trained(embs)
         (got_stemmed, got_render, got_bpe, got_bpeb, got_pca, got_auth,
-         got_png, got_wav, got_mp4, got_pqt) = _spark_rows(sf_dir)
+         got_png, got_wav, got_mp4, got_pqt, got_pqrt) = _spark_rows(sf_dir)
         if got_stemmed != stemmed:
             print(f"DIVERGENCE search_stemmed_cnf @ {sf_dir}")
             print("  golden:", stemmed[:3], "...")
@@ -723,6 +843,14 @@ def main() -> int:
                     print("  spark :", s_)
                     break
             ok = False
+        if got_pqrt != pqrt:
+            print(f"DIVERGENCE sim_ivfpq_residual_trained @ {sf_dir}")
+            for g, s_ in zip(pqrt, got_pqrt):
+                if g != s_:
+                    print("  golden:", g)
+                    print("  spark :", s_)
+                    break
+            ok = False
         stemmed_rows += [(d, s, tag) for d, s in stemmed]
         render_rows += [(d, s, sn, tag) for d, s, sn in render]
         bpe_rows += [(d, nw, nt, e, tag) for d, nw, nt, e in bpe]
@@ -733,6 +861,7 @@ def main() -> int:
         wav_rows += [(*row, tag) for row in wav]
         mp4_rows += [(*row, tag) for row in mp4]
         pqt_rows += [(*row, efp) for row in pqt]
+        pqrt_rows += [(*row, efp) for row in pqrt]
         print(f"{sf_dir}: stemmed={len(stemmed)} rows, "
               f"render={len(render)} rows, bpe={len(bpe)} rows, "
               f"pca={len(pca)} rows (emb_fp={efp})")
@@ -800,6 +929,12 @@ def main() -> int:
         "query_id BIGINT, vec_id BIGINT, adist9 DOUBLE, rn BIGINT, "
         "emb_fp BIGINT",
         pqt_rows,
+    )
+    _write_golden(
+        con, "sim_ivfpq_residual_trained",
+        "query_id BIGINT, vec_id BIGINT, adist9 DOUBLE, rn BIGINT, "
+        "emb_fp BIGINT",
+        pqrt_rows,
     )
     con.close()
     return 0

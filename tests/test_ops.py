@@ -1798,6 +1798,41 @@ def test_cascade3_full_width_equals_exact(spark):
         assert exact[(r.query_id, r.vec_id)] == r.cosine
 
 
+def test_cascade_ivfpq_candidates_and_exact_scores(spark):
+    """The IVF-PQ→exact cascade approximates candidate GENERATION
+    only: every returned candidate is in the stage-1 IVF-PQ top-w,
+    every returned cosine is the true all-pairs score, and the
+    cascade's recall is >= plain IVF+PQ at identical (C, nprobe) —
+    the rerank can only fix ADC ordering inside the candidate set."""
+    from hadoop_search_spark.operators.similarity import (
+        cascade_ivfpq_recall,
+        cascade_ivfpq_topk,
+        cosine_topk,
+        ivf_pq_recall,
+        ivf_pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cand = {
+        (r.query_id, r.vec_id)
+        for r in ivf_pq_topk(emb, [0, 2], 50).collect()
+    }
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in cosine_topk(emb, [0, 2], 499).collect()
+    }
+    rows = cascade_ivfpq_topk(emb, [0, 2], 10, w=50).collect()
+    assert {r.query_id for r in rows} == {0, 2}
+    for r in rows:
+        assert (r.query_id, r.vec_id) in cand
+        assert exact[(r.query_id, r.vec_id)] == r.cosine
+
+    qs = [0, 1, 2, 3, 4]
+    assert cascade_ivfpq_recall(emb, qs, 10, w=50) >= ivf_pq_recall(
+        emb, qs, 10
+    )
+
+
 def test_cross_corpus_dedup_sides_and_verdicts(spark):
     """Cross-corpus pairs are strictly ref-side x new-side (never
     ref-ref or new-new even for identical texts WITHIN a side), the
