@@ -6498,6 +6498,58 @@ def stream_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.cells()
 
 
+
+from hadoop_search_spark.operators.sketch import (  # noqa: E402
+    cms_pointq_oracle_sql,
+    hll_grouped_oracle_sql,
+)
+
+
+@register(
+    "sketch_hll_grouped",
+    oracle=hll_grouped_oracle_sql("documents", "source", "text"),
+    note="per-source distinct-document accounting via GROUPED "
+    "HyperLogLog (operators/sketch.py:hll_registers_by + "
+    "hll_estimate_by): one sketch pass keyed by (source, register) — "
+    "|sources| x 2^p rows of state instead of |sources| x |distinct "
+    "texts| — the datacard's dedup-accounting primitive. Same exact-"
+    "integer z_scaled and single-division estimator as "
+    "sketch_hll_distinct, per group; grouped stores merge with "
+    "hll_merge_by (pytest pins grouped == per-group-sliced sketches "
+    "and 3-sigma accuracy). Oracle is the single-source "
+    "hll_grouped_oracle_sql.",
+)
+def sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.sketch import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_estimate_by(
+        hll_registers_by(docs, ["source"], "text"), ["source"]
+    )
+
+
+@register(
+    "sketch_cms_pointq",
+    oracle=cms_pointq_oracle_sql("events", "user_id"),
+    note="Count-Min point queries (operators/sketch.py:cms_query) for "
+    "every distinct events.user_id against the d=5 x w=8192 cell "
+    "sketch: est = min over the d addressed counters — the classic "
+    "one-sided guarantee (never below the true count; pytest pins "
+    "est >= true on every value and exactness at this load factor). "
+    "The sketch is a <= d*w-row broadcast build side; the probe side "
+    "explodes d request-sized address rows per value. Oracle is the "
+    "single-source cms_pointq_oracle_sql.",
+)
+def sketch_cms_pointq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.sketch import cms_query, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return cms_query(cms_sketch(ev, "user_id"), ev, "user_id")
+
+
 # ---- public accessors -------------------------------------------------
 
 # The correctness driver records at most the FIRST 50 queries() entries
@@ -6529,6 +6581,8 @@ _DRIVER_FRONT = [
     "sim_ivfpq_residual_trained",
     "stream_hll_replay",
     "stream_cms_replay",
+    "sketch_hll_grouped",
+    "sketch_cms_pointq",
     # (b) CHANGED this round: the drift entry now assigns cells via
     # the fully-integer cross-multiplied argmax (two-round driver-red
     # target); the trained-PQ golden regenerated under the _QS
@@ -6543,9 +6597,10 @@ _DRIVER_FRONT = [
     "sim_ann_lsh_topk",
     "sim_embedding_dedup",
     "sim_semantic_dedup",
-    # (d) 34 of the 47 remaining r4-latest entries (the oldest
-    # driver evidence; the other 13 — search_and_not, search_or, search_phrase, text_fingerprint,
-    # ... — lead the r9 fill, see NOTES.md):
+    # (d) 32 of the 47 remaining r4-latest entries (the oldest
+    # driver evidence; the other 15 — sample_stratified, search_and,
+    # search_and_not, search_or, ... — lead the r9 fill, see
+    # NOTES.md):
     "curation_pipeline_v2",
     "curation_summary",
     "dedup_benchmark_report",
@@ -6578,8 +6633,6 @@ _DRIVER_FRONT = [
     "q_semi_join",
     "q_window_topk",
     "sample_split",
-    "sample_stratified",
-    "search_and",
 ]
 
 def _ordered() -> list[str]:

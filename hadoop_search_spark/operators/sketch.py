@@ -266,6 +266,44 @@ regs AS (
 sk AS (SELECT register, MAX(rho) AS max_rho FROM regs GROUP BY register)"""
 
 
+def hll_grouped_oracle_sql(
+    table: str, group_col: str, col: str, p: int = HLL_P
+) -> str:
+    """DuckDB twin of :func:`hll_estimate_by` over one group column —
+    the per-group register chain + the same exact-integer z and
+    single-division estimate (no empty-pin branch: a group exists iff
+    it has >= 1 register)."""
+    m = 1 << p
+    w = 60 - p
+    numer = repr(_alpha(m) * m * m * float(1 << (w + 1)))
+    return f"""
+WITH h AS (
+  SELECT {group_col},
+         ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, {_HASH_HEX}))::BIGINT AS hv
+  FROM {table} WHERE {col} IS NOT NULL
+),
+regs AS (
+  SELECT {group_col}, hv % {m} AS register,
+         CASE WHEN hv // {m} = 0 THEN {w + 1}
+              ELSE {w + 1} - length(bin(hv // {m})) END AS rho
+  FROM h
+),
+sk AS (SELECT {group_col}, register, MAX(rho) AS max_rho
+       FROM regs GROUP BY {group_col}, register),
+agg AS (
+  SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_present,
+         CAST(sum(CAST(1 AS BIGINT) << ({w + 1} - max_rho)) AS BIGINT) AS z_present
+  FROM sk GROUP BY {group_col}
+)
+SELECT {group_col},
+       CAST({m} AS BIGINT) AS m,
+       CAST({m} - n_present AS BIGINT) AS n_zero,
+       CAST(z_present + ({m} - n_present) * (CAST(1 AS BIGINT) << {w + 1}) AS BIGINT) AS z_scaled,
+       {numer} / CAST(z_present + ({m} - n_present) * (CAST(1 AS BIGINT) << {w + 1}) AS DOUBLE) AS est_distinct
+FROM agg
+"""
+
+
 def hll_oracle_sql(table: str, col: str, p: int = HLL_P) -> str:
     """The DuckDB twin of :func:`hll_distinct` — the exact same
     recipe spelled in SQL (shared single source for tests and the
@@ -423,6 +461,42 @@ WITH cells AS (
 )
 SELECT row, col, CAST(sum(c) AS BIGINT) AS cnt
 FROM cells GROUP BY row, col
+"""
+
+
+def cms_pointq_oracle_sql(
+    table: str, col: str, d: int = CMS_D, w: int = CMS_W
+) -> str:
+    """DuckDB twin of :func:`cms_query` probing every distinct value
+    of the sketched column itself — (value, est) with est = min over
+    the d addressed counters (coalesced 0 on an un-hit cell)."""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS row, "
+        f"('0x' || substr(md5('cms{i}:' || CAST({col} AS VARCHAR)), 1, 12))::BIGINT % {w} AS col, "
+        f"CAST(1 AS BIGINT) AS c "
+        f"FROM {table} WHERE {col} IS NOT NULL"
+        for i in range(d)
+    )
+    addr = "\nUNION ALL\n".join(
+        f"SELECT value, {i} AS row, "
+        f"('0x' || substr(md5('cms{i}:' || CAST(value AS VARCHAR)), 1, 12))::BIGINT % {w} AS col "
+        f"FROM vals"
+        for i in range(d)
+    )
+    return f"""
+WITH cells AS (
+{rows}
+),
+sk AS (SELECT row, col, CAST(sum(c) AS BIGINT) AS cnt
+       FROM cells GROUP BY row, col),
+vals AS (SELECT DISTINCT {col} AS value FROM {table}
+         WHERE {col} IS NOT NULL),
+addr AS (
+{addr}
+)
+SELECT a.value, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+FROM addr a LEFT JOIN sk s ON s.row = a.row AND s.col = a.col
+GROUP BY a.value
 """
 
 

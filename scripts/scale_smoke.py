@@ -410,6 +410,61 @@ def main() -> int:
 
     stage("hll_distinct_sketch", hll_stage)
 
+    def cms_stage():
+        from hadoop_search_spark.operators.sketch import cms_query, cms_sketch
+
+        # sketch the replicated doc texts (the CMS state stays d*w
+        # cells regardless of corpus size), then point-query 1000
+        # values against the broadcast cell table
+        sk = cms_sketch(docs, "text")
+        probes = docs.limit(1000)
+        return cms_query(sk, probes, "text").count()
+
+    stage("cms_sketch_pointq", cms_stage)
+
+    def hist_stage():
+        from hadoop_search_spark.operators.sketch import (
+            hist_bounds,
+            hist_quantile_bounds,
+            hist_sketch,
+        )
+
+        lens = docs.select(F.length("text").alias("v"))
+        lo, hi = hist_bounds(lens, "v")
+        hi += 1e-9
+        sk = hist_sketch(lens, "v", lo, hi)
+        return hist_quantile_bounds(sk, [0.5, 0.9, 0.99], lo, hi).count()
+
+    stage("hist_quantiles", hist_stage)
+
+    def multiprobe_stage():
+        from hadoop_search_spark.operators.similarity import (
+            ann_lsh_multiprobe_topk,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        big = emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * 2000).alias("vec_id"),
+            "embedding",
+        )
+        return ann_lsh_multiprobe_topk(big, [0, 1, 2], 10, flips=4).count()
+
+    stage("ann_lsh_multiprobe", multiprobe_stage)
+
+    def cascade_ivfpq_stage():
+        from hadoop_search_spark.operators.similarity import (
+            cascade_ivfpq_topk,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        big = emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * 2000).alias("vec_id"),
+            "embedding",
+        )
+        return cascade_ivfpq_topk(big, [0, 1, 2], 10, w=50).count()
+
+    stage("cascade_ivfpq_topk", cascade_ivfpq_stage)
+
     print(json.dumps(timings))
     spark.stop()
     return 0
