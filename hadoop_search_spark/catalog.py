@@ -6550,6 +6550,51 @@ def sketch_cms_pointq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_query(cms_sketch(ev, "user_id"), ev, "user_id")
 
 
+
+@register(
+    "stream_hist_replay",
+    oracle="""
+WITH b AS (
+  SELECT CAST(min(value) AS DOUBLE) AS lo,
+         CAST(max(value) AS DOUBLE) + 1e-9 AS hi
+  FROM events WHERE value IS NOT NULL
+),
+h AS (
+  SELECT least(255, greatest(0, CAST(floor(
+           (CAST(value AS DOUBLE) - b.lo) / (b.hi - b.lo) * 2.56e2
+         ) AS BIGINT))) AS bucket
+  FROM events, b WHERE value IS NOT NULL
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY bucket
+""",
+    note="streaming==batch equivalence for the equi-width histogram "
+    "store (streaming/hist_ingest.py:StreamingHistogram — the "
+    "QUANTILE member of the streaming sketch-store family, completing "
+    "HLL/CMS): events.value in 4 deterministic epochs (event_id % 4) "
+    "under bounds FROZEN at store creation, bucket-wise SUM merge "
+    "fenced by the ledger-before-pointer protocol (sum is not replay-"
+    "idempotent; epoch 2 is REPLAYED and must no-op), torn windows "
+    "self-heal (pytest). Final published bucket table must equal the "
+    "one-shot batch sketch of ALL events — same static bucket SQL as "
+    "sketch_hist_quantiles' chain.",
+)
+def stream_hist_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_search_spark.operators.sketch import hist_bounds
+    from hadoop_search_spark.streaming.hist_ingest import StreamingHistogram
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    lo, hi = hist_bounds(ev, "value")
+    hi = hi + 1e-9
+    store = tempfile.mkdtemp(prefix="hist_replay_store_")
+    h = StreamingHistogram(spark, store, "value", lo, hi)
+    for epoch in range(4):
+        h.process_batch(ev.filter(F.col("event_id") % 4 == epoch), epoch)
+    h.process_batch(ev.filter(F.col("event_id") % 4 == 2), 2)  # replay
+    return h.sketch()
+
+
 # ---- public accessors -------------------------------------------------
 
 # The correctness driver records at most the FIRST 50 queries() entries
@@ -6583,6 +6628,7 @@ _DRIVER_FRONT = [
     "stream_cms_replay",
     "sketch_hll_grouped",
     "sketch_cms_pointq",
+    "stream_hist_replay",
     # (b) CHANGED this round: the drift entry now assigns cells via
     # the fully-integer cross-multiplied argmax (two-round driver-red
     # target); the trained-PQ golden regenerated under the _QS
@@ -6632,7 +6678,6 @@ _DRIVER_FRONT = [
     "q_rollup",
     "q_semi_join",
     "q_window_topk",
-    "sample_split",
 ]
 
 def _ordered() -> list[str]:
