@@ -6595,6 +6595,83 @@ def stream_hist_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.sketch()
 
 
+
+@register(
+    "sim_cascade_int8_topk",
+    oracle=_EMB_CTE
+    + """
+, am AS (SELECT vec_id, max(abs(x)) AS amax FROM exp_e GROUP BY vec_id),
+qq AS (
+  SELECT e.vec_id, e.i,
+         CAST(greatest(-127, least(127,
+              CASE WHEN a.amax > 0 THEN floor(e.x * 127 / a.amax)
+                   ELSE 0 END)) AS INT) AS code
+  FROM exp_e e JOIN am a USING (vec_id)
+),
+qn AS (SELECT vec_id, CAST(sum(CAST(code AS BIGINT) * code) AS BIGINT) AS qn
+       FROM qq GROUP BY vec_id),
+sd AS (
+  SELECT b.query_id, c.vec_id,
+         CAST(sum(CAST(floor((b.x * c.code) * 1000000000) AS BIGINT))
+              AS BIGINT) AS sdot
+  FROM qq c JOIN exp_q b ON b.i = c.i AND c.vec_id <> b.query_id
+  GROUP BY b.query_id, c.vec_id
+),
+s8 AS (
+  SELECT s.query_id, s.vec_id,
+         CASE WHEN n.qn = 0 THEN -2.0
+              ELSE CAST(s.sdot AS DOUBLE) / sqrt(CAST(n.qn AS DOUBLE))
+         END AS s8
+  FROM sd s JOIN qn n ON n.vec_id = s.vec_id
+),
+cand8 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s8 DESC, vec_id) AS arn
+    FROM s8) t
+  WHERE arn <= 50
+),
+rdots AS (
+  SELECT c.query_id, c.vec_id, sum(a.x * b.x) AS dot
+  FROM cand8 c
+  JOIN exp_e a ON a.vec_id = c.vec_id
+  JOIN exp_q b ON b.query_id = c.query_id AND b.i = a.i
+  GROUP BY c.query_id, c.vec_id
+),
+rcos AS (
+  SELECT d.query_id, d.vec_id, round(d.dot / (na.nrm * nq.nrm), 9) AS cosine
+  FROM rdots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN norms nq ON nq.vec_id = d.query_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM rcos) t
+WHERE rn <= 10
+""",
+    note="INT8 scan -> exact rerank (operators/similarity.py:"
+    "cascade_int8_topk) — the scalar-quantization tier of the cascade "
+    "family, turning the sim_quantize_int8 STORAGE path into a "
+    "SERVING path: stage 1 ranks the whole corpus from the 64 B/vec "
+    "integer store (per-vector scale amax cancels out of the cosine "
+    "ratio, so the scan reads codes only; sdot = sum floor((x*code)"
+    "*1e9) exact BIGINT, qn = sum code^2 exact BIGINT, ONE IEEE "
+    "division/sqrt per row — the _cell_ranking contract) keeping top "
+    "w=50; stage 2 reranks by exact cosine. Sits between sign-bit "
+    "Hamming (16 B/vec) and raw floats (256 B/vec); measured recall "
+    "in docs/ANN_QUALITY.md.",
+)
+def sim_cascade_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import cascade_int8_topk
+
+    return cascade_int8_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10, w=50
+    )
+
+
 # ---- public accessors -------------------------------------------------
 
 # The correctness driver records at most the FIRST 50 queries() entries
@@ -6629,6 +6706,7 @@ _DRIVER_FRONT = [
     "sketch_hll_grouped",
     "sketch_cms_pointq",
     "stream_hist_replay",
+    "sim_cascade_int8_topk",
     # (b) CHANGED this round: the drift entry now assigns cells via
     # the fully-integer cross-multiplied argmax (two-round driver-red
     # target); the trained-PQ golden regenerated under the _QS
@@ -6677,7 +6755,6 @@ _DRIVER_FRONT = [
     "q_point_lookup",
     "q_rollup",
     "q_semi_join",
-    "q_window_topk",
 ]
 
 def _ordered() -> list[str]:

@@ -2192,6 +2192,123 @@ def cascade_ivfpq_topk(
     return _topk_per_query(pairs, k)
 
 
+# int8 stage-1 quantization scale: Σ floor((xᵢ·qᵢ)·1e9) per pair —
+# |x|≤~1 (unit-ish query), |q|≤127, so each term ≤ ~1.3e11 and a
+# 64-dim sum ≤ ~8.3e12, far inside int64; 1e-9 absolute per-element
+# resolution is below any cosine gap the rerank can't fix.
+_QS8 = 1_000_000_000.0  # 1e9
+
+
+def int8_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    quantized: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k over the INT8 store — the serving use of
+    :func:`embedding_quantize_int8` (which is otherwise only a
+    storage/compression path): rank every vector by the cosine of the
+    float query against the DEQUANTIZED candidate, computed so every
+    cross-component sum is exact integer arithmetic.
+
+    The per-vector scale cancels out of the ranking:
+    cos(q, v̂) = (amax/127)·Σqᵢ·codeᵢ / (|q|·(amax/127)·√Σcodeᵢ²)
+    ∝ sdot/√qn with sdot = Σ floor((qᵢ·codeᵢ)·1e9) (exact BIGINT, see
+    _QS8) and qn = Σ codeᵢ² (exact BIGINT) — so amax is never even
+    read at scan time, and the one IEEE division/sqrt per row sees
+    bit-identical integers in every engine (the _cell_ranking
+    contract). An all-zero vector (qn = 0) pins to score −2, below
+    any cosine. Returns (query_id, vec_id, s8, rn) with s8 the raw
+    ratio — stage-1 material; the exact-score path is
+    :func:`cascade_int8_topk`.
+
+    Scale shape: map-only scan of 64 bytes/vector (4× less than
+    float32, 16× less float math — the memory-bandwidth tier between
+    sign bits and raw floats), queries broadcast as a bounded
+    pick-list, one top-k window."""
+    from hadoop_search_spark.partitioning import spread
+
+    qz = quantized
+    if qz is None:
+        qz = embedding_quantize_int8(embeddings).select("vec_id", "qvec")
+    qz = spread(qz, "vec_id").withColumn(
+        "_qn",
+        F.aggregate(
+            F.col("qvec"),
+            F.lit(0).cast("bigint"),
+            lambda acc, qi: acc + (qi * qi).cast("bigint"),
+        ),
+    )
+    q = (
+        embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        .limit(len(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    )
+    sdot = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("qvec"),
+            lambda x, qi: F.floor(
+                (x.cast("double") * qi.cast("double")) * F.lit(_QS8)
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    s8 = F.when(F.col("_qn") == 0, F.lit(-2.0)).otherwise(
+        sdot.cast("double") / F.sqrt(F.col("_qn").cast("double"))
+    )
+    pairs = qz.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id", s8.alias("s8"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("s8"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def cascade_int8_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    w: int = 50,
+) -> DataFrame:
+    """INT8 scan → exact rerank — the scalar-quantization tier of the
+    cascade family (between sign-bit Hamming at 16 B/vec and raw
+    floats at 256 B/vec): stage 1 is :func:`int8_topk` over the 64
+    B/vec integer store keeping top ``w`` per query; stage 2 reranks
+    only those by exact cosine. Output is :func:`cosine_topk`'s shape
+    — exact scores, int8-approximate candidate set. int8's ~1e-3
+    worst-case per-component reconstruction error barely perturbs
+    cosine ORDER, so recall at small w runs far above the PQ tiers
+    (measured in docs/ANN_QUALITY.md) at 8× their storage."""
+    cand = int8_topk(embeddings, query_ids, w).select("query_id", "vec_id")
+    q = (
+        embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        .limit(len(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    pairs = embeddings.join(F.broadcast(cand), "vec_id").join(
+        F.broadcast(q), "query_id"
+    )
+    return _topk_per_query(pairs, k)
+
+
+def cascade_int8_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    w: int = 50,
+) -> float:
+    """Measured recall@k of the int8→exact cascade."""
+    approx = cascade_int8_topk(embeddings, query_ids, k, w)
+    return _recall_vs_exact(embeddings, query_ids, k, approx)
+
+
 def cascade_ivfpq_recall(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -37,6 +37,7 @@ ROWS = [
     ("cascade (hamming→exact)", 16 + 256, "hamming top-100 → exact rerank"),
     ("cascade3 (sign→PQ→exact)", 16 + 8 + 256, "top-200 → ADC top-40 → exact"),
     ("cascade (IVF+PQ→exact)", 8 + 2 + 256, "nprobe cells, ADC top-50 → exact rerank"),
+    ("cascade (int8→exact)", 64 + 256, "int8 scan top-50 → exact rerank"),
 ]
 
 
@@ -45,6 +46,7 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
         ann_lsh_multiprobe_recall,
         ann_recall,
         cascade3_recall,
+        cascade_int8_recall,
         cascade_ivfpq_recall,
         cascade_recall,
         hamming_recall,
@@ -108,6 +110,10 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
         (
             "cascade (IVF+PQ→exact)",
             lambda: cascade_ivfpq_recall(emb, QUERY_IDS, K, w=50),
+        ),
+        (
+            "cascade (int8→exact)",
+            lambda: cascade_int8_recall(emb, QUERY_IDS, K, w=50),
         ),
     ]
 

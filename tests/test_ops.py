@@ -1833,6 +1833,42 @@ def test_cascade_ivfpq_candidates_and_exact_scores(spark):
     )
 
 
+def test_cascade_int8_candidates_exact_scores_and_high_recall(spark):
+    """The int8→exact cascade: every returned candidate is in the
+    stage-1 int8 top-w, every returned cosine is the true all-pairs
+    score, the stage-1 ranking is scale-free (amax never read), and —
+    the tier's selling point — int8's ~1e-3 reconstruction error
+    barely perturbs cosine order, so recall@10 at w=50 beats every
+    PQ-tier cascade on the same fixture."""
+    from hadoop_search_spark.operators.similarity import (
+        cascade_int8_recall,
+        cascade_int8_topk,
+        cosine_topk,
+        int8_topk,
+        ivf_pq_recall,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cand = {
+        (r.query_id, r.vec_id)
+        for r in int8_topk(emb, [0, 2], 50).collect()
+    }
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in cosine_topk(emb, [0, 2], 499).collect()
+    }
+    rows = cascade_int8_topk(emb, [0, 2], 10, w=50).collect()
+    assert {r.query_id for r in rows} == {0, 2}
+    for r in rows:
+        assert (r.query_id, r.vec_id) in cand
+        assert exact[(r.query_id, r.vec_id)] == r.cosine
+
+    qs = [0, 1, 2, 3, 4]
+    r_int8 = cascade_int8_recall(emb, qs, 10, w=50)
+    assert r_int8 >= 0.9  # near-exact at 1/4 the scan bytes
+    assert r_int8 >= ivf_pq_recall(emb, qs, 10)
+
+
 def test_cross_corpus_dedup_sides_and_verdicts(spark):
     """Cross-corpus pairs are strictly ref-side x new-side (never
     ref-ref or new-new even for identical texts WITHIN a side), the
