@@ -479,7 +479,16 @@ def _cell_argmax_exact(emb: F.Column, centroids) -> F.Column:
     same sign ⟹ compare dotq_a²·qc_b vs dotq_b²·qc_a (inverted when
     both negative); mixed sign ⟹ the non-negative side wins. With
     unit-ish embeddings |dotq|,qc ≤ ~1e12+ε so dotq²·qc ≤ ~1e36 —
-    inside DECIMAL(38,0) here and HUGEINT in the DuckDB twin. Ties
+    inside DECIMAL(38,0) here and HUGEINT in the DuckDB twin.
+
+    MAGNITUDE CONTRACT (overflow would silently corrupt the argmax —
+    Spark's non-ANSI decimal multiply NULLs, ANSI throws): by
+    Cauchy-Schwarz dotq² ≤ q_row·qc, so the product is ≤
+    q_row·qc² < 10³⁸ whenever every squared norm is ≤ 4.6e12, i.e.
+    vector norms ≤ ~2.1 — always true for the normalized embeddings a
+    cosine quantizer serves (cosine is norm-invariant; stores
+    normalize). Centroid norms are Python ints at plan time and are
+    CHECKED here; rows are the same corpus in every caller. Ties
     take the LOWER cell id (the comparator's final key). The sort
     is a COMPARATOR-form ``array_sort`` — the lambda is one small
     runtime expression evaluated per comparison, NOT unrolled per
@@ -488,6 +497,15 @@ def _cell_argmax_exact(emb: F.Column, centroids) -> F.Column:
     per step — exponential tree growth, ~100 s of plan compilation
     at C=8). Map-only, no shuffle, no model join."""
     cs = sorted(centroids, key=lambda cv: cv[0])
+    _QN_MAX = 4_600_000_000_000  # norm ≲ 2.1, see MAGNITUDE CONTRACT
+    bad = [c for c, vec in cs if _py_qdot(vec, vec) > _QN_MAX]
+    if bad:
+        raise ValueError(
+            f"_cell_argmax_exact: centroid(s) {bad} exceed the "
+            "norm≲2.1 magnitude contract (dotq²·qc would overflow "
+            "DECIMAL(38,0)); normalize the embedding space or use "
+            "the IEEE _cell_ranking"
+        )
 
     def d38(c):
         return c.cast("decimal(38,0)")

@@ -275,6 +275,81 @@ def test_ivf_assign_and_probe(spark):
     assert ivf_recall(emb, [0, 1], k=3, num_centroids=2, nprobe=2) == 1.0
 
 
+def test_cell_argmax_exact_matches_rational_arithmetic(spark):
+    """The r8 fully-integer cell assignment (_cell_argmax_exact, the
+    sign-aware cross-multiplied comparator) vs an INDEPENDENT twin in
+    exact RATIONAL arithmetic: argmax over cells of dotq/√qc decided
+    with Python Fractions on the squares (cos_a > cos_b ⟺ sign-aware
+    dotq_a²·qc_b vs dotq_b²·qc_a — no floating point anywhere in the
+    twin). Vectors include negative-dot, all-zero-dot, and antipodal
+    cases so every sign branch of the comparator is exercised; ties
+    must take the LOWEST cell id."""
+    import math
+    import random
+    from fractions import Fraction
+
+    from hadoop_search_spark.operators.similarity import ivf_assign
+
+    import pytest
+
+    rng = random.Random(8)
+    dim = 8
+    s = 1.0 / math.sqrt(dim)  # unit-norm: the magnitude contract
+    cents_vecs = [
+        [s] * dim,                           # positive centroid
+        [-s] * dim,                          # antipodal (negative dots)
+        [(-1.0) ** i * s for i in range(dim)],  # orthogonal-ish
+        [(0.5 - rng.random()) * 2 * s for _ in range(dim)],
+    ]
+    cents = [(c, v) for c, v in enumerate(cents_vecs)]
+    rows = [(i, [(0.5 - rng.random()) * 2 * s for _ in range(dim)])
+            for i in range(200)]
+    # exercise exact-tie handling: duplicate centroids 0 and 1 as data
+    rows += [(200, cents_vecs[0]), (201, cents_vecs[1])]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    # the magnitude contract is ENFORCED, not assumed: out-of-contract
+    # centroid norms (where dotq²·qc could overflow DECIMAL(38,0) and
+    # silently corrupt the argmax) must raise at plan-build time
+    from hadoop_search_spark.operators.similarity import (
+        _cell_argmax_exact,
+    )
+
+    with pytest.raises(ValueError, match="magnitude contract"):
+        _cell_argmax_exact(F.col("embedding"), [(0, [3.0] * dim)])
+
+    def qdot(u, v):
+        return sum(math.floor((float(x) * float(y)) * 1e12)
+                   for x, y in zip(u, v))
+
+    qcs = [qdot(v, v) for _, v in cents]
+
+    def better(da, qa, db, qb):
+        # is score a strictly better than b? (sign-aware, exact)
+        if da >= 0 and db < 0:
+            return True
+        if da < 0 and db >= 0:
+            return False
+        fa = Fraction(da * da, qa)
+        fb = Fraction(db * db, qb)
+        return fa > fb if da >= 0 else fa < fb
+
+    def py_cell(vec):
+        dots = [qdot(vec, v) for _, v in cents]
+        best = 0
+        for c in range(1, len(cents)):
+            if better(dots[c], qcs[c], dots[best], qcs[best]):
+                best = c
+        return best
+
+    got = {r.vec_id: r.cell
+           for r in ivf_assign(emb, cents, metric="cosine_exact").collect()}
+    want = {vid: py_cell(vec) for vid, vec in rows}
+    assert got == want
+    # the duplicated centroids must land on themselves
+    assert got[200] == 0 and got[201] == 1
+
+
 def test_ivf_kmeans_training(spark):
     from hadoop_search_spark.operators.similarity import (
         ann_ivf_topk,
