@@ -349,6 +349,24 @@ COMMENTARY = {
         "the per-item Python work is the codec itself, which is the "
         "irreducible part of media decode on any engine."
     ),
+    "sim_cascade_int8_topk": (
+        "int8 serving tier (r8): stage 1 scans the 64 B/vec quantized "
+        "store — the quantize, the exact-integer dot fold, and the "
+        "scale-free score compose into ONE map-side projection over "
+        "the bounded query broadcast, then a partial+final "
+        "WindowGroupLimit keeps w rows/query; stage 2 point-fetches "
+        "those candidates (broadcast id equi-join) for the exact "
+        "rerank. Floats touched: w x |queries| vectors."
+    ),
+    "sketch_hist_quantiles": (
+        "Histogram quantile brackets (r8): ONE count aggregation over "
+        "a 256-value bucket expression (map-side partials, pruned "
+        "single-column scan), then every downstream op — cumulative "
+        "window, rank targets, bracket endpoints — runs on the "
+        "<= 256-row sketch: the single-partition WindowExec the plan "
+        "shows is over CONSTANT-size data by construction, and the "
+        "quantile pick-list is a maxRows-provable range() broadcast."
+    ),
 }
 
 
