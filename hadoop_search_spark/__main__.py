@@ -379,6 +379,70 @@ def cmd_decontaminate(args) -> int:
     return 0
 
 
+def cmd_ann(args) -> int:
+    """ANN index lifecycle over a published codes-only IVF-PQ index:
+    ``build`` persists centroids+codebooks+cell-partitioned codes (no
+    raw vectors — ~1/32 of float32 bytes); ``search`` serves ADC
+    top-k from the index with partition-pruned cell scans, optionally
+    exact-reranked against the embeddings parquet (the
+    cascade_ivfpq_topk shape: approximate candidates, exact scores);
+    ``add`` appends new vectors under the FROZEN build models (run
+    ``drift`` to know when to rebuild)."""
+    import pyspark.sql.functions as F
+
+    from hadoop_search_spark.operators.similarity import (
+        ivfpq_index_add,
+        ivfpq_index_topk,
+        write_ivfpq_index,
+    )
+
+    spark = _spark(args.cpus)
+    if args.action == "build":
+        emb = spark.read.parquet(args.embeddings)
+        cents, books = write_ivfpq_index(
+            emb, args.index, num_centroids=args.centroids
+        )
+        n = spark.read.parquet(f"{args.index}/codes").count()
+        print(f"built: {n} codes, {len(cents)} cells, "
+              f"{len(books)}x{len(books[0])} codebooks -> {args.index}")
+        spark.stop()
+        return 0
+    if args.action == "add":
+        emb = spark.read.parquet(args.embeddings)
+        ivfpq_index_add(spark, args.index, emb)
+        n = spark.read.parquet(f"{args.index}/codes").count()
+        print(f"appended -> {args.index} ({n} codes total)")
+        spark.stop()
+        return 0
+    # search
+    emb = spark.read.parquet(args.embeddings)
+    qids = [int(x) for x in args.query_ids.split(",")]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_index_topk(
+        spark, args.index, queries, args.k if not args.rerank else args.w,
+        nprobe=args.nprobe,
+    )
+    if args.rerank:
+        from hadoop_search_spark.operators.similarity import _topk_per_query
+
+        cand = out.select("query_id", "vec_id")
+        q = queries.withColumnRenamed("embedding", "q_emb")
+        pairs = emb.join(F.broadcast(cand), "vec_id").join(
+            F.broadcast(q), "query_id"
+        )
+        out = _topk_per_query(pairs, args.k)
+        score_col = "cosine"
+    else:
+        score_col = "adist9"
+    for r in out.orderBy("query_id", "rn").collect():
+        print(f"q={r.query_id}  #{r.rn}  vec={r.vec_id}  "
+              f"{score_col}={getattr(r, score_col)}")
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="hadoop_search_spark")
     p.add_argument("--cpus", type=int, default=8)
@@ -468,6 +532,34 @@ def main(argv: list[str] | None = None) -> int:
         help="two-tier Bloom prefilter (constant-size broadcast probe)",
     )
     pd.set_defaults(fn=cmd_decontaminate)
+
+    pann = sub.add_parser(
+        "ann",
+        help="IVF-PQ ANN index: build / search (codes-only, "
+        "cell-pruned; --rerank for exact scores) / add",
+    )
+    pann.add_argument("action", choices=["build", "search", "add"])
+    pann.add_argument("--index", required=True, help="index dir")
+    pann.add_argument(
+        "--embeddings", required=True,
+        help="embeddings parquet (vec_id, embedding)",
+    )
+    pann.add_argument("--centroids", type=int, default=8)
+    pann.add_argument("--nprobe", type=int, default=2)
+    pann.add_argument("--k", type=int, default=10)
+    pann.add_argument(
+        "--w", type=int, default=50,
+        help="stage-1 candidate width when --rerank is set",
+    )
+    pann.add_argument(
+        "--query-ids", default="0", dest="query_ids",
+        help="comma-separated vec_ids to use as queries",
+    )
+    pann.add_argument(
+        "--rerank", action="store_true",
+        help="exact-cosine rerank of the ADC top-w (cascade shape)",
+    )
+    pann.set_defaults(fn=cmd_ann)
 
     args = p.parse_args(argv)
     return args.fn(args)
