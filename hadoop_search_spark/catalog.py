@@ -3637,12 +3637,11 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, [0, 1, 2, 3, 4], 10, pq_codebooks(emb))
 
 
-# The full IVF+PQ ADC candidate/score chain (seed books, nprobe=2 of 8
-# cells, queries 0-4) shared by sim_ivf_pq_topk and the IVF-PQ-tier
-# cascade — single source, ends at CTE `adist` (query_id, vec_id,
-# adist9). Consumers add their own ranking tail.
-_IVFPQ_ADC_CTES = (
-    """
+# IVF coarse-probe chain (seed centroids = vec_id < 8, nprobe=2,
+# queries 0-4), ending at CTEs `assign` (vec_id, cell) and `probes`
+# (query_id, cell) — shared by the IVF+PQ chain below and the IVF-SQ8
+# cascade.
+_IVF_PROBE_CTES = """
 , qnorms AS (
   SELECT vec_id,
          CAST(sum(CAST(floor((x * x) * 1000000000000) AS BIGINT))
@@ -3670,6 +3669,13 @@ ccos AS (
 assign AS MATERIALIZED (SELECT vec_id, cell FROM ccos WHERE crn = 1),
 probes AS (SELECT vec_id AS query_id, cell FROM ccos
            WHERE crn <= 2 AND vec_id IN (0, 1, 2, 3, 4))"""
+
+# The full IVF+PQ ADC candidate/score chain — probe chain + seed
+# codebooks + per-query LUT ADC, ending at CTE `adist` (query_id,
+# vec_id, adist9). Shared by sim_ivf_pq_topk and the IVF-PQ-tier
+# cascade; consumers add their own ranking tail.
+_IVFPQ_ADC_CTES = (
+    _IVF_PROBE_CTES
     + _PQ_CTES
     + """,
 qlut AS (
@@ -6672,6 +6678,90 @@ def sim_cascade_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "sim_cascade_ivf_int8",
+    oracle=_EMB_CTE
+    + _IVF_PROBE_CTES
+    + """,
+am AS (SELECT vec_id, max(abs(x)) AS amax FROM exp_e GROUP BY vec_id),
+qq AS (
+  SELECT e.vec_id, e.i,
+         CAST(greatest(-127, least(127,
+              CASE WHEN a.amax > 0 THEN floor(e.x * 127 / a.amax)
+                   ELSE 0 END)) AS INT) AS code
+  FROM exp_e e JOIN am a USING (vec_id)
+),
+qn AS (SELECT vec_id, CAST(sum(CAST(code AS BIGINT) * code) AS BIGINT) AS qn
+       FROM qq GROUP BY vec_id),
+sd AS (
+  SELECT p.query_id, a.vec_id,
+         CAST(sum(CAST(floor((b.x * c.code) * 1000000000) AS BIGINT))
+              AS BIGINT) AS sdot
+  FROM assign a
+  JOIN probes p ON p.cell = a.cell AND a.vec_id <> p.query_id
+  JOIN qq c ON c.vec_id = a.vec_id
+  JOIN exp_q b ON b.query_id = p.query_id AND b.i = c.i
+  GROUP BY p.query_id, a.vec_id
+),
+s8 AS (
+  SELECT s.query_id, s.vec_id,
+         CASE WHEN n.qn = 0 THEN -2.0
+              ELSE CAST(s.sdot AS DOUBLE) / sqrt(CAST(n.qn AS DOUBLE))
+         END AS s8
+  FROM sd s JOIN qn n ON n.vec_id = s.vec_id
+),
+cand8 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s8 DESC, vec_id) AS arn
+    FROM s8) t
+  WHERE arn <= 50
+),
+rdots AS (
+  SELECT c.query_id, c.vec_id, sum(a.x * b.x) AS dot
+  FROM cand8 c
+  JOIN exp_e a ON a.vec_id = c.vec_id
+  JOIN exp_q b ON b.query_id = c.query_id AND b.i = a.i
+  GROUP BY c.query_id, c.vec_id
+),
+rcos AS (
+  SELECT d.query_id, d.vec_id, round(d.dot / (na.nrm * nq.nrm), 9) AS cosine
+  FROM rdots d
+  JOIN norms na ON na.vec_id = d.vec_id
+  JOIN norms nq ON nq.vec_id = d.query_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM rcos) t
+WHERE rn <= 10
+""",
+    note="IVF x scalar quantization -> exact rerank (operators/"
+    "similarity.py:ivf_int8_topk/cascade_ivf_int8_topk) — the IVF-SQ8 "
+    "index shape, the standard middle ground when PQ's 4-bit codes "
+    "lose too much order and raw-float IVF costs 4x the bandwidth: "
+    "coarse cells prune the scan (nprobe=2 of 8), the in-cell scan "
+    "reads the 64 B/vec int8 store with the scale-free integer "
+    "ranking (amax cancels; exact BIGINT dot fold, one IEEE div/sqrt "
+    "of exact ints per row), top w=50 rerank by exact cosine. The "
+    "full production stack: cells bound the scan, int8 bounds the "
+    "bandwidth, the rerank restores exact scores — the residue is "
+    "cell recall alone (ANN_QUALITY.md).",
+)
+def sim_cascade_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import (
+        cascade_ivf_int8_topk,
+    )
+
+    return cascade_ivf_int8_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10, w=50,
+        num_centroids=8, nprobe=2,
+    )
+
+
 # ---- public accessors -------------------------------------------------
 
 # The correctness driver records at most the FIRST 50 queries() entries
@@ -6707,6 +6797,7 @@ _DRIVER_FRONT = [
     "sketch_cms_pointq",
     "stream_hist_replay",
     "sim_cascade_int8_topk",
+    "sim_cascade_ivf_int8",
     # (b) CHANGED this round: the drift entry now assigns cells via
     # the fully-integer cross-multiplied argmax (two-round driver-red
     # target); the trained-PQ golden regenerated under the _QS
@@ -6754,7 +6845,6 @@ _DRIVER_FRONT = [
     "q_pagination",
     "q_point_lookup",
     "q_rollup",
-    "q_semi_join",
 ]
 
 def _ordered() -> list[str]:

@@ -2327,6 +2327,131 @@ def cascade_int8_recall(
     return _recall_vs_exact(embeddings, query_ids, k, approx)
 
 
+def ivf_int8_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NPROBE,
+    centroids=None,
+) -> DataFrame:
+    """IVF × scalar quantization — the IVF-SQ8 index shape: the
+    coarse quantizer prunes to ``nprobe`` cells (like
+    :func:`ann_ivf_topk`) but the in-cell scan reads the INT8 store
+    (64 B/vec, the :func:`int8_topk` scale-free integer ranking)
+    instead of raw floats — the standard middle ground when PQ's
+    4-bit codes lose too much order and raw floats cost 4× the
+    bandwidth. Returns (query_id, vec_id, s8, rn); s8 is the
+    scale-free int8 score (one IEEE division/sqrt of exact integers
+    per row — cross-engine deterministic).
+
+    Index side is ONE map-only projection (cell + qvec + qn compose
+    into a single scan); at scale it persists cell-partitioned like
+    :func:`write_ivfpq_index`, so probing prunes files. Both
+    approximations (cell miss × int8 ordering) are measured by
+    :func:`cascade_ivf_int8_recall`'s exact-rerank composition."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, num_centroids)
+    )
+    qz = embedding_quantize_int8(embeddings).select("vec_id", "qvec")
+    indexed = (
+        ivf_assign(embeddings, cents)
+        .select("vec_id", "cell")
+        .join(qz, "vec_id")
+        .withColumn(
+            "_qn",
+            F.aggregate(
+                F.col("qvec"),
+                F.lit(0).cast("bigint"),
+                lambda acc, qi: acc + (qi * qi).cast("bigint"),
+            ),
+        )
+    )
+    q = (
+        embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        .limit(len(query_ids))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    ranking = _cell_ranking(F.col("embedding"), cents)
+    probes = q.select(
+        F.col("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(F.slice(ranking, 1, nprobe)).alias("probe"),
+    ).select("query_id", "q_emb", F.col("probe.cell").alias("cell"))
+    pairs = indexed.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sdot = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("qvec"),
+            lambda x, qi: F.floor(
+                (x.cast("double") * qi.cast("double")) * F.lit(_QS8)
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    s8 = F.when(F.col("_qn") == 0, F.lit(-2.0)).otherwise(
+        sdot.cast("double") / F.sqrt(F.col("_qn").cast("double"))
+    )
+    scored = pairs.select("query_id", "vec_id", s8.alias("s8"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("s8"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def cascade_ivf_int8_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    w: int = 50,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """IVF-SQ8 → exact rerank: :func:`ivf_int8_topk` candidates
+    (cell-pruned int8 scan) reranked by exact cosine — the full
+    production serving stack: cells bound the scan, int8 bounds the
+    bandwidth, the rerank restores exact SCORES, and the only
+    remaining approximation is cell recall (nprobe's dial)."""
+    cand = ivf_int8_topk(
+        embeddings, query_ids, w, num_centroids, nprobe
+    ).select("query_id", "vec_id")
+    q = (
+        embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        .limit(len(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    pairs = embeddings.join(F.broadcast(cand), "vec_id").join(
+        F.broadcast(q), "query_id"
+    )
+    return _topk_per_query(pairs, k)
+
+
+def cascade_ivf_int8_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    w: int = 50,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NPROBE,
+) -> float:
+    """Measured recall@k of the IVF-SQ8→exact stack — upper-bounded
+    by the IVF cell recall at the same nprobe, approached as w grows
+    (int8 ordering error → 0 under the rerank)."""
+    approx = cascade_ivf_int8_topk(
+        embeddings, query_ids, k, w, num_centroids, nprobe
+    )
+    return _recall_vs_exact(embeddings, query_ids, k, approx)
+
+
 def cascade_ivfpq_recall(
     embeddings: DataFrame,
     query_ids: list[int],

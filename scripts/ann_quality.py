@@ -38,6 +38,7 @@ ROWS = [
     ("cascade3 (sign→PQ→exact)", 16 + 8 + 256, "top-200 → ADC top-40 → exact"),
     ("cascade (IVF+PQ→exact)", 8 + 2 + 256, "nprobe cells, ADC top-50 → exact rerank"),
     ("cascade (int8→exact)", 64 + 256, "int8 scan top-50 → exact rerank"),
+    ("cascade (IVF+int8→exact)", 64 + 2 + 256, "nprobe cells of int8, top-50 → exact rerank"),
 ]
 
 
@@ -47,6 +48,7 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
         ann_recall,
         cascade3_recall,
         cascade_int8_recall,
+        cascade_ivf_int8_recall,
         cascade_ivfpq_recall,
         cascade_recall,
         hamming_recall,
@@ -114,6 +116,10 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
         (
             "cascade (int8→exact)",
             lambda: cascade_int8_recall(emb, QUERY_IDS, K, w=50),
+        ),
+        (
+            "cascade (IVF+int8→exact)",
+            lambda: cascade_ivf_int8_recall(emb, QUERY_IDS, K, w=50),
         ),
     ]
 

@@ -1944,6 +1944,48 @@ def test_cascade_int8_candidates_exact_scores_and_high_recall(spark):
     assert r_int8 >= ivf_pq_recall(emb, qs, 10)
 
 
+def test_cascade_ivf_int8_candidates_and_recall_ceiling(spark):
+    """IVF-SQ8 → exact: every candidate lies in a probed coarse cell
+    AND in the stage-1 int8 top-w, scores are the true cosines, and
+    recall is bounded above by the IVF cell recall at the same nprobe
+    (the int8 ordering error vanishes under the rerank; the cell miss
+    cannot)."""
+    from hadoop_search_spark.operators.similarity import (
+        cascade_ivf_int8_recall,
+        cascade_ivf_int8_topk,
+        cosine_topk,
+        ivf_assign,
+        ivf_centroids,
+        ivf_int8_topk,
+        ivf_recall,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, 8)
+    cells = {r.vec_id: r.cell for r in ivf_assign(emb, cents).collect()}
+    cand = {
+        (r.query_id, r.vec_id)
+        for r in ivf_int8_topk(emb, [0, 2], 50).collect()
+    }
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in cosine_topk(emb, [0, 2], 499).collect()
+    }
+    rows = cascade_ivf_int8_topk(emb, [0, 2], 10, w=50).collect()
+    assert {r.query_id for r in rows} == {0, 2}
+    probed_cells = {c for v, c in cells.items()}  # sanity universe
+    for r in rows:
+        assert (r.query_id, r.vec_id) in cand
+        assert cells[r.vec_id] in probed_cells
+        assert exact[(r.query_id, r.vec_id)] == r.cosine
+
+    qs = [0, 1, 2, 3, 4]
+    r_stack = cascade_ivf_int8_recall(emb, qs, 10, w=50)
+    r_cells = ivf_recall(emb, qs, 10)  # raw-float IVF at same nprobe
+    assert r_stack <= r_cells + 1e-9  # cell recall is the ceiling
+    assert r_stack >= r_cells - 0.15  # int8+w=50 sits near it
+
+
 def test_cross_corpus_dedup_sides_and_verdicts(spark):
     """Cross-corpus pairs are strictly ref-side x new-side (never
     ref-ref or new-new even for identical texts WITHIN a side), the
