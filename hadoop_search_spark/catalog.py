@@ -6625,10 +6625,9 @@ sd AS (
 ),
 s8 AS (
   SELECT s.query_id, s.vec_id,
-         CASE WHEN n.qn = 0 THEN -2.0
-              ELSE CAST(s.sdot AS DOUBLE) / sqrt(CAST(n.qn AS DOUBLE))
-         END AS s8
+         CAST(s.sdot AS DOUBLE) / sqrt(CAST(n.qn AS DOUBLE)) AS s8
   FROM sd s JOIN qn n ON n.vec_id = s.vec_id
+  WHERE n.qn > 0
 ),
 cand8 AS (
   SELECT query_id, vec_id FROM (
@@ -6706,10 +6705,9 @@ sd AS (
 ),
 s8 AS (
   SELECT s.query_id, s.vec_id,
-         CASE WHEN n.qn = 0 THEN -2.0
-              ELSE CAST(s.sdot AS DOUBLE) / sqrt(CAST(n.qn AS DOUBLE))
-         END AS s8
+         CAST(s.sdot AS DOUBLE) / sqrt(CAST(n.qn AS DOUBLE)) AS s8
   FROM sd s JOIN qn n ON n.vec_id = s.vec_id
+  WHERE n.qn > 0
 ),
 cand8 AS (
   SELECT query_id, vec_id FROM (

@@ -2235,9 +2235,11 @@ def int8_topk(
     _QS8) and qn = Σ codeᵢ² (exact BIGINT) — so amax is never even
     read at scan time, and the one IEEE division/sqrt per row sees
     bit-identical integers in every engine (the _cell_ranking
-    contract). An all-zero vector (qn = 0) pins to score −2, below
-    any cosine. Returns (query_id, vec_id, s8, rn) with s8 the raw
-    ratio — stage-1 material; the exact-score path is
+    contract). An all-zero vector (qn = 0) has NO cosine (0/0) and is
+    EXCLUDED from the ranking — a score pin would be wrong in both
+    directions (s8 is dot-scaled, so no finite constant sits below
+    every negative-dot candidate). Returns (query_id, vec_id, s8, rn)
+    with s8 the raw ratio — stage-1 material; the exact-score path is
     :func:`cascade_int8_topk`.
 
     Scale shape: map-only scan of 64 bytes/vector (4× less than
@@ -2273,12 +2275,12 @@ def int8_topk(
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
-    s8 = F.when(F.col("_qn") == 0, F.lit(-2.0)).otherwise(
-        sdot.cast("double") / F.sqrt(F.col("_qn").cast("double"))
+    s8 = sdot.cast("double") / F.sqrt(F.col("_qn").cast("double"))
+    pairs = (
+        qz.filter(F.col("_qn") > 0)  # zero vectors have no cosine
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", s8.alias("s8"))
     )
-    pairs = qz.join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
-    ).select("query_id", "vec_id", s8.alias("s8"))
     w = Window.partitionBy("query_id").orderBy(F.desc("s8"), F.asc("vec_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
@@ -2394,10 +2396,10 @@ def ivf_int8_topk(
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
-    s8 = F.when(F.col("_qn") == 0, F.lit(-2.0)).otherwise(
-        sdot.cast("double") / F.sqrt(F.col("_qn").cast("double"))
+    s8 = sdot.cast("double") / F.sqrt(F.col("_qn").cast("double"))
+    scored = pairs.filter(F.col("_qn") > 0).select(
+        "query_id", "vec_id", s8.alias("s8")
     )
-    scored = pairs.select("query_id", "vec_id", s8.alias("s8"))
     w = Window.partitionBy("query_id").orderBy(F.desc("s8"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))

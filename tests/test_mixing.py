@@ -402,3 +402,25 @@ def test_embedding_quantize_int8_exact_and_bounded(spark):
     # one-step error bound for every vector with a nonzero scale
     for r in (r0, r2):
         assert r.max_abs_err9 <= round(r.amax9 / 127, 9) + 1e-9
+
+
+def test_int8_topk_zero_vector_excluded(spark):
+    """The int8 serving scan's qn=0 guard: an all-zero vector has no
+    cosine (0/0 → NaN, whose ordering is engine-dependent, and no
+    finite score pin sits below every negative-dot candidate in the
+    dot-scaled s8 units) — it is EXCLUDED from the ranking; real
+    candidates, including negative-dot ones, still rank."""
+    from hadoop_search_spark.operators.similarity import int8_topk
+
+    rows = [
+        (0, [1.0, 0.5, -0.25, 0.75]),
+        (1, [0.9, 0.55, -0.2, 0.7]),    # near query 0
+        (2, [0.0, 0.0, 0.0, 0.0]),      # zero vector
+        (3, [-1.0, -0.5, 0.25, -0.75]), # antipodal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {r.vec_id: (r.s8, r.rn)
+           for r in int8_topk(emb, [0], k=4).collect()}
+    assert set(got) == {1, 3}  # the zero vector never appears
+    assert got[1][1] == 1 and got[3][1] == 2
+    assert got[3][0] < 0  # negative-dot candidate keeps its true rank
