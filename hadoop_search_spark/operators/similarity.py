@@ -55,7 +55,14 @@ def _norm(a: F.Column) -> F.Column:
 def _cosine(a: F.Column, b: F.Column) -> F.Column:
     """Cosine rounded to 9dp — the rounding is load-bearing for oracle
     bit-parity (partial-sum order of the dot product differs across
-    engines); every similarity path must use this one definition."""
+    engines); every similarity path must use this one definition.
+
+    Zero-vector caveat: an all-zero side yields 0/0 = NaN, which BOTH
+    Spark and DuckDB order greatest — cross-engine consistent, but it
+    would top a descending ranking. The int8 paths exclude qn=0 rows
+    instead (r8); the float paths keep the shared NaN behavior since
+    a cosine store has no business holding zero vectors — normalize
+    or drop them upstream."""
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 9)
 
 
