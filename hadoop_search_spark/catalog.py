@@ -6810,10 +6810,10 @@ _DRIVER_FRONT = [
     "sim_ann_lsh_topk",
     "sim_embedding_dedup",
     "sim_semantic_dedup",
-    # (d) 32 of the 47 remaining r4-latest entries (the oldest
-    # driver evidence; the other 15 — sample_stratified, search_and,
-    # search_and_not, search_or, ... — lead the r9 fill, see
-    # NOTES.md):
+    # (d) 29 of the 47 remaining r4-latest entries (the oldest
+    # driver evidence; the other 18 — q_semi_join, q_window_topk,
+    # sample_split, sample_stratified, search_and, ... — lead the r9
+    # fill, see NOTES.md):
     "curation_pipeline_v2",
     "curation_summary",
     "dedup_benchmark_report",
