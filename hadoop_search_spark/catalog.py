@@ -6760,6 +6760,45 @@ def sim_cascade_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "sim_pq_opq_topk",
+    # PCA + per-subspace k-means are not SQL-expressible — golden
+    # parquet from the independent sequential OPQ replay
+    # (scripts/make_goldens.py:golden_pq_opq_topk), keyed by the
+    # embeddings content fingerprint, explicit GOLDEN-MISS sentinel
+    oracle=f"""
+WITH g AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/sim_pq_opq_topk.parquet')),
+fp AS (
+  SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
+         AS BIGINT) AS fp
+  FROM embeddings)
+SELECT query_id, vec_id, adist9, rn FROM g, fp WHERE g.emb_fp = fp.fp
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS vec_id,
+       CAST(fp AS DOUBLE) AS adist9, CAST(-1 AS BIGINT) AS rn
+FROM fp WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.emb_fp = fp.fp)
+""",
+    note="parametric OPQ + trained PQ ADC search (operators/"
+    "similarity.py:opq_allocate/opq_rotate/opq_pq_topk; Ge et al. "
+    "2013's closed-form OPQ for Gaussian data): full-rank PCA from "
+    "the exact integer-quantized moments, eigenvalue-balanced greedy "
+    "allocation of components to subspaces (balancing the variance "
+    "each codebook spends its centroids on), rotation as the exact "
+    "decimal-fold projection, then per-subspace k-means + ADC in the "
+    "rotated space (L2-preserving, so distances are comparable to "
+    "sim_pq_topk's). On the isotropic fixture the allocation is a "
+    "statistical no-op and recall matches plain trained PQ — the "
+    "entry validates the machinery; the win needs anisotropic real "
+    "embeddings. Golden oracle replays moments -> eigh -> allocation "
+    "-> rotation -> training -> ADC sequentially and independently.",
+)
+def sim_pq_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import opq_pq_topk
+
+    return opq_pq_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], 10)
+
+
 # ---- public accessors -------------------------------------------------
 
 # The correctness driver records at most the FIRST 50 queries() entries
@@ -6796,6 +6835,7 @@ _DRIVER_FRONT = [
     "stream_hist_replay",
     "sim_cascade_int8_topk",
     "sim_cascade_ivf_int8",
+    "sim_pq_opq_topk",
     # (b) CHANGED this round: the drift entry now assigns cells via
     # the fully-integer cross-multiplied argmax (two-round driver-red
     # target); the trained-PQ golden regenerated under the _QS
@@ -6842,7 +6882,6 @@ _DRIVER_FRONT = [
     "q_distinct_agg",
     "q_pagination",
     "q_point_lookup",
-    "q_rollup",
 ]
 
 def _ordered() -> list[str]:

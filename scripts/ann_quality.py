@@ -30,6 +30,7 @@ ROWS = [
     ("IVF (trained k-means)", 256 + 2, "nprobe cells of raw vectors"),
     ("PQ ADC (seed books)", 8, "code scan + per-query LUT"),
     ("PQ ADC (trained books)", 8, "code scan + per-query LUT"),
+    ("OPQ parametric (PCA-rotated PQ)", 8, "rotated code scan + per-query LUT"),
     ("IVF+PQ", 8 + 2, "nprobe cells of codes, ADC"),
     ("IVF+PQ residual (IVFADC)", 8 + 2, "nprobe cells, residual LUT"),
     ("IVF+PQ residual (trained books)", 8 + 2, "nprobe cells, trained residual LUT"),
@@ -58,6 +59,7 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
         ivf_pq_residual_recall,
         ivf_recall,
         ivf_train_kmeans,
+        opq_pq_recall,
         pq_recall,
         pq_train_codebooks,
     )
@@ -93,6 +95,10 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
         (
             "PQ ADC (trained books)",
             lambda: pq_recall(emb, QUERY_IDS, K, books=trained_books),
+        ),
+        (
+            "OPQ parametric (PCA-rotated PQ)",
+            lambda: opq_pq_recall(emb, QUERY_IDS, K),
         ),
         ("IVF+PQ", lambda: ivf_pq_recall(emb, QUERY_IDS, K)),
         (

@@ -270,18 +270,16 @@ def emb_fingerprint(embs: list[tuple[int, list[float]]]) -> int:
 PCA_K = 4
 
 
-def golden_pca_project(embs: list[tuple[int, list[float]]]) -> list[tuple]:
-    """(vec_id, p0..p3): independent pure-Python/numpy PCA — the
-    distributed moment sums re-done as per-row rint-quantized integer
-    sums, the same driver-side eigh/sign convention, and the
-    projection as HALF_UP-quantized decimal term sums (the exact
-    arithmetic contract of operators/similarity.py:pca_project)."""
+def _pca_model(embs: list[tuple[int, list[float]]], k: int):
+    """mean, top-k sign-pinned components, eigenvalues — the engine's
+    pca_train replayed: python-int accumulation of rint-quantized
+    int64 chunk sums (the overflow-proof moment contract; float64
+    loses integer exactness above 2^53), then the same driver-side
+    numpy eigh + largest-|entry|-positive sign convention."""
     import numpy as np
 
     x = np.stack([e for _, e in embs]).astype(np.float64)
     n, d = x.shape
-    # python-int accumulation of int64 chunk sums — the engine's
-    # overflow-proof contract (float64 loses integer exactness >2^53)
     s1l = [0] * d
     s2l = [0] * (d * d)
     for lo in range(0, n, 512):
@@ -302,13 +300,23 @@ def golden_pca_project(embs: list[tuple[int, list[float]]]) -> list[tuple]:
     mean = s1 / 10**9 / n
     cov = s2 / 10**9 / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)
-    order = np.argsort(vals)[::-1][:PCA_K]
+    order = np.argsort(vals)[::-1][:k]
     comps = []
     for i in order:
         v = vecs[:, i]
         if v[int(np.argmax(np.abs(v)))] < 0:
             v = -v
         comps.append(v)
+    return mean, comps, [float(vals[i]) for i in order]
+
+
+def golden_pca_project(embs: list[tuple[int, list[float]]]) -> list[tuple]:
+    """(vec_id, p0..p3): independent pure-Python/numpy PCA — the
+    distributed moment sums re-done as per-row rint-quantized integer
+    sums, the same driver-side eigh/sign convention, and the
+    projection as HALF_UP-quantized decimal term sums (the exact
+    arithmetic contract of operators/similarity.py:pca_project)."""
+    mean, comps, _vals = _pca_model(embs, PCA_K)
     from decimal import ROUND_HALF_UP, Decimal
 
     q9 = Decimal("1e-9")
@@ -379,31 +387,15 @@ def _train_pq_books(
     return books
 
 
-def golden_pq_trained_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
-    """(query_id, vec_id, adist9, rn): independent sequential replay of
-    per-subspace L2 k-means training + ADC top-k — the trained twin of
-    the seed-codebook SQL oracle. Every arithmetic step mirrors the
-    engine's documented contract WITHOUT calling it:
-
-    * squared L2 per subspace = Σ floor((xᵢ−cᵢ)²·1e12) as an exact int
-      (CPython floats ARE IEEE doubles, so each floored term matches
-      the engine's F.floor bit-for-bit and the integer sum is
-      order-independent — similarity._QS, the r7 order-exact recipe
-      that replaced float-sum → round(·,9));
-    * assignment = argmin of (quantized dist, cell id) — ties to the
-      lowest centroid, the array_sort struct ordering;
-    * the k-means mean = exact sum of per-component DECIMAL(28,12)
-      quantizations (the cast-to-decimal twin Decimal(str(x))
-      .quantize(1e-12, HALF_UP)) divided ONCE in float64 — the
-      order-independent update ivf_train_kmeans performs;
-    * ADC = the same integer LUT entries summed exactly, surfaced as
-      sum/1e12 in one float64 division, ranked (adist asc, vec_id
-      asc).
-    """
+def _pq_adc_topk(
+    by_id: list[tuple[int, list[float]]], books: list[list[list[float]]]
+) -> list[tuple]:
+    """Codes (ties-to-lowest _QS argmin) + per-query LUT ADC top-k —
+    the shared tail of every trained-PQ golden: exact int sums
+    ≤ ~2e15 < 2^53 so float() is exact, ONE IEEE division matches the
+    engine's adist9 = sum/1e12 bit-for-bit, rank (adist asc, vec_id
+    asc)."""
     sub = PQ_DIM // PQ_M
-    by_id = sorted(embs)
-    books = _train_pq_books(by_id)
-
     codes = {}
     for v, e in by_id:
         code = 0
@@ -436,8 +428,6 @@ def golden_pq_trained_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
             adist = 0
             for s in range(PQ_M):
                 adist += lut[s][(codes[v] // PQ_K**s) % PQ_K]
-            # exact int sum ≤ ~2e15 < 2^53 → float() is exact; ONE IEEE
-            # division — the engine's adist9 = sum/1e12 bit-for-bit
             scored.append((float(adist) / 1e12, v))
         scored.sort()
         out += [
@@ -445,6 +435,89 @@ def golden_pq_trained_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
             for rn, (a, v) in enumerate(scored[:PQ_TOPK])
         ]
     return sorted(out)
+
+
+def golden_pq_trained_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
+    """(query_id, vec_id, adist9, rn): independent sequential replay of
+    per-subspace L2 k-means training + ADC top-k — the trained twin of
+    the seed-codebook SQL oracle. Every arithmetic step mirrors the
+    engine's documented contract WITHOUT calling it:
+
+    * squared L2 per subspace = Σ floor((xᵢ−cᵢ)²·1e12) as an exact int
+      (CPython floats ARE IEEE doubles, so each floored term matches
+      the engine's F.floor bit-for-bit and the integer sum is
+      order-independent — similarity._QS, the r7 order-exact recipe
+      that replaced float-sum → round(·,9));
+    * assignment = argmin of (quantized dist, cell id) — ties to the
+      lowest centroid, the array_sort struct ordering;
+    * the k-means mean = exact sum of per-component DECIMAL(28,12)
+      quantizations (the cast-to-decimal twin Decimal(str(x))
+      .quantize(1e-12, HALF_UP)) divided ONCE in float64 — the
+      order-independent update ivf_train_kmeans performs;
+    * ADC = the same integer LUT entries summed exactly, surfaced as
+      sum/1e12 in one float64 division, ranked (adist asc, vec_id
+      asc).
+    """
+    sub = PQ_DIM // PQ_M
+    by_id = sorted(embs)
+    books = _train_pq_books(by_id)
+
+    return _pq_adc_topk(by_id, books)
+
+
+def golden_pq_opq_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
+    """(query_id, vec_id, adist9, rn): independent sequential replay
+    of parametric OPQ (Ge et al. 2013) + trained PQ ADC:
+
+    * the FULL 64-component PCA model from the integer-quantized
+      moment replay (_pca_model — the engine's pca_train contract);
+    * eigenvalue-balanced allocation: desc eigenvalues greedily into
+      the subspace with free capacity and the smallest log-product,
+      ties to the lowest index (the opq_allocate twin; eigh noise
+      clamped at 1e-12 before the log);
+    * rotation = per-coordinate HALF_UP-quantized decimal term sums
+      (the pca_project/opq_rotate exact-arithmetic contract),
+      coordinates ordered by the permutation;
+    * then the shared trained-PQ tail (_train_pq_books +
+      _pq_adc_topk) in the rotated space.
+    """
+    import math as _math
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    mean, comps, vals = _pca_model(embs, PQ_DIM)
+    sub = PQ_DIM // PQ_M
+    lams = [max(float(v), 1e-12) for v in vals]
+    base = _math.log(min(lams))
+    items = [_math.log(v) - base for v in lams]  # shift-normalized >= 0
+    logs = [0.0] * PQ_M
+    slots = [[] for _ in range(PQ_M)]
+    for j in range(len(items)):
+        best = min(
+            (s for s in range(PQ_M) if len(slots[s]) < sub),
+            key=lambda s: (logs[s], s),
+        )
+        slots[best].append(j)
+        logs[best] += items[j]
+    perm = [j for s in range(PQ_M) for j in slots[s]]
+
+    q9 = Decimal("1e-9")
+    rot = []
+    for vec_id, e in sorted(embs):
+        centered = [float(x) - float(mn) for x, mn in zip(e, mean)]
+        y = []
+        for comp_idx in perm:
+            w = comps[comp_idx]
+            total = Decimal(0)
+            for xi, wi in zip(centered, w):
+                total += Decimal(str(xi * float(wi))).quantize(
+                    q9, rounding=ROUND_HALF_UP
+                )
+            y.append(float(total))
+        rot.append((vec_id, y))
+
+    books = _train_pq_books(rot)
+    return _pq_adc_topk(rot, books)
 
 
 def golden_ivfpq_residual_trained(
@@ -704,8 +777,12 @@ def _spark_rows(sf_dir: str):
             spark, sf_dir
         ).collect()
     )
+    opq = sorted(
+        (r.query_id, r.vec_id, r.adist9, r.rn)
+        for r in CATALOG["sim_pq_opq_topk"].fn(spark, sf_dir).collect()
+    )
     return (stemmed, sorted(render), bpe, bpeb, pca, auth, png, wav, mp4,
-            pqt, pqrt)
+            pqt, pqrt, opq)
 
 
 def _write_golden(con, name: str, ddl_cols: str, rows: list[tuple]) -> None:
@@ -741,6 +818,7 @@ def main() -> int:
     mp4_rows: list[tuple] = []
     pqt_rows: list[tuple] = []
     pqrt_rows: list[tuple] = []
+    opq_rows: list[tuple] = []
     ok = True
     for sf_dir in SF_DIRS:
         docs = _load_docs(sf_dir)
@@ -758,8 +836,10 @@ def main() -> int:
         mp4 = golden_mp4_decode(docs)
         pqt = golden_pq_trained_topk(embs)
         pqrt = golden_ivfpq_residual_trained(embs)
+        opq = golden_pq_opq_topk(embs)
         (got_stemmed, got_render, got_bpe, got_bpeb, got_pca, got_auth,
-         got_png, got_wav, got_mp4, got_pqt, got_pqrt) = _spark_rows(sf_dir)
+         got_png, got_wav, got_mp4, got_pqt, got_pqrt,
+         got_opq) = _spark_rows(sf_dir)
         if got_stemmed != stemmed:
             print(f"DIVERGENCE search_stemmed_cnf @ {sf_dir}")
             print("  golden:", stemmed[:3], "...")
@@ -851,6 +931,14 @@ def main() -> int:
                     print("  spark :", s_)
                     break
             ok = False
+        if got_opq != opq:
+            print(f"DIVERGENCE sim_pq_opq_topk @ {sf_dir}")
+            for g, s_ in zip(opq, got_opq):
+                if g != s_:
+                    print("  golden:", g)
+                    print("  spark :", s_)
+                    break
+            ok = False
         stemmed_rows += [(d, s, tag) for d, s in stemmed]
         render_rows += [(d, s, sn, tag) for d, s, sn in render]
         bpe_rows += [(d, nw, nt, e, tag) for d, nw, nt, e in bpe]
@@ -862,6 +950,7 @@ def main() -> int:
         mp4_rows += [(*row, tag) for row in mp4]
         pqt_rows += [(*row, efp) for row in pqt]
         pqrt_rows += [(*row, efp) for row in pqrt]
+        opq_rows += [(*row, efp) for row in opq]
         print(f"{sf_dir}: stemmed={len(stemmed)} rows, "
               f"render={len(render)} rows, bpe={len(bpe)} rows, "
               f"pca={len(pca)} rows (emb_fp={efp})")
@@ -935,6 +1024,12 @@ def main() -> int:
         "query_id BIGINT, vec_id BIGINT, adist9 DOUBLE, rn BIGINT, "
         "emb_fp BIGINT",
         pqrt_rows,
+    )
+    _write_golden(
+        con, "sim_pq_opq_topk",
+        "query_id BIGINT, vec_id BIGINT, adist9 DOUBLE, rn BIGINT, "
+        "emb_fp BIGINT",
+        opq_rows,
     )
     con.close()
     return 0

@@ -1944,6 +1944,59 @@ def test_cascade_int8_candidates_exact_scores_and_high_recall(spark):
     assert r_int8 >= ivf_pq_recall(emb, qs, 10)
 
 
+def test_opq_allocation_and_rotation_invariants(spark):
+    """Parametric OPQ pieces: the allocation is a permutation of all
+    components, fills every subspace to exactly dim/m slots, balances
+    eigenvalue log-products better than the identity split on a
+    skewed spectrum, and rejects non-divisible dims; the rotation
+    preserves L2 distances (the property that makes OPQ-space ADC
+    distances comparable to plain PQ's)."""
+    import math
+
+    import pytest
+
+    from hadoop_search_spark.operators.similarity import (
+        opq_allocate,
+        opq_rotate,
+        pca_train,
+    )
+
+    # strongly skewed spectrum: identity split piles the variance
+    # into the first subspaces; balanced allocation must not
+    vals = [2.0 ** (-j) for j in range(16)]
+    perm = opq_allocate(vals, m=4)
+    assert sorted(perm) == list(range(16))
+
+    def spread(p):
+        prods = [
+            sum(math.log(vals[j]) for j in p[s * 4 : (s + 1) * 4])
+            for s in range(4)
+        ]
+        return max(prods) - min(prods)
+
+    assert spread(perm) < spread(list(range(16)))
+    with pytest.raises(ValueError, match="divisible"):
+        opq_allocate(vals, m=5)
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(50)
+    mean, comps, evals = pca_train(emb, k=64)
+    rot = {
+        r.vec_id: r.embedding
+        for r in opq_rotate(emb, mean, comps, opq_allocate(evals)).collect()
+    }
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    ids = sorted(orig)[:6]
+    for a in ids[:3]:
+        for b in ids[3:]:
+            d_o = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+            d_r = sum((x - y) ** 2 for x, y in zip(rot[a], rot[b]))
+            # orthogonal rotation + permutation preserve L2 up to the
+            # decimal quantization of each coordinate (1e-9/term)
+            assert abs(d_o - d_r) < 1e-5, (a, b, d_o, d_r)
+
+
 def test_cascade_ivf_int8_candidates_and_recall_ceiling(spark):
     """IVF-SQ8 → exact: every candidate lies in a probed coarse cell
     AND in the stage-1 int8 top-w, scores are the true cosines, and
