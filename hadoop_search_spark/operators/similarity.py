@@ -513,6 +513,17 @@ def _cell_argmax_exact(emb: F.Column, centroids) -> F.Column:
             "DECIMAL(38,0)); normalize the embedding space or use "
             "the IEEE _cell_ranking"
         )
+    zero = [c for c, vec in cs if _py_qdot(vec, vec) == 0]
+    if zero:
+        # qc=0 ⟹ dq=0 ⟹ every cross-product is 0: the zero centroid
+        # exactly TIES all non-negative-score centroids and, holding a
+        # lower cell id, would win argmaxes it has no claim to (its
+        # cosine is undefined) — same behavior in the HUGEINT SQL
+        # twin, cross-engine consistent but semantically wrong.
+        raise ValueError(
+            f"_cell_argmax_exact: centroid(s) {zero} have zero norm — "
+            "cosine against them is undefined; drop or re-train them"
+        )
 
     def d38(c):
         return c.cast("decimal(38,0)")
@@ -528,6 +539,13 @@ def _cell_argmax_exact(emb: F.Column, centroids) -> F.Column:
         for cell, vec in cs
     ]
     arr = F.array(*scored)
+    # The centroid half of the contract is checked at plan time above;
+    # the ROW half must be checked at runtime — an out-of-contract row
+    # (norm > ~2.1) overflows dotq²·qc, which Spark's non-ANSI decimal
+    # multiply NULLs, making a_better/b_better BOTH null so the
+    # comparator falls through to the cell-id tiebreak and silently
+    # assigns a wrong cell. Fail the row out loudly instead.
+    qrow = _qdot(emb, emb)
 
     def cmp(a, b):
         ab = d38(a["dq"]) * d38(a["dq"]) * d38(b["qc"])
@@ -552,7 +570,22 @@ def _cell_argmax_exact(emb: F.Column, centroids) -> F.Column:
             )
         )
 
-    return F.array_sort(arr, cmp).getItem(0)["cell"]
+    return F.when(
+        qrow > F.lit(_QN_MAX),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "_cell_argmax_exact: row embedding exceeds the "
+                    "norm<=~2.1 magnitude contract (qnorm="
+                ),
+                qrow.cast("string"),
+                F.lit(
+                    "); normalize the embeddings or use the IEEE "
+                    "_cell_ranking (metric='cosine')"
+                ),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.array_sort(arr, cmp).getItem(0)["cell"])
 
 
 def ivf_assign(
@@ -1819,9 +1852,17 @@ def ivfpq_drift_stats(
     * ``l1x = Σ_j |n_new_j·T_orig − n_orig_j·T_new|`` over the k code
       bins, with ``T_*`` the (cell, s) totals — the cross-multiplied
       numerator of the L1 histogram distance (÷ T_orig·T_new would
-      give the usual [0,2] value; no division keeps it bit-exact, as
-      a DECIMAL(38,0) result column so web-scale counts cannot
-      overflow);
+      give the usual [0,2] value; no division keeps it bit-exact).
+      The SUM runs in DECIMAL(38,0) but the published column is
+      BIGINT: each |·| term is ≤ T_o·T_n and the triangle inequality
+      bounds the sum, ``l1x ≤ 2·T_o·T_n``, which fits int64 whenever
+      T_o·T_n < 2^62 — i.e. up to ~2·10^9 build AND append rows per
+      (cell, subspace), far past any per-cell population this index
+      layout would tolerate before a rebuild. (A uniform BIGINT
+      output schema also avoids decimal-vs-int64 value-rendering
+      skew across Arrow consumers — the column was DECIMAL(38,0)
+      through r8 and that rendering difference was the localized
+      cause of a persistent driver-side hash divergence.);
     * ``code_drift`` flags when the normalized L1 exceeds
       ``l1_permille``/1000 — i.e. ``1000·l1x > l1_permille·T_o·T_n``
       — or when a (cell, s) has appends but no build rows at all.
@@ -1882,7 +1923,7 @@ def ivfpq_drift_stats(
                 - dec(F.col("n_orig_j")) * dec(F.col("t_new"))
             )
         )
-        .cast("decimal(38,0)")
+        .cast("bigint")
         .alias("l1x"),
     )
     drift = (F.col("n_new") >= min_new) & (

@@ -318,6 +318,28 @@ def test_cell_argmax_exact_matches_rational_arithmetic(spark):
     with pytest.raises(ValueError, match="magnitude contract"):
         _cell_argmax_exact(F.col("embedding"), [(0, [3.0] * dim)])
 
+    # a ZERO-NORM centroid exactly ties every non-negative-score
+    # centroid (qc=0 ⟹ all cross-products 0) and would win argmaxes
+    # by the lower-cell-id tiebreak — rejected at plan time (r8 ADVICE)
+    with pytest.raises(ValueError, match="zero norm"):
+        _cell_argmax_exact(
+            F.col("embedding"), [(0, [0.0] * dim), (1, [s] * dim)]
+        )
+
+    # the ROW half of the contract is enforced at RUNTIME: an
+    # unnormalized row (norm > ~2.1) would overflow dotq²·qc, which
+    # the non-ANSI decimal multiply NULLs — silently falling through
+    # to the cell-id tiebreak — so it must raise instead (r8 ADVICE)
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    big = spark.createDataFrame(
+        [(0, [3.0] * dim)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(
+        (SparkRuntimeException, Exception), match="magnitude contract"
+    ):
+        ivf_assign(big, cents, metric="cosine_exact").collect()
+
     def qdot(u, v):
         return sum(math.floor((float(x) * float(y)) * 1e12)
                    for x, y in zip(u, v))
