@@ -391,27 +391,42 @@ def cmd_ann(args) -> int:
     import pyspark.sql.functions as F
 
     from hadoop_search_spark.operators.similarity import (
+        int8_index_add,
+        int8_index_topk,
         ivfpq_index_add,
         ivfpq_index_topk,
+        write_int8_index,
         write_ivfpq_index,
     )
 
+    int8 = getattr(args, "layout", "ivfpq") == "int8"
+    rows_dir = "vectors" if int8 else "codes"
     spark = _spark(args.cpus)
     if args.action == "build":
         emb = spark.read.parquet(args.embeddings)
-        cents, books = write_ivfpq_index(
-            emb, args.index, num_centroids=args.centroids
-        )
-        n = spark.read.parquet(f"{args.index}/codes").count()
-        print(f"built: {n} codes, {len(cents)} cells, "
-              f"{len(books)}x{len(books[0])} codebooks -> {args.index}")
+        if int8:
+            cents = write_int8_index(
+                emb, args.index, num_centroids=args.centroids
+            )
+            n = spark.read.parquet(f"{args.index}/vectors").count()
+            print(f"built: {n} int8 vectors, {len(cents)} cells "
+                  f"-> {args.index}")
+        else:
+            cents, books = write_ivfpq_index(
+                emb, args.index, num_centroids=args.centroids
+            )
+            n = spark.read.parquet(f"{args.index}/codes").count()
+            print(f"built: {n} codes, {len(cents)} cells, "
+                  f"{len(books)}x{len(books[0])} codebooks -> {args.index}")
         spark.stop()
         return 0
     if args.action == "add":
         emb = spark.read.parquet(args.embeddings)
-        ivfpq_index_add(spark, args.index, emb)
-        n = spark.read.parquet(f"{args.index}/codes").count()
-        print(f"appended -> {args.index} ({n} codes total)")
+        (int8_index_add if int8 else ivfpq_index_add)(
+            spark, args.index, emb
+        )
+        n = spark.read.parquet(f"{args.index}/{rows_dir}").count()
+        print(f"appended -> {args.index} ({n} rows total)")
         spark.stop()
         return 0
     # search
@@ -420,7 +435,7 @@ def cmd_ann(args) -> int:
     queries = emb.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ivfpq_index_topk(
+    out = (int8_index_topk if int8 else ivfpq_index_topk)(
         spark, args.index, queries, args.k if not args.rerank else args.w,
         nprobe=args.nprobe,
     )
@@ -435,7 +450,7 @@ def cmd_ann(args) -> int:
         out = _topk_per_query(pairs, args.k)
         score_col = "cosine"
     else:
-        score_col = "adist9"
+        score_col = "s8" if int8 else "adist9"
     for r in out.orderBy("query_id", "rn").collect():
         print(f"q={r.query_id}  #{r.rn}  vec={r.vec_id}  "
               f"{score_col}={getattr(r, score_col)}")
@@ -535,10 +550,17 @@ def main(argv: list[str] | None = None) -> int:
 
     pann = sub.add_parser(
         "ann",
-        help="IVF-PQ ANN index: build / search (codes-only, "
-        "cell-pruned; --rerank for exact scores) / add",
+        help="ANN index: build / search (cell-pruned; --rerank for "
+        "exact scores) / add. --layout ivfpq (codes-only, 8 B/vec) "
+        "or int8 (IVF-SQ8, 64 B/vec)",
     )
     pann.add_argument("action", choices=["build", "search", "add"])
+    pann.add_argument(
+        "--layout", choices=["ivfpq", "int8"], default="ivfpq",
+        help="index layout: ivfpq = PQ codes under frozen codebooks; "
+        "int8 = per-vector scalar quantization (no trained codebook, "
+        "higher stage-1 fidelity at 8x the bytes)",
+    )
     pann.add_argument("--index", required=True, help="index dir")
     pann.add_argument(
         "--embeddings", required=True,

@@ -6827,6 +6827,75 @@ def sim_cascade_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_int8_index_topk",
+    oracle=_EMB_CTE
+    + _IVF_PROBE_CTES
+    + """,
+am AS (SELECT vec_id, max(abs(x)) AS amax FROM exp_e GROUP BY vec_id),
+qq AS (
+  SELECT e.vec_id, e.i,
+         CAST(greatest(-127, least(127,
+              CASE WHEN a.amax > 0 THEN floor(e.x * 127 / a.amax)
+                   ELSE 0 END)) AS INT) AS code
+  FROM exp_e e JOIN am a USING (vec_id)
+),
+qn AS (SELECT vec_id, CAST(sum(CAST(code AS BIGINT) * code) AS BIGINT) AS qn
+       FROM qq GROUP BY vec_id),
+sd AS (
+  SELECT p.query_id, a.vec_id,
+         CAST(sum(CAST(floor((b.x * c.code) * 1000000000) AS BIGINT))
+              AS BIGINT) AS sdot
+  FROM assign a
+  JOIN probes p ON p.cell = a.cell AND a.vec_id <> p.query_id
+  JOIN qq c ON c.vec_id = a.vec_id
+  JOIN exp_q b ON b.query_id = p.query_id AND b.i = c.i
+  GROUP BY p.query_id, a.vec_id
+),
+s8 AS (
+  SELECT s.query_id, s.vec_id,
+         CAST(s.sdot AS DOUBLE) / sqrt(CAST(n.qn AS DOUBLE)) AS s8
+  FROM sd s JOIN qn n ON n.vec_id = s.vec_id
+  WHERE n.qn > 0
+)
+SELECT query_id, vec_id, s8, rn FROM (
+  SELECT query_id, vec_id, s8,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s8 DESC, vec_id) AS rn
+  FROM s8) t
+WHERE rn <= 10
+""",
+    note="top-k served from a PUBLISHED IVF-SQ8 index (operators/"
+    "similarity.py:write_int8_index/int8_index_topk — the r8-verdict "
+    "item making the 64 B/vec int8 tier a persistent artifact like "
+    "the IVF-PQ one): the entry BUILDS the index into a temp dir "
+    "(vec_id, amax9, qvec, qn, gen cell-partitioned + the centroid "
+    "model; qn is the precomputed BIGINT norm so serving never "
+    "re-folds it), then serves nprobe=2 stage-1 top-10 with "
+    "partition-pruned cell scans and the scale-free integer ranking "
+    "(exact BIGINT sdot / sqrt(exact BIGINT qn) — one IEEE div/sqrt "
+    "of identical integers per row, bit-identical cross-engine). "
+    "Pinned equal to the in-memory ivf_int8_topk and to "
+    "append==rebuild by pytest; CLI `ann --layout int8`. Oracle "
+    "grafts the int8 CTEs onto the shared IVF probe chain.",
+)
+def sim_int8_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_search_spark.operators.similarity import (
+        int8_index_topk,
+        write_int8_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="int8_index_")
+    write_int8_index(emb, path, num_centroids=8)
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return int8_index_topk(spark, path, queries, k_results=10, nprobe=2)
+
+
 
 @register(
     "sim_pq_opq_topk",

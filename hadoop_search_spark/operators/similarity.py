@@ -2502,6 +2502,191 @@ def cascade_ivf_int8_recall(
     return _recall_vs_exact(embeddings, query_ids, k, approx)
 
 
+def _qn_expr(qvec: F.Column) -> F.Column:
+    """Σ codeᵢ² as exact BIGINT — the int8 store's per-vector squared
+    norm (the only per-vector statistic the scale-free ranking
+    needs; amax cancels, see :func:`int8_topk`)."""
+    return F.aggregate(
+        qvec,
+        F.lit(0).cast("bigint"),
+        lambda acc, qi: acc + (qi * qi).cast("bigint"),
+    )
+
+
+def write_int8_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids=None,
+    num_centroids: int = NUM_CENTROIDS,
+):
+    """Build and persist the IVF-SQ8 index — the 64 B/vec serving
+    tier as a durable artifact (the int8 twin of
+    :func:`write_ivfpq_index`): one row per vector ``(vec_id, amax9,
+    qvec, qn, gen)`` under ``{path}/vectors/cell=N/`` plus the coarse
+    centroid model (``/centroids``, the :func:`write_ivf_index`
+    layout, so :func:`load_ivf_centroids` reads it unchanged). No raw
+    floats are stored: the scan side of :func:`int8_index_topk` reads
+    codes + the precomputed BIGINT norm (``qn``, materialized at
+    build so serving never re-folds it), and ``amax9`` rides along
+    for consumers that need approximate dequantization
+    (``x ≈ q·amax/127``). Probing prunes to cell DIRECTORIES via
+    partition filters. Same ``gen`` lineage + ``_GEN`` sidecar as
+    every index in this module (build = 0, appends stamp next).
+    Returns the centroid model."""
+    spark = embeddings.sparkSession
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, num_centroids)
+    )
+    qz = embedding_quantize_int8(embeddings).select(
+        "vec_id", "amax9", "qvec"
+    )
+    (
+        ivf_assign(embeddings, cents)
+        .select("vec_id", "cell")
+        .join(qz, "vec_id")
+        .withColumn("qn", _qn_expr(F.col("qvec")))
+        .withColumn("gen", F.lit(0).cast("bigint"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    _write_gen(path, 0)
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
+def int8_index_add(
+    spark: SparkSession,
+    path: str,
+    new_embeddings: DataFrame,
+    check_ids: bool = True,
+) -> int:
+    """Incremental IVF-SQ8 maintenance — :func:`ivf_index_add` for
+    the int8 layout: quantize NEW vectors, assign them with the
+    published index's FROZEN coarse centroids, and append
+    ``(vec_id, amax9, qvec, qn, gen)`` rows into their cell
+    partitions. O(|new|) regardless of index size; a serve sees
+    exactly what a full rebuild with the same centroids would
+    (pinned by test). int8 quantization is PER-VECTOR (each row's
+    own amax), so unlike PQ there is no trained codebook to freeze —
+    the only frozen model is the coarse quantizer, and the drift
+    story is :func:`ivf_index_drift`'s cell-distribution watch.
+    Returns rows added. Gen lineage follows the module's crash
+    ordering: the ``_GEN`` claim lands BEFORE the data write."""
+    cents = load_ivf_centroids(spark, path)
+    new_embeddings = new_embeddings.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).localCheckpoint()
+    if check_ids:
+        n_intra = (
+            new_embeddings.groupBy("vec_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        if n_intra:
+            raise ValueError(
+                f"{n_intra} vec_ids appear more than once in the new batch; "
+                "int8 append cannot deduplicate — distinct the batch first"
+            )
+        existing = spark.read.parquet(f"{path}/vectors").select("vec_id")
+        n_dup = new_embeddings.join(existing, "vec_id").count()
+        if n_dup:
+            raise ValueError(
+                f"{n_dup} vec_ids already exist in the index at {path}; "
+                "int8 append cannot replace vectors — rebuild, or use "
+                "fresh ids"
+            )
+    gen = _read_gen(spark, path) + 1
+    qz = embedding_quantize_int8(new_embeddings).select(
+        "vec_id", "amax9", "qvec"
+    )
+    assigned = (
+        ivf_assign(new_embeddings, cents)
+        .select("vec_id", "cell")
+        .join(qz, "vec_id")
+        .withColumn("qn", _qn_expr(F.col("qvec")))
+        .withColumn("gen", F.lit(gen).cast("bigint"))
+    )
+    _write_gen(path, gen)
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/vectors"
+    )
+    return assigned.count()
+
+
+def int8_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k_results: int = 10,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """Serve stage-1 top-k from a PUBLISHED IVF-SQ8 index.
+    ``queries`` is a (query_id, embedding) frame (the index stores no
+    raw floats — query embeddings arrive from the caller, as in
+    :func:`ivfpq_index_topk`). Probe cells resolve from the tiny
+    query frame via the shared ranking expression (collected —
+    queries are request-sized), the store scan filters on the LITERAL
+    probed-cell set (PartitionFilters prune to those directories),
+    and scoring is the scale-free integer ranking: sdot (exact BIGINT
+    fold of floor(qᵢ·codeᵢ·1e9)) / √qn (the precomputed BIGINT norm)
+    — one IEEE div/sqrt of identical integers per row. Zero vectors
+    (qn = 0) have no cosine and are excluded. Returns
+    (query_id, vec_id, s8, rn) — :func:`ivf_int8_topk`'s shape,
+    pinned equal to it for the same centroids; compose with an exact
+    rerank against the raw corpus for the
+    :func:`cascade_ivf_int8_topk` serving stack."""
+    cents = load_ivf_centroids(spark, path)
+    ranking = _cell_ranking(F.col("embedding"), cents)
+    probe_rows = queries.select(
+        "query_id",
+        "embedding",
+        F.explode(F.slice(ranking, 1, nprobe)).alias("probe"),
+    ).select(
+        "query_id", "embedding", F.col("probe.cell").alias("cell")
+    ).collect()
+    probes_lit = spark.createDataFrame(
+        [
+            (int(r.query_id), [float(x) for x in r.embedding], int(r.cell))
+            for r in probe_rows
+        ],
+        "query_id BIGINT, q_emb ARRAY<DOUBLE>, cell BIGINT",
+    )
+    probed_cells = sorted({int(r.cell) for r in probe_rows})
+    store = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probed_cells)
+    )
+    pairs = store.join(F.broadcast(probes_lit), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sdot = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("qvec"),
+            lambda x, qi: F.floor(
+                (x.cast("double") * qi.cast("double")) * F.lit(_QS8)
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    s8 = sdot.cast("double") / F.sqrt(F.col("qn").cast("double"))
+    scored = pairs.filter(F.col("qn") > 0).select(
+        "query_id", "vec_id", s8.alias("s8")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s8"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k_results)
+    )
+
+
 def cascade_ivfpq_recall(
     embeddings: DataFrame,
     query_ids: list[int],
