@@ -47,6 +47,12 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_fingerprint",
     "events_sessionize",
+    # r9: first post-r1 surface in the headline set (verdict #8) —
+    # the constant-state sketch path, so the newer operator families
+    # are tracked round-over-round. NOTE for cross-round reads:
+    # aggregate series r1-r8 cover the 14 entries above; per-query
+    # times remain directly comparable.
+    "sketch_hll_distinct",
 ]
 
 

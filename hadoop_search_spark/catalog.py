@@ -6947,77 +6947,77 @@ def sim_pq_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries in the tail. Registration order is unchanged — only the
 # accessors reorder.
 _DRIVER_FRONT = [
-    # r8 rotation. Rule: every entry NEW or CHANGED this round goes
+    # r9 rotation. Rule: every entry NEW or CHANGED this round goes
     # inside the front list in the SAME round it lands.
     #
-    # (a) NEW this round: the pure-integer IVF-PQ assignment probe
-    # (the r7-verdict diagnostic), the sketch family (HLL distinct,
-    # CMS cells, histogram quantile brackets), multi-probe LSH,
-    # exact-substring pair evidence, the IVF-PQ-tier cascade, the
-    # trained residual IVFADC golden entry, and the two streaming
-    # sketch-store batch-replay equivalence entries.
-    "sim_ivfpq_assign_probe",
-    "sketch_hll_distinct",
-    "sketch_cms_counts",
-    "sketch_hist_quantiles",
-    "sim_ann_lsh_multiprobe",
-    "dedup_exact_span_pairs",
-    "sim_cascade_ivfpq_topk",
-    "sim_ivfpq_residual_trained",
-    "stream_hll_replay",
-    "stream_cms_replay",
-    "sketch_hll_grouped",
-    "sketch_cms_pointq",
-    "stream_hist_replay",
-    "sim_cascade_int8_topk",
-    "sim_cascade_ivf_int8",
-    "sim_pq_opq_topk",
-    # (b) CHANGED this round: the drift entry now assigns cells via
-    # the fully-integer cross-multiplied argmax (two-round driver-red
-    # target); the trained-PQ golden regenerated under the _QS
-    # integer recipe; sim_ivf_pq_topk oracle recomposed from the
-    # shared _IVFPQ_ADC_CTES (value-identical, but the rule is the
-    # rule).
+    # (a) CHANGED this round: the drift entry's l1x column re-typed
+    # DECIMAL(38,0) -> BIGINT on BOTH sides (the r8-verdict-located
+    # cause of the three-round driver-only hash divergence) and its
+    # diagnostic probe twin (both share _cell_argmax_exact, which
+    # gained the row-norm/zero-centroid contract guards — values
+    # unchanged, but the rule is the rule):
     "sim_ivfpq_drift",
-    "sim_pq_trained_topk",
-    "sim_ivf_pq_topk",
-    # (c) the three owed re-fronts (late-r6 hyperplane_proj refactor,
-    # NOTES r7 #5; latest rows r5/r5/r4):
-    "sim_ann_lsh_topk",
-    "sim_embedding_dedup",
-    "sim_semantic_dedup",
-    # (d) 29 of the 47 remaining r4-latest entries (the oldest
-    # driver evidence; the other 18 — q_semi_join, q_window_topk,
-    # sample_split, sample_stratified, search_and, ... — lead the r9
-    # fill, see NOTES.md):
-    "curation_pipeline_v2",
-    "curation_summary",
-    "dedup_benchmark_report",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_count",
-    "doc_keywords",
-    "media_decode",
-    "media_frames",
-    "media_stats",
-    "mix_sequence_pack",
-    "mix_temperature_sample",
-    "postings_bm25",
-    "postings_incremental_merge",
-    "postings_tf",
-    "postings_tfidf",
-    "q12_ship_lag_priority",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q_anti_join",
-    "q_case_pivot",
-    "q_distinct_agg",
-    "q_pagination",
-    "q_point_lookup",
+    "sim_ivfpq_assign_probe",
+    # (b) NEW this round: the streaming histogram store's QUERY
+    # surface, and serving from the published IVF-SQ8 index:
+    "stream_quantiles",
+    "sim_int8_index_topk",
+    # (c) all 19 r4-latest leftovers (the oldest driver evidence in
+    # the catalog — after this round no entry's latest row is older
+    # than r5):
+    "q_rollup",
+    "q_semi_join",
+    "q_window_topk",
+    "sample_split",
+    "sample_stratified",
+    "search_and",
+    "search_and_not",
+    "search_or",
+    "search_phrase",
+    "text_fingerprint",
+    "text_gopher_rules",
+    "text_heavy_hitters",
+    "text_lang_id",
+    "text_perplexity_buckets",
+    "text_pii_scrub",
+    "text_quality",
+    "text_script_counts",
+    "text_token_count",
+    "wc_top100",
+    # (d) 27 of the 43 r5-latest entries (alphabetical; the other 16
+    # — q_date_parts, q_having, q_large_orders, q_median_per_group,
+    # q_order_count_distribution, q_running_total,
+    # q_scalar_functions, q_set_ops, q_string_agg, q_window_lead_lag,
+    # sample_split_leakage_safe, search_exact_phrase,
+    # search_not_clause, search_suggest_terms, sim_quantize_int8,
+    # terms_related — lead the r10 fill, see NOTES.md):
+    "curation_datacard",
+    "curation_pipeline_v3",
+    "dedup_decontaminate",
+    "dedup_minhash_lsh",
+    "events_asof_attribution",
+    "events_hourly",
+    "events_interval_join",
+    "events_json",
+    "media_decode_mp4",
+    "media_decode_png",
+    "media_decode_wav",
+    "mix_token_budget",
+    "q10_returned_revenue",
+    "q11_part_concentration",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q2_min_cost_supplier",
+    "q4_priority_check",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_approx_stats",
+    "q_argmin_join_back",
+    "q_corr_subquery",
+    "q_cube_grouping",
 ]
 
 def _ordered() -> list[str]:

@@ -165,21 +165,38 @@ same corpus; `bytes/vec` is what the serving scan touches per corpus
 vector at dim = 64 (+2 marks a BIGINT cell/bucket id, the cascade
 rows count every tier a query may touch).
 
-Two honest caveats the numbers reflect: the fixture embeddings are
-near-random (no cluster structure), which UNDERSTATES what IVF
-pruning and residual encoding buy on real embedding distributions;
-and PQ ranks by L2 while the baseline ranks by cosine, so PQ-family
-recall folds in metric mismatch on this unnormalized corpus, not just
-quantization loss. The cascades recover exactness of SCORES by
-construction (their final stage is exact cosine); their recall is the
-candidate-width knob (w1/w2), tunable per deployment.
+Read the two fixture families against each other:
+
+* the **driver fixtures** (sf0.01/sf0.1) are near-random — isotropic
+  per-component noise, no cluster structure. They UNDERSTATE what
+  IVF pruning, residual encoding, and OPQ's rotation buy on real
+  embedding distributions (on an isotropic corpus the eigenvalue-
+  balanced allocation is a statistical no-op), and PQ ranks by L2
+  while the baseline ranks by cosine, so PQ-family recall folds in
+  metric mismatch on that unnormalized corpus, not just quantization
+  loss.
+* the **aniso fixture** (`tests/fixtures/aniso`, generated by
+  `scripts/make_aniso_fixture.py`) has the two properties real
+  embeddings have — a decaying eigenvalue spectrum (λᵢ ∝ 1/i,
+  rotated off the coordinate axes) and 16 real clusters — and the
+  ladder responds the way the papers say it should: OPQ beats plain
+  trained PQ at identical bits (the Ge et al. 2013 claim,
+  pytest-pinned), and trained-k-means IVF prunes to the true
+  clusters (recall 1.0 at nprobe=1 — on clustered data the coarse
+  quantizer IS the index).
+
+The cascades recover exactness of SCORES by construction (their
+final stage is exact cosine); their recall is the candidate-width
+knob (w1/w2), tunable per deployment.
 """
 
 
 def main() -> int:
+    root_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf_dirs = sys.argv[1:] or [
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
+        os.path.join(root_dir, "tests", "fixtures", "aniso"),
     ]
     from hadoop_search_spark.session import get_spark
 

@@ -1866,6 +1866,48 @@ def test_ivfpq_index_add_equals_rebuild_and_code_drift_flags(
     )
 
 
+def test_opq_beats_plain_pq_on_anisotropic_fixture(spark):
+    """The OPQ WIN, demonstrated (r8 verdict #3): on the committed
+    anisotropic fixture (tests/fixtures/aniso — decaying eigenvalue
+    spectrum λᵢ ∝ 1/i rotated off the coordinate axes + 16 real
+    clusters, scripts/make_aniso_fixture.py, deterministic), the
+    eigenvalue-balanced rotation must BEAT plain trained PQ at
+    identical bits — the Ge et al. 2013 claim the code cites. On the
+    near-random driver fixture both land within noise of each other
+    (allocation is a statistical no-op there, documented in
+    ANN_QUALITY.md); this fixture exists so that claim is TESTED, not
+    narrated. Also pins the other anisotropy dividend: trained
+    k-means IVF prunes to the true clusters, recall 1.0 at nprobe=1.
+    All models are deterministic, so these are exact properties of
+    the recipes, not flaky measurements."""
+    import os
+
+    from hadoop_search_spark.operators.similarity import (
+        ivf_recall,
+        ivf_train_kmeans,
+        opq_pq_recall,
+        pq_recall,
+        pq_train_codebooks,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "aniso",
+        "embeddings.parquet",
+    )
+    emb = spark.read.parquet(path).cache()
+    try:
+        q = list(range(10))
+        books = pq_train_codebooks(emb)  # iterations=2, same as OPQ's
+        pq = pq_recall(emb, q, 10, books=books)
+        opq = opq_pq_recall(emb, q, 10)
+        assert opq > pq, f"OPQ {opq} must beat trained PQ {pq}"
+        assert opq >= 0.4 and pq <= 0.35  # measured 0.41 vs 0.30
+        cents = ivf_train_kmeans(emb)
+        assert ivf_recall(emb, q, 10, nprobe=1, centroids=cents) == 1.0
+    finally:
+        emb.unpersist()
+
+
 def test_int8_index_roundtrip_append_and_serve(spark, tmp_path):
     """The published IVF-SQ8 index (r8-verdict #5): build over the
     first 400 vectors, append the last 100 under the FROZEN coarse
