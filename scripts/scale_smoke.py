@@ -465,6 +465,56 @@ def main() -> int:
 
     stage("cascade_ivfpq_topk", cascade_ivfpq_stage)
 
+    def int8_index_stage():
+        # r9: the PUBLISHED IVF-SQ8 index at scale — build over the
+        # replicated corpus, append a 5% tail under the frozen coarse
+        # quantizer, serve partition-pruned stage-1 top-10
+        from hadoop_search_spark.operators.similarity import (
+            int8_index_add,
+            int8_index_topk,
+            write_int8_index,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        big = emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * 2000).alias("vec_id"),
+            "embedding",
+        )
+        n_total = replicas * 2000
+        build = big.filter(F.col("vec_id") < int(n_total * 0.95))
+        tail = big.filter(F.col("vec_id") >= int(n_total * 0.95))
+        path = tempfile.mkdtemp(prefix="smoke_int8_idx_")
+        write_int8_index(build, path)
+        # check_ids=False: ids are disjoint by construction, and the
+        # collision scan would dominate the timing we want (append)
+        int8_index_add(spark, path, tail, check_ids=False)
+        queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return int8_index_topk(spark, path, queries, 10, nprobe=2).count()
+
+    stage("int8_index_build_append_serve", int8_index_stage)
+
+    def stream_quantiles_stage():
+        # r9: the streaming histogram store's query surface over the
+        # replicated corpus's length distribution, 4-epoch ingest
+        from hadoop_search_spark.operators.sketch import hist_bounds
+        from hadoop_search_spark.streaming.hist_ingest import (
+            StreamingHistogram,
+        )
+
+        lens = docs.select("doc_id", F.length("text").alias("v"))
+        lo, hi = hist_bounds(lens, "v")
+        store = tempfile.mkdtemp(prefix="smoke_hist_store_")
+        h = StreamingHistogram(spark, store, "v", lo, hi + 1e-9)
+        for epoch in range(4):
+            h.process_batch(
+                lens.filter(F.col("doc_id") % 4 == epoch), epoch
+            )
+        return h.quantiles([0.05, 0.5, 0.95]).count()
+
+    stage("stream_quantiles_4epoch", stream_quantiles_stage)
+
     print(json.dumps(timings))
     spark.stop()
     return 0
