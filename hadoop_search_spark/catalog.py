@@ -6935,6 +6935,86 @@ def sim_pq_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return opq_pq_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], 10)
 
 
+_ANISO_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "aniso",
+)
+
+
+@register(
+    "sim_opq_aniso_win",
+    # PCA + per-subspace k-means are not SQL-expressible — golden
+    # parquet from the fully independent replay
+    # (scripts/make_goldens.py:golden_opq_aniso_win), keyed by the
+    # aniso fixture's content fingerprint, explicit GOLDEN-MISS
+    # sentinel
+    oracle=f"""
+WITH g AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/sim_opq_aniso_win.parquet')),
+fp AS (
+  SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
+         AS BIGINT) AS fp
+  FROM read_parquet('{_ANISO_DIR}/embeddings.parquet'))
+SELECT query_id, opq_hits, pq_hits FROM g, fp WHERE g.emb_fp = fp.fp
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS opq_hits,
+       CAST(fp AS BIGINT) AS pq_hits
+FROM fp WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.emb_fp = fp.fp)
+""",
+    note="the OPQ WIN as driver-checkable DATA (r8 verdict: 'the "
+    "machinery is validated but the WIN is undemonstrated'): over the "
+    "committed ANISOTROPIC fixture (tests/fixtures/aniso — eigenvalue "
+    "spectrum 1/i rotated off the coordinate axes + 16 clusters, "
+    "scripts/make_aniso_fixture.py; the driver fixture is isotropic, "
+    "where allocation is provably a no-op), per-query stage-1 top-10 "
+    "hit counts against the exact cosine top-10 for parametric OPQ vs "
+    "plain trained PQ at identical bits. Sum: OPQ 41 vs PQ 30 — the "
+    "Ge et al. 2013 ordering, hashed by the driver. This entry "
+    "deliberately reads the repo fixture, not sf_dir: the comparison "
+    "needs anisotropy, and the values must not depend on which SF the "
+    "driver samples. Golden replays exact cosine + trained PQ + OPQ "
+    "chains independently (no engine calls); make_goldens aborts if "
+    "the engine diverges OR if the OPQ win ever disappears.",
+)
+def sim_opq_aniso_win(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import (
+        cosine_topk,
+        opq_pq_topk,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{_ANISO_DIR}/embeddings.parquet")
+    qids = list(range(10))
+    exact = cosine_topk(emb, qids, 10).select("query_id", "vec_id")
+    books = pq_train_codebooks(emb)
+    pq = pq_topk(emb, qids, 10, books=books).select("query_id", "vec_id")
+    opq = opq_pq_topk(emb, qids, 10).select("query_id", "vec_id")
+    qf = (
+        emb.filter(F.col("vec_id") < 10)
+        .limit(10)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    oh = (
+        opq.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("opq_hits"))
+    )
+    ph = (
+        pq.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("pq_hits"))
+    )
+    return (
+        qf.join(oh, "query_id", "left")
+        .join(ph, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("opq_hits", F.lit(0)).cast("bigint").alias("opq_hits"),
+            F.coalesce("pq_hits", F.lit(0)).cast("bigint").alias("pq_hits"),
+        )
+    )
+
+
 # ---- public accessors -------------------------------------------------
 
 # The correctness driver records at most the FIRST 50 queries() entries
@@ -6959,9 +7039,11 @@ _DRIVER_FRONT = [
     "sim_ivfpq_drift",
     "sim_ivfpq_assign_probe",
     # (b) NEW this round: the streaming histogram store's QUERY
-    # surface, and serving from the published IVF-SQ8 index:
+    # surface, serving from the published IVF-SQ8 index, and the
+    # OPQ-win demonstration over the anisotropic fixture:
     "stream_quantiles",
     "sim_int8_index_topk",
+    "sim_opq_aniso_win",
     # (c) all 19 r4-latest leftovers (the oldest driver evidence in
     # the catalog — after this round no entry's latest row is older
     # than r5):
@@ -6984,13 +7066,14 @@ _DRIVER_FRONT = [
     "text_script_counts",
     "text_token_count",
     "wc_top100",
-    # (d) 27 of the 43 r5-latest entries (alphabetical; the other 16
-    # — q_date_parts, q_having, q_large_orders, q_median_per_group,
-    # q_order_count_distribution, q_running_total,
-    # q_scalar_functions, q_set_ops, q_string_agg, q_window_lead_lag,
-    # sample_split_leakage_safe, search_exact_phrase,
-    # search_not_clause, search_suggest_terms, sim_quantize_int8,
-    # terms_related — lead the r10 fill, see NOTES.md):
+    # (d) 26 of the 43 r5-latest entries (alphabetical; the other 17
+    # — q_cube_grouping, q_date_parts, q_having, q_large_orders,
+    # q_median_per_group, q_order_count_distribution,
+    # q_running_total, q_scalar_functions, q_set_ops, q_string_agg,
+    # q_window_lead_lag, sample_split_leakage_safe,
+    # search_exact_phrase, search_not_clause, search_suggest_terms,
+    # sim_quantize_int8, terms_related — lead the r10 fill, see
+    # NOTES.md):
     "curation_datacard",
     "curation_pipeline_v3",
     "dedup_decontaminate",
@@ -7017,7 +7100,6 @@ _DRIVER_FRONT = [
     "q_approx_stats",
     "q_argmin_join_back",
     "q_corr_subquery",
-    "q_cube_grouping",
 ]
 
 def _ordered() -> list[str]:

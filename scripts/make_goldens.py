@@ -388,7 +388,9 @@ def _train_pq_books(
 
 
 def _pq_adc_topk(
-    by_id: list[tuple[int, list[float]]], books: list[list[list[float]]]
+    by_id: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    queries: list[int] | None = None,
 ) -> list[tuple]:
     """Codes (ties-to-lowest _QS argmin) + per-query LUT ADC top-k —
     the shared tail of every trained-PQ golden: exact int sums
@@ -409,7 +411,7 @@ def _pq_adc_topk(
 
     out = []
     emap = dict(by_id)
-    for qid in PQ_QUERIES:
+    for qid in (PQ_QUERIES if queries is None else queries):
         qe = emap[qid]
         lut = [
             [
@@ -437,7 +439,10 @@ def _pq_adc_topk(
     return sorted(out)
 
 
-def golden_pq_trained_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
+def golden_pq_trained_topk(
+    embs: list[tuple[int, list[float]]],
+    queries: list[int] | None = None,
+) -> list[tuple]:
     """(query_id, vec_id, adist9, rn): independent sequential replay of
     per-subspace L2 k-means training + ADC top-k — the trained twin of
     the seed-codebook SQL oracle. Every arithmetic step mirrors the
@@ -462,10 +467,13 @@ def golden_pq_trained_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
     by_id = sorted(embs)
     books = _train_pq_books(by_id)
 
-    return _pq_adc_topk(by_id, books)
+    return _pq_adc_topk(by_id, books, queries)
 
 
-def golden_pq_opq_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
+def golden_pq_opq_topk(
+    embs: list[tuple[int, list[float]]],
+    queries: list[int] | None = None,
+) -> list[tuple]:
     """(query_id, vec_id, adist9, rn): independent sequential replay
     of parametric OPQ (Ge et al. 2013) + trained PQ ADC:
 
@@ -517,7 +525,76 @@ def golden_pq_opq_topk(embs: list[tuple[int, list[float]]]) -> list[tuple]:
         rot.append((vec_id, y))
 
     books = _train_pq_books(rot)
-    return _pq_adc_topk(rot, books)
+    return _pq_adc_topk(rot, books, queries)
+
+
+ANISO_DIR = os.path.join(ROOT, "tests", "fixtures", "aniso")
+ANISO_QUERIES = list(range(10))
+
+
+def _exact_cosine_top10(
+    by_id: list[tuple[int, list[float]]], queries: list[int]
+) -> dict[int, set[int]]:
+    """Exact cosine top-10 SETS per query — the cosine_topk contract
+    replayed: IEEE left-fold dot/norms in element order (CPython
+    floats ARE IEEE doubles and F.aggregate folds in element order,
+    so every partial is bit-identical), one division, round to 9dp
+    via Decimal(str(x)) HALF_UP (the documented Spark round(double,9)
+    twin), rank (cosine desc, vec_id asc), self excluded."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("1e-9")
+
+    def fold_norm(e):
+        t = 0.0
+        for x in e:
+            t += float(x) * float(x)
+        return math.sqrt(t)
+
+    emap = dict(by_id)
+    norms = {v: fold_norm(e) for v, e in by_id}
+    out: dict[int, set[int]] = {}
+    for qid in queries:
+        qe = [float(x) for x in emap[qid]]
+        scored = []
+        for v, e in by_id:
+            if v == qid:
+                continue
+            dot = 0.0
+            for x, y in zip(e, qe):
+                dot += float(x) * y
+            c = dot / (norms[v] * norms[qid])
+            c9 = float(Decimal(str(c)).quantize(q9, rounding=ROUND_HALF_UP))
+            scored.append((-c9, v))
+        scored.sort()
+        out[qid] = {v for _, v in scored[:10]}
+    return out
+
+
+def golden_opq_aniso_win() -> list[tuple]:
+    """(query_id, opq_hits, pq_hits): the OPQ WIN as driver-checkable
+    DATA. Over the committed anisotropic fixture
+    (tests/fixtures/aniso — decaying spectrum, rotated, clustered:
+    scripts/make_aniso_fixture.py), replay exact cosine + trained PQ
+    + parametric OPQ *independently* (the _exact_cosine_top10 /
+    _train_pq_books / golden_pq_opq_topk chains — no engine calls)
+    and count each approximate path's stage-1 top-10 hits against the
+    exact top-10 per query. Σ opq_hits > Σ pq_hits is the Ge et al.
+    2013 claim as values the driver hashes, not prose."""
+    embs = _load_embeddings(ANISO_DIR)
+    exact = _exact_cosine_top10(embs, ANISO_QUERIES)
+    pqt = golden_pq_trained_topk(embs, ANISO_QUERIES)
+    opq = golden_pq_opq_topk(embs, ANISO_QUERIES)
+
+    def hits(rows) -> dict[int, int]:
+        h = {q: 0 for q in ANISO_QUERIES}
+        for qid, v, _a, _rn in rows:
+            if v in exact[qid]:
+                h[qid] += 1
+        return h
+
+    ph, oh = hits(pqt), hits(opq)
+    return sorted((q, oh[q], ph[q]) for q in ANISO_QUERIES)
 
 
 def golden_ivfpq_residual_trained(
@@ -720,6 +797,19 @@ def golden_mp4_decode(docs: list[tuple[int, str]]) -> list[tuple]:
              hashlib.md5(d * 4).hexdigest(), "mp4")
         )
     return rows
+
+
+def _spark_aniso_rows() -> list[tuple]:
+    """The live sim_opq_aniso_win entry's output (it ignores sf_dir —
+    its input is the committed fixture)."""
+    from hadoop_search_spark.catalog import CATALOG
+    from hadoop_search_spark.session import get_spark
+
+    spark = get_spark(app_name="make_goldens", cpus=8, shuffle_partitions=8)
+    return sorted(
+        (r.query_id, r.opq_hits, r.pq_hits)
+        for r in CATALOG["sim_opq_aniso_win"].fn(spark, SF_DIRS[0]).collect()
+    )
 
 
 def _spark_rows(sf_dir: str):
@@ -954,6 +1044,25 @@ def main() -> int:
         print(f"{sf_dir}: stemmed={len(stemmed)} rows, "
               f"render={len(render)} rows, bpe={len(bpe)} rows, "
               f"pca={len(pca)} rows (emb_fp={efp})")
+    # the aniso OPQ-win golden is SF-independent (its input is the
+    # committed fixture, not a driver table) — generated once, same
+    # abort-on-divergence cross-check against the live entry
+    aniso = golden_opq_aniso_win()
+    afp = emb_fingerprint(_load_embeddings(ANISO_DIR))
+    got_aniso = _spark_aniso_rows()
+    if got_aniso != aniso:
+        print("DIVERGENCE sim_opq_aniso_win @ tests/fixtures/aniso")
+        print("  golden:", aniso)
+        print("  spark :", got_aniso)
+        ok = False
+    aniso_rows = [(q, o, p, afp) for q, o, p in aniso]
+    if sum(o for _, o, _p in aniso) <= sum(p for _, _o, p in aniso):
+        print("OPQ WIN MISSING on the aniso fixture: "
+              f"{aniso} — fixture or allocation regressed")
+        ok = False
+    print(f"aniso: opq_hits={sum(o for _, o, _p in aniso)} "
+          f"pq_hits={sum(p for _, _o, p in aniso)} (emb_fp={afp})")
+
     if not ok:
         print("ABORTING — goldens not written")
         return 1
@@ -1030,6 +1139,11 @@ def main() -> int:
         "query_id BIGINT, vec_id BIGINT, adist9 DOUBLE, rn BIGINT, "
         "emb_fp BIGINT",
         opq_rows,
+    )
+    _write_golden(
+        con, "sim_opq_aniso_win",
+        "query_id BIGINT, opq_hits BIGINT, pq_hits BIGINT, emb_fp BIGINT",
+        aniso_rows,
     )
     con.close()
     return 0
