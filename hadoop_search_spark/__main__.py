@@ -380,14 +380,18 @@ def cmd_decontaminate(args) -> int:
 
 
 def cmd_ann(args) -> int:
-    """ANN index lifecycle over a published codes-only IVF-PQ index:
-    ``build`` persists centroids+codebooks+cell-partitioned codes (no
-    raw vectors — ~1/32 of float32 bytes); ``search`` serves ADC
-    top-k from the index with partition-pruned cell scans, optionally
-    exact-reranked against the embeddings parquet (the
-    cascade_ivfpq_topk shape: approximate candidates, exact scores);
-    ``add`` appends new vectors under the FROZEN build models (run
-    ``drift`` to know when to rebuild)."""
+    """ANN index lifecycle over a published index, two layouts:
+    ``--layout ivfpq`` (default) is the codes-only IVF-PQ index —
+    centroids+codebooks+cell-partitioned codes, no raw vectors,
+    ~1/32 of float32 bytes; ``--layout int8`` is the IVF-SQ8 index —
+    per-vector scalar quantization at 64 B/vec (no trained codebook,
+    higher stage-1 fidelity at 8x the bytes). ``build`` persists,
+    ``search`` serves top-k with partition-pruned cell scans
+    (optionally exact-reranked against the embeddings parquet —
+    approximate candidates, exact scores), ``add`` appends new
+    vectors under the FROZEN build models (run ``drift`` to know
+    when an ivfpq index needs a rebuild; int8 has no codebook to go
+    stale — only the shared coarse-quantizer contract)."""
     import pyspark.sql.functions as F
 
     from hadoop_search_spark.operators.similarity import (

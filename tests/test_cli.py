@@ -11,7 +11,12 @@ import pytest
 CORPUS = "/root/testdata/sf0.001/documents.parquet"
 
 
-def run_cli(*args, timeout=240):
+def run_cli(*args, timeout=600):
+    # 600 s, not 240: each CLI call boots a fresh Spark JVM in a
+    # subprocess, and when the full suite saturates all 32 cores that
+    # startup alone can exceed 240 s (r9: one in-suite timeout that
+    # passed in 69 s isolated). The timeout exists to catch hangs,
+    # not contention.
     return subprocess.run(
         [sys.executable, "-m", "hadoop_search_spark", "--cpus", "4", *args],
         capture_output=True,
