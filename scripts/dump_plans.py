@@ -367,6 +367,18 @@ COMMENTARY = {
         "shows is over CONSTANT-size data by construction, and the "
         "quantile pick-list is a maxRows-provable range() broadcast."
     ),
+    "sim_int8_index_topk": (
+        "Serving from the PUBLISHED IVF-SQ8 index (r9): the scan "
+        "reads only the probed cell=N directories (PartitionFilters "
+        "on the literal probe set — at scale, file pruning IS the "
+        "inverted list), each surviving row costs one exact-integer "
+        "dot fold against the broadcast query LUT frame plus one "
+        "IEEE div/sqrt of the PRECOMPUTED qn column (no norm re-fold "
+        "at serve time), and a partial+final WindowGroupLimit keeps "
+        "k rows/query. No raw floats anywhere in the serve path; the "
+        "index build that precedes it in this entry is one map-only "
+        "projection write."
+    ),
 }
 
 
