@@ -290,13 +290,15 @@ def cmd_datacard(args) -> int:
 
 def cmd_drift(args) -> int:
     """Quantizer-drift report over a published ANN index — vector
-    space for a plain-IVF index, code space for an IVF-PQ one
-    (auto-detected by layout). Exit code 1 when any cell flags, so
-    the command slots into a cron/orchestrator as the documented
-    offline-rebuild trigger."""
+    space for a plain-IVF index, code space for an IVF-PQ one,
+    dequantized-cosine space for an IVF-SQ8 one (all auto-detected
+    by layout). Exit code 1 when any cell flags, so the command
+    slots into a cron/orchestrator as the documented offline-rebuild
+    trigger."""
     import os
 
     from hadoop_search_spark.operators.similarity import (
+        int8_index_drift,
         ivf_index_drift,
         ivfpq_index_drift,
     )
@@ -313,7 +315,13 @@ def cmd_drift(args) -> int:
                 f"{str(r.l1x):>12}{'YES' if r.code_drift else '-':>7}"
             )
     else:
-        rows = ivf_index_drift(spark, args.index).orderBy("cell").collect()
+        # int8 stores hold qvec (no raw embedding column); the report
+        # shape matches ivf's so one printer serves both
+        store_cols = spark.read.parquet(
+            os.path.join(args.index, "vectors")
+        ).columns
+        drift_fn = int8_index_drift if "qvec" in store_cols else ivf_index_drift
+        rows = drift_fn(spark, args.index).orderBy("cell").collect()
         print(
             f"{'cell':>5}{'n_orig':>8}{'n_new':>8}{'share':>7}{'dist':>6}{'drift':>7}"
         )

@@ -6896,6 +6896,101 @@ def sim_int8_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_index_topk(spark, path, queries, k_results=10, nprobe=2)
 
 
+@register(
+    "sim_int8_index_drift",
+    oracle=_EMB_CTE
+    + _IVF_PROBE_CTES
+    + """,
+am AS (SELECT vec_id, max(abs(x)) AS amax FROM exp_e GROUP BY vec_id),
+qq AS (
+  SELECT e.vec_id, e.i,
+         CAST(greatest(-127, least(127,
+              CASE WHEN a.amax > 0 THEN floor(e.x * 127 / a.amax)
+                   ELSE 0 END)) AS INT) AS code
+  FROM exp_e e JOIN am a USING (vec_id)
+),
+qn AS (SELECT vec_id, CAST(sum(CAST(code AS BIGINT) * code) AS BIGINT) AS qn
+       FROM qq GROUP BY vec_id),
+sdc AS (
+  SELECT a.vec_id, a.cell,
+         CAST(sum(CAST(floor((c.x * q.code) * 1000000000) AS BIGINT))
+              AS BIGINT) AS sdotc
+  FROM assign a
+  JOIN qq q ON q.vec_id = a.vec_id
+  JOIN exp_e c ON c.vec_id = a.cell AND c.i = q.i
+  GROUP BY a.vec_id, a.cell
+),
+dqr AS (
+  SELECT s.cell, s.vec_id % 4 <> 0 AS is_orig,
+         CASE WHEN n.qn > 0 THEN CAST(floor(CAST(s.sdotc AS DOUBLE)
+              / (sqrt(CAST(n.qn AS DOUBLE))
+                 * sqrt(CAST(qc.q AS DOUBLE) / 1e12))) AS BIGINT)
+              ELSE 0 END AS dq9
+  FROM sdc s JOIN qn n USING (vec_id)
+  JOIN qnorms qc ON qc.vec_id = s.cell
+),
+agg AS (
+  SELECT cell,
+         CAST(sum(CASE WHEN is_orig THEN 1 ELSE 0 END) AS BIGINT) AS n_orig,
+         CAST(sum(CASE WHEN is_orig THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN is_orig THEN dq9 ELSE 0 END) AS BIGINT)
+           AS sum_dq9_orig,
+         CAST(sum(CASE WHEN is_orig THEN 0 ELSE dq9 END) AS BIGINT)
+           AS sum_dq9_new
+  FROM dqr GROUP BY cell
+),
+tots AS (SELECT CAST(sum(n_orig) AS BIGINT) AS tot_orig,
+                CAST(sum(n_new) AS BIGINT) AS tot_new FROM agg)
+SELECT cell, n_orig, n_new, sum_dq9_orig, sum_dq9_new,
+       CAST(n_new AS HUGEINT) * tot_orig
+         > 2 * CAST(n_orig AS HUGEINT) * tot_new AS share_drift,
+       (n_orig > 0 AND n_new > 0 AND
+        CAST(sum_dq9_new AS HUGEINT) * n_orig
+          < CAST(sum_dq9_orig AS HUGEINT) * n_new
+            - CAST(50000000 AS HUGEINT) * n_orig * n_new) AS dist_drift,
+       (CAST(n_new AS HUGEINT) * tot_orig
+         > 2 * CAST(n_orig AS HUGEINT) * tot_new)
+       OR (n_orig > 0 AND n_new > 0 AND
+        CAST(sum_dq9_new AS HUGEINT) * n_orig
+          < CAST(sum_dq9_orig AS HUGEINT) * n_new
+            - CAST(50000000 AS HUGEINT) * n_orig * n_new) AS drifted
+FROM agg, tots
+""",
+    note="drift report over the PUBLISHED IVF-SQ8 index (operators/"
+    "similarity.py:int8_drift_stats/int8_index_drift — completing the "
+    "int8 artifact's lifecycle: build/append/serve landed earlier in "
+    "r9, this is the observability half): build = vec_id%4<>0 under "
+    "seed centroids, append = vec_id%4=0, then per-cell share drift "
+    "AND dequantized-cosine distance drift computed from the STORE "
+    "ALONE — the per-vector scale cancels out of cosine, so "
+    "cos(dequant(x), c) needs only (qvec, qn, centroid): numerator "
+    "Sum floor(c_i*qvec_i*1e9) exact BIGINT, denominator "
+    "sqrt(qn)*sqrt(qc/1e12) of exact integer inputs, per-row floor "
+    "to dq9, both flags DECIMAL(38,0)/HUGEINT cross-multiplications. "
+    "Every published column BIGINT/BOOLEAN (the r9 l1x lesson "
+    "applied at design time). A planted shifted append flags exactly "
+    "the right cell in pytest.",
+)
+def sim_int8_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_search_spark.operators.similarity import (
+        int8_index_add,
+        int8_index_drift,
+        ivf_centroids,
+        write_int8_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, 8)
+    orig = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    path = tempfile.mkdtemp(prefix="int8_drift_")
+    write_int8_index(orig, path, centroids=cents)
+    int8_index_add(spark, path, new)
+    return int8_index_drift(spark, path)
+
+
 
 @register(
     "sim_pq_opq_topk",
@@ -7039,10 +7134,12 @@ _DRIVER_FRONT = [
     "sim_ivfpq_drift",
     "sim_ivfpq_assign_probe",
     # (b) NEW this round: the streaming histogram store's QUERY
-    # surface, serving from the published IVF-SQ8 index, and the
-    # OPQ-win demonstration over the anisotropic fixture:
+    # surface, serving from the published IVF-SQ8 index (+ its
+    # store-only drift report), and the OPQ-win demonstration over
+    # the anisotropic fixture:
     "stream_quantiles",
     "sim_int8_index_topk",
+    "sim_int8_index_drift",
     "sim_opq_aniso_win",
     # (c) all 19 r4-latest leftovers (the oldest driver evidence in
     # the catalog — after this round no entry's latest row is older
@@ -7066,9 +7163,9 @@ _DRIVER_FRONT = [
     "text_script_counts",
     "text_token_count",
     "wc_top100",
-    # (d) 26 of the 43 r5-latest entries (alphabetical; the other 17
-    # — q_cube_grouping, q_date_parts, q_having, q_large_orders,
-    # q_median_per_group, q_order_count_distribution,
+    # (d) 25 of the 43 r5-latest entries (alphabetical; the other 18
+    # — q_corr_subquery, q_cube_grouping, q_date_parts, q_having,
+    # q_large_orders, q_median_per_group, q_order_count_distribution,
     # q_running_total, q_scalar_functions, q_set_ops, q_string_agg,
     # q_window_lead_lag, sample_split_leakage_safe,
     # search_exact_phrase, search_not_clause, search_suggest_terms,
@@ -7099,7 +7196,6 @@ _DRIVER_FRONT = [
     "q9_product_profit",
     "q_approx_stats",
     "q_argmin_join_back",
-    "q_corr_subquery",
 ]
 
 def _ordered() -> list[str]:

@@ -2687,6 +2687,136 @@ def int8_index_topk(
     )
 
 
+def int8_drift_stats(
+    store: DataFrame,
+    centroids,
+    share_factor: int = 2,
+    dist_margin9: int = 50_000_000,
+) -> DataFrame:
+    """Quantizer drift report for an IVF-SQ8 store — the
+    observability half of the frozen-coarse-quantizer contract for
+    the int8 layout, computed from the STORE ALONE (no raw floats
+    anywhere in the index): the per-vector scale cancels out of
+    cosine, so cos(x̂, c) of the DEQUANTIZED vector equals
+    cos(qvec, c) exactly — amax is never read. ``store`` is the
+    published (cell, qvec, qn, is_orig) frame; per cell →
+    ``(cell, n_orig, n_new, sum_dq9_orig, sum_dq9_new, share_drift,
+    dist_drift, drifted)`` with the :func:`ivf_drift_stats`
+    semantics:
+
+    * ``share_drift``: appended share exceeds ``share_factor`` × the
+      build share (appends piling into cells the quantizer sized
+      small); a cell with appends but no build rows always flags;
+    * ``dist_drift``: mean dequantized cosine-to-centroid of the
+      appended slice sits more than ``dist_margin9``/1e9 below the
+      build slice's.
+
+    Exactness: the numerator is Σ floor(cᵢ·qvecᵢ·1e9) (exact BIGINT —
+    the _QS8 recipe over int codes), the denominator
+    √qn·√(qc/1e12) with qn the store's precomputed BIGINT norm and
+    qc the centroid's _py_qdot integer literal — every IEEE op sees
+    bit-identical integers, the per-row value floors to ``dq9`` (an
+    exact BIGINT sum), and both drift tests are DECIMAL(38,0)
+    cross-multiplications. Fully SQL-oracle-exact, every published
+    column BIGINT/BOOLEAN (the r9 l1x lesson). Scale shape: one
+    per-cell aggregation + a 1-row broadcast of totals; the centroid
+    lookup is ``element_at`` on a C-sized literal — map-only."""
+    cvecs = F.array(
+        *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in centroids]
+    )
+    cqn = F.array(
+        *[F.lit(float(_py_qdot(vec, vec))) for _, vec in centroids]
+    )
+    idx = (F.col("cell") + 1).cast("int")
+    sdotc = F.aggregate(
+        F.zip_with(
+            F.element_at(cvecs, idx),
+            F.col("qvec"),
+            lambda c, qi: F.floor(
+                (c.cast("double") * qi.cast("double")) * F.lit(_QS8)
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    dq = sdotc.cast("double") / (
+        F.sqrt(F.col("qn").cast("double"))
+        * F.sqrt(F.element_at(cqn, idx) / F.lit(float(_QS)))
+    )
+    tagged = store.withColumn(
+        "dq9",
+        F.when(F.col("qn") > 0, F.floor(dq)).otherwise(F.lit(0)),
+    )
+    dq9 = F.col("dq9")
+
+    def sum9(cond):
+        return F.sum(F.when(cond, dq9).otherwise(F.lit(0))).cast("bigint")
+
+    agg = tagged.groupBy("cell").agg(
+        F.sum(F.when(F.col("is_orig"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orig"),
+        F.sum(F.when(~F.col("is_orig"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        sum9(F.col("is_orig")).alias("sum_dq9_orig"),
+        sum9(~F.col("is_orig")).alias("sum_dq9_new"),
+    )
+    tots = agg.agg(
+        F.sum("n_orig").cast("bigint").alias("tot_orig"),
+        F.sum("n_new").cast("bigint").alias("tot_new"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    share_drift = dec(F.col("n_new")) * dec(F.col("tot_orig")) > F.lit(
+        share_factor
+    ) * dec(F.col("n_orig")) * dec(F.col("tot_new"))
+    dist_drift = (
+        (F.col("n_orig") > 0)
+        & (F.col("n_new") > 0)
+        & (
+            dec(F.col("sum_dq9_new")) * dec(F.col("n_orig"))
+            < dec(F.col("sum_dq9_orig")) * dec(F.col("n_new"))
+            - F.lit(dist_margin9) * dec(F.col("n_orig")) * dec(F.col("n_new"))
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(tots))
+        .withColumn("share_drift", share_drift)
+        .withColumn("dist_drift", dist_drift)
+        .withColumn("drifted", F.col("share_drift") | F.col("dist_drift"))
+        .drop("tot_orig", "tot_new")
+    )
+
+
+def int8_index_drift(spark: SparkSession, path: str) -> DataFrame:
+    """Drift report over a PUBLISHED IVF-SQ8 index: build generation
+    (gen=0) vs every :func:`int8_index_add` since — a pure
+    aggregation over the store (rows already carry cell, qvec, and
+    the precomputed qn; no raw vectors exist to scan). Same lineage
+    robustness as the other index drifts: merge-schema read, legacy
+    NULL gen coalesces to the build generation."""
+    rows = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/vectors"
+    )
+    gen = (
+        F.coalesce(F.col("gen"), F.lit(0))
+        if "gen" in rows.columns
+        else F.lit(0)
+    )
+    store = rows.select(
+        # partition-column cell reads back as INT — widen to BIGINT so
+        # the published schema matches every other index report
+        F.col("cell").cast("bigint").alias("cell"),
+        "qvec",
+        "qn",
+        (gen == 0).alias("is_orig"),
+    )
+    return int8_drift_stats(store, load_ivf_centroids(spark, path))
+
+
 def cascade_ivfpq_recall(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -47,6 +47,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_search_spark.operators.similarity import (
+    int8_index_add,
+    int8_index_drift,
     ivf_index_add,
     ivf_index_drift,
 )
@@ -56,12 +58,27 @@ from hadoop_search_spark.streaming.vector_ingest import (
 )
 
 
+_LAYOUTS = {
+    # both layouts publish rows under {index}/vectors and the coarse
+    # model under {index}/centroids, so the ledger/presence-probe
+    # machinery is layout-blind — only the append and drift functions
+    # differ (r9: the IVF-SQ8 artifact joined the lifecycle)
+    "ivf": (ivf_index_add, ivf_index_drift, "write_ivf_index"),
+    "int8": (int8_index_add, int8_index_drift, "write_int8_index"),
+}
+
+
 class StreamingIvfIndexer:
     """Maintains ``{root}/store`` (accepted-vector store) and a
-    PUBLISHED IVF index at ``index_path`` (pre-built offline with
-    ``write_ivf_index`` — the frozen quantizer is the composition's
-    premise) from an embedding stream; per-epoch drift reports land
-    under ``{root}/drift``."""
+    PUBLISHED ANN index at ``index_path`` (pre-built offline with
+    ``write_ivf_index`` or ``write_int8_index`` per ``layout`` — the
+    frozen quantizer is the composition's premise) from an embedding
+    stream; per-epoch drift reports land under ``{root}/drift``.
+    ``layout='ivf'`` appends raw vectors; ``layout='int8'`` appends
+    the 64 B/vec scalar-quantized rows (per-vector quantization, so
+    no codebook exists to go stale — the drift report watches the
+    shared coarse-quantizer contract via share skew + dequantized
+    cosine distance)."""
 
     def __init__(
         self,
@@ -71,14 +88,20 @@ class StreamingIvfIndexer:
         threshold: float = 0.95,
         num_planes: int = 8,
         dim: int = 64,
+        layout: str = "ivf",
     ) -> None:
         self.spark = spark
         self.root = root
         self.index_path = index_path
+        if layout not in _LAYOUTS:
+            raise ValueError(
+                f"unknown index layout {layout!r}; one of {sorted(_LAYOUTS)}"
+            )
+        self._add, self._drift, builder = _LAYOUTS[layout]
         if not os.path.exists(os.path.join(index_path, "centroids")):
             raise ValueError(
-                f"no published IVF index at {index_path}; build one with "
-                "write_ivf_index first (the frozen-quantizer contract)"
+                f"no published index at {index_path}; build one with "
+                f"{builder} first (the frozen-quantizer contract)"
             )
         self.deduper = StreamingVectorDeduper(
             spark, os.path.join(root, "store"), threshold, num_planes, dim
@@ -111,7 +134,7 @@ class StreamingIvfIndexer:
                 pass  # append committed, marker write crashed: self-heal
             elif n_present == 0:
                 # ids proven fresh above — skip the O(index) re-check
-                ivf_index_add(
+                self._add(
                     self.spark,
                     self.index_path,
                     admitted.select("vec_id", "embedding"),
@@ -135,7 +158,7 @@ class StreamingIvfIndexer:
             return
         if os.path.exists(out):
             shutil.rmtree(out)
-        ivf_index_drift(self.spark, self.index_path).write.parquet(out)
+        self._drift(self.spark, self.index_path).write.parquet(out)
 
     # -- the composed batch body ---------------------------------------
 

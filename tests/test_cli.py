@@ -206,3 +206,34 @@ def test_cli_drift(tmp_path, spark):
     r3 = run_cli("drift", "--index", ivfpq)
     assert r3.returncode == 0, r3.stderr[-500:]
     assert " s" in r3.stdout.splitlines()[0] or "l1x" in r3.stdout.splitlines()[0]
+
+    # third layout (r9): IVF-SQ8 — the vectors table holds qvec, not
+    # raw embeddings; detection must route to the store-only drift
+    from hadoop_search_spark.operators.similarity import (
+        int8_index_add,
+        write_int8_index,
+    )
+
+    sq8 = str(tmp_path / "sq8")
+    write_int8_index(emb.filter(F.col("vec_id") < 400), sq8)
+    int8_index_add(spark, sq8, shifted)
+    r4 = run_cli("drift", "--index", sq8)
+    assert r4.returncode == 1, r4.stdout + r4.stderr[-300:]
+    assert "DRIFTED" in r4.stdout and "share" in r4.stdout.splitlines()[0]
+
+
+def test_cli_ann_int8_layout(tmp_path):
+    """`ann --layout int8`: build the IVF-SQ8 artifact and serve
+    stage-1 top-k from it through the CLI (the ivfpq layout is
+    covered by the r8 `ann` path; this pins the r9 layout switch)."""
+    idx = str(tmp_path / "sq8idx")
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    r = run_cli("ann", "build", "--layout", "int8", "--index", idx,
+                "--embeddings", emb)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "int8 vectors" in r.stdout and "8 cells" in r.stdout
+    r2 = run_cli("ann", "search", "--layout", "int8", "--index", idx,
+                 "--embeddings", emb, "--query-ids", "0,3", "--k", "3")
+    assert r2.returncode == 0, r2.stderr[-500:]
+    lines = [ln for ln in r2.stdout.splitlines() if ln.startswith("q=")]
+    assert len(lines) == 6 and all("s8=" in ln for ln in lines)

@@ -1982,6 +1982,33 @@ def test_int8_index_roundtrip_append_and_serve(spark, tmp_path):
     with pytest.raises(ValueError, match="more than once"):
         int8_index_add(spark, path, dup_batch.unionByName(dup_batch))
 
+    # drift observability, computed from the STORE ALONE (no raw
+    # floats in the index): the in-distribution append stays quiet,
+    # then a planted SHIFTED append (constant vectors — they flood
+    # one cell AND sit far from its centroid) must flag exactly the
+    # cells it lands in
+    from hadoop_search_spark.operators.similarity import int8_index_drift
+
+    rep = int8_index_drift(spark, path).collect()
+    assert rep and not any(r.drifted for r in rep)
+    assert all(r.cell is not None and r.n_orig >= 0 for r in rep)
+    shifted = spark.createDataFrame(
+        [(2000 + i, [9.0] * 64) for i in range(60)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    int8_index_add(spark, path, shifted)
+    rep2 = {r.cell: r for r in int8_index_drift(spark, path).collect()}
+    shifted_cells = {
+        r.cell
+        for r in spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("vec_id") >= 2000)
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    assert any(rep2[c].drifted for c in shifted_cells)
+    assert all(not r.drifted for c, r in rep2.items() if c not in shifted_cells)
+
 
 def test_cascade3_full_width_equals_exact(spark):
     """The three-stage funnel at full widths IS the exact search

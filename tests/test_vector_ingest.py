@@ -212,6 +212,111 @@ def test_streaming_ivf_indexer_full_online_loop(spark, tmp_path):
     assert {r.cell for r in ix.persistent_drift(k=2).collect()} == {2}
 
 
+def test_streaming_int8_indexer_layout(spark, tmp_path):
+    """The online loop over the IVF-SQ8 layout (r9: layout='int8'):
+    dedup → frozen-coarse-quantizer int8 append → int8 drift
+    postcondition. Asserts the published int8 store equals offline
+    build + appends of exactly the ADMITTED vectors (same (vec_id,
+    cell) pairs AND same quantized content checksum), ledgered
+    replay + the marker-lost crash window stay duplicate-free, and
+    the shifted epoch flags its cell in the store-only drift report."""
+    import os
+
+    from hadoop_search_spark.operators.similarity import (
+        embedding_quantize_int8,
+        ivf_assign,
+        write_int8_index,
+    )
+    from hadoop_search_spark.streaming.ivf_ingest import StreamingIvfIndexer
+
+    import pytest
+
+    def vec(axis, tilt_dim, w):
+        v = [0.0] * DIM
+        v[axis] = 1.0
+        v[tilt_dim] = w
+        return v
+
+    base_rows = [
+        (i, vec(i % 4, 8 + (i // 4) % 8, 0.3)) for i in range(40)
+    ]
+    base = spark.createDataFrame(base_rows, VECS_SCHEMA)
+    index_path = str(tmp_path / "int8idx")
+    cents = write_int8_index(base, index_path, num_centroids=4)
+
+    with pytest.raises(ValueError, match="unknown index layout"):
+        StreamingIvfIndexer(
+            spark, str(tmp_path / "bad"), index_path, layout="pq"
+        )
+
+    ix = StreamingIvfIndexer(
+        spark, str(tmp_path / "online8"), index_path,
+        threshold=THRESHOLD, num_planes=PLANES, dim=DIM, layout="int8",
+    )
+
+    e0_rows = [(100 + i, vec(i % 4, 8 + i % 8, 0.3)) for i in range(8)]
+    e0_rows.append((108, list(e0_rows[0][1])))  # near-dup: rejected
+    ix.process_batch(spark.createDataFrame(e0_rows, VECS_SCHEMA), 0)
+    e1_rows = [(200 + i, vec((i + 1) % 4, 8 + (i + 3) % 8, 0.3))
+               for i in range(8)]
+    ix.process_batch(spark.createDataFrame(e1_rows, VECS_SCHEMA), 1)
+
+    admitted = {r.vec_id for r in ix.current_vectors().collect()}
+    assert 108 not in admitted and {100, 200} <= admitted
+
+    def store_rows():
+        return {
+            (r.vec_id, r.cell, r.qsum)
+            for r in spark.read.parquet(f"{index_path}/vectors")
+            .select(
+                "vec_id", "cell",
+                F.aggregate(
+                    "qvec", F.lit(0).cast("bigint"),
+                    lambda a, q: a + F.abs(q).cast("bigint"),
+                ).alias("qsum"),
+            )
+            .collect()
+        }
+
+    all_rows = base_rows + [r for r in e0_rows + e1_rows
+                            if r[0] in admitted]
+    full = spark.createDataFrame(all_rows, VECS_SCHEMA)
+    expect = {
+        (r.vec_id, r.cell, r.qsum)
+        for r in ivf_assign(full, cents)
+        .select("vec_id", "cell")
+        .join(
+            embedding_quantize_int8(full).select(
+                "vec_id", F.col("sum_qabs").alias("qsum")
+            ),
+            "vec_id",
+        )
+        .collect()
+    }
+    assert store_rows() == expect
+
+    # ledgered replay + marker-lost crash window: duplicate-free
+    ix.process_batch(spark.createDataFrame(e1_rows, VECS_SCHEMA), 1)
+    assert store_rows() == expect
+    os.remove(os.path.join(index_path, "_EPOCHS", "epoch-1"))
+    ix.process_batch(spark.createDataFrame(e1_rows, VECS_SCHEMA), 1)
+    assert store_rows() == expect
+    assert spark.read.parquet(f"{index_path}/vectors").count() == len(expect)
+
+    rep = ix.drift_reports()
+    assert rep is not None and rep.filter("drifted").count() == 0
+
+    # shifted epoch: cell 2's neighborhood, far off its centroid
+    e2_rows = [(300 + i, vec(2, 4 + i, 2.0)) for i in range(10)]
+    ix.process_batch(spark.createDataFrame(e2_rows, VECS_SCHEMA), 2)
+    flagged = {
+        r.cell
+        for r in ix.drift_reports().filter("epoch = 2 AND drifted").collect()
+    }
+    assert 2 in flagged
+    assert ix.drift_reports().filter("epoch < 2 AND drifted").count() == 0
+
+
 def test_streaming_vector_dedup_stream_api(spark, tmp_path):
     rng = random.Random(5)
     rows = _mk_vectors(rng, 24)
