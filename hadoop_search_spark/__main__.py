@@ -296,6 +296,7 @@ def cmd_drift(args) -> int:
     slots into a cron/orchestrator as the documented offline-rebuild
     trigger."""
     import os
+    import sys
 
     from hadoop_search_spark.operators.similarity import (
         int8_index_drift,
@@ -303,8 +304,18 @@ def cmd_drift(args) -> int:
         ivfpq_index_drift,
     )
 
+    has_codes = os.path.exists(os.path.join(args.index, "codes"))
+    if not has_codes and not os.path.exists(
+        os.path.join(args.index, "vectors")
+    ):
+        print(
+            f"no published index at {args.index} "
+            "(neither codes/ nor vectors/)",
+            file=sys.stderr,
+        )
+        return 2
     spark = _spark(args.cpus)
-    if os.path.exists(os.path.join(args.index, "codes")):
+    if has_codes:
         rows = ivfpq_index_drift(spark, args.index).orderBy("cell", "s").collect()
         print(f"{'cell':>5}{'s':>3}{'n_orig':>8}{'n_new':>8}{'l1x':>12}{'drift':>7}")
         flagged = False

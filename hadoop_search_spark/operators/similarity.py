@@ -1862,7 +1862,13 @@ def ivfpq_drift_stats(
       output schema also avoids decimal-vs-int64 value-rendering
       skew across Arrow consumers — the column was DECIMAL(38,0)
       through r8 and that rendering difference was the localized
-      cause of a persistent driver-side hash divergence.);
+      cause of a persistent driver-side hash divergence.) The
+      ``code_drift`` predicate reads the PRE-CAST decimal sum and the
+      publish cast is guarded by ``raise_error``: under non-ANSI
+      Spark an out-of-bound BIGINT cast silently NULLs — which would
+      suppress the very alert the report exists to raise — while the
+      DuckDB twin's CAST errors loudly; the guard makes both engines
+      fail the same way past the documented bound;
     * ``code_drift`` flags when the normalized L1 exceeds
       ``l1_permille``/1000 — i.e. ``1000·l1x > l1_permille·T_o·T_n``
       — or when a (cell, s) has appends but no build rows at all.
@@ -1922,20 +1928,45 @@ def ivfpq_drift_stats(
                 dec(F.col("n_new_j")) * dec(F.col("t_orig"))
                 - dec(F.col("n_orig_j")) * dec(F.col("t_new"))
             )
-        )
-        .cast("bigint")
-        .alias("l1x"),
+        ).alias("l1x_dec"),
     )
+    # the drift decision reads the PRE-CAST decimal sum (1000·l1x ≤
+    # 2000·T_o·T_n ≪ 10^38, never overflows where the predicate is
+    # defined); the BIGINT publish is guarded — a silent non-ANSI
+    # NULL here would erase both the value AND the flag
     drift = (F.col("n_new") >= min_new) & (
         ((F.col("n_orig") == 0) & (F.col("n_new") > 0))
         | (
-            F.lit(1000).cast("decimal(38,0)") * F.col("l1x")
+            F.lit(1000).cast("decimal(38,0)") * F.col("l1x_dec")
             > F.lit(l1_permille).cast("decimal(38,0)")
             * dec(F.col("n_orig"))
             * dec(F.col("n_new"))
         )
     )
-    return agg.withColumn("code_drift", drift)
+    l1x_pub = F.when(
+        F.col("l1x_dec") > F.lit((1 << 63) - 1).cast("decimal(38,0)"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "ivfpq_drift_stats: l1x exceeds int64 (l1x="
+                ),
+                F.col("l1x_dec").cast("string"),
+                F.lit(
+                    "); per-(cell,s) populations passed the ~2e9-row "
+                    "documented bound — rebuild the index before "
+                    "re-running drift"
+                ),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("l1x_dec").cast("bigint"))
+    return agg.select(
+        "cell",
+        "s",
+        "n_orig",
+        "n_new",
+        l1x_pub.alias("l1x"),
+        drift.alias("code_drift"),
+    )
 
 
 def ivfpq_index_drift(spark: SparkSession, path: str) -> DataFrame:
@@ -2720,7 +2751,30 @@ def int8_drift_stats(
     cross-multiplications. Fully SQL-oracle-exact, every published
     column BIGINT/BOOLEAN (the r9 l1x lesson). Scale shape: one
     per-cell aggregation + a 1-row broadcast of totals; the centroid
-    lookup is ``element_at`` on a C-sized literal — map-only."""
+    lookup is ``element_at`` on a C-sized literal — map-only.
+
+    Zero-norm convention: a stored row with ``qn = 0`` (the all-zero
+    vector) contributes ``dq9 = 0`` and IS counted in
+    ``n_orig``/``n_new`` — unlike the SERVE path, which excludes
+    zero-norm rows from ranking (cosine undefined). The report is a
+    census of the store, so every stored row counts; an appended
+    batch dominated by zero vectors therefore drags the appended
+    slice's mean cosine toward 0, which is the correct alarm — those
+    rows ARE unservable quantization junk. The SQL oracle mirrors the
+    cos:=0 convention deliberately.
+
+    The centroid model must be dense 0..C-1 (checked at plan time —
+    ``element_at`` keys by LIST POSITION) and every store cell must
+    be in range (checked per row via ``raise_error`` — a non-ANSI
+    out-of-range ``element_at`` returns NULL, which would silently
+    drop those rows from the drift sums)."""
+    cells = [c for c, _ in centroids]
+    if cells != list(range(len(cells))):
+        raise ValueError(
+            "int8_drift_stats: centroid cells must be dense 0..C-1 "
+            f"(element_at keys by list position), got {cells}"
+        )
+    n_cells = len(centroids)
     cvecs = F.array(
         *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in centroids]
     )
@@ -2745,7 +2799,21 @@ def int8_drift_stats(
     )
     tagged = store.withColumn(
         "dq9",
-        F.when(F.col("qn") > 0, F.floor(dq)).otherwise(F.lit(0)),
+        F.when(
+            (F.col("cell") < 0) | (F.col("cell") >= n_cells),
+            F.raise_error(
+                F.concat(
+                    F.lit("int8_drift_stats: store cell "),
+                    F.col("cell").cast("string"),
+                    F.lit(
+                        f" outside the centroid model's 0..{n_cells - 1}"
+                        " — store and model are from different builds"
+                    ),
+                )
+            ).cast("bigint"),
+        )
+        .when(F.col("qn") > 0, F.floor(dq))
+        .otherwise(F.lit(0)),
     )
     dq9 = F.col("dq9")
 

@@ -184,6 +184,12 @@ def test_cli_drift(tmp_path, spark):
         write_ivfpq_index,
     )
 
+    # a path that is not an index: one clear line + exit 2, not a raw
+    # AnalysisException from an unconditional vectors/ read
+    r0 = run_cli("drift", "--index", str(tmp_path / "nothing_here"))
+    assert r0.returncode == 2, r0.stdout + r0.stderr[-300:]
+    assert "no published index at" in r0.stderr
+
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     ivf = str(tmp_path / "ivf")
     write_ivf_index(emb.filter(F.col("vec_id") < 400), ivf)

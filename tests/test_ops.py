@@ -2559,3 +2559,29 @@ def test_exact_span_pairs_matches_brute_force(spark):
         for r in exact_span_pairs(df, min_len=min_len, n=n).collect()
     }
     assert got == want
+
+
+def test_int8_drift_stats_contract_guards(spark):
+    """int8_drift_stats fails LOUDLY on model/store mismatches instead
+    of silently dropping rows (r9 ADVICE): a non-contiguous centroid
+    model raises at plan time (element_at keys by list position, so
+    list position must BE the cell id), and a store cell outside the
+    model's 0..C-1 raises at runtime (non-ANSI element_at would
+    return NULL and the row would vanish from the drift sums)."""
+    from hadoop_search_spark.operators.similarity import int8_drift_stats
+
+    store = spark.createDataFrame(
+        [(0, [1000] * 64, 64_000_000, True)],
+        "cell BIGINT, qvec ARRAY<BIGINT>, qn BIGINT, is_orig BOOLEAN",
+    )
+    with pytest.raises(ValueError, match="dense 0"):
+        int8_drift_stats(store, [(0, [1.0] * 64), (2, [0.5] * 64)])
+
+    good = [(0, [1.0] * 64), (1, [0.5] * 64)]
+    assert int8_drift_stats(store, good).collect()  # in-range: fine
+    bad_store = spark.createDataFrame(
+        [(5, [1000] * 64, 64_000_000, True)],
+        "cell BIGINT, qvec ARRAY<BIGINT>, qn BIGINT, is_orig BOOLEAN",
+    )
+    with pytest.raises(Exception, match="outside the centroid model"):
+        int8_drift_stats(bad_store, good).collect()
