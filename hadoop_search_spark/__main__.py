@@ -435,11 +435,25 @@ def cmd_ann(args) -> int:
             print(f"built: {n} int8 vectors, {len(cents)} cells "
                   f"-> {args.index}")
         else:
+            encoding = getattr(args, "encoding", "raw").replace("-", "_")
+            cents = None
+            if encoding == "residual_opq":
+                # the rotated layout earns its recall with TRAINED
+                # coarse cells (docs/ANN_QUALITY.md — seed cells
+                # dilute the residual structure the rotation feeds on)
+                from hadoop_search_spark.operators.similarity import (
+                    ivf_train_kmeans,
+                )
+
+                cents = ivf_train_kmeans(
+                    emb, k=args.centroids, iterations=2
+                )
             cents, books = write_ivfpq_index(
-                emb, args.index, num_centroids=args.centroids
+                emb, args.index, centroids=cents,
+                num_centroids=args.centroids, encoding=encoding,
             )
             n = spark.read.parquet(f"{args.index}/codes").count()
-            print(f"built: {n} codes, {len(cents)} cells, "
+            print(f"built: {n} codes ({encoding}), {len(cents)} cells, "
                   f"{len(books)}x{len(books[0])} codebooks -> {args.index}")
         spark.stop()
         return 0
@@ -578,6 +592,16 @@ def main(argv: list[str] | None = None) -> int:
         "or int8 (IVF-SQ8, 64 B/vec)",
     )
     pann.add_argument("action", choices=["build", "search", "add"])
+    pann.add_argument(
+        "--encoding", choices=["raw", "residual", "residual-opq"],
+        default="raw",
+        help="(ivfpq build only) what the codes quantize: raw = x "
+        "itself; residual = x - centroid[cell] (IVFADC); "
+        "residual-opq = OPQ rotation learned on the residuals + "
+        "trained books over k-means cells (best stage-1 ordering "
+        "per byte). search/add auto-detect from the published "
+        "/encoding table",
+    )
     pann.add_argument(
         "--layout", choices=["ivfpq", "int8"], default="ivfpq",
         help="index layout: ivfpq = PQ codes under frozen codebooks; "

@@ -1577,6 +1577,7 @@ def ivf_pq_residual_topk(
     centroids=None,
     books=None,
     dim: int = 64,
+    rotation=None,
 ) -> DataFrame:
     """IVF + RESIDUAL product quantization — the standard IVFADC
     layout: each vector's code quantizes ``x − centroid[cell]``, not
@@ -1592,7 +1593,18 @@ def ivf_pq_residual_topk(
     request-sized, still broadcast). Everything else is
     :func:`ivf_pq_topk`'s shape: one map-only index projection of
     (vec_id, cell, code), candidates only from probed cells, exact
-    exact integer ADC sums, (adist asc, vec_id) ranking."""
+    exact integer ADC sums, (adist asc, vec_id) ranking.
+
+    ``rotation=(mean, components, perm)`` composes OPQ over the
+    residual space (train with
+    :func:`pq_residual_opq_model`): both the index-side residual and
+    the per-(query, probed-cell) residual pass through the SAME
+    :func:`_opq_rotate_expr` before encode/LUT. Centering + an
+    orthogonal rotation preserve L2, so rotated-space ADC distances
+    rank the same metric — but the subspaces now carry balanced
+    RESIDUAL variance, which is where the code budget actually
+    spends (measured on the anisotropic fixture: stage-1 recall@10
+    0.34 → 0.49 at identical bits, docs/ANN_QUALITY.md)."""
     cents = (
         centroids
         if centroids is not None
@@ -1602,12 +1614,20 @@ def ivf_pq_residual_topk(
         books = pq_residual_codebooks(embeddings, cents, dim=dim)
     m, kc = len(books), len(books[0])
     sub = dim // m
-    indexed = ivf_assign(embeddings, cents).select(
-        "vec_id",
-        "cell",
-        _pq_code_expr(
-            books, dim, col=_residual_expr(F.col("embedding"), cents)
-        ).alias("code"),
+
+    def enc(res_col: F.Column) -> F.Column:
+        if rotation is None:
+            return res_col
+        mean, comps, perm = rotation
+        return _opq_rotate_expr(res_col, mean, comps, perm)
+
+    indexed = _ivfpq_encode_frame(
+        embeddings,
+        cents,
+        books,
+        dim,
+        "residual_opq" if rotation is not None else "residual",
+        rotation,
     )
     q = (
         embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
@@ -1620,9 +1640,19 @@ def ivf_pq_residual_topk(
         "embedding",
         F.explode(F.slice(ranking, 1, nprobe)).alias("probe"),
     ).select("query_id", "embedding", F.col("probe.cell").alias("cell"))
-    qres = _residual_expr(F.col("embedding"), cents)
+    probes = probes.select(
+        "query_id",
+        "cell",
+        enc(_residual_expr(F.col("embedding"), cents)).alias("qres"),
+    )
+    if rotation is not None:
+        # same tree-duplication story on the query side: _pq_lut
+        # references the rotated query residual m·k times; the frame
+        # is request-sized (nprobe × |queries| rows), so the cut is
+        # free
+        probes = probes.localCheckpoint(eager=False)
     probes_lut = probes.select(
-        "query_id", "cell", _pq_lut(qres, books, sub).alias("lut")
+        "query_id", "cell", _pq_lut(F.col("qres"), books, sub).alias("lut")
     )
     pairs = indexed.join(F.broadcast(probes_lut), "cell").filter(
         F.col("vec_id") != F.col("query_id")
@@ -1652,6 +1682,152 @@ def ivf_pq_residual_recall(
     return _recall_vs_exact(embeddings, query_ids, k, approx)
 
 
+def _ivfpq_encode_frame(
+    embeddings: DataFrame,
+    cents,
+    books,
+    dim: int,
+    encoding: str,
+    rotation=None,
+) -> DataFrame:
+    """The (vec_id, cell, code) index projection for an IVF-PQ layout
+    under the given ``encoding`` — SINGLE-SOURCED for the in-memory
+    searches, the index build, and the append path, so no two sites
+    can disagree about what a stored code MEANS:
+
+    * ``"raw"`` — codes quantize x itself (:func:`ivf_pq_topk`);
+    * ``"residual"`` — codes quantize x − centroid[cell] (IVFADC);
+    * ``"residual_opq"`` — codes quantize R·(residual − mean), the
+      OPQ rotation learned on the residual population
+      (``rotation=(mean, components, perm)`` from
+      :func:`pq_residual_opq_model`).
+
+    The rotated form stages the rotated residual through a
+    ``localCheckpoint``: the rotation is a ~dim² decimal-fold
+    expression and ``_pq_code_expr`` references its input m·k times,
+    so inlining would duplicate the subtree ~128-fold — an expression
+    tree big enough to OOM plan compilation. A PUBLISHED index pays
+    the materialization exactly once at build/append time."""
+    if encoding == "raw":
+        return ivf_assign(embeddings, cents).select(
+            "vec_id", "cell", _pq_code_expr(books, dim).alias("code")
+        )
+    res = _residual_expr(F.col("embedding"), cents)
+    if encoding == "residual":
+        return ivf_assign(embeddings, cents).select(
+            "vec_id",
+            "cell",
+            _pq_code_expr(books, dim, col=res).alias("code"),
+        )
+    if encoding == "residual_opq":
+        if rotation is None:
+            raise ValueError(
+                "encoding='residual_opq' requires rotation=(mean, "
+                "components, perm) — train with pq_residual_opq_model"
+            )
+        mean, comps, perm = rotation
+        assigned = ivf_assign(embeddings, cents).select(
+            "vec_id",
+            "cell",
+            _opq_rotate_expr(res, mean, comps, perm).alias("remb"),
+        ).localCheckpoint(eager=False)
+        return assigned.select(
+            "vec_id",
+            "cell",
+            _pq_code_expr(books, dim, col=F.col("remb")).alias("code"),
+        )
+    raise ValueError(
+        f"unknown IVF-PQ encoding {encoding!r}; one of "
+        "['raw', 'residual', 'residual_opq']"
+    )
+
+
+def pq_residual_opq_model(
+    embeddings: DataFrame,
+    centroids,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = 64,
+    iterations: int = 2,
+):
+    """Train the OPQ-over-residuals model — the last uncomposed
+    pairing in the quantization ladder: learn the parametric OPQ
+    rotation (Ge et al. 2013) on the RESIDUAL population, then train
+    the PQ codebooks in that rotated residual space. Returns
+    ``(books, (mean, components, perm))`` — feed both to
+    :func:`ivf_pq_residual_topk` / :func:`cascade_ivfpq_residual_topk`
+    via ``books=``/``rotation=``.
+
+    Why residual-space OPQ beats full-space OPQ here: the coarse
+    quantizer has already explained each cell's mean, so the residual
+    cloud's covariance — not the corpus's — is what the codebooks
+    must cover; balancing THAT spectrum puts the bits where the
+    remaining error lives (measured on the anisotropic fixture:
+    +0.15 stage-1 recall over plain residual PQ vs +0.11 for
+    full-space OPQ over plain PQ). Centering by the residual mean is
+    L2-safe (translation preserves distances).
+
+    Scale shape: residual moments via :func:`pca_moments` (one
+    mapInPandas pass, dim² partial sums per batch), eigh + allocation
+    driver-side on the model, per-subspace k-means via
+    :func:`pq_train_codebooks` over the rotated frame —
+    every trained parameter collects KBs by construction."""
+    res = ivf_assign(embeddings, centroids).select(
+        "vec_id", _residual_expr(F.col("embedding"), centroids).alias("embedding")
+    )
+    mean, comps, vals = pca_train(res, k=dim)
+    perm = opq_allocate(vals, m)
+    rot = opq_rotate(res, mean, comps, perm)
+    # the rotation is a ~dim² expression recomputed by every k-means
+    # pass over the lazy plan — cut the lineage once (the opq_pq_topk
+    # pattern; bytes = |corpus| × dim doubles, same as the input)
+    rot = rot.localCheckpoint(eager=False)
+    books = pq_train_codebooks(rot, m, k, dim, iterations)
+    return books, (mean, comps, perm)
+
+
+def cascade_ivfpq_residual_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    w: int = 50,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NPROBE,
+    centroids=None,
+    books=None,
+    dim: int = 64,
+    rotation=None,
+) -> DataFrame:
+    """Residual IVFADC (optionally OPQ-rotated) as the CHEAP tier of
+    a retrieval cascade: stage 1 is :func:`ivf_pq_residual_topk` top
+    ``w`` per query (codes only — never reads a raw corpus vector),
+    stage 2 reranks those ``w`` by exact cosine over the raw floats.
+    Output is :func:`cosine_topk`'s (query_id, vec_id, cosine, rn) —
+    EXACT scores over the residual-ADC candidate set, the
+    :func:`cascade_ivfpq_topk` funnel with the tighter stage-1
+    ordering residual (+OPQ) encoding buys: better candidates in the
+    SAME w, so the rerank recovers more (anisotropic fixture:
+    cascade recall@10 0.90 plain → 0.96 OPQ-rotated at w=50,
+    docs/ANN_QUALITY.md). Same deterministic tie-breaks as every
+    cascade stage, so the funnel is golden-replayable."""
+    cand = ivf_pq_residual_topk(
+        embeddings, query_ids, w, num_centroids, nprobe, centroids,
+        books, dim, rotation,
+    ).select("query_id", "vec_id")
+    q = (
+        embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        .limit(len(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    pairs = embeddings.join(F.broadcast(cand), "vec_id").join(
+        F.broadcast(q), "query_id"
+    )
+    return _topk_per_query(pairs, k)
+
+
 def write_ivfpq_index(
     embeddings: DataFrame,
     path: str,
@@ -1659,6 +1835,8 @@ def write_ivfpq_index(
     books=None,
     num_centroids: int = NUM_CENTROIDS,
     dim: int = 64,
+    encoding: str = "raw",
+    rotation=None,
 ):
     """Persist the IVF-PQ index: ONE row per vector — (vec_id, code)
     under ``{path}/codes/cell=N/`` — plus the two models
@@ -1670,18 +1848,38 @@ def write_ivfpq_index(
     :func:`write_ivf_index`. Codes carry the same ``gen`` lineage +
     ``_GEN`` sidecar as the IVF vectors table (build = 0, appends
     stamp next) so :func:`ivfpq_index_drift` can compare appended
-    code distributions against the build's. Returns
-    (centroids, books)."""
+    code distributions against the build's.
+
+    ``encoding`` picks what the codes quantize (see
+    :func:`_ivfpq_encode_frame`): ``"raw"`` (the r8 layout, default),
+    ``"residual"`` (IVFADC), or ``"residual_opq"`` (rotation learned
+    on the residual population — the best stage-1 ordering per byte
+    in docs/ANN_QUALITY.md). The encoding kind is persisted under
+    ``/encoding`` and the rotation model under ``/rotation`` with the
+    allocation permutation PRE-APPLIED, so serve/append reconstruct
+    the exact expression; indexes written before the encoding table
+    existed load as ``"raw"``. Default books: seed codebooks in the
+    encoding's own space for raw/residual, the trained
+    :func:`pq_residual_opq_model` for residual_opq (which also
+    supplies the rotation). Returns (centroids, books) — plus the
+    rotation via the model call when the caller lets this function
+    train it."""
     spark = embeddings.sparkSession
     cents = (
         centroids
         if centroids is not None
         else ivf_centroids(embeddings, num_centroids)
     )
+    if encoding == "residual_opq" and books is None and rotation is None:
+        books, rotation = pq_residual_opq_model(embeddings, cents, dim=dim)
     if books is None:
-        books = pq_codebooks(embeddings, dim=dim)
-    ivf_assign(embeddings, cents).select(
-        "vec_id", "cell", _pq_code_expr(books, dim).alias("code")
+        books = (
+            pq_codebooks(embeddings, dim=dim)
+            if encoding == "raw"
+            else pq_residual_codebooks(embeddings, cents, dim=dim)
+        )
+    _ivfpq_encode_frame(
+        embeddings, cents, books, dim, encoding, rotation
     ).withColumn("gen", F.lit(0).cast("bigint")).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(f"{path}/codes")
@@ -1698,6 +1896,18 @@ def write_ivfpq_index(
         ],
         "s INT, j INT, centroid ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(encoding,)], "kind STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/encoding")
+    if encoding == "residual_opq":
+        mean, comps, perm = rotation
+        spark.createDataFrame(
+            [
+                (pos, float(mean[pos]), [float(x) for x in comps[ci]])
+                for pos, ci in enumerate(perm)
+            ],
+            "pos INT, mean DOUBLE, comp ARRAY<DOUBLE>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/rotation")
     return cents, books
 
 
@@ -1717,6 +1927,26 @@ def load_ivfpq_models(spark: SparkSession, path: str):
     return cents, books
 
 
+def load_ivfpq_encoding(spark: SparkSession, path: str):
+    """(encoding_kind, rotation_or_None) from a published IVF-PQ
+    index. Pre-r10 indexes have no ``/encoding`` table and load as
+    ``("raw", None)`` — the only layout that existed then. A
+    persisted rotation comes back with the permutation pre-applied
+    (identity perm), so callers feed it straight to
+    :func:`_opq_rotate_expr`."""
+    import os
+
+    if not os.path.exists(f"{path}/encoding"):
+        return "raw", None
+    kind = spark.read.parquet(f"{path}/encoding").collect()[0].kind
+    if kind != "residual_opq":
+        return kind, None
+    rows = spark.read.parquet(f"{path}/rotation").orderBy("pos").collect()
+    mean = [float(r.mean) for r in rows]
+    comps = [[float(x) for x in r.comp] for r in rows]
+    return kind, (mean, comps, list(range(len(rows))))
+
+
 def ivfpq_index_topk(
     spark: SparkSession,
     path: str,
@@ -1733,17 +1963,44 @@ def ivfpq_index_topk(
     request-sized by definition), the code scan filters on the LITERAL
     probed-cell set (PartitionFilters prune to those directories), and
     scoring is the broadcast-LUT ADC sum. Pinned equal to the
-    in-memory :func:`ivf_pq_topk` for the same models."""
+    in-memory :func:`ivf_pq_topk` for the same models.
+
+    Serves every persisted encoding (``/encoding``): for
+    ``residual``/``residual_opq`` layouts the LUT is per (query,
+    PROBED CELL) — the query's residual is taken against each probed
+    cell's centroid (rotated for OPQ) before the table builds,
+    exactly the :func:`ivf_pq_residual_topk` contract; still
+    request-sized, still collected into the same literal broadcast
+    frame."""
     cents, books = load_ivfpq_models(spark, path)
+    enc_kind, rotation = load_ivfpq_encoding(spark, path)
     m, kc = len(books), len(books[0])
     sub = dim // m
-    lut = _pq_lut(F.col("embedding"), books, sub)
     ranking = _cell_ranking(F.col("embedding"), cents)
-    probe_rows = queries.select(
+    probes = queries.select(
         "query_id",
-        lut.alias("lut"),
+        "embedding",
         F.explode(F.slice(ranking, 1, nprobe)).alias("probe"),
-    ).select("query_id", "lut", F.col("probe.cell").alias("cell")).collect()
+    ).select("query_id", "embedding", F.col("probe.cell").alias("cell"))
+    if enc_kind == "raw":
+        probes = probes.select(
+            "query_id", "cell", F.col("embedding").alias("qvec")
+        )
+    else:
+        qres = _residual_expr(F.col("embedding"), cents)
+        if enc_kind == "residual_opq":
+            mean, comps, perm = rotation
+            qres = _opq_rotate_expr(qres, mean, comps, perm)
+        # cut the rotation/residual expression before the m·k-fanout
+        # LUT (the _ivfpq_encode_frame tree story); request-sized
+        probes = probes.select(
+            "query_id", "cell", qres.alias("qvec")
+        ).localCheckpoint(eager=False)
+    probe_rows = probes.select(
+        "query_id",
+        _pq_lut(F.col("qvec"), books, sub).alias("lut"),
+        "cell",
+    ).collect()
     # rebuilding the broadcast side as a literal frame keeps the probe
     # subtree from re-executing per reference (the ivf_index_topk
     # pattern); the BIGINT schema round-trips the quantized LUT
@@ -1795,8 +2052,15 @@ def ivfpq_index_add(
 
     Gen lineage follows ivf_index_add's crash ordering: the ``_GEN``
     claim lands BEFORE the data write (a crashed append leaves a gen
-    hole, never merges into the previous generation)."""
+    hole, never merges into the previous generation).
+
+    Appends under the index's persisted ENCODING (raw / residual /
+    residual_opq) via the single-sourced :func:`_ivfpq_encode_frame`
+    — for the rotated layout the frozen-model set includes the
+    rotation (re-learning it would silently re-define every stored
+    code, same contract as the codebooks)."""
     cents, books = load_ivfpq_models(spark, path)
+    enc_kind, rotation = load_ivfpq_encoding(spark, path)
     new_embeddings = new_embeddings.localCheckpoint()
     if check_ids:
         n_intra = (
@@ -1819,11 +2083,9 @@ def ivfpq_index_add(
                 "fresh ids"
             )
     gen = _read_gen(spark, path, table="codes") + 1
-    assigned = (
-        ivf_assign(new_embeddings, cents)
-        .select("vec_id", "cell", _pq_code_expr(books, dim).alias("code"))
-        .withColumn("gen", F.lit(gen).cast("bigint"))
-    )
+    assigned = _ivfpq_encode_frame(
+        new_embeddings, cents, books, dim, enc_kind, rotation
+    ).withColumn("gen", F.lit(gen).cast("bigint"))
     _write_gen(path, gen)
     assigned.write.mode("append").partitionBy("cell").parquet(
         f"{path}/codes"
@@ -3036,6 +3298,74 @@ def pca_moments(embeddings: DataFrame, vec_col: str = "embedding"):
     return n, s1, s2
 
 
+def _eigh_det(cov):
+    """Deterministic symmetric eigendecomposition — cyclic-by-rows
+    Jacobi with a fixed sweep schedule, replacing ``np.linalg.eigh``
+    in every golden-checked path. LAPACK's eigh is NOT a stable
+    contract: its blocked kernels are chosen by runtime CPU dispatch,
+    and this repo OBSERVED the same input matrix producing
+    last-few-ulp-different eigenvectors across sessions on this VM
+    (host migration changes the dispatched kernel), which flipped 23
+    of 150 golden adist9 values at sf0.1 — a latent flake in every
+    PCA/OPQ golden. Jacobi uses only scalar IEEE arithmetic and
+    ELEMENTWISE numpy vector ops (no reductions, no blocking, no
+    dispatch), so the result is a pure function of the input bits on
+    any IEEE-754 machine — the same determinism class as the rest of
+    the golden contracts. The independent replay
+    (make_goldens._jacobi_eigh) implements the identical documented
+    schedule.
+
+    Contract (the replay mirrors it exactly): A starts as a float64
+    copy of ``cov``; sweeps run p = 0..d-2, q = p+1..d-1 in order; a
+    rotation is skipped iff A[p,q] == 0.0; theta = (A[q,q] − A[p,p])
+    / (2·A[p,q]), t = sign(theta)/(|theta| + sqrt(theta² + 1))
+    (t = 1 when theta == 0), c = 1/sqrt(t² + 1), s = t·c; rows p,q
+    then columns p,q of A and columns p,q of V update elementwise;
+    sweeps stop after 50 or when max |off-diagonal| == 0.0. Accuracy
+    is Jacobi's classic strength (componentwise-relative — better
+    than QR-based eigh); 64×64 converges in ~8 sweeps. Returns
+    (eigenvalues, eigenvectors-as-columns) in eigh's shape,
+    unordered — callers sort."""
+    import numpy as np
+
+    a = np.array(cov, dtype=np.float64, copy=True)
+    d = a.shape[0]
+    v = np.eye(d, dtype=np.float64)
+    iu = np.triu_indices(d, k=1)
+    for _sweep in range(50):
+        # exact max of |off-diagonal|: max is order-independent (no
+        # rounding), so this early-exit test is deterministic
+        if float(np.max(np.abs(a[iu]))) == 0.0:
+            break
+        for p in range(d - 1):
+            for q in range(p + 1, d):
+                apq = float(a[p, q])
+                if apq == 0.0:
+                    continue
+                theta = (float(a[q, q]) - float(a[p, p])) / (2.0 * apq)
+                if theta == 0.0:
+                    t = 1.0
+                else:
+                    t = math.copysign(1.0, theta) / (
+                        abs(theta) + math.sqrt(theta * theta + 1.0)
+                    )
+                c = 1.0 / math.sqrt(t * t + 1.0)
+                s = t * c
+                ap = a[p, :].copy()
+                aq = a[q, :].copy()
+                a[p, :] = c * ap - s * aq
+                a[q, :] = s * ap + c * aq
+                ap = a[:, p].copy()
+                aq = a[:, q].copy()
+                a[:, p] = c * ap - s * aq
+                a[:, q] = s * ap + c * aq
+                vp = v[:, p].copy()
+                vq = v[:, q].copy()
+                v[:, p] = c * vp - s * vq
+                v[:, q] = s * vp + c * vq
+    return np.diag(a).copy(), v
+
+
 def pca_train(
     embeddings: DataFrame, k: int = 4, vec_col: str = "embedding"
 ) -> tuple[list[float], list[list[float]], list[float]]:
@@ -3053,7 +3383,10 @@ def pca_train(
     mean = np.array(s1, dtype=np.float64) / PCA_SCALE / n
     e_xy = np.array(s2, dtype=np.float64) / PCA_SCALE / n
     cov = e_xy - np.outer(mean, mean)
-    vals, vecs = np.linalg.eigh(cov)
+    # deterministic Jacobi, NOT np.linalg.eigh: LAPACK's runtime
+    # kernel dispatch made eigh output drift across VM sessions,
+    # silently invalidating every PCA/OPQ golden (see _eigh_det)
+    vals, vecs = _eigh_det(cov)
     order = np.argsort(vals)[::-1][:k]
     comps = []
     for i in order:
@@ -3168,10 +3501,30 @@ def opq_rotate(
     coordinate is the :func:`pca_project` decimal-fold (exact,
     order-independent, golden-replayable term for term); map-only,
     model inlined as literals."""
-    mean_arr = F.array(*[F.lit(float(mn)) for mn in mean])
-    centered = F.zip_with(
-        F.col(vec_col), mean_arr, lambda x, mn: x.cast("double") - mn
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _opq_rotate_expr(F.col(vec_col), mean, components, perm).alias(
+            "embedding"
+        ),
     )
+
+
+def _opq_rotate_expr(
+    vec: F.Column,
+    mean: list[float],
+    components: list[list[float]],
+    perm: list[int],
+) -> F.Column:
+    """The OPQ rotation R·(x − mean) + allocation permutation as a
+    pure array EXPRESSION over any vector column — the composable form
+    :func:`opq_rotate` projects with, exposed separately so operators
+    that rotate a DERIVED vector (the residual paths rotate
+    ``x − centroid[cell]`` on the index side and the per-(query,
+    probed-cell) residual on the query side) can inline it without a
+    self-join. Each output coordinate is the exact decimal-fold dot
+    product (order-independent, golden-replayable term for term)."""
+    mean_arr = F.array(*[F.lit(float(mn)) for mn in mean])
+    centered = F.zip_with(vec, mean_arr, lambda x, mn: x.cast("double") - mn)
     elems = []
     for comp_idx in perm:
         w = F.array(*[F.lit(float(c)) for c in components[comp_idx]])
@@ -3185,9 +3538,7 @@ def opq_rotate(
                 lambda a, t: (a + t).cast("decimal(28,9)"),
             ).cast("double")
         )
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"), F.array(*elems).alias("embedding")
-    )
+    return F.array(*elems)
 
 
 def opq_pq_topk(

@@ -34,12 +34,16 @@ ROWS = [
     ("IVF+PQ", 8 + 2, "nprobe cells of codes, ADC"),
     ("IVF+PQ residual (IVFADC)", 8 + 2, "nprobe cells, residual LUT"),
     ("IVF+PQ residual (trained books)", 8 + 2, "nprobe cells, trained residual LUT"),
+    ("IVF+PQ residual (k-means cells)", 8 + 2, "trained cells, trained residual LUT"),
+    ("IVF+PQ residual OPQ (rotated)", 8 + 2, "residual-space OPQ rotation + trained books"),
     ("sign-bit Hamming", 16, "integer scan of 2 BIGINTs/vector"),
     ("cascade (hamming→exact)", 16 + 256, "hamming top-100 → exact rerank"),
     ("cascade3 (sign→PQ→exact)", 16 + 8 + 256, "top-200 → ADC top-40 → exact"),
     ("cascade (IVF+PQ→exact)", 8 + 2 + 256, "nprobe cells, ADC top-50 → exact rerank"),
     ("cascade (int8→exact)", 64 + 256, "int8 scan top-50 → exact rerank"),
     ("cascade (IVF+int8→exact)", 64 + 2 + 256, "nprobe cells of int8, top-50 → exact rerank"),
+    ("cascade (residual→exact)", 8 + 2 + 256, "residual ADC top-50 → exact rerank"),
+    ("cascade (residual-OPQ→exact)", 8 + 2 + 256, "rotated residual ADC top-50 → exact rerank"),
 ]
 
 
@@ -127,7 +131,62 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
             "cascade (IVF+int8→exact)",
             lambda: cascade_ivf_int8_recall(emb, QUERY_IDS, K, w=50),
         ),
+        (
+            "IVF+PQ residual (k-means cells)",
+            lambda: _res_km_recall(rotated=False, cascade=False),
+        ),
+        (
+            "IVF+PQ residual OPQ (rotated)",
+            lambda: _res_km_recall(rotated=True, cascade=False),
+        ),
+        (
+            "cascade (residual→exact)",
+            lambda: _res_km_recall(rotated=False, cascade=True),
+        ),
+        (
+            "cascade (residual-OPQ→exact)",
+            lambda: _res_km_recall(rotated=True, cascade=True),
+        ),
     ]
+
+    _res_cache: dict = {}
+
+    def _res_km_recall(rotated: bool, cascade: bool) -> float:
+        # the sim_ivfpq_residual_opq / sim_cascade_residual_opq
+        # recipe (and its unrotated twin over the SAME trained cells,
+        # so the table isolates what the rotation buys): k-means
+        # cells C=8 x 2 iters, residual books trained once per form
+        from hadoop_search_spark.operators.similarity import (
+            cascade_ivfpq_residual_topk,
+            pq_residual_opq_model,
+        )
+
+        if "cents" not in _res_cache:
+            _res_cache["cents"] = ivf_train_kmeans(emb, k=8, iterations=2)
+        cents = _res_cache["cents"]
+        if rotated:
+            if "opq" not in _res_cache:
+                _res_cache["opq"] = pq_residual_opq_model(
+                    emb, cents, iterations=2
+                )
+            books, rot = _res_cache["opq"]
+        else:
+            if "plain" not in _res_cache:
+                res = ivf_assign(emb, cents).select(
+                    "vec_id",
+                    _residual_expr(F.col("embedding"), cents).alias(
+                        "embedding"
+                    ),
+                )
+                _res_cache["plain"] = pq_train_codebooks(res, iterations=2)
+            books, rot = _res_cache["plain"], None
+        fn = cascade_ivfpq_residual_topk if cascade else ivf_pq_residual_topk
+        kwargs = {"w": 50} if cascade else {}
+        approx = fn(
+            emb, QUERY_IDS, K, num_centroids=8, nprobe=2,
+            centroids=cents, books=books, rotation=rot, **kwargs,
+        )
+        return _recall_vs_exact(emb, QUERY_IDS, K, approx)
 
     def _trained_residual_recall() -> float:
         # the sim_ivfpq_residual_trained recipe: train the residual
@@ -183,7 +242,12 @@ Read the two fixture families against each other:
   trained PQ at identical bits (the Ge et al. 2013 claim,
   pytest-pinned), and trained-k-means IVF prunes to the true
   clusters (recall 1.0 at nprobe=1 — on clustered data the coarse
-  quantizer IS the index).
+  quantizer IS the index). r10 composes the two: an OPQ rotation
+  learned on the RESIDUAL population (the `residual OPQ` rows vs
+  their unrotated `k-means cells` twins over the SAME cells) lifts
+  residual-IVFADC stage-1 ordering at identical bits, and the lift
+  SURVIVES the exact-rerank cascade — better stage-1 ordering feeds
+  better candidates into the same w (also pytest-pinned).
 
 The cascades recover exactness of SCORES by construction (their
 final stage is exact cosine); their recall is the candidate-width

@@ -270,12 +270,64 @@ def emb_fingerprint(embs: list[tuple[int, list[float]]]) -> int:
 PCA_K = 4
 
 
+def _jacobi_eigh(cov):
+    """Independent replay of the engine's deterministic symmetric
+    eigendecomposition (operators/similarity._eigh_det): cyclic-by-
+    rows Jacobi, fixed 50-sweep schedule with exact-zero off-diagonal
+    early exit, scalar IEEE rotations and elementwise float64
+    updates — NO LAPACK (np.linalg.eigh's runtime kernel dispatch
+    produced different last-ulp eigenvectors across VM sessions,
+    which is exactly the nondeterminism a golden cannot sit on).
+    Same documented schedule: p = 0..d-2, q = p+1..d-1; skip iff
+    A[p,q] == 0.0; theta = (A[q,q]-A[p,p])/(2 A[p,q]);
+    t = sign(theta)/(|theta|+sqrt(theta²+1)) (1 when theta == 0);
+    c = 1/sqrt(t²+1); s = t·c; rows then columns of A, columns of V,
+    all elementwise."""
+    import numpy as np
+
+    a = np.array(cov, dtype=np.float64, copy=True)
+    d = a.shape[0]
+    v = np.eye(d, dtype=np.float64)
+    iu = np.triu_indices(d, k=1)
+    for _sweep in range(50):
+        if float(np.max(np.abs(a[iu]))) == 0.0:
+            break
+        for p in range(d - 1):
+            for q in range(p + 1, d):
+                apq = float(a[p, q])
+                if apq == 0.0:
+                    continue
+                theta = (float(a[q, q]) - float(a[p, p])) / (2.0 * apq)
+                if theta == 0.0:
+                    t = 1.0
+                else:
+                    t = math.copysign(1.0, theta) / (
+                        abs(theta) + math.sqrt(theta * theta + 1.0)
+                    )
+                c = 1.0 / math.sqrt(t * t + 1.0)
+                s = t * c
+                ap = a[p, :].copy()
+                aq = a[q, :].copy()
+                a[p, :] = c * ap - s * aq
+                a[q, :] = s * ap + c * aq
+                ap = a[:, p].copy()
+                aq = a[:, q].copy()
+                a[:, p] = c * ap - s * aq
+                a[:, q] = s * ap + c * aq
+                vp = v[:, p].copy()
+                vq = v[:, q].copy()
+                v[:, p] = c * vp - s * vq
+                v[:, q] = s * vp + c * vq
+    return np.diag(a).copy(), v
+
+
 def _pca_model(embs: list[tuple[int, list[float]]], k: int):
     """mean, top-k sign-pinned components, eigenvalues — the engine's
     pca_train replayed: python-int accumulation of rint-quantized
     int64 chunk sums (the overflow-proof moment contract; float64
-    loses integer exactness above 2^53), then the same driver-side
-    numpy eigh + largest-|entry|-positive sign convention."""
+    loses integer exactness above 2^53), then the same deterministic
+    Jacobi eigendecomposition (_jacobi_eigh) + largest-|entry|-
+    positive sign convention."""
     import numpy as np
 
     x = np.stack([e for _, e in embs]).astype(np.float64)
@@ -299,7 +351,7 @@ def _pca_model(embs: list[tuple[int, list[float]]], k: int):
     s2 = np.array([float(v) for v in s2l]).reshape(d, d)
     mean = s1 / 10**9 / n
     cov = s2 / 10**9 / n - np.outer(mean, mean)
-    vals, vecs = np.linalg.eigh(cov)
+    vals, vecs = _jacobi_eigh(cov)
     order = np.argsort(vals)[::-1][:k]
     comps = []
     for i in order:
@@ -691,6 +743,239 @@ def golden_ivfpq_residual_trained(
     return sorted(out)
 
 
+def _kmeans_cells_cosine(
+    by_id: list[tuple[int, list[float]]], n_cells: int, iters: int
+) -> list[tuple[int, list[float]]]:
+    """Sequential replay of ivf_train_kmeans(metric='cosine'): seed =
+    the first ``n_cells`` vec_ids (ivf_centroids policy); per
+    iteration, assign every vector by the _cell_ranking contract
+    (integer _qdot sums feeding ONE IEEE division/sqrt per (vector,
+    cell), ties to the lowest cell) and recompute per-cell means via
+    exact DECIMAL(1e-12, HALF_UP) pre-sums + ONE float64 division
+    (the order-independent update); an emptied cell keeps its
+    previous centroid."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q12 = Decimal("1e-12")
+    dim = len(by_id[0][1])
+    cents = [[float(x) for x in by_id[c][1]] for c in range(n_cells)]
+
+    def qdot(a, b):
+        return sum(math.floor((x * y) * 1e12) for x, y in zip(a, b))
+
+    for _ in range(iters):
+        cqn = [qdot(c, c) for c in cents]
+        sums = [[Decimal(0)] * dim for _ in range(n_cells)]
+        counts = [0] * n_cells
+        for _v, e in by_id:
+            ef = [float(x) for x in e]
+            qv = qdot(ef, ef)
+            best = min(
+                range(n_cells),
+                key=lambda c: (
+                    -(
+                        float(qdot(ef, cents[c]))
+                        / math.sqrt(float(qv) * float(cqn[c]))
+                    ),
+                    c,
+                ),
+            )
+            counts[best] += 1
+            for d in range(dim):
+                sums[best][d] += Decimal(str(ef[d])).quantize(
+                    q12, rounding=ROUND_HALF_UP
+                )
+        cents = [
+            [float(sums[c][d]) / counts[c] for d in range(dim)]
+            if counts[c]
+            else cents[c]
+            for c in range(n_cells)
+        ]
+    return [(c, cents[c]) for c in range(n_cells)]
+
+
+def _opq_perm(vals: list[float], m: int = PQ_M) -> list[int]:
+    """The opq_allocate greedy replayed: desc eigenvalues into the
+    subspace with free capacity and the smallest shift-normalized
+    log-product, ties to the lowest index."""
+    sub = len(vals) // m
+    lams = [max(float(v), 1e-12) for v in vals]
+    base = math.log(min(lams))
+    items = [math.log(v) - base for v in lams]
+    logs = [0.0] * m
+    slots: list[list[int]] = [[] for _ in range(m)]
+    for j in range(len(items)):
+        best = min(
+            (s for s in range(m) if len(slots[s]) < sub),
+            key=lambda s: (logs[s], s),
+        )
+        slots[best].append(j)
+        logs[best] += items[j]
+    return [j for s in range(m) for j in slots[s]]
+
+
+def _rotate_vec(vec, mean, comps, perm) -> list[float]:
+    """One vector through the _opq_rotate_expr contract: center by
+    mean (float64 subtraction), then per permuted component the
+    HALF_UP-quantized DECIMAL(1e-9) term sum, surfaced as float64."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("1e-9")
+    centered = [float(x) - float(mn) for x, mn in zip(vec, mean)]
+    y = []
+    for comp_idx in perm:
+        w = comps[comp_idx]
+        total = Decimal(0)
+        for xi, wi in zip(centered, w):
+            total += Decimal(str(xi * float(wi))).quantize(
+                q9, rounding=ROUND_HALF_UP
+            )
+        y.append(float(total))
+    return y
+
+
+def _residual_opq_chain(
+    embs: list[tuple[int, list[float]]], w: int
+) -> list[tuple]:
+    """Shared stage-1 replay for the residual-OPQ goldens →
+    (query_id, vec_id, adist9, rn) top-``w`` rows: trained coarse
+    cells (_kmeans_cells_cosine, C=8, 2 iterations), residuals
+    x − centroid[cell] (pointwise float64), OPQ model learned ON THE
+    RESIDUAL POPULATION (the _pca_model integer-moment replay + the
+    _opq_perm allocation), residual rotation via the exact decimal
+    fold, per-subspace k-means in the rotated space (_train_pq_books),
+    _QS integer encode, per-(query, probed-cell) ROTATED residual
+    LUTs, exact-int ADC sums ranked (adist asc, vec_id asc)."""
+    n_cells, nprobe = 8, 2
+    sub = PQ_DIM // PQ_M
+    by_id = sorted(embs)
+    emap = {v: [float(x) for x in e] for v, e in by_id}
+
+    def qdot(a, b):
+        return sum(math.floor((x * y) * 1e12) for x, y in zip(a, b))
+
+    cents = _kmeans_cells_cosine(by_id, n_cells, 2)
+    cqn = {c: qdot(v, v) for c, v in cents}
+    cmap = dict(cents)
+
+    def rank_cells(v):
+        qv = qdot(v, v)
+        scored = sorted(
+            (
+                -(float(qdot(v, cv)) / math.sqrt(float(qv) * float(cqn[c]))),
+                c,
+            )
+            for c, cv in cents
+        )
+        return [c for _, c in scored]
+
+    cells = {v: rank_cells(vec)[0] for v, vec in emap.items()}
+    res = {
+        v: [x - c for x, c in zip(vec, cmap[cells[v]])]
+        for v, vec in emap.items()
+    }
+    mean, comps, vals = _pca_model(sorted(res.items()), PQ_DIM)
+    perm = _opq_perm(vals)
+    rot = {v: _rotate_vec(r, mean, comps, perm) for v, r in res.items()}
+    books = _train_pq_books(sorted(rot.items()))
+
+    codes = {}
+    for v in emap:
+        code = 0
+        for s in range(PQ_M):
+            sl = rot[v][s * sub : (s + 1) * sub]
+            best = min(
+                range(PQ_K), key=lambda j: (_sqdist_q(sl, books[s][j]), j)
+            )
+            code += best * PQ_K**s
+        codes[v] = code
+
+    out = []
+    for qid in PQ_QUERIES:
+        probed = rank_cells(emap[qid])[:nprobe]
+        luts = {}
+        for pc in probed:
+            qres = _rotate_vec(
+                [x - c for x, c in zip(emap[qid], cmap[pc])],
+                mean,
+                comps,
+                perm,
+            )
+            luts[pc] = [
+                [
+                    _sqdist_q(qres[s * sub : (s + 1) * sub], books[s][j])
+                    for j in range(PQ_K)
+                ]
+                for s in range(PQ_M)
+            ]
+        scored = []
+        for v in emap:
+            if v == qid or cells[v] not in luts:
+                continue
+            lut = luts[cells[v]]
+            adist = 0
+            for s in range(PQ_M):
+                adist += lut[s][(codes[v] // PQ_K**s) % PQ_K]
+            scored.append((float(adist) / 1e12, v))
+        scored.sort()
+        out += [(qid, v, a, rn + 1) for rn, (a, v) in enumerate(scored[:w])]
+    return sorted(out)
+
+
+def golden_ivfpq_residual_opq(
+    embs: list[tuple[int, list[float]]]
+) -> list[tuple]:
+    """(query_id, vec_id, adist9, rn): top-10 of the OPQ-rotated
+    residual IVFADC chain — golden_ivfpq_residual_trained extended by
+    the residual-space OPQ rotation stage (and trained coarse cells,
+    where the rotation's win is measurable)."""
+    return _residual_opq_chain(embs, PQ_TOPK)
+
+
+def golden_cascade_residual_opq(
+    embs: list[tuple[int, list[float]]]
+) -> list[tuple]:
+    """(query_id, vec_id, cosine, rn): the residual-OPQ cascade — the
+    stage-1 top-50 from _residual_opq_chain reranked by EXACT cosine
+    over the raw floats (IEEE left-fold dot/norms in element order,
+    one division, Decimal(str) HALF_UP round to 9dp — the
+    _topk_per_query contract), ranked (cosine desc, vec_id asc),
+    top 10 per query."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("1e-9")
+    stage1 = _residual_opq_chain(embs, 50)
+    emap = {v: [float(x) for x in e] for v, e in embs}
+
+    def fold_norm(e):
+        t = 0.0
+        for x in e:
+            t += x * x
+        return math.sqrt(t)
+
+    norms = {v: fold_norm(e) for v, e in emap.items()}
+    cand: dict[int, list[int]] = {}
+    for qid, v, _a, _rn in stage1:
+        cand.setdefault(qid, []).append(v)
+    out = []
+    for qid in PQ_QUERIES:
+        qe = emap[qid]
+        scored = []
+        for v in cand.get(qid, []):
+            dot = 0.0
+            for x, y in zip(emap[v], qe):
+                dot += x * y
+            c = dot / (norms[v] * norms[qid])
+            c9 = float(Decimal(str(c)).quantize(q9, rounding=ROUND_HALF_UP))
+            scored.append((-c9, v))
+        scored.sort()
+        out += [
+            (qid, v, -nc, rn + 1)
+            for rn, (nc, v) in enumerate(scored[:PQ_TOPK])
+        ]
+    return sorted(out)
+
+
 def golden_graph_authority(
     sf_dir: str, docs: list[tuple[int, str]]
 ) -> list[tuple]:
@@ -810,6 +1095,28 @@ def _spark_aniso_rows() -> list[tuple]:
         (r.query_id, r.opq_hits, r.pq_hits)
         for r in CATALOG["sim_opq_aniso_win"].fn(spark, SF_DIRS[0]).collect()
     )
+
+
+def _spark_residual_opq_rows() -> tuple[list[tuple], list[tuple]]:
+    """The live residual-OPQ entries' output (both ignore sf_dir —
+    their input is the committed aniso fixture)."""
+    from hadoop_search_spark.catalog import CATALOG
+    from hadoop_search_spark.session import get_spark
+
+    spark = get_spark(app_name="make_goldens", cpus=8, shuffle_partitions=8)
+    topk = sorted(
+        (r.query_id, r.vec_id, r.adist9, r.rn)
+        for r in CATALOG["sim_ivfpq_residual_opq"].fn(
+            spark, SF_DIRS[0]
+        ).collect()
+    )
+    casc = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rn)
+        for r in CATALOG["sim_cascade_residual_opq"].fn(
+            spark, SF_DIRS[0]
+        ).collect()
+    )
+    return topk, casc
 
 
 def _spark_rows(sf_dir: str):
@@ -1063,6 +1370,43 @@ def main() -> int:
     print(f"aniso: opq_hits={sum(o for _, o, _p in aniso)} "
           f"pq_hits={sum(p for _, _o, p in aniso)} (emb_fp={afp})")
 
+    # residual-OPQ goldens — also aniso-fixture-based (the rotation's
+    # win needs anisotropy), same cross-check + a recall floor so a
+    # regression that silently degrades the chain (not just diverges
+    # from the engine) also aborts generation
+    aembs = _load_embeddings(ANISO_DIR)
+    ropq = golden_ivfpq_residual_opq(aembs)
+    ropqc = golden_cascade_residual_opq(aembs)
+    got_ropq, got_ropqc = _spark_residual_opq_rows()
+    if got_ropq != ropq:
+        print("DIVERGENCE sim_ivfpq_residual_opq @ tests/fixtures/aniso")
+        for g, s_ in zip(ropq, got_ropq):
+            if g != s_:
+                print("  golden:", g)
+                print("  spark :", s_)
+                break
+        ok = False
+    if got_ropqc != ropqc:
+        print("DIVERGENCE sim_cascade_residual_opq @ tests/fixtures/aniso")
+        for g, s_ in zip(ropqc, got_ropqc):
+            if g != s_:
+                print("  golden:", g)
+                print("  spark :", s_)
+                break
+        ok = False
+    exact10 = _exact_cosine_top10(aembs, PQ_QUERIES)
+    s1_hits = sum(1 for q, v, _a, _rn in ropq if v in exact10[q])
+    casc_hits = sum(1 for q, v, _c, _rn in ropqc if v in exact10[q])
+    # measured: stage-1 0.49 (24-25/50), cascade 0.96 (48/50)
+    if s1_hits < 22 or casc_hits < 45:
+        print(f"RESIDUAL-OPQ QUALITY REGRESSED: stage1 {s1_hits}/50, "
+              f"cascade {casc_hits}/50 — rotation or chain broken")
+        ok = False
+    print(f"residual-opq: stage1_hits={s1_hits}/50 "
+          f"cascade_hits={casc_hits}/50 (emb_fp={afp})")
+    ropq_rows = [(*row, afp) for row in ropq]
+    ropqc_rows = [(*row, afp) for row in ropqc]
+
     if not ok:
         print("ABORTING — goldens not written")
         return 1
@@ -1144,6 +1488,18 @@ def main() -> int:
         con, "sim_opq_aniso_win",
         "query_id BIGINT, opq_hits BIGINT, pq_hits BIGINT, emb_fp BIGINT",
         aniso_rows,
+    )
+    _write_golden(
+        con, "sim_ivfpq_residual_opq",
+        "query_id BIGINT, vec_id BIGINT, adist9 DOUBLE, rn BIGINT, "
+        "emb_fp BIGINT",
+        ropq_rows,
+    )
+    _write_golden(
+        con, "sim_cascade_residual_opq",
+        "query_id BIGINT, vec_id BIGINT, cosine DOUBLE, rn BIGINT, "
+        "emb_fp BIGINT",
+        ropqc_rows,
     )
     con.close()
     return 0

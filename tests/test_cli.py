@@ -243,3 +243,24 @@ def test_cli_ann_int8_layout(tmp_path):
     assert r2.returncode == 0, r2.stderr[-500:]
     lines = [ln for ln in r2.stdout.splitlines() if ln.startswith("q=")]
     assert len(lines) == 6 and all("s8=" in ln for ln in lines)
+
+
+def test_cli_ann_residual_opq_encoding(tmp_path):
+    """`ann build --encoding residual-opq` (r10): publish the
+    rotated-residual IVF-PQ artifact (k-means cells + residual-space
+    OPQ trained in-build), then serve and append through the same
+    CLI with the encoding auto-detected from the published /encoding
+    table."""
+    idx = str(tmp_path / "ropqidx")
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    r = run_cli("ann", "build", "--encoding", "residual-opq",
+                "--index", idx, "--embeddings", emb)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "codes (residual_opq)" in r.stdout
+    import os
+    assert os.path.exists(f"{idx}/rotation")
+    r2 = run_cli("ann", "search", "--index", idx, "--embeddings", emb,
+                 "--query-ids", "0,3", "--k", "3")
+    assert r2.returncode == 0, r2.stderr[-500:]
+    lines = [ln for ln in r2.stdout.splitlines() if ln.startswith("q=")]
+    assert len(lines) == 6 and all("adist9=" in ln for ln in lines)
