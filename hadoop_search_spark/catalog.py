@@ -7225,6 +7225,65 @@ def sim_ivfpq_residual_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivfpq_residual_opq_index",
+    # the PUBLISHED artifact must serve exactly what the in-memory
+    # chain computes, so the oracle is the SAME golden parquet as
+    # sim_ivfpq_residual_opq — one source of truth for the values,
+    # and a driver-checked proof that build -> persist -> load ->
+    # serve loses nothing
+    oracle=f"""
+WITH g AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/sim_ivfpq_residual_opq.parquet')),
+fp AS (
+  SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
+         AS BIGINT) AS fp
+  FROM read_parquet('{_ANISO_DIR}/embeddings.parquet'))
+SELECT query_id, vec_id, adist9, rn FROM g, fp WHERE g.emb_fp = fp.fp
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS vec_id,
+       CAST(fp AS DOUBLE) AS adist9, CAST(-1 AS BIGINT) AS rn
+FROM fp WHERE NOT EXISTS (SELECT 1 FROM g WHERE g.emb_fp = fp.fp)
+""",
+    note="top-k served from a PUBLISHED residual-OPQ IVF-PQ index "
+    "(write_ivfpq_index encoding='residual_opq' -> /encoding + "
+    "/rotation persisted with the allocation pre-applied -> "
+    "ivfpq_index_topk auto-detects and builds per-(query, probed-"
+    "cell) ROTATED residual LUTs over partition-pruned cell scans). "
+    "The serving artifact for the best stage-1 ordering per byte in "
+    "ANN_QUALITY.md: 8 B/vec codes, no raw vectors stored. Oracle = "
+    "the sim_ivfpq_residual_opq golden itself: persist/load/serve "
+    "must be value-lossless vs the in-memory chain (also pinned by "
+    "pytest round-trip + append==rebuild). CLI: ann build "
+    "--encoding residual-opq.",
+)
+def sim_ivfpq_residual_opq_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from hadoop_search_spark.operators.similarity import (
+        ivf_train_kmeans,
+        ivfpq_index_topk,
+        pq_residual_opq_model,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{_ANISO_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = ivf_train_kmeans(emb, k=8, iterations=2)
+    books, rot = pq_residual_opq_model(emb, cents, iterations=2)
+    path = tempfile.mkdtemp(prefix="ropq_index_")
+    write_ivfpq_index(
+        emb, path, centroids=cents, books=books,
+        encoding="residual_opq", rotation=rot,
+    )
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_index_topk(spark, path, queries, k_results=10, nprobe=2)
+
+
+@register(
     "sim_cascade_residual_opq",
     oracle=f"""
 WITH g AS (SELECT * FROM read_parquet('{_GOLDEN_DIR}/sim_cascade_residual_opq.parquet')),
@@ -7286,6 +7345,7 @@ _DRIVER_FRONT = [
     # exact-rerank cascade, both over the aniso fixture) and the
     # online IVF-SQ8 loop's driver row:
     "sim_ivfpq_residual_opq",
+    "sim_ivfpq_residual_opq_index",
     "sim_cascade_residual_opq",
     "stream_int8_replay",
     # (b) CHANGED this round: every PCA/OPQ entry moved from
@@ -7321,15 +7381,16 @@ _DRIVER_FRONT = [
     "search_suggest_terms",
     "sim_quantize_int8",
     "terms_related",
-    # (d) 24 of the 46 remaining r7-latest entries (alphabetical; the
-    # deferred 22 — search_bm25, search_cnf_mixed, search_hybrid_rrf,
-    # search_render_page, search_stemmed_cnf, sim_ann_ivf_topk,
-    # sim_cascade3_topk, sim_cascade_topk, sim_cosine_topk,
-    # sim_hamming_topk, sim_ivf_drift_report, sim_ivfpq_residual_topk,
-    # sim_pq_encode, sim_pq_topk, text_bigram_surprisal,
-    # text_bpe_boundary, text_bpe_encode, text_bpe_pair_counts,
-    # text_classifier_score, text_repetition, text_surprisal,
-    # text_zipf_histogram — lead the r11 fill, see NOTES.md):
+    # (d) 23 of the 46 remaining r7-latest entries (alphabetical; the
+    # deferred 23 — q_unpivot_measures, search_bm25, search_cnf_mixed,
+    # search_hybrid_rrf, search_render_page, search_stemmed_cnf,
+    # sim_ann_ivf_topk, sim_cascade3_topk, sim_cascade_topk,
+    # sim_cosine_topk, sim_hamming_topk, sim_ivf_drift_report,
+    # sim_ivfpq_residual_topk, sim_pq_encode, sim_pq_topk,
+    # text_bigram_surprisal, text_bpe_boundary, text_bpe_encode,
+    # text_bpe_pair_counts, text_classifier_score, text_repetition,
+    # text_surprisal, text_zipf_histogram — lead the r11 fill, see
+    # NOTES.md):
     "corpus_apply_changes",
     "curation_pipeline",
     "curation_tokenizer_report",
@@ -7353,7 +7414,6 @@ _DRIVER_FRONT = [
     "q21_sole_late_shipper",
     "q22_dormant_balance",
     "q_trailing_window_spend",
-    "q_unpivot_measures",
 ]
 
 def _ordered() -> list[str]:
