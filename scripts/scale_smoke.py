@@ -495,6 +495,43 @@ def main() -> int:
 
     stage("int8_index_build_append_serve", int8_index_stage)
 
+    def residual_opq_index_stage():
+        # r10: the residual-OPQ IVF-PQ index at scale — train the
+        # rotation on the replicated corpus's residual population
+        # (moments are one mapInPandas pass; the model is KBs), build
+        # the encoded artifact, append a 5% tail under the FROZEN
+        # rotation, serve rotated per-(query,cell) LUTs
+        from hadoop_search_spark.operators.similarity import (
+            ivf_train_kmeans,
+            ivfpq_index_add,
+            ivfpq_index_topk,
+            pq_residual_opq_model,
+            write_ivfpq_index,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        big = emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * 2000).alias("vec_id"),
+            "embedding",
+        )
+        n_total = replicas * 2000
+        build = big.filter(F.col("vec_id") < int(n_total * 0.95))
+        tail = big.filter(F.col("vec_id") >= int(n_total * 0.95))
+        cents = ivf_train_kmeans(build, k=8, iterations=2)
+        books, rot = pq_residual_opq_model(build, cents, iterations=2)
+        path = tempfile.mkdtemp(prefix="smoke_ropq_idx_")
+        write_ivfpq_index(
+            build, path, centroids=cents, books=books,
+            encoding="residual_opq", rotation=rot,
+        )
+        ivfpq_index_add(spark, path, tail, check_ids=False)
+        queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ivfpq_index_topk(spark, path, queries, 10, nprobe=2).count()
+
+    stage("residual_opq_index_build_append_serve", residual_opq_index_stage)
+
     def stream_quantiles_stage():
         # r9: the streaming histogram store's query surface over the
         # replicated corpus's length distribution, 4-epoch ingest
