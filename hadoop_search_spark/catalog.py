@@ -7225,6 +7225,57 @@ def sim_ivfpq_residual_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_ivfpq_replay",
+    oracle=_EMB_CTE
+    + _IVF_PROBE_CTES
+    + _PQ_CTES
+    + """
+SELECT a.vec_id, a.cell, p.code,
+       CAST(CASE WHEN a.vec_id < 250 THEN 0
+                 ELSE a.vec_id % 4 + 1 END AS BIGINT) AS gen
+FROM assign a JOIN pqcodes p USING (vec_id)
+""",
+    note="streaming==batch equivalence for the ONLINE IVF-PQ loop "
+    "(streaming/ivf_ingest.py:StreamingIvfIndexer layout='ivfpq', "
+    "r10 — the third index layout in the same dedup -> ledgered "
+    "frozen-models append -> drift-rollup lifecycle): build the "
+    "codes-only index from vec_id < 250 (raw encoding, seed books), "
+    "stream the rest in 4 deterministic epochs (vec_id % 4), REPLAY "
+    "epoch 2 (ledger no-op). The published codes table must hold "
+    "exactly assign+encode of EVERY vector under the frozen models, "
+    "with gen lineage 0/epoch+1 — a replay that re-appended would "
+    "duplicate vec_ids or mint gen 5. Admission is total by the same "
+    "measured-cosine argument as stream_int8_replay. Oracle grafts "
+    "the packed-code CTEs (pqcodes) onto the shared IVF probe chain "
+    "plus the closed-form epoch->gen map — fully SQL-exact, no "
+    "golden.",
+)
+def stream_ivfpq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_search_spark.operators.similarity import write_ivfpq_index
+    from hadoop_search_spark.streaming.ivf_ingest import StreamingIvfIndexer
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    index_path = tempfile.mkdtemp(prefix="ivfpq_replay_idx_")
+    root = tempfile.mkdtemp(prefix="ivfpq_replay_root_")
+    write_ivfpq_index(
+        emb.filter(F.col("vec_id") < 250), index_path, num_centroids=8
+    )
+    ix = StreamingIvfIndexer(spark, root, index_path, layout="ivfpq")
+    rest = emb.filter(F.col("vec_id") >= 250)
+    for epoch in range(4):
+        ix.process_batch(rest.filter(F.col("vec_id") % 4 == epoch), epoch)
+    ix.process_batch(rest.filter(F.col("vec_id") % 4 == 2), 2)  # replay
+    return spark.read.parquet(f"{index_path}/codes").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("code").cast("bigint").alias("code"),
+        F.coalesce(F.col("gen"), F.lit(0)).cast("bigint").alias("gen"),
+    )
+
+
+@register(
     "sim_ivfpq_residual_opq_index",
     # the PUBLISHED artifact must serve exactly what the in-memory
     # chain computes, so the oracle is the SAME golden parquet as
@@ -7348,6 +7399,7 @@ _DRIVER_FRONT = [
     "sim_ivfpq_residual_opq_index",
     "sim_cascade_residual_opq",
     "stream_int8_replay",
+    "stream_ivfpq_replay",
     # (b) CHANGED this round: every PCA/OPQ entry moved from
     # np.linalg.eigh to the deterministic Jacobi eigensolver
     # (_eigh_det — LAPACK kernel dispatch drifted across VM sessions
@@ -7381,8 +7433,9 @@ _DRIVER_FRONT = [
     "search_suggest_terms",
     "sim_quantize_int8",
     "terms_related",
-    # (d) 23 of the 46 remaining r7-latest entries (alphabetical; the
-    # deferred 23 — q_unpivot_measures, search_bm25, search_cnf_mixed,
+    # (d) 22 of the 46 remaining r7-latest entries (alphabetical; the
+    # deferred 24 — q_trailing_window_spend, q_unpivot_measures,
+    # search_bm25, search_cnf_mixed,
     # search_hybrid_rrf, search_render_page, search_stemmed_cnf,
     # sim_ann_ivf_topk, sim_cascade3_topk, sim_cascade_topk,
     # sim_cosine_topk, sim_hamming_topk, sim_ivf_drift_report,
@@ -7413,7 +7466,6 @@ _DRIVER_FRONT = [
     "q20_promotion_suppliers",
     "q21_sole_late_shipper",
     "q22_dormant_balance",
-    "q_trailing_window_spend",
 ]
 
 def _ordered() -> list[str]:

@@ -58,13 +58,37 @@ from hadoop_search_spark.streaming.vector_ingest import (
 )
 
 
+def _ivfpq_cell_drift(spark: SparkSession, path: str) -> DataFrame:
+    """:func:`ivfpq_index_drift` rolled up to the per-CELL shape the
+    loop's drift ledger uses for every layout — (cell, n_orig, n_new,
+    drifted) with ``drifted`` = any subspace's code_drift. The
+    per-(cell, s) counts are identical across s (every vector
+    contributes one row per subspace), so max() recovers the cell
+    population exactly; the full per-subspace report stays available
+    directly from ivfpq_index_drift when the trigger fires."""
+    from hadoop_search_spark.operators.similarity import ivfpq_index_drift
+
+    rep = ivfpq_index_drift(spark, path)
+    return rep.groupBy("cell").agg(
+        F.max("n_orig").alias("n_orig"),
+        F.max("n_new").alias("n_new"),
+        (
+            F.sum(F.when(F.col("code_drift"), 1).otherwise(0)) > 0
+        ).alias("drifted"),
+    )
+
+
 _LAYOUTS = {
-    # both layouts publish rows under {index}/vectors and the coarse
-    # model under {index}/centroids, so the ledger/presence-probe
-    # machinery is layout-blind — only the append and drift functions
-    # differ (r9: the IVF-SQ8 artifact joined the lifecycle)
-    "ivf": (ivf_index_add, ivf_index_drift, "write_ivf_index"),
-    "int8": (int8_index_add, int8_index_drift, "write_int8_index"),
+    # every layout publishes the coarse model under {index}/centroids,
+    # so the ledger/presence-probe machinery is layout-blind — only
+    # the rows directory (vectors/ vs codes/), the append, and the
+    # drift functions differ (r9: the IVF-SQ8 artifact joined the
+    # lifecycle; r10: the IVF-PQ codes layouts — raw/residual/
+    # residual_opq encodings all append through ivfpq_index_add, which
+    # reads the persisted /encoding itself)
+    "ivf": (ivf_index_add, ivf_index_drift, "write_ivf_index", "vectors"),
+    "int8": (int8_index_add, int8_index_drift, "write_int8_index", "vectors"),
+    "ivfpq": (None, _ivfpq_cell_drift, "write_ivfpq_index", "codes"),
 }
 
 
@@ -78,7 +102,13 @@ class StreamingIvfIndexer:
     the 64 B/vec scalar-quantized rows (per-vector quantization, so
     no codebook exists to go stale — the drift report watches the
     shared coarse-quantizer contract via share skew + dequantized
-    cosine distance)."""
+    cosine distance); ``layout='ivfpq'`` (r10) appends packed PQ
+    codes under the index's FROZEN models — including the persisted
+    encoding (raw / residual / residual_opq), which
+    ``ivfpq_index_add`` reads from the artifact itself, so the same
+    maintainer serves all three code meanings — with the per-cell
+    rollup of the code-histogram drift report as the epoch
+    postcondition."""
 
     def __init__(
         self,
@@ -97,7 +127,20 @@ class StreamingIvfIndexer:
             raise ValueError(
                 f"unknown index layout {layout!r}; one of {sorted(_LAYOUTS)}"
             )
-        self._add, self._drift, builder = _LAYOUTS[layout]
+        self._add, self._drift, builder, self._rows_dir = _LAYOUTS[layout]
+        if self._add is None:
+            # ivfpq appends need the corpus dim threaded through (the
+            # code expression slices dim//m subvectors); bind it here
+            # so _append_epoch stays layout-blind
+            from hadoop_search_spark.operators.similarity import (
+                ivfpq_index_add,
+            )
+
+            self._add = (
+                lambda spark_, path_, df, check_ids=False: ivfpq_index_add(
+                    spark_, path_, df, check_ids=check_ids, dim=dim
+                )
+            )
         if not os.path.exists(os.path.join(index_path, "centroids")):
             raise ValueError(
                 f"no published index at {index_path}; build one with "
@@ -127,7 +170,7 @@ class StreamingIvfIndexer:
         n_kept = ids.count()
         if n_kept:
             index_ids = self.spark.read.parquet(
-                f"{self.index_path}/vectors"
+                f"{self.index_path}/{self._rows_dir}"
             ).select("vec_id")
             n_present = ids.join(index_ids, "vec_id").count()
             if n_present == n_kept:

@@ -343,3 +343,86 @@ def test_streaming_vector_dedup_stream_api(spark, tmp_path):
     finally:
         q.stop()
     assert {r.vec_id for r in dd.current_vectors().collect()} == want
+
+
+def test_streaming_ivfpq_indexer_layout(spark, tmp_path):
+    """The online loop over the IVF-PQ codes layout (r10:
+    layout='ivfpq'): dedup → frozen-models packed-code append →
+    per-cell code-drift rollup postcondition. Asserts the published
+    codes table equals offline build + appends of exactly the
+    ADMITTED vectors (same (vec_id, cell, code) triples — the code
+    IS the content checksum), ledgered replay stays duplicate-free,
+    and appends land under the persisted residual_opq ENCODING (the
+    maintainer never re-derives what codes mean — ivfpq_index_add
+    reads /encoding)."""
+    from hadoop_search_spark.operators.similarity import (
+        _ivfpq_encode_frame,
+        load_ivfpq_encoding,
+        load_ivfpq_models,
+        write_ivfpq_index,
+    )
+    from hadoop_search_spark.streaming.ivf_ingest import StreamingIvfIndexer
+
+    def vec(axis, tilt_dim, w):
+        v = [0.0] * DIM
+        v[axis] = 1.0
+        v[tilt_dim] = w
+        return v
+
+    base_rows = [
+        (i, vec(i % 4, 8 + (i // 4) % 8, 0.3)) for i in range(40)
+    ]
+    base = spark.createDataFrame(base_rows, VECS_SCHEMA)
+    index_path = str(tmp_path / "pqidx")
+    # residual encoding exercises the encode-frame round-trip through
+    # the maintainer hardest (codes depend on the frozen cells)
+    write_ivfpq_index(
+        base, index_path, num_centroids=4, dim=DIM, encoding="residual"
+    )
+    assert load_ivfpq_encoding(spark, index_path)[0] == "residual"
+
+    ix = StreamingIvfIndexer(
+        spark, str(tmp_path / "onlinepq"), index_path,
+        threshold=THRESHOLD, num_planes=PLANES, dim=DIM, layout="ivfpq",
+    )
+
+    e0_rows = [(100 + i, vec(i % 4, 8 + i % 8, 0.3)) for i in range(8)]
+    e0_rows.append((108, list(e0_rows[0][1])))  # near-dup: rejected
+    ix.process_batch(spark.createDataFrame(e0_rows, VECS_SCHEMA), 0)
+    e1_rows = [(200 + i, vec((i + 1) % 4, 8 + (i + 3) % 8, 0.3))
+               for i in range(8)]
+    ix.process_batch(spark.createDataFrame(e1_rows, VECS_SCHEMA), 1)
+
+    admitted = {r.vec_id for r in ix.current_vectors().collect()}
+    assert 108 not in admitted and {100, 200} <= admitted
+
+    def codes_rows():
+        return {
+            (r.vec_id, r.cell, r.code)
+            for r in spark.read.parquet(f"{index_path}/codes")
+            .select("vec_id", "cell", "code")
+            .collect()
+        }
+
+    cents, books = load_ivfpq_models(spark, index_path)
+    all_rows = base_rows + [r for r in e0_rows + e1_rows
+                            if r[0] in admitted]
+    full = spark.createDataFrame(all_rows, VECS_SCHEMA)
+    expect = {
+        (r.vec_id, r.cell, r.code)
+        for r in _ivfpq_encode_frame(
+            full, cents, books, DIM, "residual"
+        ).collect()
+    }
+    assert codes_rows() == expect
+
+    # ledgered replay: duplicate-free
+    ix.process_batch(spark.createDataFrame(e1_rows, VECS_SCHEMA), 1)
+    assert codes_rows() == expect
+
+    # drift postcondition committed per epoch with the per-cell shape
+    rep = ix.drift_reports()
+    assert rep is not None
+    cols = set(rep.columns)
+    assert {"cell", "n_orig", "n_new", "drifted"} <= cols
+    assert rep.filter(F.col("epoch") == 1).count() > 0
