@@ -518,11 +518,18 @@ def main() -> int:
         build = big.filter(F.col("vec_id") < int(n_total * 0.95))
         tail = big.filter(F.col("vec_id") >= int(n_total * 0.95))
         cents = ivf_train_kmeans(build, k=8, iterations=2)
-        books, rot = pq_residual_opq_model(build, cents, iterations=2)
+        # exact_rotation=False: the production build path (vectorized
+        # numpy rotation; the decimal fold is the golden-replay path
+        # and costs ~3.7 ms/row — measured 401 s vs 106 s for this
+        # whole stage at 20×, the residue being k-means + moments +
+        # PQ training, which are rotation-independent)
+        books, rot = pq_residual_opq_model(
+            build, cents, iterations=2, exact_rotation=False
+        )
         path = tempfile.mkdtemp(prefix="smoke_ropq_idx_")
         write_ivfpq_index(
             build, path, centroids=cents, books=books,
-            encoding="residual_opq", rotation=rot,
+            encoding="residual_opq", rotation=rot, exact_rotation=False,
         )
         ivfpq_index_add(spark, path, tail, check_ids=False)
         queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(

@@ -2779,3 +2779,63 @@ def test_ivfpq_index_encodings_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown IVF-PQ encoding"):
         write_ivfpq_index(emb, str(tmp_path / "bad"), encoding="nope")
+
+
+def test_opq_rotate_fast_matches_exact(spark, tmp_path):
+    """The vectorized build-path rotation (opq_rotate exact=False —
+    one numpy matmul per Arrow batch) agrees with the exact decimal
+    fold to the documented grain (1e-9 quantization/term + float
+    summation), and an index built entirely through the fast path
+    serves sane rotated-residual results end to end."""
+    import math
+
+    from hadoop_search_spark.operators.similarity import (
+        ivf_centroids,
+        ivfpq_index_topk,
+        opq_allocate,
+        opq_rotate,
+        pca_train,
+        pq_residual_opq_model,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean, comps, vals = pca_train(emb, k=64)
+    perm = opq_allocate(vals)
+    exact = {
+        r.vec_id: r.embedding
+        for r in opq_rotate(emb, mean, comps, perm).collect()
+    }
+    fast = {
+        r.vec_id: r.embedding
+        for r in opq_rotate(emb, mean, comps, perm, exact=False).collect()
+    }
+    assert set(exact) == set(fast)
+    worst = max(
+        abs(a - b)
+        for v in exact
+        for a, b in zip(exact[v], fast[v])
+    )
+    assert worst < 1e-6, worst
+    # distances preserved by the fast rotation too (orthogonal + perm)
+    ids = sorted(exact)[:4]
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    for a, b in [(ids[0], ids[2]), (ids[1], ids[3])]:
+        d_o = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+        d_f = sum((x - y) ** 2 for x, y in zip(fast[a], fast[b]))
+        assert math.isfinite(d_f) and abs(d_o - d_f) < 1e-5
+
+    cents = ivf_centroids(emb, 8)
+    books, rot = pq_residual_opq_model(
+        emb, cents, iterations=2, exact_rotation=False
+    )
+    path = str(tmp_path / "fastropq")
+    write_ivfpq_index(
+        emb, path, centroids=cents, books=books,
+        encoding="residual_opq", rotation=rot, exact_rotation=False,
+    )
+    queries = emb.filter(F.col("vec_id").isin(0, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_index_topk(spark, path, queries, 10, nprobe=2).collect()
+    assert len(out) == 20 and all(r.adist9 >= 0 for r in out)
