@@ -46,6 +46,20 @@ ROWS = [
     ("cascade (residual-OPQ→exact)", 8 + 2 + 256, "rotated residual ADC top-50 → exact rerank"),
 ]
 
+# aniso-only sweep: does probing wider buy what the rotation buys?
+# (r9's numpy experiment said no — stage-1 recall is FLAT in nprobe,
+# the ADC ordering binds; these rows pin that ON THE ENGINE)
+SWEEP_ROWS = [
+    (f"residual{tag} stage-1, nprobe={np_}", 8 + 2,
+     "ADC ordering binds, not cell recall" if np_ > 1
+     else "single-cell probe")
+    for tag in ("", "-OPQ") for np_ in (1, 2, 4)
+] + [
+    (f"cascade residual{tag}→exact, w={w}", 8 + 2 + 256,
+     "rerank width vs stage-1 ordering")
+    for tag in ("", "-OPQ") for w in (25, 50, 100)
+]
+
 
 def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
     from hadoop_search_spark.operators.similarity import (
@@ -148,10 +162,32 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
             lambda: _res_km_recall(rotated=True, cascade=True),
         ),
     ]
+    if "aniso" in sf_dir:
+        runs += [
+            (
+                f"residual{tag} stage-1, nprobe={np_}",
+                lambda rot=(tag != ""), np2=np_: _res_km_recall(
+                    rotated=rot, cascade=False, nprobe=np2
+                ),
+            )
+            for tag in ("", "-OPQ")
+            for np_ in (1, 2, 4)
+        ] + [
+            (
+                f"cascade residual{tag}→exact, w={w}",
+                lambda rot=(tag != ""), w2=w: _res_km_recall(
+                    rotated=rot, cascade=True, w=w2
+                ),
+            )
+            for tag in ("", "-OPQ")
+            for w in (25, 50, 100)
+        ]
 
     _res_cache: dict = {}
 
-    def _res_km_recall(rotated: bool, cascade: bool) -> float:
+    def _res_km_recall(
+        rotated: bool, cascade: bool, nprobe: int = 2, w: int = 50
+    ) -> float:
         # the sim_ivfpq_residual_opq / sim_cascade_residual_opq
         # recipe (and its unrotated twin over the SAME trained cells,
         # so the table isolates what the rotation buys): k-means
@@ -181,9 +217,9 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
                 _res_cache["plain"] = pq_train_codebooks(res, iterations=2)
             books, rot = _res_cache["plain"], None
         fn = cascade_ivfpq_residual_topk if cascade else ivf_pq_residual_topk
-        kwargs = {"w": 50} if cascade else {}
+        kwargs = {"w": w} if cascade else {}
         approx = fn(
-            emb, QUERY_IDS, K, num_centroids=8, nprobe=2,
+            emb, QUERY_IDS, K, num_centroids=8, nprobe=nprobe,
             centroids=cents, books=books, rotation=rot, **kwargs,
         )
         return _recall_vs_exact(emb, QUERY_IDS, K, approx)
@@ -275,7 +311,7 @@ def main() -> int:
             "| path | recall@10 | bytes/vec | serving shape |",
             "|---|---|---|---|",
         ]
-        byinfo = {label: (b, note) for label, b, note in ROWS}
+        byinfo = {label: (b, note) for label, b, note in ROWS + SWEEP_ROWS}
         for label, r, _dt in rows:
             b, note = byinfo[label]
             lines.append(f"| {label} | {r:.2f} | {b} | {note} |")
