@@ -1611,7 +1611,14 @@ def ivf_pq_residual_topk(
         else ivf_centroids(embeddings, num_centroids)
     )
     if books is None:
-        books = pq_residual_codebooks(embeddings, cents, dim=dim)
+        # default books must live in the space the codes live in:
+        # rotated residuals when a rotation is supplied (r10 ADVICE —
+        # unrotated seed books under a rotation forfeit its recall)
+        books = (
+            pq_residual_opq_books(embeddings, cents, rotation, dim=dim)
+            if rotation is not None
+            else pq_residual_codebooks(embeddings, cents, dim=dim)
+        )
     m, kc = len(books), len(books[0])
     sub = dim // m
 
@@ -1796,13 +1803,44 @@ def pq_residual_opq_model(
     )
     mean, comps, vals = pca_train(res, k=dim)
     perm = opq_allocate(vals, m)
+    books = pq_residual_opq_books(
+        embeddings, centroids, (mean, comps, perm), m, k, dim,
+        iterations, exact_rotation,
+    )
+    return books, (mean, comps, perm)
+
+
+def pq_residual_opq_books(
+    embeddings: DataFrame,
+    centroids,
+    rotation,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = 64,
+    iterations: int = 2,
+    exact_rotation: bool = True,
+):
+    """Train PQ codebooks in a GIVEN rotation's rotated residual space
+    — :func:`pq_residual_opq_model`'s training tail, exposed for
+    callers that already hold a rotation (a persisted ``/rotation``
+    model, or a rotation trained on a different corpus slice). This
+    is also the default-books path when a rotated search gets
+    ``rotation=`` without ``books=``: codes and LUTs are computed
+    over ROTATED residuals, so the codebooks must be trained there
+    too. (r10 ADVICE: the old default fell through to
+    :func:`pq_residual_codebooks` — seed books in the UNROTATED
+    residual space. Self-consistent ranking, but it silently forfeits
+    the recall the rotation exists to buy.)"""
+    res = ivf_assign(embeddings, centroids).select(
+        "vec_id", _residual_expr(F.col("embedding"), centroids).alias("embedding")
+    )
+    mean, comps, perm = rotation
     rot = opq_rotate(res, mean, comps, perm, exact=exact_rotation)
     # the rotation is a ~dim² expression recomputed by every k-means
     # pass over the lazy plan — cut the lineage once (the opq_pq_topk
     # pattern; bytes = |corpus| × dim doubles, same as the input)
     rot = rot.localCheckpoint(eager=False)
-    books = pq_train_codebooks(rot, m, k, dim, iterations)
-    return books, (mean, comps, perm)
+    return pq_train_codebooks(rot, m, k, dim, iterations)
 
 
 def cascade_ivfpq_residual_topk(
@@ -1895,11 +1933,18 @@ def write_ivfpq_index(
             embeddings, cents, dim=dim, exact_rotation=exact_rotation
         )
     if books is None:
-        books = (
-            pq_codebooks(embeddings, dim=dim)
-            if encoding == "raw"
-            else pq_residual_codebooks(embeddings, cents, dim=dim)
-        )
+        if encoding == "raw":
+            books = pq_codebooks(embeddings, dim=dim)
+        elif encoding == "residual_opq":
+            # rotation is non-None here (the both-None case trained the
+            # full model above); books must train in the ROTATED
+            # residual space the codes occupy (r10 ADVICE)
+            books = pq_residual_opq_books(
+                embeddings, cents, rotation, dim=dim,
+                exact_rotation=exact_rotation,
+            )
+        else:
+            books = pq_residual_codebooks(embeddings, cents, dim=dim)
     _ivfpq_encode_frame(
         embeddings, cents, books, dim, encoding, rotation,
         exact_rotation=exact_rotation,
@@ -1956,12 +2001,24 @@ def load_ivfpq_encoding(spark: SparkSession, path: str):
     ``("raw", None)`` — the only layout that existed then. A
     persisted rotation comes back with the permutation pre-applied
     (identity perm), so callers feed it straight to
-    :func:`_opq_rotate_expr`."""
-    import os
+    :func:`_opq_rotate_expr`.
 
-    if not os.path.exists(f"{path}/encoding"):
-        return "raw", None
-    kind = spark.read.parquet(f"{path}/encoding").collect()[0].kind
+    Detection reads THROUGH Spark, so an index on any filesystem the
+    session can reach (HDFS/S3 URIs included) resolves its real
+    encoding — only a genuine path-not-found from the read maps to
+    the pre-r10 raw layout. (r10 ADVICE: the old ``os.path.exists``
+    probe made a reachable-but-remote residual index silently load
+    as raw — exactly the silent-fallback class the drift guards
+    exist to kill: raw LUTs against residual codes rank wrong, and
+    an append would corrupt the stored code meaning.)"""
+    from pyspark.errors import AnalysisException
+
+    try:
+        kind = spark.read.parquet(f"{path}/encoding").collect()[0].kind
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return "raw", None
+        raise
     if kind != "residual_opq":
         return kind, None
     rows = spark.read.parquet(f"{path}/rotation").orderBy("pos").collect()
@@ -2056,6 +2113,7 @@ def ivfpq_index_add(
     new_embeddings: DataFrame,
     check_ids: bool = True,
     dim: int = 64,
+    exact_rotation: bool = True,
 ) -> int:
     """Incremental IVF-PQ index maintenance — :func:`ivf_index_add`
     for the codes-only layout: assign NEW vectors with the published
@@ -2081,7 +2139,12 @@ def ivfpq_index_add(
     residual_opq) via the single-sourced :func:`_ivfpq_encode_frame`
     — for the rotated layout the frozen-model set includes the
     rotation (re-learning it would silently re-define every stored
-    code, same contract as the codebooks)."""
+    code, same contract as the codebooks). ``exact_rotation=False``
+    is the same production-build knob :func:`write_ivfpq_index`
+    carries (r10 ADVICE: appends previously always paid the ~3.7
+    ms/row decimal fold): the numpy matmul per Arrow batch, last-ulp
+    different — keep the exact default wherever a golden replays the
+    appended codes."""
     cents, books = load_ivfpq_models(spark, path)
     enc_kind, rotation = load_ivfpq_encoding(spark, path)
     new_embeddings = new_embeddings.localCheckpoint()
@@ -2107,7 +2170,8 @@ def ivfpq_index_add(
             )
     gen = _read_gen(spark, path, table="codes") + 1
     assigned = _ivfpq_encode_frame(
-        new_embeddings, cents, books, dim, enc_kind, rotation
+        new_embeddings, cents, books, dim, enc_kind, rotation,
+        exact_rotation=exact_rotation,
     ).withColumn("gen", F.lit(gen).cast("bigint"))
     _write_gen(path, gen)
     assigned.write.mode("append").partitionBy("cell").parquet(

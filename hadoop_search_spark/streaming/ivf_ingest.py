@@ -119,6 +119,7 @@ class StreamingIvfIndexer:
         num_planes: int = 8,
         dim: int = 64,
         layout: str = "ivf",
+        exact_rotation: bool = True,
     ) -> None:
         self.spark = spark
         self.root = root
@@ -136,9 +137,15 @@ class StreamingIvfIndexer:
                 ivfpq_index_add,
             )
 
+            # exact_rotation=False is the production-build knob for
+            # residual_opq indexes (numpy matmul instead of the
+            # decimal fold — r10 ADVICE: appends had no way to skip
+            # the ~3.7 ms/row exact form); keep the exact default
+            # wherever a golden replays the appended codes
             self._add = (
                 lambda spark_, path_, df, check_ids=False: ivfpq_index_add(
-                    spark_, path_, df, check_ids=check_ids, dim=dim
+                    spark_, path_, df, check_ids=check_ids, dim=dim,
+                    exact_rotation=exact_rotation,
                 )
             )
         if not os.path.exists(os.path.join(index_path, "centroids")):

@@ -2839,3 +2839,131 @@ def test_opq_rotate_fast_matches_exact(spark, tmp_path):
     )
     out = ivfpq_index_topk(spark, path, queries, 10, nprobe=2).collect()
     assert len(out) == 20 and all(r.adist9 >= 0 for r in out)
+
+
+def test_ivfpq_encoding_detection_reads_through_spark(spark, tmp_path):
+    """Encoding detection goes through spark.read, not the driver's
+    local filesystem (r10 ADVICE): only a genuine PATH_NOT_FOUND maps
+    to the pre-r10 raw layout; a present-but-unreadable /encoding
+    table RAISES instead of silently mis-detecting — on a remote
+    filesystem the old os.path.exists probe would have served raw
+    LUTs against residual codes and corrupted appends."""
+    import shutil
+
+    from hadoop_search_spark.operators.similarity import (
+        load_ivfpq_encoding,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "encdet")
+    write_ivfpq_index(emb, path, num_centroids=8, encoding="residual")
+    assert load_ivfpq_encoding(spark, path) == ("residual", None)
+    # pre-r10 layout: no /encoding table at all -> raw
+    shutil.rmtree(f"{path}/encoding")
+    assert load_ivfpq_encoding(spark, path) == ("raw", None)
+    # present-but-broken table must surface, never fall back to raw
+    import os
+
+    os.makedirs(f"{path}/encoding")
+    with open(f"{path}/encoding/part-00000.parquet", "w") as f:
+        f.write("not parquet")
+    with pytest.raises(Exception):
+        load_ivfpq_encoding(spark, path)
+
+
+def test_rotation_default_books_trained_in_rotated_space(spark, tmp_path):
+    """rotation= without books= trains the default codebooks in the
+    ROTATED residual space — bit-identical to pq_residual_opq_model's
+    own books for the same rotation, in both the in-memory search and
+    the index build (r10 ADVICE: the old default fell through to
+    unrotated seed books under rotated codes/LUTs — self-consistent
+    but forfeiting the rotation's recall)."""
+    from hadoop_search_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_pq_residual_topk,
+        load_ivfpq_models,
+        pq_residual_opq_books,
+        pq_residual_opq_model,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, 8)
+    books_m, rot = pq_residual_opq_model(emb, cents, iterations=2)
+    assert pq_residual_opq_books(emb, cents, rot, iterations=2) == books_m
+    with_default = sorted(
+        map(
+            tuple,
+            ivf_pq_residual_topk(
+                emb, [0, 2], 5, num_centroids=8, centroids=cents,
+                rotation=rot,
+            ).collect(),
+        )
+    )
+    with_model = sorted(
+        map(
+            tuple,
+            ivf_pq_residual_topk(
+                emb, [0, 2], 5, num_centroids=8, centroids=cents,
+                books=books_m, rotation=rot,
+            ).collect(),
+        )
+    )
+    assert with_default == with_model
+    path = str(tmp_path / "ropq_nobooks")
+    write_ivfpq_index(
+        emb, path, centroids=cents, encoding="residual_opq", rotation=rot
+    )
+    _, stored = load_ivfpq_models(spark, path)
+    assert stored == books_m
+
+
+def test_ivfpq_append_exact_rotation_knob(spark, tmp_path):
+    """ivfpq_index_add carries the same exact_rotation production-
+    build knob as write_ivfpq_index (r10 ADVICE: appends always paid
+    the ~3.7 ms/row decimal fold), threaded through
+    StreamingIvfIndexer — the fast-path append lands the same rows
+    under the frozen encoding and serves end to end."""
+    from hadoop_search_spark.operators.similarity import (
+        ivf_centroids,
+        ivfpq_index_add,
+        ivfpq_index_topk,
+        pq_residual_opq_model,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") < 400)
+    rest = emb.filter(F.col("vec_id") >= 400)
+    cents = ivf_centroids(first, 8)
+    books, rot = pq_residual_opq_model(first, cents, iterations=2)
+    path_f = str(tmp_path / "fast_add")
+    path_e = str(tmp_path / "exact_add")
+    for p in (path_f, path_e):
+        write_ivfpq_index(
+            first, p, centroids=cents, books=books,
+            encoding="residual_opq", rotation=rot,
+        )
+    assert ivfpq_index_add(
+        spark, path_f, rest, exact_rotation=False
+    ) == rest.count()
+    assert ivfpq_index_add(spark, path_e, rest) == rest.count()
+    fast = {
+        r.vec_id: (r.cell, r.code)
+        for r in spark.read.parquet(f"{path_f}/codes").collect()
+    }
+    exact = {
+        r.vec_id: (r.cell, r.code)
+        for r in spark.read.parquet(f"{path_e}/codes").collect()
+    }
+    assert set(fast) == set(exact)
+    # cell assignment never touches the rotation; codes may differ
+    # only where the last-ulp rotation difference flips a knife-edge
+    # codebook argmin — none on this fixture
+    assert fast == exact
+    queries = emb.filter(F.col("vec_id").isin(0, 450)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_index_topk(spark, path_f, queries, 10, nprobe=2).collect()
+    assert len(out) == 20
