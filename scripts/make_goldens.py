@@ -976,6 +976,75 @@ def golden_cascade_residual_opq(
     return sorted(out)
 
 
+STREAM_ROPQ_BUILD = 1200  # vec_id < BUILD trains the frozen models
+STREAM_ROPQ_EPOCHS = 4
+
+
+def golden_stream_residual_opq_replay(
+    embs: list[tuple[int, list[float]]]
+) -> list[tuple]:
+    """(vec_id, cell, code, gen): the published codes table after the
+    ONLINE residual-OPQ lifecycle — the frozen models (coarse cells
+    via _kmeans_cells_cosine C=8/2 iters, residual-population
+    _pca_model + _opq_perm rotation, _train_pq_books in the rotated
+    residual space) are trained on the BUILD subset ONLY
+    (vec_id < STREAM_ROPQ_BUILD); build rows encode at gen 0, each
+    streamed epoch's rows (vec_id % STREAM_ROPQ_EPOCHS) encode under
+    the SAME frozen models at gen epoch+1. A replayed epoch changes
+    nothing (the engine's ledger no-op), so the golden is exactly
+    assign+encode of EVERY vector with the closed-form gen map —
+    which is the invariant the catalog entry asserts."""
+    sub = PQ_DIM // PQ_M
+    by_id = sorted(embs)
+    train = [(v, e) for v, e in by_id if v < STREAM_ROPQ_BUILD]
+    emap = {v: [float(x) for x in e] for v, e in by_id}
+
+    def qdot(a, b):
+        return sum(math.floor((x * y) * 1e12) for x, y in zip(a, b))
+
+    cents = _kmeans_cells_cosine(train, 8, 2)
+    cqn = {c: qdot(v, v) for c, v in cents}
+    cmap = dict(cents)
+
+    def best_cell(v):
+        qv = qdot(v, v)
+        return min(
+            (
+                (
+                    -(
+                        float(qdot(v, cv))
+                        / math.sqrt(float(qv) * float(cqn[c]))
+                    ),
+                    c,
+                )
+                for c, cv in cents
+            )
+        )[1]
+
+    cells = {v: best_cell(vec) for v, vec in emap.items()}
+    res = {
+        v: [x - c for x, c in zip(vec, cmap[cells[v]])]
+        for v, vec in emap.items()
+    }
+    train_res = sorted((v, res[v]) for v, _ in train)
+    mean, comps, vals = _pca_model(train_res, PQ_DIM)
+    perm = _opq_perm(vals)
+    rot = {v: _rotate_vec(r, mean, comps, perm) for v, r in res.items()}
+    books = _train_pq_books(sorted((v, rot[v]) for v, _ in train))
+    out = []
+    for v in emap:
+        code = 0
+        for s in range(PQ_M):
+            sl = rot[v][s * sub : (s + 1) * sub]
+            best = min(
+                range(PQ_K), key=lambda j: (_sqdist_q(sl, books[s][j]), j)
+            )
+            code += best * PQ_K**s
+        gen = 0 if v < STREAM_ROPQ_BUILD else v % STREAM_ROPQ_EPOCHS + 1
+        out.append((v, cells[v], code, gen))
+    return sorted(out)
+
+
 def golden_graph_authority(
     sf_dir: str, docs: list[tuple[int, str]]
 ) -> list[tuple]:
@@ -1117,6 +1186,21 @@ def _spark_residual_opq_rows() -> tuple[list[tuple], list[tuple]]:
         ).collect()
     )
     return topk, casc
+
+
+def _spark_stream_ropq_rows() -> list[tuple]:
+    """The live stream_residual_opq_replay entry's output (ignores
+    sf_dir — its input is the committed aniso fixture)."""
+    from hadoop_search_spark.catalog import CATALOG
+    from hadoop_search_spark.session import get_spark
+
+    spark = get_spark(app_name="make_goldens", cpus=8, shuffle_partitions=8)
+    return sorted(
+        (r.vec_id, r.cell, r.code, r.gen)
+        for r in CATALOG["stream_residual_opq_replay"].fn(
+            spark, SF_DIRS[0]
+        ).collect()
+    )
 
 
 def _spark_rows(sf_dir: str):
@@ -1407,6 +1491,36 @@ def main() -> int:
     ropq_rows = [(*row, afp) for row in ropq]
     ropqc_rows = [(*row, afp) for row in ropqc]
 
+    # streaming replay over the rotated-code encoding (r11): the
+    # frozen models train on the BUILD subset only, so this golden is
+    # NOT derivable from the sim_ivfpq_residual_opq chain — full
+    # independent replay + the same abort-on-divergence cross-check,
+    # plus structural invariants (population + gen lineage) so a
+    # regression that keeps values self-consistent but breaks the
+    # lifecycle also aborts
+    sropq = golden_stream_residual_opq_replay(aembs)
+    got_sropq = _spark_stream_ropq_rows()
+    if got_sropq != sropq:
+        print("DIVERGENCE stream_residual_opq_replay @ "
+              "tests/fixtures/aniso")
+        for g, s_ in zip(sropq, got_sropq):
+            if g != s_:
+                print("  golden:", g)
+                print("  spark :", s_)
+                break
+        ok = False
+    gens = Counter(g for _v, _c, _code, g in sropq)
+    if len(sropq) != len(aembs) or gens[0] != STREAM_ROPQ_BUILD or any(
+        gens[e + 1] != (len(aembs) - STREAM_ROPQ_BUILD) // STREAM_ROPQ_EPOCHS
+        for e in range(STREAM_ROPQ_EPOCHS)
+    ):
+        print(f"STREAM-ROPQ LIFECYCLE BROKEN: {len(sropq)} rows, "
+              f"gens={dict(gens)}")
+        ok = False
+    print(f"stream-ropq: {len(sropq)} rows, gens={dict(sorted(gens.items()))} "
+          f"(emb_fp={afp})")
+    sropq_rows = [(*row, afp) for row in sropq]
+
     if not ok:
         print("ABORTING — goldens not written")
         return 1
@@ -1500,6 +1614,12 @@ def main() -> int:
         "query_id BIGINT, vec_id BIGINT, cosine DOUBLE, rn BIGINT, "
         "emb_fp BIGINT",
         ropqc_rows,
+    )
+    _write_golden(
+        con, "stream_residual_opq_replay",
+        "vec_id BIGINT, cell BIGINT, code BIGINT, gen BIGINT, "
+        "emb_fp BIGINT",
+        sropq_rows,
     )
     con.close()
     return 0
