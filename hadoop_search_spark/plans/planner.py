@@ -60,6 +60,64 @@ PHRASE_FACTOR = 1.0  # QueryParser.java:45
 _RESULT_SCHEMA = "doc_id BIGINT, score DOUBLE, positions ARRAY<INT>"
 
 
+def _phrase_score_expr() -> F.Column:
+    """Phrase-proximity score over the four staged columns
+    ``_sa, _sb, _pa, _pb`` — shared verbatim by the pairwise join form
+    (:meth:`SearchEngine._intersect_lists`) and the fused single-scan
+    form (:meth:`SearchEngine._phrase_pair_fused`), so the two plans
+    cannot drift in arithmetic.
+
+    Exact min pairwise nonzero |pa - pb| in O((tf_a+tf_b)·log)
+    instead of materializing the O(tf_a·tf_b) cross product
+    (a per-row memory blowup for high-tf terms in long docs):
+    tag each position with its side, merge-sort, and take the
+    min over cross-side gaps at offsets 1 and 2. Offset 2 is
+    required — positions are distinct within one side, so a
+    value can appear at most twice (once per side), and the
+    optimal cross pair is separated by at most two equal-value
+    duplicates; the both-duplicates case is already covered at
+    offset 1 by the inner duplicate pair.
+    Zero distances are excluded: the reference's walk skips
+    equal positions (QueryParser.java:244-247), which also
+    guards the 1/minDist boost against division by zero when
+    a phrase repeats a word.
+    Side is encoded in the low bit (pos*2 + side) so the merge
+    sorts primitive longs, not structs — ~30x cheaper sort in
+    practice (measured 1-3s vs 40s struct-sort vs 104-117s
+    cross-product on 2000 rows of tf=1500)."""
+    tagged = F.array_sort(
+        F.concat(
+            F.transform("_pa", lambda x: x.cast("bigint") * 2),
+            F.transform("_pb", lambda y: y.cast("bigint") * 2 + 1),
+        )
+    )
+    n = F.size(tagged)
+
+    def _cross_gaps(off: int) -> F.Column:
+        # greatest(..., 0): a tf-only side (empty positions
+        # array, e.g. an externally built index) makes the
+        # merged array shorter than the offset — slice must
+        # see length 0, not a negative length (error)
+        length = F.greatest(n - off, F.lit(0))
+        return F.zip_with(
+            F.slice(tagged, 1, length),
+            F.slice(tagged, off + 1, length),
+            lambda u, v: F.when(
+                ((u + v) % 2 == 1)  # low bits differ -> cross-side
+                & (F.shiftright(v, 1) != F.shiftright(u, 1)),
+                F.shiftright(v, 1) - F.shiftright(u, 1),
+            ),
+        )
+
+    # array_min skips nulls (same-side or zero-distance gaps)
+    min_dist = F.array_min(F.concat(_cross_gaps(1), _cross_gaps(2)))
+    prod = F.col("_sa") * F.col("_sb")
+    return F.when(
+        min_dist.isNotNull(),
+        F.pow(prod, F.lit(PHRASE_FACTOR) + 1.0 / min_dist),
+    ).otherwise(prod)
+
+
 @dataclass
 class _Wrapped:
     """PostingListWrapper (`QueryParser.java:63-70`): a posting
@@ -184,56 +242,9 @@ class SearchEngine:
             left = a.df.select("doc_id", F.col("score").alias("_sa"), F.col("positions").alias("_pa"))
             right = b.df.select("doc_id", F.col("score").alias("_sb"), F.col("positions").alias("_pb"))
             joined = left.join(right, "doc_id")
-            # exact min pairwise nonzero |pa - pb| in O((tf_a+tf_b)·log)
-            # instead of materializing the O(tf_a·tf_b) cross product
-            # (a per-row memory blowup for high-tf terms in long docs):
-            # tag each position with its side, merge-sort, and take the
-            # min over cross-side gaps at offsets 1 and 2. Offset 2 is
-            # required — positions are distinct within one side, so a
-            # value can appear at most twice (once per side), and the
-            # optimal cross pair is separated by at most two equal-value
-            # duplicates; the both-duplicates case is already covered at
-            # offset 1 by the inner duplicate pair.
-            # Zero distances are excluded: the reference's walk skips
-            # equal positions (QueryParser.java:244-247), which also
-            # guards the 1/minDist boost against division by zero when
-            # a phrase repeats a word.
-            # side is encoded in the low bit (pos*2 + side) so the merge
-            # sorts primitive longs, not structs — ~30x cheaper sort in
-            # practice (measured 1-3s vs 40s struct-sort vs 104-117s
-            # cross-product on 2000 rows of tf=1500)
-            tagged = F.array_sort(
-                F.concat(
-                    F.transform("_pa", lambda x: x.cast("bigint") * 2),
-                    F.transform("_pb", lambda y: y.cast("bigint") * 2 + 1),
-                )
+            out = joined.select(
+                "doc_id", _phrase_score_expr().alias("score")
             )
-            n = F.size(tagged)
-
-            def _cross_gaps(off: int) -> F.Column:
-                # greatest(..., 0): a tf-only side (empty positions
-                # array, e.g. an externally built index) makes the
-                # merged array shorter than the offset — slice must
-                # see length 0, not a negative length (error)
-                length = F.greatest(n - off, F.lit(0))
-                return F.zip_with(
-                    F.slice(tagged, 1, length),
-                    F.slice(tagged, off + 1, length),
-                    lambda u, v: F.when(
-                        ((u + v) % 2 == 1)  # low bits differ -> cross-side
-                        & (F.shiftright(v, 1) != F.shiftright(u, 1)),
-                        F.shiftright(v, 1) - F.shiftright(u, 1),
-                    ),
-                )
-
-            # array_min skips nulls (same-side or zero-distance gaps)
-            min_dist = F.array_min(F.concat(_cross_gaps(1), _cross_gaps(2)))
-            prod = F.col("_sa") * F.col("_sb")
-            score = F.when(
-                min_dist.isNotNull(),
-                F.pow(prod, F.lit(PHRASE_FACTOR) + 1.0 / min_dist),
-            ).otherwise(prod)
-            out = joined.select("doc_id", score.alias("score"))
         else:
             left = a.df.select("doc_id", F.col("score").alias("_sa"))
             right = b.df.select("doc_id", F.col("score").alias("_sb"))
@@ -241,6 +252,49 @@ class SearchEngine:
                 "doc_id", (F.col("_sa") * F.col("_sb")).alias("score")
             )
         return _Wrapped(P.NORMAL, out, False, min(a.est, b.est))
+
+    def _phrase_pair_fused(
+        self, postings: DataFrame, t1: str, t2: str, stats: dict[str, int]
+    ) -> _Wrapped:
+        """The two-word phrase AND as ONE pass over the postings
+        relation: ``term IN (t1, t2)`` then a doc_id aggregation that
+        pivots each side's (score, positions) and keeps docs holding
+        BOTH terms — same rows and bit-identical scores as
+        :meth:`_intersect_lists` over two leaves (shared
+        :func:`_phrase_score_expr`), but the index is scanned once
+        instead of once per side, and the doc_id equi-join becomes a
+        partial-aggregated shuffle of just the two terms' postings.
+        Measured at sf0.1 (local[32], min/median of 7 hot runs,
+        values pinned equal): join form 205/274 ms → fused 193/211 ms
+        — a real but modest win; the residual constant is per-job
+        scheduling + result collect, shared by both forms. At scale
+        the shape argument dominates: one pruned scan of two term
+        partitions + one width-2 shuffle, vs two scans + a broadcast
+        build whose cost grows with the posting list.
+
+        Guarded to distinct terms: a repeated-word phrase must
+        self-join (each (term, doc) row exists once, so the pivot
+        would see one side)."""
+        hits = postings.filter(F.col("term").isin(t1, t2)).select(
+            "doc_id", "term", "score", "positions"
+        )
+        # max() pivots: exactly one row per (term, doc) exists by
+        # index construction, so max IS the value (and stays
+        # deterministic even if an external index violated that)
+        agg = (
+            hits.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("_n"),
+                F.max(F.when(F.col("term") == t1, F.col("score"))).alias("_sa"),
+                F.max(F.when(F.col("term") == t2, F.col("score"))).alias("_sb"),
+                F.max(F.when(F.col("term") == t1, F.col("positions"))).alias("_pa"),
+                F.max(F.when(F.col("term") == t2, F.col("positions"))).alias("_pb"),
+            )
+            .filter(F.col("_n") == 2)
+        )
+        out = agg.select("doc_id", _phrase_score_expr().alias("score"))
+        est = min(float(stats.get(t1, 0)), float(stats.get(t2, 0)))
+        return _Wrapped(P.NORMAL, out, False, est)
 
     def _merge_lists(self, a: _Wrapped, b: _Wrapped) -> _Wrapped:
         """J2: full-outer union-merge, scores add on overlap."""
@@ -317,6 +371,20 @@ class SearchEngine:
         if isinstance(node, P.StopWord):
             return _Wrapped(P.IGNORED, self._empty(), False, 0.0)
         if isinstance(node, P.And):
+            if (
+                len(node.children) == 2
+                and all(isinstance(c, P.Word) for c in node.children)
+                and node.children[0].term != node.children[1].term
+            ):
+                # the common two-word phrase: fuse both leaves into one
+                # scan + one aggregation (see _phrase_pair_fused);
+                # J6 ordering is moot for a symmetric pair
+                return self._phrase_pair_fused(
+                    postings,
+                    node.children[0].term,
+                    node.children[1].term,
+                    stats,
+                )
             children = [self._evaluate(c, postings, stats) for c in node.children]
             if len(children) == 1:
                 c = children[0]
