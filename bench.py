@@ -53,6 +53,18 @@ HEADLINE = [
     # aggregate series r1-r8 cover the 14 entries above; per-query
     # times remain directly comparable.
     "sketch_hll_distinct",
+    # r11 (r10 verdict #5): the published residual-OPQ index serving
+    # path — partition-pruned code scan + rotated per-(query, probed-
+    # cell) LUTs from the persisted artifact, the r10 index family's
+    # production read. The offline build (train + write_ivfpq_index
+    # over the aniso fixture) is memoized per session like the search
+    # engines, so every timed pass measures SERVE, not re-training.
+    # NOTE for cross-round reads: aggregate series r1-r10 cover the
+    # 15 entries above (r1-r8: the first 14); per-query times remain
+    # directly comparable. This entry is fixture-based (ignores
+    # SPARK_GRAFT_SF_DIR): its per-query time is a latency constant,
+    # not an sf-scaled throughput number.
+    "sim_ivfpq_residual_opq_index",
 ]
 
 
@@ -112,6 +124,9 @@ def main() -> int:
 
     _cat._plain_engine(spark, SF_DIR).plan("table").collect()
     _cat.search_stemmed_cnf(spark, SF_DIR).limit(1).collect()
+    # the published residual-OPQ ANN index is likewise built offline
+    # (train + persist once per session); timed passes serve from it
+    _cat._ropq_published_index(spark)
 
     # untimed warm-up pass (JIT, codegen caches, shuffle services),
     # then timed passes — standard steady-state methodology; the
