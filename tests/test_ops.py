@@ -2967,3 +2967,38 @@ def test_ivfpq_append_exact_rotation_knob(spark, tmp_path):
     )
     out = ivfpq_index_topk(spark, path_f, queries, 10, nprobe=2).collect()
     assert len(out) == 20
+
+
+def test_ivfpq_model_cache_rebuild_invalidates(spark, tmp_path):
+    """The serving path pins a published index's FROZEN models once
+    per (session, path) — correct because appends never change them —
+    and an in-place rebuild drops the pin, so a serve after rebuild
+    reflects the NEW models, never a stale cache."""
+    from hadoop_search_spark.operators.similarity import (
+        ivfpq_index_add,
+        ivfpq_index_topk,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = emb.filter(F.col("vec_id") < 200)
+    path = str(tmp_path / "cachedidx")
+    write_ivfpq_index(a, path, num_centroids=4)
+    queries = emb.filter(F.col("vec_id").isin(0, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r1 = ivfpq_index_topk(spark, path, queries, 5, nprobe=2).collect()
+    assert all(r.vec_id < 200 for r in r1)
+    # append under the pinned (frozen) models — served immediately
+    ivfpq_index_add(
+        spark, path, emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 260))
+    )
+    r2 = ivfpq_index_topk(spark, path, queries, 400, nprobe=4).collect()
+    assert any(r.vec_id >= 200 for r in r2)
+    # in-place rebuild over a DIFFERENT corpus slice with different
+    # models: the serve must reflect the new index, not the pin
+    b = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 460))
+    write_ivfpq_index(b, path, num_centroids=8, encoding="residual")
+    r3 = ivfpq_index_topk(spark, path, queries, 400, nprobe=8).collect()
+    ids3 = {r.vec_id for r in r3}
+    assert ids3 and all(300 <= v < 460 for v in ids3)
