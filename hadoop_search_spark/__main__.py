@@ -468,10 +468,18 @@ def cmd_ann(args) -> int:
         return 0
     # search
     emb = spark.read.parquet(args.embeddings)
-    qids = [int(x) for x in args.query_ids.split(",")]
-    queries = emb.filter(F.col("vec_id").isin(qids)).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    if getattr(args, "queries", None):
+        # external query vectors (a query FILE): the batched serve —
+        # one LUT frame for every query, one code scan pruned to the
+        # union of probed cells
+        queries = spark.read.parquet(args.queries).select(
+            "query_id", "embedding"
+        )
+    else:
+        qids = [int(x) for x in args.query_ids.split(",")]
+        queries = emb.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
     out = (int8_index_topk if int8 else ivfpq_index_topk)(
         spark, args.index, queries, args.k if not args.rerank else args.w,
         nprobe=args.nprobe,
@@ -619,6 +627,15 @@ def main(argv: list[str] | None = None) -> int:
     pann.add_argument(
         "--w", type=int, default=50,
         help="stage-1 candidate width when --rerank is set",
+    )
+    pann.add_argument(
+        "--queries", default=None,
+        help="(search) parquet of (query_id, embedding) EXTERNAL "
+        "query vectors — the production shape: the index stores no "
+        "raw vectors, so request embeddings arrive from an encoder; "
+        "one call serves the whole file (probe LUTs batch across "
+        "queries, the code scan prunes to the union of probed "
+        "cells). Overrides --query-ids",
     )
     pann.add_argument(
         "--query-ids", default="0", dest="query_ids",

@@ -264,3 +264,35 @@ def test_cli_ann_residual_opq_encoding(tmp_path):
     assert r2.returncode == 0, r2.stderr[-500:]
     lines = [ln for ln in r2.stdout.splitlines() if ln.startswith("q=")]
     assert len(lines) == 6 and all("adist9=" in ln for ln in lines)
+
+
+def test_cli_ann_external_query_file(tmp_path):
+    """`ann search --queries <parquet>` (r11): a FILE of external
+    (query_id, embedding) vectors — the production shape, since the
+    index stores no raw vectors — served in ONE batched call; with
+    --rerank the exact-cosine stage reranks the same candidates."""
+    import duckdb
+
+    idx = str(tmp_path / "qfidx")
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    r = run_cli("ann", "build", "--index", idx, "--embeddings", emb)
+    assert r.returncode == 0, r.stderr[-500:]
+    qf = str(tmp_path / "queries.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT vec_id + 10000 AS query_id, embedding "
+        f"FROM read_parquet('{emb}') WHERE vec_id IN (0, 3, 7)) "
+        f"TO '{qf}' (FORMAT PARQUET)"
+    )
+    con.close()
+    r2 = run_cli("ann", "search", "--index", idx, "--embeddings", emb,
+                 "--queries", qf, "--k", "3")
+    assert r2.returncode == 0, r2.stderr[-500:]
+    lines = [ln for ln in r2.stdout.splitlines() if ln.startswith("q=")]
+    assert len(lines) == 9 and all("adist9=" in ln for ln in lines)
+    assert {ln.split()[0] for ln in lines} == {"q=10000", "q=10003", "q=10007"}
+    r3 = run_cli("ann", "search", "--index", idx, "--embeddings", emb,
+                 "--queries", qf, "--k", "2", "--rerank")
+    assert r3.returncode == 0, r3.stderr[-500:]
+    lines3 = [ln for ln in r3.stdout.splitlines() if ln.startswith("q=")]
+    assert len(lines3) == 6 and all("cosine=" in ln for ln in lines3)
