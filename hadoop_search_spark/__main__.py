@@ -468,10 +468,13 @@ def cmd_ann(args) -> int:
         return 0
     # search
     emb = spark.read.parquet(args.embeddings)
-    if getattr(args, "queries", None):
+    external = bool(getattr(args, "queries", None))
+    if external:
         # external query vectors (a query FILE): the batched serve —
         # one LUT frame for every query, one code scan pruned to the
-        # union of probed cells
+        # union of probed cells. External request ids are unrelated
+        # to corpus vec_ids, so the corpus-query self-exclusion is
+        # OFF (a numeric collision must not drop a true neighbor)
         queries = spark.read.parquet(args.queries).select(
             "query_id", "embedding"
         )
@@ -482,7 +485,7 @@ def cmd_ann(args) -> int:
         )
     out = (int8_index_topk if int8 else ivfpq_index_topk)(
         spark, args.index, queries, args.k if not args.rerank else args.w,
-        nprobe=args.nprobe,
+        nprobe=args.nprobe, exclude_self=not external,
     )
     if args.rerank:
         from hadoop_search_spark.operators.similarity import _topk_per_query

@@ -112,9 +112,19 @@ def _py_cell_ranking(emb: list, centroids) -> list:
     the one IEEE division/sqrt per (vector, cell), sorted
     (neg_cos asc, cell asc) — the same (−cos, cell) lexicographic
     order ``array_sort`` applies. Bit-identical by the shared-twin
-    argument the goldens already prove."""
+    argument the goldens already prove.
+
+    A zero-norm query raises instead of serving NaN-ordered garbage
+    (the expression form silently yielded NaN cosines): a cosine
+    index has no ordering for a zero vector — normalize or drop it
+    upstream, the :func:`_cosine` contract."""
     e = [float(x) for x in emb]
     qn = _py_qdot(e, e)
+    if qn == 0:
+        raise ValueError(
+            "zero-norm query embedding: cosine cell ranking is "
+            "undefined — normalize or drop zero vectors upstream"
+        )
     scored = sorted(
         (
             -(
@@ -2126,6 +2136,7 @@ def ivfpq_index_topk(
     k_results: int = 10,
     nprobe: int = NPROBE,
     dim: int = 64,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Serve ADC top-k from a PUBLISHED IVF-PQ index. ``queries`` is a
     (query_id, embedding) frame — the index stores no raw vectors, so
@@ -2153,7 +2164,15 @@ def ivfpq_index_topk(
     m·k LUT expression per fresh plan (~6 s of driver-side Catalyst/
     codegen at dim=64, measured r11 — the serving-path constant, not
     the data). The distributed part of the serve is only what scales:
-    the partition-pruned code scan + broadcast-LUT ADC sum."""
+    the partition-pruned code scan + broadcast-LUT ADC sum.
+
+    ``exclude_self=True`` (default) drops candidates whose vec_id
+    equals the query_id — right when queries come FROM the indexed
+    corpus (every pinned in-memory chain). Pass ``False`` for
+    EXTERNAL query ids (an encoder's request ids — the CLI
+    ``--queries`` file): an external id space is unrelated to corpus
+    vec_ids, and a numeric collision must not silently drop a true
+    neighbor."""
     cents, books, enc_kind, rotation = _ivfpq_models_cached(spark, path)
     m, kc = len(books), len(books[0])
     sub = dim // m
@@ -2181,9 +2200,9 @@ def ivfpq_index_topk(
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("cell").isin(probed_cells)
     )
-    pairs = codes.join(F.broadcast(probes_lit), "cell").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+    pairs = codes.join(F.broadcast(probes_lit), "cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("vec_id") != F.col("query_id"))
     scored = pairs.select("query_id", "vec_id", _adc_score(m, kc))
     w = Window.partitionBy("query_id").orderBy(F.asc("adist9"), F.asc("vec_id"))
     return (
@@ -3090,6 +3109,7 @@ def int8_index_topk(
     queries: DataFrame,
     k_results: int = 10,
     nprobe: int = NPROBE,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Serve stage-1 top-k from a PUBLISHED IVF-SQ8 index.
     ``queries`` is a (query_id, embedding) frame (the index stores no
@@ -3105,7 +3125,10 @@ def int8_index_topk(
     (query_id, vec_id, s8, rn) — :func:`ivf_int8_topk`'s shape,
     pinned equal to it for the same centroids; compose with an exact
     rerank against the raw corpus for the
-    :func:`cascade_ivf_int8_topk` serving stack."""
+    :func:`cascade_ivf_int8_topk` serving stack. ``exclude_self``
+    follows the :func:`ivfpq_index_topk` contract — default True for
+    corpus-sourced query ids, False for external id spaces where a
+    numeric collision must not drop a true neighbor."""
     cents = load_ivf_centroids(spark, path)
     ranking = _cell_ranking(F.col("embedding"), cents)
     probe_rows = queries.select(
@@ -3126,9 +3149,9 @@ def int8_index_topk(
     store = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cell").isin(probed_cells)
     )
-    pairs = store.join(F.broadcast(probes_lit), "cell").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+    pairs = store.join(F.broadcast(probes_lit), "cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("vec_id") != F.col("query_id"))
     sdot = F.aggregate(
         F.zip_with(
             F.col("q_emb"),

@@ -280,11 +280,15 @@ class SearchEngine:
         )
         # max() pivots: exactly one row per (term, doc) exists by
         # index construction, so max IS the value (and stays
-        # deterministic even if an external index violated that)
+        # deterministic even if an external index violated that).
+        # The both-terms gate counts DISTINCT terms, not rows — a
+        # duplicated (term, doc) row in an external index must not
+        # let a one-term doc through (row-count 2) or drop a genuine
+        # two-term doc (row-count 3)
         agg = (
             hits.groupBy("doc_id")
             .agg(
-                F.count("*").alias("_n"),
+                F.count_distinct(F.col("term")).alias("_n"),
                 F.max(F.when(F.col("term") == t1, F.col("score"))).alias("_sa"),
                 F.max(F.when(F.col("term") == t2, F.col("score"))).alias("_sb"),
                 F.max(F.when(F.col("term") == t1, F.col("positions"))).alias("_pa"),

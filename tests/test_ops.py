@@ -2958,10 +2958,17 @@ def test_ivfpq_append_exact_rotation_knob(spark, tmp_path):
         for r in spark.read.parquet(f"{path_e}/codes").collect()
     }
     assert set(fast) == set(exact)
-    # cell assignment never touches the rotation; codes may differ
-    # only where the last-ulp rotation difference flips a knife-edge
-    # codebook argmin — none on this fixture
-    assert fast == exact
+    # cell assignment never touches the rotation — pinned exactly;
+    # codes may differ only where the last-ulp BLAS-vs-decimal
+    # rotation difference flips a knife-edge codebook argmin, and
+    # THAT margin is machine-dependent (the r10 eigh lesson: never
+    # pin CI to BLAS kernel dispatch) — so bound the drift instead
+    # of asserting equality (currently 0 differing codes here)
+    assert {v: c for v, (c, _) in fast.items()} == {
+        v: c for v, (c, _) in exact.items()
+    }
+    n_diff = sum(1 for v in fast if fast[v][1] != exact[v][1])
+    assert n_diff <= max(2, len(fast) // 100), n_diff
     queries = emb.filter(F.col("vec_id").isin(0, 450)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -3002,3 +3009,37 @@ def test_ivfpq_model_cache_rebuild_invalidates(spark, tmp_path):
     r3 = ivfpq_index_topk(spark, path, queries, 400, nprobe=8).collect()
     ids3 = {r.vec_id for r in r3}
     assert ids3 and all(300 <= v < 460 for v in ids3)
+
+
+def test_ivfpq_serve_external_ids_and_zero_norm_guard(spark, tmp_path):
+    """Serving guards (r11 review): with EXTERNAL query ids
+    (exclude_self=False) a numeric collision with a corpus vec_id
+    must not drop the true neighbor — the default corpus-query mode
+    still self-excludes; and a zero-norm query raises loudly instead
+    of serving NaN-ordered garbage."""
+    from hadoop_search_spark.operators.similarity import (
+        ivfpq_index_topk,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "extidx")
+    write_ivfpq_index(emb, path, num_centroids=8)
+    # an "external" request whose id collides with corpus vec_id 7
+    # and whose embedding IS vector 7: the true neighbor is vec 7
+    q7 = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ext = ivfpq_index_topk(
+        spark, path, q7, 3, nprobe=2, exclude_self=False
+    ).collect()
+    top = next(r for r in ext if r.rn == 1)
+    assert top.vec_id == 7 and top.adist9 == 0.0
+    corpus_mode = ivfpq_index_topk(spark, path, q7, 3, nprobe=2).collect()
+    assert all(r.vec_id != 7 for r in corpus_mode)
+
+    zq = spark.createDataFrame(
+        [(99, [0.0] * 64)], "query_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="zero-norm"):
+        ivfpq_index_topk(spark, path, zq, 3, exclude_self=False)
