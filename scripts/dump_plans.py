@@ -26,11 +26,17 @@ COMMENTARY = {
         "AQE re-plans from runtime sizes."
     ),
     "search_phrase": (
-        "Phrase query through the CNF planner: two term-pruned index "
-        "scans (term equality pushed down — on the published "
-        "range-partitioned index this prunes to one file per term), an "
-        "inner join on doc_id, and the min-distance boost as a codegen'd "
-        "nested-array expression. No Python, no driver materialization."
+        "Phrase query through the CNF planner, FUSED form (r11): ONE "
+        "term-IN-pruned index scan (on the published range-partitioned "
+        "index this prunes to the two terms' files), a doc_id "
+        "aggregation pivoting each side's (score, positions) and "
+        "gating on both DISTINCT terms present, and the min-distance "
+        "boost as the same nested-array expression the join form "
+        "shares (bit-identical scores). The agg is a SortAggregate "
+        "(array-typed pivot values aren't hash-aggregatable) over the "
+        "two terms' postings only — one width-2 shuffle instead of a "
+        "second scan + broadcast build. No Python, no driver "
+        "materialization."
     ),
     "dedup_minhash_lsh": (
         "MinHash+LSH: one shuffle computes all 16 min-hashes as "
