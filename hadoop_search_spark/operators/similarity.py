@@ -969,6 +969,11 @@ def write_ivf_index(
         [(int(c), [float(x) for x in v]) for c, v in cents],
         "cell INT, centroid ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # an in-place rebuild re-defines the frozen quantizer — drop any
+    # session-pinned copy (see _ivf_centroids_cached)
+    _IVF_CENTROID_CACHE.pop(
+        (spark.sparkContext.applicationId, path), None
+    )
     return cents
 
 
@@ -1000,7 +1005,7 @@ def ivf_index_add(
     time. The check scans only the index's vec_id column (column
     pruning); pass False when the caller guarantees fresh ids (e.g.
     monotone ingest offsets) and the scan is not worth it."""
-    cents = load_ivf_centroids(spark, path)
+    cents = _ivf_centroids_cached(spark, path)
     # normalize to the INDEX's stored embedding type BEFORE assigning:
     # appending ARRAY<DOUBLE> rows into an ARRAY<FLOAT> store makes
     # the vectors dir unreadable under schema merge (float/double
@@ -1101,6 +1106,23 @@ def load_ivf_centroids(spark: SparkSession, path: str):
     return [(int(r.cell), [float(x) for x in r.centroid]) for r in rows]
 
 
+_IVF_CENTROID_CACHE: dict = {}
+
+
+def _ivf_centroids_cached(spark: SparkSession, path: str):
+    """:func:`load_ivf_centroids` pinned once per (session, path) —
+    the :func:`_ivfpq_models_cached` argument applied to the
+    vector-layout indexes (ivf / int8 share the /centroids table):
+    appends serve under the FROZEN coarse quantizer by contract, so
+    the only staling mutation is an in-place rebuild, and the index
+    writers invalidate the key they write. Removes a model-load job
+    from every cold serve/append/drift call."""
+    key = (spark.sparkContext.applicationId, path)
+    if key not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE[key] = load_ivf_centroids(spark, path)
+    return _IVF_CENTROID_CACHE[key]
+
+
 def ivf_index_topk(
     spark: SparkSession,
     path: str,
@@ -1112,39 +1134,33 @@ def ivf_index_topk(
     read-side twin of :func:`ann_ivf_topk`, identical output for the
     same quantizer and nprobe (pinned by test).
 
-    Probe cells are chosen by running the SAME Catalyst ranking
-    expression over the tiny query frame (collecting a handful of
-    (query, cell) rows — never Python float arithmetic, which could
-    diverge from the expression by an ulp and flip a boundary cell),
-    then the vector scan filters on the LITERAL probed-cell set, so
-    only those partition directories are read (PartitionFilters in
-    the scan, asserted in tests). The query-vector lookup itself is
-    an id filter; a serving deployment would keep vectors also keyed
-    by id (the corpus sink pattern) for point fetch."""
+    Probe cells are ranked ON THE DRIVER with
+    :func:`_py_cell_ranking` — the exact Python twin of the Catalyst
+    ranking expression (integer :func:`_py_qdot` sums feeding one
+    IEEE division; identical bit-for-bit, the equivalence every
+    golden replay and the r11 ivfpq oracle gates pin — so the old
+    "Python floats could diverge by an ulp" concern is closed by the
+    integer recipe, and the serve stops paying per-plan compilation
+    of the ranking expression). The vector scan then filters on the
+    LITERAL probed-cell set, so only those partition directories are
+    read (PartitionFilters in the scan, asserted in tests). The
+    query-vector lookup itself is an id filter over the index — ONE
+    job; a serving deployment would keep vectors also keyed by id
+    (the corpus sink pattern) for point fetch."""
     vectors = spark.read.parquet(f"{path}/vectors")
-    cents = load_ivf_centroids(spark, path)
-    q = vectors.filter(
+    cents = _ivf_centroids_cached(spark, path)
+    q_rows = vectors.filter(
         F.col("vec_id").isin(*[int(i) for i in query_ids])
-    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    ranking = _cell_ranking(F.col("q_emb"), cents)
-    probes = q.select(
-        "query_id",
-        "q_emb",
-        F.explode(F.slice(ranking, 1, nprobe)).alias("probe"),
-    ).select("query_id", "q_emb", F.col("probe.cell").alias("cell"))
-    # ONE execution of the probe subtree (it scans all cells to find
-    # the query vectors by id): collect the handful of probe rows and
-    # rebuild the broadcast side as a literal frame — reusing `probes`
-    # in the join would re-run the unpruned lookup scan a second time
-    probe_rows = probes.collect()
+    ).select("vec_id", "embedding").collect()
+    lit_rows = [
+        (int(r.vec_id), [float(x) for x in r.embedding], int(cell))
+        for r in q_rows
+        for cell in _py_cell_ranking(r.embedding, cents)[:nprobe]
+    ]
     probes_lit = spark.createDataFrame(
-        [
-            (int(r.query_id), [float(x) for x in r.q_emb], int(r.cell))
-            for r in probe_rows
-        ],
-        "query_id BIGINT, q_emb ARRAY<FLOAT>, cell BIGINT",
+        lit_rows, "query_id BIGINT, q_emb ARRAY<FLOAT>, cell BIGINT"
     )
-    probed_cells = sorted({int(r.cell) for r in probe_rows})
+    probed_cells = sorted({c for _q, _e, c in lit_rows})
     pruned = vectors.filter(F.col("cell").isin(probed_cells))
     pairs = pruned.join(F.broadcast(probes_lit), "cell").filter(
         F.col("vec_id") != F.col("query_id")
@@ -1282,7 +1298,7 @@ def ivf_index_drift(spark: SparkSession, path: str) -> DataFrame:
         vectors = vectors.withColumn(
             "gen", F.coalesce(F.col("gen"), F.lit(0).cast("bigint"))
         )
-    cents = load_ivf_centroids(spark, path)
+    cents = _ivf_centroids_cached(spark, path)
     return ivf_drift_stats(
         vectors.filter(F.col("gen") == 0),
         vectors.filter(F.col("gen") > 0),
@@ -3040,6 +3056,11 @@ def write_int8_index(
         [(int(c), [float(x) for x in v]) for c, v in cents],
         "cell INT, centroid ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # an in-place rebuild re-defines the frozen quantizer — drop any
+    # session-pinned copy (see _ivf_centroids_cached)
+    _IVF_CENTROID_CACHE.pop(
+        (spark.sparkContext.applicationId, path), None
+    )
     return cents
 
 
@@ -3061,7 +3082,7 @@ def int8_index_add(
     story is :func:`ivf_index_drift`'s cell-distribution watch.
     Returns rows added. Gen lineage follows the module's crash
     ordering: the ``_GEN`` claim lands BEFORE the data write."""
-    cents = load_ivf_centroids(spark, path)
+    cents = _ivf_centroids_cached(spark, path)
     new_embeddings = new_embeddings.withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     ).localCheckpoint()
@@ -3129,23 +3150,20 @@ def int8_index_topk(
     follows the :func:`ivfpq_index_topk` contract — default True for
     corpus-sourced query ids, False for external id spaces where a
     numeric collision must not drop a true neighbor."""
-    cents = load_ivf_centroids(spark, path)
-    ranking = _cell_ranking(F.col("embedding"), cents)
-    probe_rows = queries.select(
-        "query_id",
-        "embedding",
-        F.explode(F.slice(ranking, 1, nprobe)).alias("probe"),
-    ).select(
-        "query_id", "embedding", F.col("probe.cell").alias("cell")
-    ).collect()
+    cents = _ivf_centroids_cached(spark, path)
+    # probe ranking on the driver via the exact Python twin (the
+    # ivf_index_topk / ivfpq_index_topk serving treatment, r11):
+    # queries are request-sized, and the ranking expression's
+    # per-plan compile was the serving constant
+    lit_rows = [
+        (int(r.query_id), [float(x) for x in r.embedding], int(cell))
+        for r in queries.select("query_id", "embedding").collect()
+        for cell in _py_cell_ranking(r.embedding, cents)[:nprobe]
+    ]
     probes_lit = spark.createDataFrame(
-        [
-            (int(r.query_id), [float(x) for x in r.embedding], int(r.cell))
-            for r in probe_rows
-        ],
-        "query_id BIGINT, q_emb ARRAY<DOUBLE>, cell BIGINT",
+        lit_rows, "query_id BIGINT, q_emb ARRAY<DOUBLE>, cell BIGINT"
     )
-    probed_cells = sorted({int(r.cell) for r in probe_rows})
+    probed_cells = sorted({c for _q, _e, c in lit_rows})
     store = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cell").isin(probed_cells)
     )
@@ -3338,7 +3356,7 @@ def int8_index_drift(spark: SparkSession, path: str) -> DataFrame:
         "qn",
         (gen == 0).alias("is_orig"),
     )
-    return int8_drift_stats(store, load_ivf_centroids(spark, path))
+    return int8_drift_stats(store, _ivf_centroids_cached(spark, path))
 
 
 def cascade_ivfpq_recall(
