@@ -3672,8 +3672,13 @@ probes AS (SELECT vec_id AS query_id, cell FROM ccos
 
 # The full IVF+PQ ADC candidate/score chain — probe chain + seed
 # codebooks + per-query LUT ADC, ending at CTE `adist` (query_id,
-# vec_id, adist9). Shared by sim_ivf_pq_topk and the IVF-PQ-tier
-# cascade; consumers add their own ranking tail.
+# vec_id, adist9). Shared by sim_ivf_pq_topk, the IVF-PQ-tier
+# cascade, and the external-id serving entry; consumers add their
+# own ranking tail. NOTE adist carries NO self-exclusion (r11):
+# corpus-query consumers filter vec_id <> query_id in their tails,
+# the external-id entry keeps every candidate. (Also: no `--`
+# comments inside oracle SQL — the contract test collapses
+# whitespace, which would swallow the rest of the statement.)
 _IVFPQ_ADC_CTES = (
     _IVF_PROBE_CTES
     + _PQ_CTES
@@ -3697,7 +3702,7 @@ adist AS (
   SELECT p.query_id, a.vec_id, CAST(CAST(sum(q.d) AS BIGINT) AS DOUBLE)
            / CAST(1000000000000 AS DOUBLE) AS adist9
   FROM assign a
-  JOIN probes p ON p.cell = a.cell AND a.vec_id <> p.query_id
+  JOIN probes p ON p.cell = a.cell
   JOIN vcodes v ON v.vec_id = a.vec_id
   JOIN qlut q ON q.query_id = p.query_id AND q.s = v.s AND q.j = v.j
   GROUP BY p.query_id, a.vec_id
@@ -3714,7 +3719,7 @@ SELECT query_id, vec_id, adist9, rn FROM (
   SELECT query_id, vec_id, adist9,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adist9, vec_id) AS rn
-  FROM adist) t
+  FROM adist WHERE vec_id <> query_id) t
 WHERE rn <= 10
 """,
     note="the composed billion-scale ANN architecture (operators/"
@@ -6344,7 +6349,7 @@ ccand AS (
     SELECT query_id, vec_id,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY adist9, vec_id) AS arn
-    FROM adist) t
+    FROM adist WHERE vec_id <> query_id) t
   WHERE arn <= 50
 ),
 rdots AS (
@@ -7473,6 +7478,52 @@ def stream_residual_opq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ivfpq_index_external_q",
+    oracle=_EMB_CTE
+    + _IVFPQ_ADC_CTES
+    + """
+SELECT query_id, vec_id, adist9, rn FROM (
+  SELECT query_id + 10000 AS query_id, vec_id, adist9,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist9, vec_id) AS rn
+  FROM adist) t
+WHERE rn <= 10
+""",
+    note="published-index serving with EXTERNAL query ids (r11): the "
+    "production read path — the index stores no raw vectors, so "
+    "request embeddings arrive from an encoder under the ENCODER'S "
+    "id space, and exclude_self=False keeps a corpus vector whose "
+    "vec_id numerically collides with a request id (the corpus-query "
+    "self-exclusion would silently drop a true neighbor). Queries "
+    "here are vectors 0-4 re-identified as 10000-10004; each query's "
+    "rank-1 hit is its own corpus twin at adist9 = 0 — the row the "
+    "collision bug class would have dropped. The whole query side "
+    "(cell ranking, LUT) runs DRIVER-SIDE via the exact Python twins "
+    "(_py_cell_ranking/_py_pq_lut — the r11 serving treatment); the "
+    "oracle is the sim_ivf_pq_topk ADC chain with the id shift and "
+    "no self-exclusion, fully SQL-exact.",
+)
+def sim_ivfpq_index_external_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_search_spark.operators.similarity import (
+        ivfpq_index_topk,
+        write_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="extq_idx_")
+    write_ivfpq_index(emb, path, num_centroids=8)
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4)).select(
+        (F.col("vec_id") + 10000).cast("bigint").alias("query_id"),
+        "embedding",
+    )
+    return ivfpq_index_topk(
+        spark, path, queries, 10, nprobe=2, exclude_self=False
+    )
+
+
 # ---- public accessors -------------------------------------------------
 
 # The correctness driver records at most the FIRST 50 queries() entries
@@ -7490,17 +7541,26 @@ _DRIVER_FRONT = [
     #
     # (a) NEW this round: the streaming replay over the ROTATED-code
     # encoding — the online lifecycle now closes over all three index
-    # layouts (raw vectors / int8 / ivfpq codes incl. residual_opq):
+    # layouts (raw vectors / int8 / ivfpq codes incl. residual_opq) —
+    # and the external-query-id serving entry (exclude_self=False,
+    # the collision-safe production read):
     "stream_residual_opq_replay",
+    "sim_ivfpq_index_external_q",
     # (b) CHANGED this round (r10 ADVICE fixes touched their code
     # paths — encoding detection now reads through Spark, rotation-
     # without-books defaults train in the rotated residual space, the
     # append path gained the exact_rotation knob; values unchanged,
-    # but the rule is the rule):
+    # but the rule is the rule). sim_ivf_pq_topk /
+    # sim_cascade_ivfpq_topk moved here from the r8 pool: their
+    # oracle SQL was refactored for the external-id entry (self-
+    # exclusion moved from the shared adist CTE into their tails —
+    # values identical, but changed is changed):
     "sim_ivfpq_residual_opq",
     "sim_ivfpq_residual_opq_index",
     "sim_cascade_residual_opq",
     "stream_ivfpq_replay",
+    "sim_ivf_pq_topk",
+    "sim_cascade_ivfpq_topk",
     # (c) the 24 r7-latest entries deferred from the r10 front (the
     # oldest driver evidence in the catalog — after this round no
     # entry's latest row is older than r8):
@@ -7528,17 +7588,18 @@ _DRIVER_FRONT = [
     "text_repetition",
     "text_surprisal",
     "text_zipf_histogram",
-    # (d) 21 of the 47 r8-latest entries (alphabetical; the deferred
-    # 26 — q3_shipping_priority, q5_local_supplier_volume,
+    # (d) 18 of the 47 r8-latest entries (alphabetical; the deferred
+    # 27 — postings_tfidf, q12_ship_lag_priority, q1_pricing_summary,
+    # q3_shipping_priority, q5_local_supplier_volume,
     # q6_forecast_revenue, q_anti_join, q_case_pivot, q_distinct_agg,
     # q_pagination, q_point_lookup, sim_ann_lsh_multiprobe,
     # sim_ann_lsh_topk, sim_cascade_int8_topk, sim_cascade_ivf_int8,
-    # sim_cascade_ivfpq_topk, sim_embedding_dedup, sim_ivf_pq_topk,
-    # sim_ivfpq_residual_trained, sim_pq_trained_topk,
-    # sim_semantic_dedup, sketch_cms_counts, sketch_cms_pointq,
-    # sketch_hist_quantiles, sketch_hll_distinct, sketch_hll_grouped,
-    # stream_cms_replay, stream_hist_replay, stream_hll_replay —
-    # lead the r12 fill):
+    # sim_embedding_dedup, sim_ivfpq_residual_trained,
+    # sim_pq_trained_topk, sim_semantic_dedup, sketch_cms_counts,
+    # sketch_cms_pointq, sketch_hist_quantiles, sketch_hll_distinct,
+    # sketch_hll_grouped, stream_cms_replay, stream_hist_replay,
+    # stream_hll_replay — lead the r12 fill; sim_ivf_pq_topk and
+    # sim_cascade_ivfpq_topk graduated to (b) above):
     "curation_pipeline_v2",
     "curation_summary",
     "dedup_benchmark_report",
@@ -7557,9 +7618,6 @@ _DRIVER_FRONT = [
     "postings_bm25",
     "postings_incremental_merge",
     "postings_tf",
-    "postings_tfidf",
-    "q12_ship_lag_priority",
-    "q1_pricing_summary",
 ]
 
 def _ordered() -> list[str]:
