@@ -7272,7 +7272,14 @@ def stream_ivfpq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     for epoch in range(4):
         ix.process_batch(rest.filter(F.col("vec_id") % 4 == epoch), epoch)
     ix.process_batch(rest.filter(F.col("vec_id") % 4 == 2), 2)  # replay
-    return spark.read.parquet(f"{index_path}/codes").select(
+    # mergeSchema: the build's part-files predate the gen column (the
+    # appends add it); a plain read infers the schema from ONE footer
+    # chosen by file-listing order and can nondeterministically drop
+    # gen (UNRESOLVED_COLUMN) — same contract as the library's
+    # gen-aware readers (similarity.py `_index_generation`).
+    return spark.read.option("mergeSchema", "true").parquet(
+        f"{index_path}/codes"
+    ).select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("cell").cast("bigint").alias("cell"),
         F.col("code").cast("bigint").alias("code"),
@@ -7470,7 +7477,11 @@ def stream_residual_opq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     for epoch in range(4):
         ix.process_batch(rest.filter(F.col("vec_id") % 4 == epoch), epoch)
     ix.process_batch(rest.filter(F.col("vec_id") % 4 == 2), 2)  # replay
-    return spark.read.parquet(f"{index_path}/codes").select(
+    # mergeSchema for the mixed gen-less/gen-bearing footers — see
+    # stream_ivfpq_replay above.
+    return spark.read.option("mergeSchema", "true").parquet(
+        f"{index_path}/codes"
+    ).select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("cell").cast("bigint").alias("cell"),
         F.col("code").cast("bigint").alias("code"),

@@ -117,7 +117,11 @@ def _py_cell_ranking(emb: list, centroids) -> list:
     A zero-norm query raises instead of serving NaN-ordered garbage
     (the expression form silently yielded NaN cosines): a cosine
     index has no ordering for a zero vector — normalize or drop it
-    upstream, the :func:`_cosine` contract."""
+    upstream, the :func:`_cosine` contract. A zero-norm CENTROID is
+    the same disease on the model side (a degenerate quantizer cell
+    — e.g. k-means fed all-zero vectors) and raises a contract error
+    naming the cell, instead of the bare ZeroDivisionError the
+    unguarded division produced."""
     e = [float(x) for x in emb]
     qn = _py_qdot(e, e)
     if qn == 0:
@@ -125,16 +129,23 @@ def _py_cell_ranking(emb: list, centroids) -> list:
             "zero-norm query embedding: cosine cell ranking is "
             "undefined — normalize or drop zero vectors upstream"
         )
-    scored = sorted(
-        (
-            -(
-                float(_py_qdot(e, vec))
-                / math.sqrt(float(qn) * float(_py_qdot(vec, vec)))
-            ),
-            int(cell),
+    scored = []
+    for cell, vec in centroids:
+        cn = _py_qdot(vec, vec)
+        if cn == 0:
+            raise ValueError(
+                f"zero-norm centroid in quantizer cell {int(cell)}: "
+                "cosine cell ranking is undefined for a degenerate "
+                "cell — retrain the coarse quantizer on normalized, "
+                "non-zero vectors"
+            )
+        scored.append(
+            (
+                -(float(_py_qdot(e, vec)) / math.sqrt(float(qn) * float(cn))),
+                int(cell),
+            )
         )
-        for cell, vec in centroids
-    )
+    scored.sort()
     return [c for _, c in scored]
 
 
@@ -1108,19 +1119,72 @@ def load_ivf_centroids(spark: SparkSession, path: str):
 
 _IVF_CENTROID_CACHE: dict = {}
 
+# Bounded model caches: a long-lived serving session pins at most
+# this many (session, path) model sets; beyond it the oldest entry is
+# evicted (per-mkdtemp test indexes would otherwise accumulate
+# forever — each entry is only KBs, but unbounded is unbounded).
+_MODEL_CACHE_MAX = 32
+
+
+def _model_fingerprint(spark: SparkSession, path: str, table: str = "centroids"):
+    """Cross-process staleness signal for a published model table:
+    the sorted (file name, length, mtime) tuple of ``{path}/{table}``
+    via the Hadoop FileSystem client — a driver-side metadata call
+    (no Spark job) that works on any filesystem the session reaches.
+    An in-place rebuild rewrites the part-files (new UUID names), so
+    the tuple changes even though the path does not. This is the
+    signal the in-process writer invalidation cannot give when the
+    rebuild happens in a DIFFERENT process (a CLI ``ann build`` next
+    to a long-lived serving session): the frozen models are re-read
+    the first serve after the fingerprint moves, never silently
+    served stale."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{table}")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return tuple(
+        sorted(
+            (
+                st.getPath().getName(),
+                int(st.getLen()),
+                int(st.getModificationTime()),
+            )
+            for st in fs.listStatus(hpath)
+        )
+    )
+
+
+def _model_cache_get(cache: dict, key, fingerprint, loader):
+    """Fingerprint-validated cache read: hit only when the persisted
+    fingerprint still matches; otherwise (re)load and evict oldest
+    entries beyond :data:`_MODEL_CACHE_MAX` (dict preserves insertion
+    order)."""
+    hit = cache.get(key)
+    if hit is not None and hit[0] == fingerprint:
+        return hit[1]
+    value = loader()
+    cache.pop(key, None)
+    cache[key] = (fingerprint, value)
+    while len(cache) > _MODEL_CACHE_MAX:
+        cache.pop(next(iter(cache)))
+    return value
+
 
 def _ivf_centroids_cached(spark: SparkSession, path: str):
-    """:func:`load_ivf_centroids` pinned once per (session, path) —
-    the :func:`_ivfpq_models_cached` argument applied to the
+    """:func:`load_ivf_centroids` pinned per (session, path) — the
+    :func:`_ivfpq_models_cached` argument applied to the
     vector-layout indexes (ivf / int8 share the /centroids table):
     appends serve under the FROZEN coarse quantizer by contract, so
-    the only staling mutation is an in-place rebuild, and the index
-    writers invalidate the key they write. Removes a model-load job
-    from every cold serve/append/drift call."""
+    the only staling mutation is a rebuild — in-process rebuilds
+    invalidate eagerly (the writers pop their key), cross-process
+    rebuilds are caught by the :func:`_model_fingerprint` check on
+    every read. Removes a model-load job from every cold
+    serve/append/drift call (the fingerprint is one driver-side
+    listStatus, not a job)."""
     key = (spark.sparkContext.applicationId, path)
-    if key not in _IVF_CENTROID_CACHE:
-        _IVF_CENTROID_CACHE[key] = load_ivf_centroids(spark, path)
-    return _IVF_CENTROID_CACHE[key]
+    fp = _model_fingerprint(spark, path)
+    return _model_cache_get(
+        _IVF_CENTROID_CACHE, key, fp, lambda: load_ivf_centroids(spark, path)
+    )
 
 
 def ivf_index_topk(
@@ -2131,18 +2195,24 @@ def _ivfpq_models_cached(spark: SparkSession, path: str):
     frozen-models contract: appends never change centroids, codebooks,
     encoding, or rotation (re-defining them would re-define every
     stored code), so the only mutation that could stale the cache is
-    an in-place rebuild, and :func:`write_ivfpq_index` invalidates the
-    key it writes. At real scale the artifact is immutable-versioned
-    (a rebuild publishes a NEW path) and a serving process pins the
-    models once — this cache is that behavior, and it removes four
-    small model-load jobs from every cold serve (measured r11: 1.4 s
-    → ~0.4 s fresh-plan serve at nprobe=2)."""
+    an in-place rebuild — :func:`write_ivfpq_index` invalidates the
+    key it writes in-process, and a CROSS-process rebuild (CLI build
+    beside a long-lived serving session) is caught by the
+    :func:`_model_fingerprint` check on every read. At real scale the
+    artifact is immutable-versioned (a rebuild publishes a NEW path)
+    and a serving process pins the models once — this cache is that
+    behavior, and it removes four small model-load jobs from every
+    cold serve (measured r11: 1.4 s → ~0.4 s fresh-plan serve at
+    nprobe=2; the fingerprint is one driver-side listStatus)."""
     key = (spark.sparkContext.applicationId, path)
-    if key not in _IVFPQ_MODEL_CACHE:
+    fp = _model_fingerprint(spark, path)
+
+    def _load():
         cents, books = load_ivfpq_models(spark, path)
         enc_kind, rotation = load_ivfpq_encoding(spark, path)
-        _IVFPQ_MODEL_CACHE[key] = (cents, books, enc_kind, rotation)
-    return _IVFPQ_MODEL_CACHE[key]
+        return (cents, books, enc_kind, rotation)
+
+    return _model_cache_get(_IVFPQ_MODEL_CACHE, key, fp, _load)
 
 
 def ivfpq_index_topk(
