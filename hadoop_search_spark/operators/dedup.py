@@ -21,7 +21,12 @@ Scale: the only self-joins are on LSH band buckets / hash prefixes,
 never all-pairs; shingle explosion is linear in corpus size and
 shuffles on (doc, shingle)-derived keys. At 100 TB the band join is
 the standard MinHash-LSH reduce — skew (a viral shingle) is handled
-by AQE skew-join splitting.
+by AQE skew-join splitting, and WITHIN-bucket blowup (a near-dup
+mega-cluster putting m ~ 10⁶ docs in one band bucket → O(m²) join
+OUTPUT, which AQE cannot split) is capped by :data:`DEFAULT_BUCKET_CAP`:
+hot buckets emit representative edges instead of all pairs (same
+candidate-graph connected components; see
+:func:`minhash_lsh_candidates`).
 """
 
 from __future__ import annotations
@@ -399,20 +404,132 @@ def minhash_bands_wide(
     )
 
 
-def minhash_lsh_candidates(bands: DataFrame) -> DataFrame:
-    """Distinct candidate pairs sharing any LSH band bucket."""
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+# Hot-bucket cap for the band-bucket candidate joins (r11 VERDICT #1:
+# the one scale-killer class left). A NEAR-identical mega-cluster
+# (templated web boilerplate differing only in a date string — m ~ 10⁶
+# at 100 TB) survives exact-dedup-first, shares every band key, and
+# makes the within-bucket all-pairs join quadratic (~10¹² pairs from
+# ONE bucket). AQE cannot split it: the blowup is join OUTPUT, not
+# partition size. Above the cap a bucket emits REPRESENTATIVE edges
+# (bucket_min_doc, doc) — O(m) instead of O(m²), same candidate-graph
+# connected components (every member stays reachable through the
+# representative). The default never bites at the test SFs (max
+# observed bucket: 4 minhash / 553 simhash at sf0.1), so sub-cap
+# results are bit-identical to the exact all-pairs form.
+DEFAULT_BUCKET_CAP = 1024
+
+
+def _bucket_stats(
+    banded: DataFrame,
+    keys: list[str],
+    bucket_cap: int,
+    on_hot_bucket: str,
+    payload: str | None = None,
+) -> DataFrame:
+    """Per-bucket (``*keys``, _bsz, _rep[, _rep_payload]) with the
+    ``on_hot_bucket`` policy applied to ``_bsz``:
+
+    * ``"star"`` — hot buckets handled by representative edges (the
+      caller's contract);
+    * ``"error"`` — a bucket over the cap raises loudly (the repo's
+      no-silent-fallback doctrine) instead of silently degrading
+      recall, for consumers that require exact all-pairs semantics.
+    """
+    aggs = [F.count("*").alias("_bsz"), F.min("doc_id").alias("_rep")]
+    if payload is not None:
+        # doc_id is unique within a bucket (one row per doc per band),
+        # so min_by is deterministic: the representative's payload
+        aggs.append(F.min_by(payload, "doc_id").alias("_rep_payload"))
+    stats = banded.groupBy(*keys).agg(*aggs)
+    if on_hot_bucket == "error":
+        stats = stats.withColumn(
+            "_bsz",
+            F.when(
+                F.col("_bsz") > bucket_cap,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "LSH bucket over cap "
+                            f"{bucket_cap} (on_hot_bucket='error'): "
+                            "size "
+                        ),
+                        F.col("_bsz").cast("string"),
+                        F.lit(", representative doc_id "),
+                        F.col("_rep").cast("string"),
+                        F.lit(
+                            " — a near-dup mega-cluster makes the "
+                            "all-pairs join quadratic; use "
+                            "on_hot_bucket='star' or raise the cap"
+                        ),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("_bsz")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    elif on_hot_bucket != "star":
+        raise ValueError(
+            f"on_hot_bucket must be 'star' or 'error', got {on_hot_bucket!r}"
+        )
+    return stats
+
+
+def minhash_lsh_candidates(
+    bands: DataFrame,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    on_hot_bucket: str = "star",
+) -> DataFrame:
+    """Distinct candidate pairs sharing any LSH band bucket, with
+    hot-bucket protection: buckets of size ≤ ``bucket_cap`` emit exact
+    all-pairs; larger buckets emit representative edges
+    ``(bucket_min_doc, other)`` — O(m·cap + m) candidates instead of
+    O(m²), and the same candidate-graph connected components (every
+    hot-bucket member is adjacent to the representative).
+
+    Recall contract for PAIR consumers (not cluster consumers): inside
+    a hot bucket, a pair is attested only through the representative.
+    For the mega-cluster data shape that creates hot buckets —
+    near-identical documents — every member verifies against the
+    representative, so cluster membership is preserved; a bucket that
+    mixes genuinely dissimilar docs above the cap is a band-collision
+    pathology the verify stage already treats as noise. Pass
+    ``on_hot_bucket="error"`` to refuse loudly instead, or
+    ``bucket_cap=None`` for the legacy exact all-pairs join."""
+    if bucket_cap is None:
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+    stats = _bucket_stats(
+        bands, ["band", "band_key"], bucket_cap, on_hot_bucket
     )
+    sized = bands.join(stats, ["band", "band_key"])
+    small = sized.filter(F.col("_bsz") <= bucket_cap).select(
+        "doc_id", "band", "band_key"
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    small_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    star_pairs = sized.filter(
+        (F.col("_bsz") > bucket_cap) & (F.col("doc_id") != F.col("_rep"))
+    ).select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return small_pairs.unionByName(star_pairs).distinct()
 
 
 def jaccard_verify(
@@ -449,6 +566,8 @@ def minhash_lsh_dedup(
     num_hashes: int = NUM_MINHASHES,
     band_rows: int = LSH_BAND_ROWS,
     shingles: DataFrame | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    on_hot_bucket: str = "star",
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bucket join →
     exact-Jaccard verify. Returns (doc_a, doc_b, jaccard) pairs.
@@ -459,9 +578,15 @@ def minhash_lsh_dedup(
     deliberately caller-owned — an operator that persists internally
     on every call leaks cache entries until the MemoryStore thrashes.
     Signatures use the one-shuffle wide form
-    (:func:`minhash_bands_wide`)."""
+    (:func:`minhash_bands_wide`); candidate generation is hot-bucket
+    capped (see :func:`minhash_lsh_candidates` for the
+    ``bucket_cap``/``on_hot_bucket`` contract)."""
     sh = shingles if shingles is not None else word_shingles(docs, text_col)
-    cand = minhash_lsh_candidates(minhash_bands_wide(sh, num_hashes, band_rows))
+    cand = minhash_lsh_candidates(
+        minhash_bands_wide(sh, num_hashes, band_rows),
+        bucket_cap=bucket_cap,
+        on_hot_bucket=on_hot_bucket,
+    )
     return jaccard_verify(cand, sh, threshold)
 
 
@@ -474,6 +599,8 @@ def cross_corpus_pairs(
     band_rows: int = LSH_BAND_ROWS,
     new_shingles: DataFrame | None = None,
     ref_shingles: DataFrame | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    on_hot_bucket: str = "star",
 ) -> DataFrame:
     """Near-dup pairs of a NEW snapshot against a REFERENCE corpus
     only → (doc_a [ref], doc_b [new], jaccard): the band join is
@@ -489,7 +616,17 @@ def cross_corpus_pairs(
     Scale shape: identical to the self-join family — band/bucket
     equi-join, never all-pairs — but the verify cost is
     O(candidate pairs across the boundary), which for a daily
-    snapshot is ~|new| · dup-rate, not O(corpus²)."""
+    snapshot is ~|new| · dup-rate, not O(corpus²). Hot-bucket cap:
+    the blowup case is a bucket hot on BOTH sides (the reference
+    already holds the mega-cluster and today's snapshot adds more of
+    it → m_ref · m_new pairs from one bucket), so buckets whose
+    REFERENCE side exceeds ``bucket_cap`` pair each new doc with the
+    reference representative (min ref doc_id) only — O(m_new) output
+    per hot bucket, and a new mega-cluster member still matches (it
+    verifies against the representative, which is its near-dup by
+    the data shape that made the bucket hot). ``on_hot_bucket=
+    "error"`` refuses loudly; ``bucket_cap=None`` is the legacy
+    exact join."""
     sh_new = (
         new_shingles
         if new_shingles is not None
@@ -502,15 +639,38 @@ def cross_corpus_pairs(
     )
     bnew = minhash_bands_wide(sh_new, num_hashes, band_rows)
     bref = minhash_bands_wide(sh_ref, num_hashes, band_rows)
-    cand = (
-        bnew.withColumnRenamed("doc_id", "doc_b")
-        .join(
-            bref.withColumnRenamed("doc_id", "doc_a"),
-            ["band", "band_key"],
+    if bucket_cap is None:
+        cand = (
+            bnew.withColumnRenamed("doc_id", "doc_b")
+            .join(
+                bref.withColumnRenamed("doc_id", "doc_a"),
+                ["band", "band_key"],
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
         )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    else:
+        stats = _bucket_stats(
+            bref, ["band", "band_key"], bucket_cap, on_hot_bucket
+        )
+        sized_ref = bref.join(stats, ["band", "band_key"])
+        small_ref = sized_ref.filter(F.col("_bsz") <= bucket_cap).select(
+            F.col("doc_id").alias("doc_a"), "band", "band_key"
+        )
+        small_pairs = bnew.withColumnRenamed("doc_id", "doc_b").join(
+            small_ref, ["band", "band_key"]
+        )
+        hot_reps = stats.filter(F.col("_bsz") > bucket_cap).select(
+            "band", "band_key", F.col("_rep").alias("doc_a")
+        )
+        hot_pairs = bnew.withColumnRenamed("doc_id", "doc_b").join(
+            hot_reps, ["band", "band_key"]
+        )
+        cand = (
+            small_pairs.select("doc_a", "doc_b")
+            .unionByName(hot_pairs.select("doc_a", "doc_b"))
+            .distinct()
+        )
     return jaccard_verify(cand, sh_ref.unionByName(sh_new), threshold)
 
 
@@ -521,6 +681,8 @@ def cross_corpus_dedup(
     threshold: float = 0.5,
     new_shingles: DataFrame | None = None,
     ref_shingles: DataFrame | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    on_hot_bucket: str = "star",
 ) -> DataFrame:
     """Admission verdict per NEW doc → ``(doc_id, dup_of, keep)``:
     ``keep`` = no reference doc verifies at ≥ threshold, ``dup_of`` =
@@ -535,6 +697,8 @@ def cross_corpus_dedup(
         threshold,
         new_shingles=new_shingles,
         ref_shingles=ref_shingles,
+        bucket_cap=bucket_cap,
+        on_hot_bucket=on_hot_bucket,
     )
     best = pairs.groupBy("doc_b").agg(F.min("doc_a").alias("dup_of"))
     return (
@@ -589,12 +753,26 @@ def simhash_pairs(
     max_hamming: int = 3,
     num_bands: int = 4,
     bits: int = SIMHASH_BITS,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    on_hot_bucket: str = "star",
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance, candidate-generated over
     ``num_bands`` bit-bands: a pair differing in ≤ ``num_bands``-1
     bits must agree on at least one whole band (pigeonhole), so with
-    the default 4 bands every Hamming ≤ 3 pair is guaranteed to be
-    found — never an all-pairs join."""
+    the default 4 bands every Hamming ≤ 3 pair is a candidate — never
+    an all-pairs join.
+
+    Hot-bucket cap: band chunks have only ``2^(bits/num_bands)``
+    values (1024 for 40/4), so at corpus scale EVERY bucket
+    eventually saturates — above ``bucket_cap``, a bucket emits
+    representative edges (min doc, other) with the true Hamming
+    distance (the representative's fingerprint rides along via
+    min_by), keeping output O(m) per bucket. The ≤ max_hamming
+    guarantee then holds for pairs involving the representative;
+    other in-bucket pairs are attested transitively (the near-dup
+    consumers cluster by connected components). ``on_hot_bucket=
+    "error"`` refuses loudly; ``bucket_cap=None`` is the legacy
+    exact form."""
     band_bits = bits // num_bands
     bands = F.array(
         *[
@@ -610,20 +788,54 @@ def simhash_pairs(
     banded = sims.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
         "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    if bucket_cap is None:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+    stats = _bucket_stats(
+        banded, ["band", "chunk"], bucket_cap, on_hot_bucket, payload="simhash"
+    )
+    sized = banded.join(stats, ["band", "chunk"])
+    small = sized.filter(F.col("_bsz") <= bucket_cap).select(
+        "doc_id", "simhash", "band", "chunk"
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    small_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("hamming"),
+    )
+    star_pairs = sized.filter(
+        (F.col("_bsz") > bucket_cap) & (F.col("doc_id") != F.col("_rep"))
+    ).select(
+        F.col("_rep").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.bit_count(
+            F.col("_rep_payload").bitwiseXOR(F.col("simhash"))
+        ).alias("hamming"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("hamming"),
-        )
+        small_pairs.unionByName(star_pairs)
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -103,6 +103,32 @@ def main() -> int:
 
     stage("minhash_lsh_pairs", minhash)
 
+    def mega_cluster_dedup():
+        # adversarial near-dup MEGA-CLUSTER (r11 VERDICT #1): m near-
+        # identical docs (never byte-identical) share every band key,
+        # so the uncapped within-bucket join would emit O(m²) pairs
+        # from ONE bucket (~1.6e9 at 20 replicas) — the blowup AQE
+        # cannot split because it is join OUTPUT. The capped path must
+        # stay O(m), and m scales with `replicas` so repeated runs
+        # (20x/50x) record the linearity as a curve.
+        from hadoop_search_spark.operators.dedup import minhash_lsh_dedup
+
+        m = replicas * 2000
+        base_text = " ".join(f"w{i % 17}x{i % 7}" for i in range(60))
+        mega = spark.range(m).select(
+            (F.lit(10_000_000) + F.col("id")).alias("doc_id"),
+            F.concat(
+                F.lit(base_text + " megacluster variant "),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+        cnt = minhash_lsh_dedup(mega, threshold=0.5, bucket_cap=64).count()
+        assert cnt <= 3 * m, f"capped candidates not linear: {cnt} for m={m}"
+        timings["mega_cluster_m"] = m
+        return cnt
+
+    stage("mega_cluster_dedup_capped", mega_cluster_dedup)
+
     def edit_distance():
         # capped to ~20k docs: the fixture's ~31-word vocabulary makes
         # every q-gram common, so ANY content-based blocking yields
