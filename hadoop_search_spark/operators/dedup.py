@@ -419,14 +419,22 @@ def minhash_bands_wide(
 DEFAULT_BUCKET_CAP = 1024
 
 
-def _bucket_stats(
+def _with_bucket_stats(
     banded: DataFrame,
     keys: list[str],
     bucket_cap: int,
     on_hot_bucket: str,
     payload: str | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-bucket (``*keys``, _bsz, _rep[, _rep_payload]) with the
+    """``banded`` annotated per row with its bucket's
+    (_bsz, _rep[, _rep_payload]) via WINDOW aggregates over the bucket
+    key — one exchange, computed in the same shuffle the candidate
+    self-join needs, so the (expensive) upstream signature aggregation
+    runs ONCE (a groupBy-stats + join-back form re-computed it: the
+    partial-agg subtree cannot reuse the join probe's exchange —
+    measured 2× on the sf0.1 headline).
+
     ``on_hot_bucket`` policy applied to ``_bsz``:
 
     * ``"star"`` — hot buckets handled by representative edges (the
@@ -435,14 +443,18 @@ def _bucket_stats(
       no-silent-fallback doctrine) instead of silently degrading
       recall, for consumers that require exact all-pairs semantics.
     """
-    aggs = [F.count("*").alias("_bsz"), F.min("doc_id").alias("_rep")]
+    w = Window.partitionBy(*keys)
+    sized = banded.withColumn("_bsz", F.count("*").over(w)).withColumn(
+        "_rep", F.min(id_col).over(w)
+    )
     if payload is not None:
-        # doc_id is unique within a bucket (one row per doc per band),
+        # the id is unique within a bucket (one row per doc per band),
         # so min_by is deterministic: the representative's payload
-        aggs.append(F.min_by(payload, "doc_id").alias("_rep_payload"))
-    stats = banded.groupBy(*keys).agg(*aggs)
+        sized = sized.withColumn(
+            "_rep_payload", F.min_by(payload, id_col).over(w)
+        )
     if on_hot_bucket == "error":
-        stats = stats.withColumn(
+        sized = sized.withColumn(
             "_bsz",
             F.when(
                 F.col("_bsz") > bucket_cap,
@@ -469,7 +481,14 @@ def _bucket_stats(
         raise ValueError(
             f"on_hot_bucket must be 'star' or 'error', got {on_hot_bucket!r}"
         )
-    return stats
+    # three consumers (two self-join sides + the star arm) reference
+    # this frame with DIFFERENT pruned projections, so Catalyst plans
+    # three independent subtrees (no ReusedExchange) and the upstream
+    # signature aggregation would run three times — the lazy local
+    # checkpoint materializes it once (linear, banded-size rows), the
+    # embedding_dedup_pairs precedent. No streaming consumer exists
+    # (checkpointing is batch-only).
+    return sized.localCheckpoint(eager=False)
 
 
 def minhash_lsh_candidates(
@@ -509,10 +528,9 @@ def minhash_lsh_candidates(
             )
             .distinct()
         )
-    stats = _bucket_stats(
+    sized = _with_bucket_stats(
         bands, ["band", "band_key"], bucket_cap, on_hot_bucket
     )
-    sized = bands.join(stats, ["band", "band_key"])
     small = sized.filter(F.col("_bsz") <= bucket_cap).select(
         "doc_id", "band", "band_key"
     )
@@ -650,18 +668,19 @@ def cross_corpus_pairs(
             .distinct()
         )
     else:
-        stats = _bucket_stats(
+        sized_ref = _with_bucket_stats(
             bref, ["band", "band_key"], bucket_cap, on_hot_bucket
         )
-        sized_ref = bref.join(stats, ["band", "band_key"])
         small_ref = sized_ref.filter(F.col("_bsz") <= bucket_cap).select(
             F.col("doc_id").alias("doc_a"), "band", "band_key"
         )
         small_pairs = bnew.withColumnRenamed("doc_id", "doc_b").join(
             small_ref, ["band", "band_key"]
         )
-        hot_reps = stats.filter(F.col("_bsz") > bucket_cap).select(
-            "band", "band_key", F.col("_rep").alias("doc_a")
+        hot_reps = (
+            sized_ref.filter(F.col("_bsz") > bucket_cap)
+            .select("band", "band_key", F.col("_rep").alias("doc_a"))
+            .distinct()
         )
         hot_pairs = bnew.withColumnRenamed("doc_id", "doc_b").join(
             hot_reps, ["band", "band_key"]
@@ -806,10 +825,9 @@ def simhash_pairs(
             .filter(F.col("hamming") <= max_hamming)
             .distinct()
         )
-    stats = _bucket_stats(
+    sized = _with_bucket_stats(
         banded, ["band", "chunk"], bucket_cap, on_hot_bucket, payload="simhash"
     )
-    sized = banded.join(stats, ["band", "chunk"])
     small = sized.filter(F.col("_bsz") <= bucket_cap).select(
         "doc_id", "simhash", "band", "chunk"
     )

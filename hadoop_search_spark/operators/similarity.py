@@ -868,6 +868,8 @@ def embedding_dedup_pairs(
     threshold: float = 0.95,
     num_planes: int = NUM_HYPERPLANES,
     dim: int = 64,
+    bucket_cap: int | None = None,
+    on_hot_bucket: str = "star",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector-space dedup
     mode: bucket by sign-random-projection (near-identical vectors
@@ -876,26 +878,60 @@ def embedding_dedup_pairs(
 
     Returns (vec_a, vec_b, cosine). The self-join is per-bucket, never
     all-pairs; recall follows the LSH collision bound (documented
-    approximation, same as :func:`ann_lsh_topk`)."""
+    approximation, same as :func:`ann_lsh_topk`).
+
+    Hot-bucket cap (the text-dedup contract applied in vector space —
+    operators/dedup.py:DEFAULT_BUCKET_CAP): an EMBEDDING mega-cluster
+    (one template re-encoded millions of times) lands in one sign
+    bucket and makes the self-join quadratic; above the cap a bucket
+    emits representative edges (bucket-min vec, other) with the true
+    cosine — O(m) output, same pair-graph connected components
+    (:func:`semantic_dedup`'s consumer shape). ``bucket_cap=None``
+    (default) resolves to the shared DEFAULT_BUCKET_CAP."""
+    from hadoop_search_spark.operators.dedup import (
+        DEFAULT_BUCKET_CAP,
+        _with_bucket_stats,
+    )
     from hadoop_search_spark.partitioning import spread
 
-    # bucket table materializes once via a lazy local checkpoint: both
-    # self-join sides reference it, and without truncation Catalyst
-    # would recompute the num_planes x dim hash expressions per side
-    bucketed = (
-        spread(embeddings, "vec_id")
-        .withColumn("bucket", lsh_bucket(F.col("embedding"), num_planes, dim))
-        .localCheckpoint(eager=False)
+    cap = DEFAULT_BUCKET_CAP if bucket_cap is None else bucket_cap
+    bucketed = spread(embeddings, "vec_id").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), num_planes, dim)
     )
-    a = bucketed.select(
+    # the stats helper lazily localCheckpoints: the bucket table (with
+    # its num_planes x dim hash expressions) materializes once for the
+    # two self-join sides and the star arm
+    sized = _with_bucket_stats(
+        bucketed,
+        ["bucket"],
+        cap,
+        on_hot_bucket,
+        payload="embedding",
+        id_col="vec_id",
+    )
+    small = sized.filter(F.col("_bsz") <= cap)
+    a = small.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
     )
-    b = bucketed.select(
+    b = small.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
     )
-    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "emb_a", "vec_b", "emb_b")
+    )
+    stars = sized.filter(
+        (F.col("_bsz") > cap) & (F.col("vec_id") != F.col("_rep"))
+    ).select(
+        F.col("_rep").alias("vec_a"),
+        F.col("_rep_payload").alias("emb_a"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
     return (
-        pairs.select(
+        pairs.unionByName(stars)
+        .select(
             "vec_a", "vec_b", _cosine(F.col("emb_a"), F.col("emb_b")).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
@@ -914,6 +950,138 @@ def ann_recall(
     ``num_planes`` (fewer planes → bigger buckets → higher recall,
     more verify work)."""
     approx = ann_lsh_topk(embeddings, query_ids, k, num_planes, dim)
+    return _recall_vs_exact(embeddings, query_ids, k, approx)
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    g: int = 8,
+    centroids=None,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Offline top-g cosine neighbor graph → (vec_id, nbr_id, cosine,
+    rn) — the adjacency structure :func:`graph_refine_topk` expands
+    serving candidates through.
+
+    Build shape: every vector "queries" its own ``nprobe`` nearest
+    cells (same :func:`_cell_ranking` integer recipe as serving) and
+    ranks the vectors there — a cell EQUI-join, never an all-pairs
+    cross join. The per-cell cost is quadratic in cell size, which is
+    the honest price of a KNN-graph build everywhere (hence an
+    OFFLINE batch job): at scale you build with more cells than you
+    serve with (cells sized to the pair budget) and union a second
+    ``nprobe=2`` pass for boundary edges. Deterministic: trained or
+    seed centroids, quantized-integer cell argmin, 9dp cosine with
+    vec_id tie-break — same conventions as every serving path, so
+    the graph is SQL-oracle-expressible."""
+    from hadoop_search_spark.partitioning import spread
+
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, num_centroids)
+    )
+    corpus = ivf_assign(spread(embeddings, "vec_id"), cents)
+    nodes = embeddings.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(
+            F.slice(_cell_ranking(F.col("embedding"), cents), 1, nprobe)
+        ).alias("probe"),
+    ).select("query_id", "q_emb", F.col("probe.cell").alias("cell"))
+    pairs = corpus.join(nodes, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    return _topk_per_query(pairs, g).select(
+        F.col("query_id").alias("vec_id"),
+        F.col("vec_id").alias("nbr_id"),
+        "cosine",
+        "rn",
+    )
+
+
+def graph_refine_topk(
+    embeddings: DataFrame,
+    graph: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = 1,
+    seed_w: int | None = None,
+    centroids=None,
+) -> DataFrame:
+    """IVF stage-1 seeds + ONE round of KNN-graph adjacency expansion
+    + exact cosine rerank → (query_id, vec_id, cosine, rn).
+
+    The refinement answers the cell-boundary failure of narrow
+    probing: a true neighbor sitting just across the probed cell's
+    boundary is unreachable by nprobe=1, but an in-cell seed near
+    that boundary carries a graph edge to it — the candidate set
+    becomes seeds ∪ their graph neighbors (≤ seed_w·(1+g) ids per
+    query, request-sized), then exact rerank. Serving scan shape:
+    the probed-cell scan (as plain IVF) + one broadcast semi-join of
+    the request-sized seed ids against the graph + an id-pruned
+    rerank fetch — no new wide shuffle; the graph adjacency costs
+    g·~10 bytes/vector of storage.
+
+    Measured (docs/ANN_QUALITY.md): on clustered embeddings the
+    expansion recovers most of the nprobe=2 recall while scanning
+    ~nprobe=1 bytes; on isotropic fixtures cells don't align with
+    neighborhoods and the win shrinks — same caveat as every IVF
+    row there."""
+    from hadoop_search_spark.partitioning import spread
+
+    w = seed_w if seed_w is not None else k
+    seeds = ann_ivf_topk(
+        embeddings, query_ids, w, num_centroids, nprobe, centroids=centroids
+    ).select("query_id", "vec_id")
+    nbrs = (
+        graph.select("vec_id", "nbr_id")
+        .join(F.broadcast(seeds), "vec_id")
+        .select("query_id", F.col("nbr_id").alias("vec_id"))
+    )
+    cand = seeds.unionByName(nbrs).distinct()
+    q = (
+        embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
+        .limit(len(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    pairs = (
+        spread(embeddings, "vec_id")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    return _topk_per_query(pairs, k)
+
+
+def graph_refine_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    g: int = 8,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = 1,
+    seed_w: int | None = None,
+    centroids=None,
+) -> float:
+    """Measured recall@k of the graph-refined IVF path — the
+    go/no-go observable for the expansion-vs-wider-probing trade."""
+    graph = knn_graph(embeddings, g, centroids, num_centroids)
+    approx = graph_refine_topk(
+        embeddings,
+        graph,
+        query_ids,
+        k,
+        num_centroids,
+        nprobe,
+        seed_w,
+        centroids=centroids,
+    )
     return _recall_vs_exact(embeddings, query_ids, k, approx)
 
 

@@ -28,6 +28,10 @@ ROWS = [
     ("LSH multi-probe (64 probes)", 256 + 2, "64/256 buckets, exact verify"),
     ("IVF (seed grid)", 256 + 2, "nprobe cells of raw vectors"),
     ("IVF (trained k-means)", 256 + 2, "nprobe cells of raw vectors"),
+    ("IVF (seed grid) nprobe=1", 256 + 2, "single-cell probe — the refine rows' baseline"),
+    ("IVF+graph refine (seed cells)", 256 + 2, "1-cell seeds → 1-hop KNN-graph expand → exact rerank (g=8 boundary-edge graph, 64 B/vec offline)"),
+    ("IVF (trained) nprobe=1", 256 + 2, "single trained-cell probe — the refine rows' baseline"),
+    ("IVF+graph refine (trained cells)", 256 + 2, "same 1-hop expansion over trained cells"),
     ("PQ ADC (seed books)", 8, "code scan + per-query LUT"),
     ("PQ ADC (trained books)", 8, "code scan + per-query LUT"),
     ("OPQ parametric (PCA-rotated PQ)", 8, "rotated code scan + per-query LUT"),
@@ -108,6 +112,22 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
         (
             "IVF (trained k-means)",
             lambda: ivf_recall(emb, QUERY_IDS, K, centroids=trained_cent),
+        ),
+        (
+            "IVF (seed grid) nprobe=1",
+            lambda: ivf_recall(emb, QUERY_IDS, K, nprobe=1),
+        ),
+        (
+            "IVF+graph refine (seed cells)",
+            lambda: _graph_refine_recall(None),
+        ),
+        (
+            "IVF (trained) nprobe=1",
+            lambda: ivf_recall(emb, QUERY_IDS, K, nprobe=1, centroids=trained_cent),
+        ),
+        (
+            "IVF+graph refine (trained cells)",
+            lambda: _graph_refine_recall(trained_cent),
         ),
         ("PQ ADC (seed books)", lambda: pq_recall(emb, QUERY_IDS, K)),
         (
@@ -224,6 +244,26 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
         )
         return _recall_vs_exact(emb, QUERY_IDS, K, approx)
 
+    def _graph_refine_recall(cents) -> float:
+        # the sim_graph_refine_topk recipe (r12 rung): offline top-8
+        # neighbor graph with boundary edges (build nprobe=2), serve
+        # nprobe=1 seeds top-10, one-hop expand, exact rerank
+        from hadoop_search_spark.operators.similarity import (
+            graph_refine_topk,
+            knn_graph,
+        )
+
+        graph = knn_graph(emb, g=8, centroids=cents, nprobe=2)
+        return _recall_vs_exact(
+            emb,
+            QUERY_IDS,
+            K,
+            graph_refine_topk(
+                emb, graph, QUERY_IDS, K, nprobe=1, seed_w=10,
+                centroids=cents,
+            ),
+        )
+
     def _trained_residual_recall() -> float:
         # the sim_ivfpq_residual_trained recipe: train the residual
         # books once, search with them
@@ -288,6 +328,15 @@ Read the two fixture families against each other:
 The cascades recover exactness of SCORES by construction (their
 final stage is exact cosine); their recall is the candidate-width
 knob (w1/w2), tunable per deployment.
+
+r12 adds the KNN-graph refinement rows: an offline top-8 neighbor
+graph (built cell-restricted WITH nprobe=2 boundary edges — a
+nprobe=1-built graph measured flat: its edges never cross the cell
+wall, which is exactly where single-probe recall dies) lets nprobe=1
+serving expand its seeds one hop and exact-rerank, closing most of
+the gap to nprobe=2 at single-cell scan bytes + 64 B/vec of
+adjacency. Ceiling behavior is honest: aniso trained cells are
+already at 1.00 and the rows show it.
 """
 
 

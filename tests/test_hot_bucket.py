@@ -161,3 +161,52 @@ def test_cross_corpus_hot_ref_bucket(spark):
     assert got[1] == (1000000, False)  # matched via the representative
     assert got[2] == (1000000, False)
     assert got[3] == (-1, True)
+
+
+def test_embedding_dedup_hot_bucket_star(spark):
+    """The vector-space twin of the text cap: an embedding
+    mega-cluster (near-identical vectors -> one sign bucket) emits
+    O(m) representative edges with TRUE cosines; below the cap the
+    capped path is bit-identical to the legacy exact join."""
+    import random
+
+    from hadoop_search_spark.operators.similarity import (
+        embedding_dedup_pairs,
+    )
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1.0, 1.0) for _ in range(64)]
+    rows = [
+        (i, [x + rng.uniform(-1e-4, 1e-4) for x in base]) for i in range(300)
+    ] + [
+        (1000 + i, [rng.uniform(-1.0, 1.0) for _ in range(64)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    capped = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embedding_dedup_pairs(emb, 0.95, bucket_cap=16).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embedding_dedup_pairs(
+            emb, 0.95, bucket_cap=10**9
+        ).collect()
+    }
+    # the mega-cluster shares one bucket: capped output is the star
+    # set, linear in m and rooted at the bucket-min vector
+    star = {p for p in capped if p[0] == 0}
+    assert len(star) >= 250  # ~every cluster member via the rep
+    assert len(capped) < len(exact)  # exact is quadratic in m
+    # star cosines are true pair cosines — every star pair appears in
+    # the exact set with the identical rounded value
+    assert star <= exact
+    # below-cap equivalence on the real fixture (max bucket ~8)
+    fix = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    a = {(r.vec_a, r.vec_b, r.cosine)
+         for r in embedding_dedup_pairs(fix, 0.35).collect()}
+    b = {(r.vec_a, r.vec_b, r.cosine)
+         for r in embedding_dedup_pairs(fix, 0.35, bucket_cap=10**9).collect()}
+    assert a == b and a
