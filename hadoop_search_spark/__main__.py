@@ -407,10 +407,13 @@ def cmd_ann(args) -> int:
     higher stage-1 fidelity at 8x the bytes). ``build`` persists,
     ``search`` serves top-k with partition-pruned cell scans
     (optionally exact-reranked against the embeddings parquet —
-    approximate candidates, exact scores), ``add`` appends new
-    vectors under the FROZEN build models (run ``drift`` to know
-    when an ivfpq index needs a rebuild; int8 has no codebook to go
-    stale — only the shared coarse-quantizer contract)."""
+    approximate candidates, exact scores; ``--refine`` additionally
+    expands the seeds one hop through the published KNN graph first),
+    ``add`` appends new vectors under the FROZEN build models (run
+    ``drift`` to know when an ivfpq index needs a rebuild; int8 has
+    no codebook to go stale — only the shared coarse-quantizer
+    contract), ``graph`` publishes the offline KNN adjacency
+    (``{index}/graph``) the refinement serves from."""
     import pyspark.sql.functions as F
 
     from hadoop_search_spark.operators.similarity import (
@@ -466,6 +469,30 @@ def cmd_ann(args) -> int:
         print(f"appended -> {args.index} ({n} rows total)")
         spark.stop()
         return 0
+    if args.action == "graph":
+        # offline KNN adjacency alongside the index (r12 refinement
+        # rung): built under the index's FROZEN coarse quantizer with
+        # boundary edges (--build-nprobe 2 — a cell-restricted graph
+        # buys nothing, docs/ANN_QUALITY.md), consumed by
+        # `search --refine`
+        from hadoop_search_spark.operators.similarity import (
+            _ivf_centroids_cached,
+            knn_graph,
+        )
+
+        emb = spark.read.parquet(args.embeddings)
+        cents = _ivf_centroids_cached(spark, args.index)
+        graph = knn_graph(
+            emb, g=args.g, centroids=cents, nprobe=args.build_nprobe
+        )
+        graph.write.mode("overwrite").parquet(f"{args.index}/graph")
+        n = spark.read.parquet(f"{args.index}/graph").count()
+        print(
+            f"graph: {n} edges (g={args.g}, build "
+            f"nprobe={args.build_nprobe}) -> {args.index}/graph"
+        )
+        spark.stop()
+        return 0
     # search
     emb = spark.read.parquet(args.embeddings)
     external = bool(getattr(args, "queries", None))
@@ -483,14 +510,30 @@ def cmd_ann(args) -> int:
         queries = emb.filter(F.col("vec_id").isin(qids)).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
+    wide = args.rerank or args.refine
     out = (int8_index_topk if int8 else ivfpq_index_topk)(
-        spark, args.index, queries, args.k if not args.rerank else args.w,
+        spark, args.index, queries, args.w if wide else args.k,
         nprobe=args.nprobe, exclude_self=not external,
     )
-    if args.rerank:
+    if wide:
         from hadoop_search_spark.operators.similarity import _topk_per_query
 
         cand = out.select("query_id", "vec_id")
+        if args.refine:
+            # one-hop KNN-graph expansion of the stage-1 seeds (r12):
+            # the published adjacency streams against the broadcast
+            # request-sized seed set, reaching neighbors across the
+            # probed-cell boundary before the exact rerank
+            graph = spark.read.parquet(f"{args.index}/graph").select(
+                "vec_id", "nbr_id"
+            )
+            for _hop in range(max(1, args.rounds)):
+                nbrs = graph.join(F.broadcast(cand), "vec_id").select(
+                    "query_id", F.col("nbr_id").alias("vec_id")
+                )
+                cand = cand.unionByName(nbrs).distinct()
+            if not external:
+                cand = cand.filter(F.col("vec_id") != F.col("query_id"))
         q = queries.withColumnRenamed("embedding", "q_emb")
         pairs = emb.join(F.broadcast(cand), "vec_id").join(
             F.broadcast(q), "query_id"
@@ -602,7 +645,7 @@ def main(argv: list[str] | None = None) -> int:
         "exact scores) / add. --layout ivfpq (codes-only, 8 B/vec) "
         "or int8 (IVF-SQ8, 64 B/vec)",
     )
-    pann.add_argument("action", choices=["build", "search", "add"])
+    pann.add_argument("action", choices=["build", "search", "add", "graph"])
     pann.add_argument(
         "--encoding", choices=["raw", "residual", "residual-opq"],
         default="raw",
@@ -647,6 +690,28 @@ def main(argv: list[str] | None = None) -> int:
     pann.add_argument(
         "--rerank", action="store_true",
         help="exact-cosine rerank of the ADC top-w (cascade shape)",
+    )
+    pann.add_argument(
+        "--refine", action="store_true",
+        help="(search) expand the stage-1 top-w seeds one hop through "
+        "the published KNN graph ({index}/graph — build it with "
+        "`ann graph`) before the exact rerank: recovers wider-probe "
+        "recall at the narrow probe's scan cost (implies --rerank)",
+    )
+    pann.add_argument(
+        "--rounds", type=int, default=1,
+        help="(search --refine) graph-expansion hops; each hop is one "
+        "request-sized adjacency probe (measured: 2 hops beat "
+        "nprobe=4 recall at nprobe=1 scan bytes)",
+    )
+    pann.add_argument(
+        "--g", type=int, default=8,
+        help="(graph) neighbors per vector in the published adjacency",
+    )
+    pann.add_argument(
+        "--build-nprobe", type=int, default=2, dest="build_nprobe",
+        help="(graph) cells each vector ranks candidates from at "
+        "build time; >=2 adds the boundary edges refinement needs",
     )
     pann.set_defaults(fn=cmd_ann)
 

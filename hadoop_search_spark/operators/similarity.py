@@ -1010,38 +1010,44 @@ def graph_refine_topk(
     nprobe: int = 1,
     seed_w: int | None = None,
     centroids=None,
+    rounds: int = 1,
 ) -> DataFrame:
-    """IVF stage-1 seeds + ONE round of KNN-graph adjacency expansion
-    + exact cosine rerank → (query_id, vec_id, cosine, rn).
+    """IVF stage-1 seeds + ``rounds`` hops of KNN-graph adjacency
+    expansion + exact cosine rerank → (query_id, vec_id, cosine, rn).
 
     The refinement answers the cell-boundary failure of narrow
     probing: a true neighbor sitting just across the probed cell's
     boundary is unreachable by nprobe=1, but an in-cell seed near
     that boundary carries a graph edge to it — the candidate set
-    becomes seeds ∪ their graph neighbors (≤ seed_w·(1+g) ids per
-    query, request-sized), then exact rerank. Serving scan shape:
-    the probed-cell scan (as plain IVF) + one broadcast semi-join of
-    the request-sized seed ids against the graph + an id-pruned
+    becomes seeds ∪ their ≤``rounds``-hop graph neighborhood
+    (≤ seed_w·(1+g)^rounds ids per query — REQUEST-sized at any
+    corpus scale), then exact rerank. Serving scan shape: the
+    probed-cell scan (as plain IVF) + one broadcast semi-join of the
+    request-sized frontier against the graph per hop + an id-pruned
     rerank fetch — no new wide shuffle; the graph adjacency costs
     g·~10 bytes/vector of storage.
 
-    Measured (docs/ANN_QUALITY.md): on clustered embeddings the
-    expansion recovers most of the nprobe=2 recall while scanning
-    ~nprobe=1 bytes; on isotropic fixtures cells don't align with
-    neighborhoods and the win shrinks — same caveat as every IVF
-    row there."""
+    Measured (docs/ANN_QUALITY.md; sf0.01 trained cells, 10-query
+    set): one hop 0.67→0.75 at nprobe=1 scan bytes; TWO hops 0.89,
+    past nprobe=2's 0.79 (the greedy-graph-walk effect the HNSW/NSG
+    family exploits: iterated expansion converges on the true
+    neighborhood — on the pytest recipe, 2-iteration k-means cells,
+    two hops measure 0.92 vs nprobe=4's 0.89 and three hops 0.98 ≈
+    exact). Each hop costs one more request-sized graph probe, never
+    a wider corpus scan."""
     from hadoop_search_spark.partitioning import spread
 
     w = seed_w if seed_w is not None else k
     seeds = ann_ivf_topk(
         embeddings, query_ids, w, num_centroids, nprobe, centroids=centroids
     ).select("query_id", "vec_id")
-    nbrs = (
-        graph.select("vec_id", "nbr_id")
-        .join(F.broadcast(seeds), "vec_id")
-        .select("query_id", F.col("nbr_id").alias("vec_id"))
-    )
-    cand = seeds.unionByName(nbrs).distinct()
+    cand = seeds
+    adj = graph.select("vec_id", "nbr_id")
+    for _hop in range(max(1, int(rounds))):
+        nbrs = adj.join(F.broadcast(cand), "vec_id").select(
+            "query_id", F.col("nbr_id").alias("vec_id")
+        )
+        cand = cand.unionByName(nbrs).distinct()
     q = (
         embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
         .limit(len(query_ids))
@@ -1068,10 +1074,14 @@ def graph_refine_recall(
     nprobe: int = 1,
     seed_w: int | None = None,
     centroids=None,
+    rounds: int = 1,
 ) -> float:
     """Measured recall@k of the graph-refined IVF path — the
-    go/no-go observable for the expansion-vs-wider-probing trade."""
-    graph = knn_graph(embeddings, g, centroids, num_centroids)
+    go/no-go observable for the expansion-vs-wider-probing trade.
+    The graph builds with nprobe=2: boundary edges are the whole
+    mechanism (a cell-restricted graph measured flat — its edges
+    never leave the cell the narrow probe already scans)."""
+    graph = knn_graph(embeddings, g, centroids, num_centroids, nprobe=2)
     approx = graph_refine_topk(
         embeddings,
         graph,
@@ -1081,6 +1091,7 @@ def graph_refine_recall(
         nprobe,
         seed_w,
         centroids=centroids,
+        rounds=rounds,
     )
     return _recall_vs_exact(embeddings, query_ids, k, approx)
 

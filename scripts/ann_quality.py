@@ -32,6 +32,7 @@ ROWS = [
     ("IVF+graph refine (seed cells)", 256 + 2, "1-cell seeds → 1-hop KNN-graph expand → exact rerank (g=8 boundary-edge graph, 64 B/vec offline)"),
     ("IVF (trained) nprobe=1", 256 + 2, "single trained-cell probe — the refine rows' baseline"),
     ("IVF+graph refine (trained cells)", 256 + 2, "same 1-hop expansion over trained cells"),
+    ("IVF+graph refine 2-hop (trained cells)", 256 + 2, "two request-sized adjacency hops — the greedy-graph-walk effect; beats nprobe=4 at 1-cell scan bytes"),
     ("PQ ADC (seed books)", 8, "code scan + per-query LUT"),
     ("PQ ADC (trained books)", 8, "code scan + per-query LUT"),
     ("OPQ parametric (PCA-rotated PQ)", 8, "rotated code scan + per-query LUT"),
@@ -128,6 +129,10 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
         (
             "IVF+graph refine (trained cells)",
             lambda: _graph_refine_recall(trained_cent),
+        ),
+        (
+            "IVF+graph refine 2-hop (trained cells)",
+            lambda: _graph_refine_recall(trained_cent, rounds=2),
         ),
         ("PQ ADC (seed books)", lambda: pq_recall(emb, QUERY_IDS, K)),
         (
@@ -244,7 +249,7 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
         )
         return _recall_vs_exact(emb, QUERY_IDS, K, approx)
 
-    def _graph_refine_recall(cents) -> float:
+    def _graph_refine_recall(cents, rounds: int = 1) -> float:
         # the sim_graph_refine_topk recipe (r12 rung): offline top-8
         # neighbor graph with boundary edges (build nprobe=2), serve
         # nprobe=1 seeds top-10, one-hop expand, exact rerank
@@ -260,7 +265,7 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float]]:
             K,
             graph_refine_topk(
                 emb, graph, QUERY_IDS, K, nprobe=1, seed_w=10,
-                centroids=cents,
+                centroids=cents, rounds=rounds,
             ),
         )
 

@@ -43,7 +43,14 @@ COMMENTARY = {
         "aggregates (no k-fold explosion), bands self-join on "
         "(band, band_key) — a hash join on bucket keys, never a "
         "cartesian product — and candidates verify by exact Jaccard "
-        "over the cached shingle set."
+        "over the cached shingle set. r12: the band table carries "
+        "hot-bucket stats as WINDOW aggregates over the same bucket "
+        "key and lazily localCheckpoints (one materialization for the "
+        "two self-join sides and the star arm — the groupBy+join-back "
+        "form recomputed the signature agg 2-3x, measured 2x on this "
+        "headline); buckets over the cap emit representative edges "
+        "instead of all pairs, so one mega-cluster bucket can no "
+        "longer produce O(m²) join output."
     ),
     "sim_cosine_topk": (
         "Brute-force cosine top-k: query vectors broadcast "
@@ -81,7 +88,32 @@ COMMENTARY = {
         "ref-side bands on (band, band_key) — the candidate set is "
         "cross-boundary only, ref-ref/new-new pairs never exist in "
         "the plan — then the exact-Jaccard verify joins only "
-        "candidate docs' shingles. Verify cost ~ |new| x dup-rate."
+        "candidate docs' shingles. Verify cost ~ |new| x dup-rate. "
+        "r12: the REFERENCE side is hot-bucket capped (window stats "
+        "+ representative refs), so a mega-cluster already settled in "
+        "the reference cannot go quadratic against its arriving "
+        "members."
+    ),
+    "dedup_hot_bucket_star": (
+        "The adversarial mega-cluster entry (r12): 10k near-identical "
+        "docs synthesized from the corpus' first document share every "
+        "band key, and the capped candidate join emits the ~10⁴ "
+        "representative star edges where the uncapped all-pairs form "
+        "would emit ~1.6e8 — the plan shows the small-bucket self-join "
+        "arm UNIONed with the star-edge projection over the same "
+        "window-stats checkpoint, then the usual exact-Jaccard verify. "
+        "Join OUTPUT is the thing being bounded; AQE cannot do this."
+    ),
+    "sim_graph_refine_topk": (
+        "KNN-graph-refined IVF serve (r12): stage-1 probes ONE cell "
+        "(broadcast of the request-sized probe list, cell equi-join), "
+        "the top-10 seeds expand one hop through the prebuilt "
+        "adjacency (broadcast semi-join of seed ids against the graph "
+        "— the graph streams, the request side builds), and the "
+        "seed∪neighbor id set broadcast-joins back to the corpus for "
+        "the exact rerank. Every wide side is request-sized; the "
+        "corpus is touched only via the probed cell and the id-pruned "
+        "rerank fetch."
     ),
     "sim_cascade_topk": (
         "Staged retrieval: stage 1 is the all-integer Hamming scan "

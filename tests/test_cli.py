@@ -296,3 +296,28 @@ def test_cli_ann_external_query_file(tmp_path):
     assert r3.returncode == 0, r3.stderr[-500:]
     lines3 = [ln for ln in r3.stdout.splitlines() if ln.startswith("q=")]
     assert len(lines3) == 6 and all("cosine=" in ln for ln in lines3)
+
+
+def test_cli_ann_graph_refine(tmp_path):
+    """`ann graph` publishes the KNN adjacency under the index's
+    frozen quantizer; `ann search --refine` expands stage-1 seeds one
+    hop through it before the exact rerank (r12). The refined result
+    set must contain vectors the narrow probe alone cannot reach at
+    the same w only via graph edges — asserted structurally: refine
+    output is exact-cosine scored and row-complete."""
+    idx = str(tmp_path / "gidx")
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    r = run_cli("ann", "build", "--index", idx, "--embeddings", emb)
+    assert r.returncode == 0, r.stderr[-500:]
+    rg = run_cli("ann", "graph", "--index", idx, "--embeddings", emb,
+                 "--g", "4")
+    assert rg.returncode == 0, rg.stderr[-500:]
+    assert "graph:" in rg.stdout and "/graph" in rg.stdout
+    import os
+    assert os.path.isdir(f"{idx}/graph")
+    r2 = run_cli("ann", "search", "--index", idx, "--embeddings", emb,
+                 "--query-ids", "0,3", "--k", "3", "--nprobe", "1",
+                 "--w", "5", "--refine")
+    assert r2.returncode == 0, r2.stderr[-500:]
+    lines = [ln for ln in r2.stdout.splitlines() if ln.startswith("q=")]
+    assert len(lines) == 6 and all("cosine=" in ln for ln in lines)
