@@ -7944,12 +7944,16 @@ _DRIVER_FRONT = [
     "stream_cms_replay",
     "stream_hist_replay",
     "stream_hll_replay",
-    # NOT listed (the 50-row budget is contract-enforced):
-    # curation_tokenizer_report also changed this round (oracle-text-
-    # only, via the shared _curation_sql fragment) but is the round's
-    # lowest-risk changed entry — its code path is the pipeline three
-    # fronted entries exercise, and it re-gated green at 3 SFs
-    # locally. It MUST lead the r13 front.
+    # NOT listed (the 50-row budget is contract-enforced): two
+    # changed-this-round entries are deliberately held out as the
+    # round's lowest-risk changes, both re-gated green at 3 SFs
+    # locally, and MUST lead the r13 front:
+    # - curation_tokenizer_report (oracle-text-only change via the
+    #   shared _curation_sql fragment; its code path is the pipeline
+    #   three fronted entries exercise);
+    # - dedup_ngram_jaccard (new prefix_freq_cap guard param, default
+    #   None — zero behavioral/oracle change; the guard itself is
+    #   pytest-pinned in tests/test_hot_bucket.py).
 ]
 
 def _ordered() -> list[str]:

@@ -868,6 +868,7 @@ def ngram_jaccard_pairs(
     n: int = SHINGLE_SIZE,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    prefix_freq_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs with PREFIX-FILTERED candidate
     generation (the AllPairs/PPJoin principle — Bayardo et al. WWW'07,
@@ -904,6 +905,42 @@ def ngram_jaccard_pairs(
         .filter(F.col("_rn") <= F.col("n_sh") - min_overlap + 1)
         .select("doc_id", "shingle", "n_sh")
     )
+    if prefix_freq_cap is not None:
+        # MEGA-CLUSTER guard (loud by doctrine): an EXACT similarity
+        # join cannot star-cap without breaking the prefix lemma's
+        # no-missed-pair guarantee, so a prefix shingle blocking more
+        # than ``prefix_freq_cap`` docs RAISES instead of silently
+        # going quadratic. The exposure: near-identical docs (τ=0.5 →
+        # half of each doc's shingles sit in its prefix) share their
+        # common shingles' prefix slots, so one cluster of m docs
+        # emits O(m²) candidates. For that workload use the capped
+        # :func:`minhash_lsh_dedup` (representative edges are sound
+        # for its approximate contract) or exact-dedup first.
+        pf = F.count("*").over(Window.partitionBy("shingle"))
+        prefix = (
+            prefix.withColumn("_pf", pf)
+            .filter(
+                F.when(
+                    F.col("_pf") > prefix_freq_cap,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "prefix shingle blocks more than "
+                                f"{prefix_freq_cap} docs ("
+                            ),
+                            F.col("_pf").cast("string"),
+                            F.lit(
+                                "): a near-dup mega-cluster makes the "
+                                "exact prefix join quadratic — use the "
+                                "hot-bucket-capped minhash_lsh_dedup or "
+                                "exact-dedup first"
+                            ),
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+            .drop("_pf")
+        )
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("_na")
     )

@@ -321,3 +321,51 @@ def test_cli_ann_graph_refine(tmp_path):
     assert r2.returncode == 0, r2.stderr[-500:]
     lines = [ln for ln in r2.stdout.splitlines() if ln.startswith("q=")]
     assert len(lines) == 6 and all("cosine=" in ln for ln in lines)
+
+
+def test_cli_ann_graph_stale_after_add_degrades_gracefully(tmp_path):
+    """Append lifecycle contract: `ann add` leaves {index}/graph
+    stale by design (the adjacency is an offline artifact — rebuild
+    with `ann graph`, like drift-triggered rebuilds). A refined
+    search must still SERVE appended vectors: they enter through the
+    stage-1 cell scan; only the expansion hop doesn't know them
+    yet."""
+    import duckdb
+
+    idx = str(tmp_path / "gsidx")
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    r = run_cli("ann", "build", "--index", idx, "--embeddings", emb)
+    assert r.returncode == 0, r.stderr[-500:]
+    rg = run_cli("ann", "graph", "--index", idx, "--embeddings", emb,
+                 "--g", "4")
+    assert rg.returncode == 0, rg.stderr[-500:]
+    # append EXACT COPIES of vectors 0 and 3 under new ids — their
+    # rank-1 refined hit must be the appended twin (cosine 1), even
+    # though the twin is absent from the published graph
+    add = str(tmp_path / "add.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT vec_id + 5000 AS vec_id, embedding "
+        f"FROM read_parquet('{emb}') WHERE vec_id IN (0, 3)) "
+        f"TO '{add}' (FORMAT PARQUET)"
+    )
+    con.close()
+    ra = run_cli("ann", "add", "--index", idx, "--embeddings", add)
+    assert ra.returncode == 0, ra.stderr[-500:]
+    # the rerank corpus must contain the appended rows too
+    full = str(tmp_path / "full.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT vec_id, embedding FROM read_parquet('{emb}') "
+        f"UNION ALL SELECT vec_id, embedding FROM read_parquet('{add}')) "
+        f"TO '{full}' (FORMAT PARQUET)"
+    )
+    con.close()
+    r2 = run_cli("ann", "search", "--index", idx, "--embeddings", full,
+                 "--query-ids", "0,3", "--k", "2", "--nprobe", "1",
+                 "--w", "5", "--refine")
+    assert r2.returncode == 0, r2.stderr[-500:]
+    lines = [ln for ln in r2.stdout.splitlines() if ln.startswith("q=")]
+    top = {ln.split()[0]: ln for ln in lines if "#1" in ln}
+    assert "vec=5000" in top["q=0"] and "cosine=1.0" in top["q=0"]
+    assert "vec=5003" in top["q=3"] and "cosine=1.0" in top["q=3"]

@@ -210,3 +210,28 @@ def test_embedding_dedup_hot_bucket_star(spark):
     b = {(r.vec_a, r.vec_b, r.cosine)
          for r in embedding_dedup_pairs(fix, 0.35, bucket_cap=10**9).collect()}
     assert a == b and a
+
+
+def test_ngram_prefix_guard(spark, documents):
+    """The EXACT n-gram join cannot star-cap (it would break the
+    prefix lemma's no-missed-pair guarantee), so its mega-cluster
+    guard is LOUD: prefix_freq_cap raises on a hot prefix shingle,
+    and on a normal corpus the guarded run is value-identical to the
+    unguarded one."""
+    from hadoop_search_spark.operators.dedup import ngram_jaccard_pairs
+
+    guarded = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            documents, threshold=0.5, prefix_freq_cap=10000
+        ).collect()
+    }
+    plain = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(documents, threshold=0.5).collect()
+    }
+    assert guarded == plain
+    with pytest.raises(Exception, match="prefix shingle blocks"):
+        ngram_jaccard_pairs(
+            _mega_corpus(spark, 200), threshold=0.5, prefix_freq_cap=64
+        ).count()
