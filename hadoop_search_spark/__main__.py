@@ -520,18 +520,17 @@ def cmd_ann(args) -> int:
 
         cand = out.select("query_id", "vec_id")
         if args.refine:
-            # one-hop KNN-graph expansion of the stage-1 seeds (r12):
-            # the published adjacency streams against the broadcast
+            # KNN-graph expansion of the stage-1 seeds (r12): the
+            # published adjacency streams against the broadcast
             # request-sized seed set, reaching neighbors across the
-            # probed-cell boundary before the exact rerank
-            graph = spark.read.parquet(f"{args.index}/graph").select(
-                "vec_id", "nbr_id"
+            # probed-cell boundary before the exact rerank — the one
+            # shared hop definition (similarity.graph_expand)
+            from hadoop_search_spark.operators.similarity import (
+                graph_expand,
             )
-            for _hop in range(max(1, args.rounds)):
-                nbrs = graph.join(F.broadcast(cand), "vec_id").select(
-                    "query_id", F.col("nbr_id").alias("vec_id")
-                )
-                cand = cand.unionByName(nbrs).distinct()
+
+            graph = spark.read.parquet(f"{args.index}/graph")
+            cand = graph_expand(graph, cand, args.rounds)
             if not external:
                 cand = cand.filter(F.col("vec_id") != F.col("query_id"))
         q = queries.withColumnRenamed("embedding", "q_emb")

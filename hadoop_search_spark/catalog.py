@@ -3628,10 +3628,21 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_graph_refine_topk",
-    oracle=_EMB_CTE
-    + """
+# Graph-refined-serving CTE fragments, shared (single source, the
+# _shingles_ctes pattern) by the three refine entries so the graph
+# build / expansion / rerank semantics can never desynchronize
+# between the in-memory 1-hop, the in-memory 2-hop, and the
+# published-index forms:
+#  _GRAPH_CELL_CTES   integer cell chain (seed centroids vec_id < 8)
+#                     ending at `ccos` (crn cell ranking) + `assign`
+#  _KNN_GRAPH_CTES    the offline top-8 adjacency built with
+#                     nprobe=2 boundary edges (knn_graph) — needs
+#                     `ccos`/`assign`/`exp_e`/`norms` in scope
+#  _GRAPH_SEED_CTES   nprobe=1 exact-cosine stage-1 seeds (ann_ivf_
+#                     topk) ending at `seeds` (query_id, vec_id)
+#  _GRAPH_RERANK_TAIL exact-cosine rerank of a `rcand` candidate CTE
+#                     to the final (query_id, vec_id, cosine, rn)
+_GRAPH_CELL_CTES = """
 , qnorms AS (
   SELECT vec_id,
          CAST(sum(CAST(floor((x * x) * 1000000000000) AS BIGINT))
@@ -3656,7 +3667,9 @@ ccos AS (
   JOIN qnorms qa ON qa.vec_id = d.vec_id
   JOIN qnorms qc ON qc.vec_id = d.cell
 ),
-assign AS (SELECT vec_id, cell FROM ccos WHERE crn = 1),
+assign AS (SELECT vec_id, cell FROM ccos WHERE crn = 1),"""
+
+_KNN_GRAPH_CTES = """
 gnodes AS (SELECT vec_id AS node_id, cell FROM ccos WHERE crn <= 2),
 gcand AS (
   SELECT n.node_id, a.vec_id AS nbr
@@ -3680,7 +3693,9 @@ graph AS (
     JOIN norms na ON na.vec_id = d.nbr
     JOIN norms nn ON nn.vec_id = d.node_id
   ) t WHERE grn <= 8
-),
+),"""
+
+_GRAPH_SEED_CTES = """
 probes AS (SELECT vec_id AS query_id, cell FROM ccos
            WHERE crn <= 1 AND vec_id IN (0, 1, 2, 3, 4)),
 scand AS (
@@ -3705,16 +3720,9 @@ seeds AS (
     JOIN norms na ON na.vec_id = d.vec_id
     JOIN norms nq ON nq.vec_id = d.query_id
   ) t WHERE srn <= 10
-),
-rcand AS (
-  SELECT DISTINCT query_id, vec_id FROM (
-    SELECT query_id, vec_id FROM seeds
-    UNION ALL
-    SELECT s.query_id, g.nbr AS vec_id
-    FROM seeds s JOIN graph g ON g.node_id = s.vec_id
-  ) u
-  WHERE vec_id <> query_id
-),
+),"""
+
+_GRAPH_RERANK_TAIL = """
 rdots AS (
   SELECT c.vec_id, c.query_id, sum(a.x * b.x) AS dot
   FROM rcand c
@@ -3734,7 +3742,26 @@ SELECT query_id, vec_id, cosine, rn FROM (
                             ORDER BY cosine DESC, vec_id) AS rn
   FROM rcos) t
 WHERE rn <= 10
-""",
+"""
+
+
+@register(
+    "sim_graph_refine_topk",
+    oracle=_EMB_CTE
+    + _GRAPH_CELL_CTES
+    + _KNN_GRAPH_CTES
+    + _GRAPH_SEED_CTES
+    + """
+rcand AS (
+  SELECT DISTINCT query_id, vec_id FROM (
+    SELECT query_id, vec_id FROM seeds
+    UNION ALL
+    SELECT s.query_id, g.nbr AS vec_id
+    FROM seeds s JOIN graph g ON g.node_id = s.vec_id
+  ) u
+  WHERE vec_id <> query_id
+),"""
+    + _GRAPH_RERANK_TAIL,
     note="KNN-graph-refined IVF ANN top-10 (similarity.py:knn_graph/"
     "graph_refine_topk — the r12 refinement rung): an OFFLINE top-8 "
     "cosine neighbor graph built with nprobe=2 boundary edges (cell "
@@ -3764,6 +3791,61 @@ def sim_graph_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_refine_topk(
         emb, graph, [0, 1, 2, 3, 4], k=10, num_centroids=8, nprobe=1,
         seed_w=10,
+    )
+
+
+@register(
+    "sim_graph_refine_2hop",
+    oracle=_EMB_CTE
+    + _GRAPH_CELL_CTES
+    + _KNN_GRAPH_CTES
+    + _GRAPH_SEED_CTES
+    + """
+hop1 AS (
+  SELECT DISTINCT query_id, vec_id FROM (
+    SELECT query_id, vec_id FROM seeds
+    UNION ALL
+    SELECT s.query_id, g.nbr AS vec_id
+    FROM seeds s JOIN graph g ON g.node_id = s.vec_id
+  ) u
+),
+rcand AS (
+  SELECT DISTINCT query_id, vec_id FROM (
+    SELECT query_id, vec_id FROM hop1
+    UNION ALL
+    SELECT h.query_id, g.nbr AS vec_id
+    FROM hop1 h JOIN graph g ON g.node_id = h.vec_id
+  ) u
+  WHERE vec_id <> query_id
+),"""
+    + _GRAPH_RERANK_TAIL,
+    note="TWO-hop KNN-graph refinement (graph_refine_topk rounds=2 — "
+    "the r12 sweep's winning depth promoted to a checked entry): the "
+    "1-hop frontier expands through the published adjacency once "
+    "more before the exact rerank, iterating toward the true "
+    "neighborhood the way a greedy graph walk (HNSW/NSG family) "
+    "does, as a composition of broadcast semi-joins. Measured "
+    "(docs/ANN_QUALITY.md): sf0.01 trained cells 2 hops 0.92 vs "
+    "nprobe=4's 0.89 — TWO hops beat FOUR probed cells at ONE "
+    "cell's scan bytes (pytest-pinned: 2-hop >= 1-hop + 0.08 and "
+    ">= nprobe=2 + 0.05 on the recall recipe). Each hop is one more "
+    "request-sized adjacency probe (candidates <= w*(1+g)^rounds), "
+    "never a wider corpus scan; the intermediate frontier keeps "
+    "self-ids (the walk may pass THROUGH the query's own node) and "
+    "only the final rerank excludes them — the oracle's hop1 CTE "
+    "mirrors that exactly.",
+)
+def sim_graph_refine_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_spark.operators.similarity import (
+        graph_refine_topk,
+        knn_graph,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    graph = knn_graph(emb, g=8, num_centroids=8, nprobe=2)
+    return graph_refine_topk(
+        emb, graph, [0, 1, 2, 3, 4], k=10, num_centroids=8, nprobe=1,
+        seed_w=10, rounds=2,
     )
 
 
@@ -7855,6 +7937,83 @@ def sim_ivfpq_index_external_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_graph_refine_index",
+    # the CLI `ann search --refine` production path end-to-end:
+    # stage-1 ADC seeds from the PUBLISHED codes + expansion through
+    # the PUBLISHED {index}/graph adjacency + exact rerank. Fully
+    # SQL-exact: the stage-1 chain is the sim_ivf_pq_topk ADC CTEs
+    # (the published raw-encoding serve is pinned equal to the
+    # in-memory form), the adjacency is the shared _KNN_GRAPH_CTES
+    # over the SAME integer cell chain (_IVF_PROBE_CTES' ccos/assign
+    # are textually the graph entries' cell CTEs), the rerank is the
+    # shared tail.
+    oracle=_EMB_CTE
+    + _IVFPQ_ADC_CTES
+    + """,
+s1 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist9, vec_id) AS srn
+    FROM adist WHERE vec_id <> query_id) t
+  WHERE srn <= 10
+),"""
+    + _KNN_GRAPH_CTES
+    + """
+rcand AS (
+  SELECT DISTINCT query_id, vec_id FROM (
+    SELECT query_id, vec_id FROM s1
+    UNION ALL
+    SELECT s.query_id, g.nbr AS vec_id
+    FROM s1 s JOIN graph g ON g.node_id = s.vec_id
+  ) u
+  WHERE vec_id <> query_id
+),"""
+    + _GRAPH_RERANK_TAIL,
+    note="graph-refined serving from a PUBLISHED index "
+    "(similarity.py:ivfpq_index_refine_topk — the CLI `ann build` + "
+    "`ann graph` + `ann search --refine` lifecycle as one driver-"
+    "checked chain): write_ivfpq_index publishes 8 B/vec codes, "
+    "knn_graph publishes the top-8 nprobe=2-boundary adjacency to "
+    "{index}/graph, and the serve runs stage-1 ADC over the "
+    "partition-pruned code scan (query math driver-side via the "
+    "Python twins), expands the seed set one hop through the "
+    "published graph (graph_expand — the ONE shared hop definition "
+    "with the in-memory path and the CLI), and exact-reranks over "
+    "the raw-vector tier. The index stores no floats: the rerank "
+    "reads the separate embeddings table, exactly the cascade "
+    "split. Append-staleness contract pytest-pinned on the CLI: "
+    "`ann add` leaves the graph stale by design; appended vectors "
+    "serve through the stage-1 cell scan. Oracle composes the "
+    "sim_ivf_pq_topk ADC chain (stage-1, nprobe=2, self-excluded) "
+    "with the shared graph + rerank CTEs — no golden, fully "
+    "SQL-exact.",
+)
+def sim_graph_refine_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_search_spark.operators.similarity import (
+        ivfpq_index_refine_topk,
+        knn_graph,
+        write_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="refine_idx_")
+    write_ivfpq_index(emb, path, num_centroids=8)
+    knn_graph(emb, g=8, num_centroids=8, nprobe=2).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/graph")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_index_refine_topk(
+        spark, path, queries, k=10, w=10, nprobe=2, rounds=1,
+        embeddings=emb,
+    )
+
+
 # ---- public accessors -------------------------------------------------
 
 # The correctness driver records at most the FIRST 50 queries() entries
@@ -7879,6 +8038,14 @@ _DRIVER_FRONT = [
     # boundary-edge graph recovers nprobe=2 recall at nprobe=1 scan):
     "dedup_hot_bucket_star",
     "sim_graph_refine_topk",
+    # (a2) NEW in the round's continuation session — the two ranked
+    # follow-ons the r12 log had queued for r13, built early: the
+    # TWO-hop refinement (measured 0.92 vs nprobe=4's 0.89 at one
+    # cell's scan bytes) and the published-index refine lifecycle
+    # (ann build + ann graph + ann search --refine as one SQL-exact
+    # driver-checked chain):
+    "sim_graph_refine_2hop",
+    "sim_graph_refine_index",
     # (b) CHANGED this round — the hot-bucket cap is default-on in
     # minhash_lsh_candidates / simhash_pairs / cross_corpus_pairs and
     # the shared oracle CTEs now carry the identical capped SQL
@@ -7937,23 +8104,25 @@ _DRIVER_FRONT = [
     "sim_pq_trained_topk",
     "sim_semantic_dedup",
     "sketch_cms_counts",
-    "sketch_cms_pointq",
     "sketch_hist_quantiles",
     "sketch_hll_distinct",
-    "sketch_hll_grouped",
     "stream_cms_replay",
     "stream_hist_replay",
     "stream_hll_replay",
-    # NOT listed (the 50-row budget is contract-enforced): two
-    # changed-this-round entries are deliberately held out as the
-    # round's lowest-risk changes, both re-gated green at 3 SFs
-    # locally, and MUST lead the r13 front:
-    # - curation_tokenizer_report (oracle-text-only change via the
-    #   shared _curation_sql fragment; its code path is the pipeline
-    #   three fronted entries exercise);
-    # - dedup_ngram_jaccard (new prefix_freq_cap guard param, default
-    #   None — zero behavioral/oracle change; the guard itself is
-    #   pytest-pinned in tests/test_hot_bucket.py).
+    # NOT listed (the 50-row budget is contract-enforced): four
+    # entries are deliberately held out and MUST lead the r13 front:
+    # - curation_tokenizer_report (changed r12: oracle-text-only via
+    #   the shared _curation_sql fragment; its code path is the
+    #   pipeline three fronted entries exercise; re-gated at 3 SFs);
+    # - dedup_ngram_jaccard (changed r12: new prefix_freq_cap guard
+    #   param, default None — zero behavioral/oracle change; the
+    #   guard itself is pytest-pinned in tests/test_hot_bucket.py);
+    # - sketch_cms_pointq, sketch_hll_grouped (r8-stale fills
+    #   displaced by the two continuation-session debuts — the
+    #   same-round rule for NEW entries outranks staleness rotation;
+    #   chosen because their code paths are exercised by the fronted
+    #   siblings sketch_cms_counts / sketch_hll_distinct, and both
+    #   re-gated green at 3 SFs locally this session).
 ]
 
 def _ordered() -> list[str]:

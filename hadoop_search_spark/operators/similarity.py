@@ -1001,6 +1001,28 @@ def knn_graph(
     )
 
 
+def graph_expand(
+    graph: DataFrame,
+    cand: DataFrame,
+    rounds: int = 1,
+) -> DataFrame:
+    """Expand a request-sized (query_id, vec_id) candidate frontier
+    ``rounds`` hops through a KNN-graph adjacency — the one shared
+    definition of the hop step (library serving, published-index
+    serving, and the CLI all call this, so the expansion semantics
+    cannot drift between them). Each hop is one broadcast semi-join
+    of the frontier against the adjacency: the graph side streams,
+    the frontier stays ≤ w·(1+g)^rounds ids per query — request-sized
+    at any corpus scale, never a wide shuffle."""
+    adj = graph.select("vec_id", "nbr_id")
+    for _hop in range(max(1, int(rounds))):
+        nbrs = adj.join(F.broadcast(cand), "vec_id").select(
+            "query_id", F.col("nbr_id").alias("vec_id")
+        )
+        cand = cand.unionByName(nbrs).distinct()
+    return cand
+
+
 def graph_refine_topk(
     embeddings: DataFrame,
     graph: DataFrame,
@@ -1041,13 +1063,7 @@ def graph_refine_topk(
     seeds = ann_ivf_topk(
         embeddings, query_ids, w, num_centroids, nprobe, centroids=centroids
     ).select("query_id", "vec_id")
-    cand = seeds
-    adj = graph.select("vec_id", "nbr_id")
-    for _hop in range(max(1, int(rounds))):
-        nbrs = adj.join(F.broadcast(cand), "vec_id").select(
-            "query_id", F.col("nbr_id").alias("vec_id")
-        )
-        cand = cand.unionByName(nbrs).distinct()
+    cand = graph_expand(graph, seeds, rounds)
     q = (
         embeddings.filter(F.col("vec_id").isin(*[int(i) for i in query_ids]))
         .limit(len(query_ids))
@@ -1094,6 +1110,61 @@ def graph_refine_recall(
         rounds=rounds,
     )
     return _recall_vs_exact(embeddings, query_ids, k, approx)
+
+
+def ivfpq_index_refine_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    w: int | None = None,
+    nprobe: int = 1,
+    rounds: int = 1,
+    embeddings: DataFrame | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Graph-refined serving from a PUBLISHED IVF-PQ index — the full
+    production read path the CLI ``ann search --refine`` drives,
+    as one library call: stage-1 ADC seeds from the partition-pruned
+    ``{path}/codes`` scan (:func:`ivfpq_index_topk` — all query math
+    driver-side), ``rounds`` hops of expansion through the PUBLISHED
+    ``{path}/graph`` adjacency (``ann graph``), then an exact-cosine
+    rerank of the request-sized candidate set over ``embeddings``
+    (the rerank tier's raw-vector store — the index itself holds no
+    floats, exactly the cascade split).
+
+    Append-staleness contract (pytest-pinned on the CLI): ``ann add``
+    leaves the graph stale BY DESIGN — the adjacency is an offline
+    artifact rebuilt like drift-triggered rebuilds; appended vectors
+    still serve through the stage-1 cell scan, only the expansion
+    hop doesn't know them yet.
+
+    ``queries`` is a (query_id, embedding) frame as everywhere on the
+    published-serving surface; ``exclude_self=False`` for external id
+    spaces (same collision rule as :func:`ivfpq_index_topk`)."""
+    from hadoop_search_spark.partitioning import spread
+
+    if embeddings is None:
+        raise ValueError(
+            "ivfpq_index_refine_topk needs the rerank tier's raw-vector "
+            "frame: the published index stores codes only"
+        )
+    seed_w = w if w is not None else k
+    seeds = ivfpq_index_topk(
+        spark, path, queries, seed_w, nprobe=nprobe,
+        exclude_self=exclude_self,
+    ).select("query_id", "vec_id")
+    graph = spark.read.parquet(f"{path}/graph")
+    cand = graph_expand(graph, seeds, rounds)
+    q = queries.select("query_id", F.col("embedding").alias("q_emb"))
+    pairs = (
+        spread(embeddings, "vec_id")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "query_id")
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col("vec_id") != F.col("query_id"))
+    return _topk_per_query(pairs, k)
 
 
 def ivf_recall(

@@ -3140,3 +3140,87 @@ def test_graph_refine_two_hop_walk(spark):
     assert two >= one + 0.08, (one, two)
     assert two >= wide + 0.05, (two, wide)  # beats the wider probe
     assert two >= 0.88
+
+
+def test_graph_expand_monotone_and_bounded(spark):
+    """graph_expand contract (the ONE shared hop definition): each
+    hop's frontier is a superset of the last, bounded by
+    w*(1+g)^rounds per query, and the intermediate frontier keeps
+    self-ids (the walk may pass THROUGH the query's own node) —
+    consumers exclude them only at the final rerank."""
+    from hadoop_search_spark.operators.similarity import (
+        ann_ivf_topk,
+        graph_expand,
+        knn_graph,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    qids = [0, 1, 2]
+    g = 4
+    graph = knn_graph(emb, g=g, num_centroids=8, nprobe=2)
+    seeds = ann_ivf_topk(emb, qids, 5, 8, 1).select("query_id", "vec_id")
+    s = {(r.query_id, r.vec_id) for r in seeds.collect()}
+    f1 = {(r.query_id, r.vec_id)
+          for r in graph_expand(graph, seeds, 1).collect()}
+    f2 = {(r.query_id, r.vec_id)
+          for r in graph_expand(graph, seeds, 2).collect()}
+    assert s <= f1 <= f2
+    for q in qids:
+        n1 = sum(1 for qq, _v in f1 if qq == q)
+        n2 = sum(1 for qq, _v in f2 if qq == q)
+        assert n1 <= 5 * (1 + g) and n2 <= 5 * (1 + g) ** 2
+
+
+def test_ivfpq_index_refine_topk_published_lifecycle(spark, tmp_path):
+    """Published-index graph refinement (the CLI lifecycle as one
+    library call): refined top-k is the exact-cosine rerank of a
+    candidate set that CONTAINS the stage-1 seeds, so per-query
+    recall@k vs the exact answer can only match or beat the
+    rerank-over-seeds form; missing the raw-vector tier raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_search_spark.operators.similarity import (
+        _recall_vs_exact,
+        _topk_per_query,
+        ivfpq_index_refine_topk,
+        ivfpq_index_topk,
+        knn_graph,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(emb, path, num_centroids=8)
+    knn_graph(emb, g=8, num_centroids=8, nprobe=2).write.parquet(
+        f"{path}/graph"
+    )
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_index_refine_topk(
+        spark, path, queries, k=10, w=10, nprobe=1, embeddings=emb
+    )
+    rows = out.collect()
+    assert {(r.query_id) for r in rows} == set(qids)
+    assert all(r.vec_id != r.query_id for r in rows)
+    # rerank-over-seeds baseline: same stage-1, no expansion
+    seeds = ivfpq_index_topk(spark, path, queries, 10, nprobe=1).select(
+        "query_id", "vec_id"
+    )
+    q = queries.select("query_id", F.col("embedding").alias("q_emb"))
+    base = _topk_per_query(
+        emb.join(F.broadcast(seeds), "vec_id").join(F.broadcast(q),
+                                                    "query_id"),
+        10,
+    )
+    r_ref = _recall_vs_exact(emb, qids, 10, out)
+    r_base = _recall_vs_exact(emb, qids, 10, base)
+    assert r_ref >= r_base, (r_base, r_ref)
+    with pytest.raises(ValueError, match="raw-vector"):
+        ivfpq_index_refine_topk(spark, path, queries, k=10)
