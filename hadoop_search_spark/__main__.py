@@ -314,6 +314,39 @@ def cmd_drift(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if getattr(args, "graph", False):
+        # graph-staleness mode: the adjacency is an offline artifact
+        # (`ann add` leaves it stale by design), so this is its
+        # rebuild trigger — the graph counterpart of the model-drift
+        # reports below
+        from hadoop_search_spark.operators.similarity import (
+            graph_stale_report,
+        )
+
+        if not os.path.exists(os.path.join(args.index, "graph")):
+            print(
+                f"no published graph at {args.index}/graph "
+                "(build it with `ann graph`)",
+                file=sys.stderr,
+            )
+            return 2
+        spark = _spark(args.cpus)
+        rows = graph_stale_report(spark, args.index).orderBy("cell").collect()
+        print(f"{'cell':>5}{'n_codes':>9}{'n_graph':>9}{'n_stale':>9}"
+              f"{'frac':>8}")
+        for r in rows:
+            print(f"{r.cell:>5}{r.n_codes:>9}{r.n_graph:>9}"
+                  f"{r.n_stale:>9}{r.stale_frac:>8.3f}")
+        total = sum(r.n_codes for r in rows)
+        stale = sum(r.n_stale for r in rows)
+        frac = stale / total if total else 0.0
+        if frac > args.max_stale_frac:
+            print(f"STALE: {stale}/{total} indexed vectors are invisible "
+                  "to the expansion hop — re-run `ann graph`")
+            spark.stop()
+            return 1
+        spark.stop()
+        return 0
     spark = _spark(args.cpus)
     if has_codes:
         rows = ivfpq_index_drift(spark, args.index).orderBy("cell", "s").collect()
@@ -623,6 +656,18 @@ def main(argv: list[str] | None = None) -> int:
         "(exit 1 when any cell flags — the rebuild trigger)",
     )
     pdr.add_argument("--index", required=True, help="published index dir")
+    pdr.add_argument(
+        "--graph", action="store_true",
+        help="report KNN-graph staleness instead of model drift: "
+        "per-cell count of indexed vectors the `ann search --refine` "
+        "expansion hop cannot reach because they were appended after "
+        "the last `ann graph` (exit 1 above --max-stale-frac)",
+    )
+    pdr.add_argument(
+        "--max-stale-frac", type=float, default=0.0,
+        help="(drift --graph) tolerated stale fraction before the "
+        "exit-1 rebuild flag (default 0: any staleness flags)",
+    )
     pdr.set_defaults(fn=cmd_drift)
 
     pd = sub.add_parser(

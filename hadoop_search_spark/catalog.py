@@ -8014,6 +8014,79 @@ def sim_graph_refine_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_graph_stale_report",
+    # build on vec_id % 4 <> 0 under frozen first-8 centroids, publish
+    # the graph over the build slice, append the % 4 == 0 quarter with
+    # the frozen models, report. Fully SQL-exact: codes = the shared
+    # integer cell assignment over ALL vectors (appends assign under
+    # the frozen centroids), graph nodes = build vectors with >= 1
+    # build co-cell candidate in their top-2 cells (a zero-edge node
+    # never enters the adjacency and correctly reports stale).
+    oracle=_EMB_CTE
+    + _GRAPH_CELL_CTES
+    + """
+bnodes AS (SELECT vec_id AS node_id, cell FROM ccos
+           WHERE crn <= 2 AND vec_id % 4 <> 0),
+bcand AS (
+  SELECT DISTINCT n.node_id
+  FROM bnodes n
+  JOIN assign a ON a.cell = n.cell AND a.vec_id <> n.node_id
+  WHERE a.vec_id % 4 <> 0
+),
+percell AS (
+  SELECT a.cell,
+         CAST(count(*) AS BIGINT) AS n_codes,
+         CAST(count(b.node_id) AS BIGINT) AS n_graph
+  FROM assign a LEFT JOIN bcand b ON b.node_id = a.vec_id
+  GROUP BY a.cell
+)
+SELECT CAST(cell AS BIGINT) AS cell, n_codes, n_graph,
+       CAST(n_codes - n_graph AS BIGINT) AS n_stale,
+       round(CAST(n_codes - n_graph AS DOUBLE)
+             / CAST(n_codes AS DOUBLE), 9) AS stale_frac
+FROM percell
+""",
+    note="KNN-graph staleness report (similarity.py:graph_stale_"
+    "report — the rebuild trigger for the published adjacency): "
+    "`ann add` leaves {index}/graph stale BY DESIGN (pytest-pinned "
+    "lifecycle contract — the adjacency is an offline artifact like "
+    "the frozen quantizer models), and this report makes the "
+    "resulting serving blind spot measurable per cell, exactly the "
+    "role the drift reports play for the code distribution. Recipe: "
+    "build an IVF-PQ index on the vec_id %% 4 <> 0 slice under "
+    "frozen first-8 centroids, publish the graph over the build "
+    "slice, append the remaining quarter (frozen-model assignment), "
+    "then count per cell how many indexed vectors the expansion hop "
+    "cannot reach (codes LEFT ANTI graph source-nodes — one "
+    "id-shuffle aggregation, no raw vectors, no model math at any "
+    "corpus size). Appended vectors still SERVE through the stage-1 "
+    "cell scan; stale_frac tells the operator when the graph's "
+    "recall contribution has decayed enough to re-run `ann graph`.",
+)
+def sim_graph_stale_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from hadoop_search_spark.operators.similarity import (
+        graph_stale_report,
+        ivf_centroids,
+        ivfpq_index_add,
+        knn_graph,
+        write_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, 8)
+    build = emb.filter(F.col("vec_id") % 4 != 0)
+    path = tempfile.mkdtemp(prefix="stale_idx_")
+    write_ivfpq_index(build, path, centroids=cents, num_centroids=8)
+    knn_graph(build, g=8, centroids=cents, nprobe=2).write.parquet(
+        f"{path}/graph"
+    )
+    ivfpq_index_add(spark, path, emb.filter(F.col("vec_id") % 4 == 0))
+    return graph_stale_report(spark, path)
+
+
 # ---- public accessors -------------------------------------------------
 
 # The correctness driver records at most the FIRST 50 queries() entries
@@ -8043,9 +8116,13 @@ _DRIVER_FRONT = [
     # TWO-hop refinement (measured 0.92 vs nprobe=4's 0.89 at one
     # cell's scan bytes) and the published-index refine lifecycle
     # (ann build + ann graph + ann search --refine as one SQL-exact
-    # driver-checked chain):
+    # driver-checked chain) — plus the graph-staleness report, the
+    # operational observable for the append-leaves-the-graph-stale
+    # contract (the adjacency's rebuild trigger, as the drift
+    # reports are for the frozen quantizer models):
     "sim_graph_refine_2hop",
     "sim_graph_refine_index",
+    "sim_graph_stale_report",
     # (b) CHANGED this round — the hot-bucket cap is default-on in
     # minhash_lsh_candidates / simhash_pairs / cross_corpus_pairs and
     # the shared oracle CTEs now carry the identical capped SQL
@@ -8107,9 +8184,8 @@ _DRIVER_FRONT = [
     "sketch_hist_quantiles",
     "sketch_hll_distinct",
     "stream_cms_replay",
-    "stream_hist_replay",
     "stream_hll_replay",
-    # NOT listed (the 50-row budget is contract-enforced): four
+    # NOT listed (the 50-row budget is contract-enforced): five
     # entries are deliberately held out and MUST lead the r13 front:
     # - curation_tokenizer_report (changed r12: oracle-text-only via
     #   the shared _curation_sql fragment; its code path is the
@@ -8117,12 +8193,14 @@ _DRIVER_FRONT = [
     # - dedup_ngram_jaccard (changed r12: new prefix_freq_cap guard
     #   param, default None — zero behavioral/oracle change; the
     #   guard itself is pytest-pinned in tests/test_hot_bucket.py);
-    # - sketch_cms_pointq, sketch_hll_grouped (r8-stale fills
-    #   displaced by the two continuation-session debuts — the
-    #   same-round rule for NEW entries outranks staleness rotation;
-    #   chosen because their code paths are exercised by the fronted
-    #   siblings sketch_cms_counts / sketch_hll_distinct, and both
-    #   re-gated green at 3 SFs locally this session).
+    # - sketch_cms_pointq, sketch_hll_grouped, stream_hist_replay
+    #   (r8-stale fills displaced by the three continuation-session
+    #   debuts — the same-round rule for NEW entries outranks
+    #   staleness rotation; chosen because their code paths are
+    #   exercised by fronted siblings: sketch_cms_counts /
+    #   sketch_hll_distinct / the cms+hll replays plus the batch
+    #   sketch_hist_quantiles; all re-gated green at 3 SFs locally
+    #   this session).
 ]
 
 def _ordered() -> list[str]:

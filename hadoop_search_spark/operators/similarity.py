@@ -1167,6 +1167,53 @@ def ivfpq_index_refine_topk(
     return _topk_per_query(pairs, k)
 
 
+def graph_stale_report(spark: SparkSession, path: str) -> DataFrame:
+    """Staleness of the published KNN-graph adjacency against the
+    published codes table — the operational observable for the append
+    lifecycle contract: ``ann add`` leaves ``{path}/graph`` stale BY
+    DESIGN (the adjacency is an offline artifact), so this report is
+    the graph's rebuild trigger, exactly the role
+    :func:`ivfpq_index_drift` plays for the frozen quantizer models.
+    Per cell: how many indexed vectors the expansion hop cannot
+    reach because they entered after the last ``ann graph``.
+
+    Pure metadata-scale aggregation — the codes table (one row per
+    vector) LEFT ANTI the adjacency's node set, no raw vectors and no
+    model math; at any corpus size this is one shuffle over ids.
+    Returns (cell, n_codes, n_graph, n_stale, stale_frac), one row
+    per cell directory, stale_frac 9dp-rounded. A vector counts as
+    IN the graph iff it appears as a source node (a zero-edge node
+    never enters the adjacency, so it is unreachable and correctly
+    reports stale)."""
+    codes = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{path}/codes")
+        .select("vec_id", "cell")
+    )
+    nodes = spark.read.parquet(f"{path}/graph").select("vec_id").distinct()
+    stale = F.coalesce(F.col("n_stale"), F.lit(0).cast("bigint"))
+    return (
+        codes.groupBy("cell")
+        .agg(F.count("*").cast("bigint").alias("n_codes"))
+        .join(
+            codes.join(nodes, "vec_id", "left_anti")
+            .groupBy("cell")
+            .agg(F.count("*").cast("bigint").alias("n_stale")),
+            "cell",
+            "left",
+        )
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            "n_codes",
+            (F.col("n_codes") - stale).cast("bigint").alias("n_graph"),
+            stale.cast("bigint").alias("n_stale"),
+            F.round(
+                stale.cast("double") / F.col("n_codes").cast("double"), 9
+            ).alias("stale_frac"),
+        )
+    )
+
+
 def ivf_recall(
     embeddings: DataFrame,
     query_ids: list[int],

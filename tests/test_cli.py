@@ -369,3 +369,20 @@ def test_cli_ann_graph_stale_after_add_degrades_gracefully(tmp_path):
     top = {ln.split()[0]: ln for ln in lines if "#1" in ln}
     assert "vec=5000" in top["q=0"] and "cosine=1.0" in top["q=0"]
     assert "vec=5003" in top["q=3"] and "cosine=1.0" in top["q=3"]
+    # `drift --graph` is the staleness observable for exactly this
+    # state: the two appended twins are invisible to the expansion
+    # hop, so the default threshold flags (exit 1) while a tolerant
+    # one passes; re-running `ann graph` over the full corpus clears
+    # the report — the documented rebuild-trigger loop
+    rd = run_cli("drift", "--index", idx, "--graph")
+    assert rd.returncode == 1, (rd.stdout, rd.stderr[-500:])
+    assert "STALE: 2/" in rd.stdout and "ann graph" in rd.stdout
+    rt = run_cli("drift", "--index", idx, "--graph",
+                 "--max-stale-frac", "0.5")
+    assert rt.returncode == 0, (rt.stdout, rt.stderr[-500:])
+    rg2 = run_cli("ann", "graph", "--index", idx, "--embeddings", full,
+                  "--g", "4")
+    assert rg2.returncode == 0, rg2.stderr[-500:]
+    rd2 = run_cli("drift", "--index", idx, "--graph")
+    assert rd2.returncode == 0, (rd2.stdout, rd2.stderr[-500:])
+    assert "STALE" not in rd2.stdout

@@ -3224,3 +3224,50 @@ def test_ivfpq_index_refine_topk_published_lifecycle(spark, tmp_path):
     assert r_ref >= r_base, (r_base, r_ref)
     with pytest.raises(ValueError, match="raw-vector"):
         ivfpq_index_refine_topk(spark, path, queries, k=10)
+
+
+def test_graph_stale_report_lifecycle(spark, tmp_path):
+    """The append-staleness observable, pinned end-to-end: a freshly
+    published graph reports 0 stale everywhere; `add` flips exactly
+    the appended ids to stale (they serve via stage-1 but the
+    expansion hop can't reach them); re-running the offline graph
+    build over the full corpus returns the report to all-zero —
+    the rebuild-trigger loop."""
+    from pyspark.sql import functions as F
+
+    from hadoop_search_spark.operators.similarity import (
+        graph_stale_report,
+        ivf_centroids,
+        ivfpq_index_add,
+        knn_graph,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    cents = ivf_centroids(emb, 8)
+    build = emb.filter(F.col("vec_id") % 4 != 0)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(build, path, centroids=cents, num_centroids=8)
+    knn_graph(build, g=8, centroids=cents, nprobe=2).write.parquet(
+        f"{path}/graph"
+    )
+    fresh = graph_stale_report(spark, path).collect()
+    assert fresh and all(r.n_stale == 0 and r.stale_frac == 0.0
+                         for r in fresh)
+    assert all(r.n_codes == r.n_graph for r in fresh)
+
+    added = ivfpq_index_add(
+        spark, path, emb.filter(F.col("vec_id") % 4 == 0)
+    )
+    after = graph_stale_report(spark, path).collect()
+    assert sum(r.n_stale for r in after) == added
+    assert sum(r.n_codes for r in after) == emb.count()
+    assert any(r.stale_frac > 0 for r in after)
+
+    knn_graph(emb, g=8, centroids=cents, nprobe=2).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/graph")
+    rebuilt = graph_stale_report(spark, path).collect()
+    assert all(r.n_stale == 0 for r in rebuilt)
