@@ -565,6 +565,52 @@ def main() -> int:
 
     stage("residual_opq_index_build_append_serve", residual_opq_index_stage)
 
+    def graph_refine_stage():
+        # r12 continuation: the published-graph serving lifecycle at
+        # scale — offline adjacency built with MORE cells than the
+        # serve uses (the documented pair-budget recipe: 64 build
+        # cells bound the per-cell quadratic term to ~(n/64)^2 while
+        # the serving index keeps its 8), append a 5% tail (graph
+        # left stale BY CONTRACT), measure the stale fraction, then
+        # serve graph-refined top-10 from the published artifacts
+        from hadoop_search_spark.operators.similarity import (
+            graph_stale_report,
+            ivfpq_index_add,
+            ivfpq_index_refine_topk,
+            knn_graph,
+            write_ivfpq_index,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        big = emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * 2000).alias("vec_id"),
+            "embedding",
+        )
+        n_total = replicas * 2000
+        build = big.filter(F.col("vec_id") < int(n_total * 0.95))
+        tail = big.filter(F.col("vec_id") >= int(n_total * 0.95))
+        path = tempfile.mkdtemp(prefix="smoke_graph_idx_")
+        write_ivfpq_index(build, path)
+        knn_graph(build, g=8, num_centroids=64, nprobe=2).write.parquet(
+            f"{path}/graph"
+        )
+        ivfpq_index_add(spark, path, tail, check_ids=False)
+        tot = graph_stale_report(spark, path).agg(
+            F.sum("n_stale").alias("s"), F.sum("n_codes").alias("c")
+        ).collect()[0]
+        queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        served = ivfpq_index_refine_topk(
+            spark, path, queries, k=10, w=10, nprobe=1, embeddings=big
+        ).count()
+        return (
+            f"{served} rows served, stale {tot.s}/{tot.c} "
+            f"({tot.s / tot.c:.3f})"
+        )
+
+    stage("graph_publish_append_refine", graph_refine_stage)
+
     def stream_quantiles_stage():
         # r9: the streaming histogram store's query surface over the
         # replicated corpus's length distribution, 4-epoch ingest
