@@ -509,16 +509,14 @@ def cmd_ann(args) -> int:
         # buys nothing, docs/ANN_QUALITY.md), consumed by
         # `search --refine`
         from hadoop_search_spark.operators.similarity import (
-            _ivf_centroids_cached,
-            knn_graph,
+            publish_knn_graph,
         )
 
         emb = spark.read.parquet(args.embeddings)
-        cents = _ivf_centroids_cached(spark, args.index)
-        graph = knn_graph(
-            emb, g=args.g, centroids=cents, nprobe=args.build_nprobe
+        publish_knn_graph(
+            spark, args.index, emb, g=args.g,
+            build_nprobe=args.build_nprobe,
         )
-        graph.write.mode("overwrite").parquet(f"{args.index}/graph")
         n = spark.read.parquet(f"{args.index}/graph").count()
         print(
             f"graph: {n} edges (g={args.g}, build "
@@ -544,13 +542,28 @@ def cmd_ann(args) -> int:
             F.col("vec_id").alias("query_id"), "embedding"
         )
     wide = args.rerank or args.refine
-    out = (int8_index_topk if int8 else ivfpq_index_topk)(
-        spark, args.index, queries, args.w if wide else args.k,
-        nprobe=args.nprobe, exclude_self=not external,
-    )
-    if wide:
+    if args.refine and not int8:
+        # the full refined lifecycle is one library call (stage-1 ADC
+        # seeds -> published-graph hops, the FIRST one partition-
+        # pruned to the probed cells -> exact rerank); int8 indexes
+        # fall through to the manual expansion below
+        from hadoop_search_spark.operators.similarity import (
+            ivfpq_index_refine_topk,
+        )
+
+        out = ivfpq_index_refine_topk(
+            spark, args.index, queries, k=args.k, w=args.w,
+            nprobe=args.nprobe, rounds=args.rounds, embeddings=emb,
+            exclude_self=not external,
+        )
+        score_col = "cosine"
+    elif wide:
         from hadoop_search_spark.operators.similarity import _topk_per_query
 
+        out = (int8_index_topk if int8 else ivfpq_index_topk)(
+            spark, args.index, queries, args.w,
+            nprobe=args.nprobe, exclude_self=not external,
+        )
         cand = out.select("query_id", "vec_id")
         if args.refine:
             # KNN-graph expansion of the stage-1 seeds (r12): the
@@ -573,6 +586,10 @@ def cmd_ann(args) -> int:
         out = _topk_per_query(pairs, args.k)
         score_col = "cosine"
     else:
+        out = (int8_index_topk if int8 else ivfpq_index_topk)(
+            spark, args.index, queries, args.k,
+            nprobe=args.nprobe, exclude_self=not external,
+        )
         score_col = "s8" if int8 else "adist9"
     for r in out.orderBy("query_id", "rn").collect():
         print(f"q={r.query_id}  #{r.rn}  vec={r.vec_id}  "

@@ -7950,7 +7950,7 @@ def _graph_published_index(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     from hadoop_search_spark.operators.similarity import (
-        knn_graph,
+        publish_knn_graph,
         write_ivfpq_index,
     )
 
@@ -7960,9 +7960,7 @@ def _graph_published_index(spark: SparkSession, sf_dir: str) -> str:
             emb = _t(spark, sf_dir, "embeddings")
             path = tempfile.mkdtemp(prefix="refine_idx_")
             write_ivfpq_index(emb, path, num_centroids=8)
-            knn_graph(emb, g=8, num_centroids=8, nprobe=2).write.mode(
-                "overwrite"
-            ).parquet(f"{path}/graph")
+            publish_knn_graph(spark, path, emb, g=8, build_nprobe=2)
             _ENGINE_CACHE[key] = path
         return _ENGINE_CACHE[key]
 
@@ -8093,7 +8091,7 @@ def sim_graph_stale_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         graph_stale_report,
         ivf_centroids,
         ivfpq_index_add,
-        knn_graph,
+        publish_knn_graph,
         write_ivfpq_index,
     )
 
@@ -8102,9 +8100,7 @@ def sim_graph_stale_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     build = emb.filter(F.col("vec_id") % 4 != 0)
     path = tempfile.mkdtemp(prefix="stale_idx_")
     write_ivfpq_index(build, path, centroids=cents, num_centroids=8)
-    knn_graph(build, g=8, centroids=cents, nprobe=2).write.parquet(
-        f"{path}/graph"
-    )
+    publish_knn_graph(spark, path, build, g=8, build_nprobe=2)
     ivfpq_index_add(spark, path, emb.filter(F.col("vec_id") % 4 == 0))
     return graph_stale_report(spark, path)
 

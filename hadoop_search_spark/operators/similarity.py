@@ -974,7 +974,9 @@ def knn_graph(
     ``nprobe=2`` pass for boundary edges. Deterministic: trained or
     seed centroids, quantized-integer cell argmin, 9dp cosine with
     vec_id tie-break — same conventions as every serving path, so
-    the graph is SQL-oracle-expressible."""
+    the graph is SQL-oracle-expressible. Publish alongside an index
+    with :func:`publish_knn_graph`, which adds the serving-quantizer
+    partition column the pruned serving hop needs."""
     from hadoop_search_spark.partitioning import spread
 
     cents = (
@@ -999,6 +1001,46 @@ def knn_graph(
         "cosine",
         "rn",
     )
+
+
+def publish_knn_graph(
+    spark: SparkSession,
+    index_path: str,
+    embeddings: DataFrame,
+    g: int = 8,
+    build_centroids=None,
+    build_num_centroids: int | None = None,
+    build_nprobe: int = 2,
+) -> None:
+    """Build and publish the KNN adjacency to ``{index_path}/graph``,
+    PARTITIONED by each source node's cell under the INDEX'S serving
+    quantizer — the layout that lets the serving hop partition-prune.
+
+    Stage-1 seeds always sit in the query's probed cells, so the
+    FIRST expansion hop only ever looks up adjacency rows whose
+    source node lives in a probed cell: with ``cell=N`` directories,
+    that hop reads nprobe directories instead of the corpus-sized
+    edge table (:func:`ivfpq_index_refine_topk` prunes exactly this
+    way; hops past the first reach nodes in unknown cells and read
+    unpruned). The partition column is ALWAYS derived under the
+    index's frozen centroids, independent of the quantizer used for
+    candidate generation — at scale the build uses more cells than
+    the serve (``build_centroids`` / ``build_num_centroids``: the
+    pair-budget recipe), and partitioning by those build cells would
+    silently break the prune's exactness."""
+    cents = _ivf_centroids_cached(spark, index_path)
+    bc = build_centroids
+    if bc is None:
+        bc = (
+            ivf_centroids(embeddings, build_num_centroids)
+            if build_num_centroids is not None
+            else cents
+        )
+    edges = knn_graph(embeddings, g, centroids=bc, nprobe=build_nprobe)
+    own = ivf_assign(embeddings, cents).select("vec_id", "cell")
+    edges.join(own, "vec_id").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{index_path}/graph")
 
 
 def graph_expand(
@@ -1141,7 +1183,18 @@ def ivfpq_index_refine_topk(
 
     ``queries`` is a (query_id, embedding) frame as everywhere on the
     published-serving surface; ``exclude_self=False`` for external id
-    spaces (same collision rule as :func:`ivfpq_index_topk`)."""
+    spaces (same collision rule as :func:`ivfpq_index_topk`).
+
+    When the graph was published by :func:`publish_knn_graph` (a
+    ``cell`` partition column under the index's serving quantizer),
+    the FIRST hop partition-prunes its adjacency scan to the probed
+    cells: every stage-1 seed is a row of a probed cell by
+    construction, so the prune is exact — at corpus scale the hop
+    reads nprobe directories, not the corpus-sized edge table.
+    Deeper hops reach nodes in unknown cells and read unpruned
+    (still one broadcast semi-join each). A graph without the
+    partition column (written raw from :func:`knn_graph`) serves
+    identically, just unpruned."""
     from hadoop_search_spark.partitioning import spread
 
     if embeddings is None:
@@ -1155,7 +1208,24 @@ def ivfpq_index_refine_topk(
         exclude_self=exclude_self,
     ).select("query_id", "vec_id")
     graph = spark.read.parquet(f"{path}/graph")
-    cand = graph_expand(graph, seeds, rounds)
+    if "cell" in graph.columns:
+        # the same driver-side cell ranking the stage-1 serve ran —
+        # request-sized math, and the literal IN list is what reaches
+        # the parquet source as a PartitionFilter
+        cents, _books, _enc, _rot = _ivfpq_models_cached(spark, path)
+        probed = sorted({
+            int(c)
+            for r in queries.select("embedding").collect()
+            for c in _py_cell_ranking(
+                [float(x) for x in r.embedding], cents
+            )[:nprobe]
+        })
+        hop1 = graph.filter(F.col("cell").isin(probed))
+    else:
+        hop1 = graph
+    cand = graph_expand(hop1, seeds, 1)
+    if int(rounds) > 1:
+        cand = graph_expand(graph, cand, int(rounds) - 1)
     q = queries.select("query_id", F.col("embedding").alias("q_emb"))
     pairs = (
         spread(embeddings, "vec_id")

@@ -115,6 +115,20 @@ COMMENTARY = {
         "corpus is touched only via the probed cell and the id-pruned "
         "rerank fetch."
     ),
+    "sim_graph_refine_index": (
+        "The PUBLISHED refine lifecycle (r12 continuation): stage-1 "
+        "ADC reads only the probed `cell=N` code directories "
+        "(`PartitionFilters: cell IN (...)` — the query math is "
+        "driver-side, the LUT a broadcast literal), and the hop-1 "
+        "adjacency lookup reads only the SAME probed directories of "
+        "the cell-partitioned {index}/graph (publish_knn_graph "
+        "derives the partition column under the serving quantizer, "
+        "so every stage-1 seed's adjacency rows live there — exact "
+        "by construction). TWO partition-pruned scans, zero "
+        "corpus-shaped reads: the only other corpus touch is the "
+        "id-pruned exact-rerank fetch of the request-sized "
+        "seed∪neighbor set."
+    ),
     "sim_cascade_topk": (
         "Staged retrieval: stage 1 is the all-integer Hamming scan "
         "with its partial+final WindowGroupLimit (top-100 per query); "

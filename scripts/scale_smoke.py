@@ -577,7 +577,7 @@ def main() -> int:
             graph_stale_report,
             ivfpq_index_add,
             ivfpq_index_refine_topk,
-            knn_graph,
+            publish_knn_graph,
             write_ivfpq_index,
         )
 
@@ -591,8 +591,9 @@ def main() -> int:
         tail = big.filter(F.col("vec_id") >= int(n_total * 0.95))
         path = tempfile.mkdtemp(prefix="smoke_graph_idx_")
         write_ivfpq_index(build, path)
-        knn_graph(build, g=8, num_centroids=64, nprobe=2).write.parquet(
-            f"{path}/graph"
+        publish_knn_graph(
+            spark, path, build, g=8, build_num_centroids=64,
+            build_nprobe=2,
         )
         ivfpq_index_add(spark, path, tail, check_ids=False)
         tot = graph_stale_report(spark, path).agg(

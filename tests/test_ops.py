@@ -3182,12 +3182,15 @@ def test_ivfpq_index_refine_topk_published_lifecycle(spark, tmp_path):
     import pytest
     from pyspark.sql import functions as F
 
+    import re
+
     from hadoop_search_spark.operators.similarity import (
         _recall_vs_exact,
         _topk_per_query,
         ivfpq_index_refine_topk,
         ivfpq_index_topk,
         knn_graph,
+        publish_knn_graph,
         write_ivfpq_index,
     )
 
@@ -3196,9 +3199,7 @@ def test_ivfpq_index_refine_topk_published_lifecycle(spark, tmp_path):
     ).select("vec_id", "embedding")
     path = str(tmp_path / "idx")
     write_ivfpq_index(emb, path, num_centroids=8)
-    knn_graph(emb, g=8, num_centroids=8, nprobe=2).write.parquet(
-        f"{path}/graph"
-    )
+    publish_knn_graph(spark, path, emb, g=8, build_nprobe=2)
     qids = [0, 1, 2, 3, 4]
     queries = emb.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -3207,6 +3208,27 @@ def test_ivfpq_index_refine_topk_published_lifecycle(spark, tmp_path):
         spark, path, queries, k=10, w=10, nprobe=1, embeddings=emb
     )
     rows = out.collect()
+    # the published layout partition-prunes BOTH serving scans: the
+    # stage-1 codes scan and the hop-1 adjacency scan read only the
+    # probed cell directories
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pruned_scans = re.findall(
+        r"PartitionFilters: \[[^\]]*cell[^\]]*IN \(([^)]*)\)", plan
+    )
+    assert len(pruned_scans) >= 2, plan[:3000]
+    assert all(len(g.split(",")) < 8 for g in pruned_scans)
+    # a raw (unpartitioned) knn_graph write serves identically, just
+    # unpruned — the pruning must not change a single row
+    raw = str(tmp_path / "idx2")
+    write_ivfpq_index(emb, raw, num_centroids=8)
+    knn_graph(emb, g=8, num_centroids=8, nprobe=2).write.parquet(
+        f"{raw}/graph"
+    )
+    raw_rows = ivfpq_index_refine_topk(
+        spark, raw, queries, k=10, w=10, nprobe=1, embeddings=emb
+    ).collect()
+    key = lambda rs: {(r.query_id, r.vec_id, r.cosine, r.rn) for r in rs}
+    assert key(raw_rows) == key(rows)
     assert {(r.query_id) for r in rows} == set(qids)
     assert all(r.vec_id != r.query_id for r in rows)
     # rerank-over-seeds baseline: same stage-1, no expansion
@@ -3239,7 +3261,7 @@ def test_graph_stale_report_lifecycle(spark, tmp_path):
         graph_stale_report,
         ivf_centroids,
         ivfpq_index_add,
-        knn_graph,
+        publish_knn_graph,
         write_ivfpq_index,
     )
 
@@ -3250,9 +3272,7 @@ def test_graph_stale_report_lifecycle(spark, tmp_path):
     build = emb.filter(F.col("vec_id") % 4 != 0)
     path = str(tmp_path / "idx")
     write_ivfpq_index(build, path, centroids=cents, num_centroids=8)
-    knn_graph(build, g=8, centroids=cents, nprobe=2).write.parquet(
-        f"{path}/graph"
-    )
+    publish_knn_graph(spark, path, build, g=8, build_nprobe=2)
     fresh = graph_stale_report(spark, path).collect()
     assert fresh and all(r.n_stale == 0 and r.stale_frac == 0.0
                          for r in fresh)
@@ -3266,8 +3286,6 @@ def test_graph_stale_report_lifecycle(spark, tmp_path):
     assert sum(r.n_codes for r in after) == emb.count()
     assert any(r.stale_frac > 0 for r in after)
 
-    knn_graph(emb, g=8, centroids=cents, nprobe=2).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/graph")
+    publish_knn_graph(spark, path, emb, g=8, build_nprobe=2)
     rebuilt = graph_stale_report(spark, path).collect()
     assert all(r.n_stale == 0 for r in rebuilt)
