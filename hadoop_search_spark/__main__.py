@@ -319,19 +319,33 @@ def cmd_drift(args) -> int:
         # (`ann add` leaves it stale by design), so this is its
         # rebuild trigger — the graph counterpart of the model-drift
         # reports below
+        from pyspark.errors import AnalysisException
+
         from hadoop_search_spark.operators.similarity import (
             graph_stale_report,
         )
 
-        if not os.path.exists(os.path.join(args.index, "graph")):
+        spark = _spark(args.cpus)
+        try:
+            rows = (
+                graph_stale_report(spark, args.index)
+                .orderBy("cell")
+                .collect()
+            )
+        except AnalysisException as exc:
+            # missing-graph detection via the read itself — an
+            # os.path probe only sees the local filesystem and would
+            # silently disable the monitor for a remote index
+            if ("PATH_NOT_FOUND" not in str(exc)
+                    or "/graph" not in str(exc)):
+                raise
             print(
                 f"no published graph at {args.index}/graph "
                 "(build it with `ann graph`)",
                 file=sys.stderr,
             )
+            spark.stop()
             return 2
-        spark = _spark(args.cpus)
-        rows = graph_stale_report(spark, args.index).orderBy("cell").collect()
         print(f"{'cell':>5}{'n_codes':>9}{'n_graph':>9}{'n_stale':>9}"
               f"{'frac':>8}")
         for r in rows:

@@ -1055,9 +1055,17 @@ def graph_expand(
     cannot drift between them). Each hop is one broadcast semi-join
     of the frontier against the adjacency: the graph side streams,
     the frontier stays ≤ w·(1+g)^rounds ids per query — request-sized
-    at any corpus scale, never a wide shuffle."""
+    at any corpus scale, never a wide shuffle. ``rounds`` must be
+    ≥ 1 — loud by doctrine: silently clamping 0 to 1 would hand back
+    a strict superset of the requested frontier."""
+    if int(rounds) < 1:
+        raise ValueError(
+            "graph_expand needs rounds >= 1 (rounds=0 is the "
+            "rerank-over-seeds baseline — run the stage-1 serve "
+            "without --refine instead)"
+        )
     adj = graph.select("vec_id", "nbr_id")
-    for _hop in range(max(1, int(rounds))):
+    for _hop in range(int(rounds)):
         nbrs = adj.join(F.broadcast(cand), "vec_id").select(
             "query_id", F.col("nbr_id").alias("vec_id")
         )
@@ -1202,20 +1210,35 @@ def ivfpq_index_refine_topk(
             "ivfpq_index_refine_topk needs the rerank tier's raw-vector "
             "frame: the published index stores codes only"
         )
+    if int(rounds) < 1:
+        raise ValueError(
+            "ivfpq_index_refine_topk needs rounds >= 1 (rounds=0 is "
+            "the rerank-over-seeds baseline — use ivfpq_index_topk + "
+            "an exact rerank instead)"
+        )
     seed_w = w if w is not None else k
+    # queries are request-sized by definition: collect ONCE, serve
+    # the stage-1 pass and the rerank from a literal frame (a second
+    # evaluation of a query FILE would re-read it per request), and
+    # run the driver-side cell ranking on the collected rows — the
+    # same math the stage-1 serve runs, and the literal IN list is
+    # what reaches the adjacency scan as a PartitionFilter
+    qrows = queries.select("query_id", "embedding").collect()
+    queries_lit = spark.createDataFrame(
+        [(int(r.query_id), [float(x) for x in r.embedding])
+         for r in qrows],
+        "query_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
     seeds = ivfpq_index_topk(
-        spark, path, queries, seed_w, nprobe=nprobe,
+        spark, path, queries_lit, seed_w, nprobe=nprobe,
         exclude_self=exclude_self,
     ).select("query_id", "vec_id")
     graph = spark.read.parquet(f"{path}/graph")
     if "cell" in graph.columns:
-        # the same driver-side cell ranking the stage-1 serve ran —
-        # request-sized math, and the literal IN list is what reaches
-        # the parquet source as a PartitionFilter
         cents, _books, _enc, _rot = _ivfpq_models_cached(spark, path)
         probed = sorted({
             int(c)
-            for r in queries.select("embedding").collect()
+            for r in qrows
             for c in _py_cell_ranking(
                 [float(x) for x in r.embedding], cents
             )[:nprobe]
@@ -1226,7 +1249,9 @@ def ivfpq_index_refine_topk(
     cand = graph_expand(hop1, seeds, 1)
     if int(rounds) > 1:
         cand = graph_expand(graph, cand, int(rounds) - 1)
-    q = queries.select("query_id", F.col("embedding").alias("q_emb"))
+    q = queries_lit.select(
+        "query_id", F.col("embedding").alias("q_emb")
+    )
     pairs = (
         spread(embeddings, "vec_id")
         .join(F.broadcast(cand), "vec_id")
@@ -1254,12 +1279,26 @@ def graph_stale_report(spark: SparkSession, path: str) -> DataFrame:
     per cell directory, stale_frac 9dp-rounded. A vector counts as
     IN the graph iff it appears as a source node (a zero-edge node
     never enters the adjacency, so it is unreachable and correctly
-    reports stale)."""
-    codes = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(f"{path}/codes")
-        .select("vec_id", "cell")
-    )
+    reports stale). Layout-generic: reads the ``/codes`` table
+    (IVF-PQ) or falls back to ``/vectors`` (plain-IVF / int8) —
+    detection via the read itself, never a local-filesystem probe
+    (the r10 rule: ``os.path`` cannot see a remote index)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        codes = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(f"{path}/codes")
+            .select("vec_id", "cell")
+        )
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
+        codes = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(f"{path}/vectors")
+            .select("vec_id", "cell")
+        )
     nodes = spark.read.parquet(f"{path}/graph").select("vec_id").distinct()
     stale = F.coalesce(F.col("n_stale"), F.lit(0).cast("bigint"))
     return (

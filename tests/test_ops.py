@@ -3289,3 +3289,49 @@ def test_graph_stale_report_lifecycle(spark, tmp_path):
     publish_knn_graph(spark, path, emb, g=8, build_nprobe=2)
     rebuilt = graph_stale_report(spark, path).collect()
     assert all(r.n_stale == 0 for r in rebuilt)
+
+
+def test_graph_expand_rejects_zero_rounds(spark):
+    """rounds=0 must raise, not silently expand once: the caller
+    asking for the un-expanded frontier gets the contract error
+    naming the baseline, never a superset of what they asked for."""
+    import pytest
+
+    from hadoop_search_spark.operators.similarity import graph_expand
+
+    g = spark.createDataFrame(
+        [(1, 2)], "vec_id BIGINT, nbr_id BIGINT"
+    )
+    c = spark.createDataFrame(
+        [(0, 1)], "query_id BIGINT, vec_id BIGINT"
+    )
+    with pytest.raises(ValueError, match="rounds >= 1"):
+        graph_expand(g, c, 0)
+
+
+def test_graph_stale_report_int8_vectors_layout(spark, tmp_path):
+    """The staleness report is layout-generic: an int8 index stores
+    /vectors (no /codes), and the report must read it instead of
+    crashing — `drift --graph` serves every index family the CLI
+    can build a graph for."""
+    from pyspark.sql import functions as F
+
+    from hadoop_search_spark.operators.similarity import (
+        graph_stale_report,
+        int8_index_add,
+        publish_knn_graph,
+        write_int8_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    build = emb.filter(F.col("vec_id") % 4 != 0)
+    path = str(tmp_path / "i8idx")
+    write_int8_index(build, path)
+    publish_knn_graph(spark, path, build, g=4, build_nprobe=2)
+    fresh = graph_stale_report(spark, path).collect()
+    assert fresh and all(r.n_stale == 0 for r in fresh)
+    int8_index_add(spark, path, emb.filter(F.col("vec_id") % 4 == 0))
+    after = graph_stale_report(spark, path).collect()
+    assert sum(r.n_stale for r in after) == emb.count() - build.count()
