@@ -7547,7 +7547,7 @@ def sim_opq_aniso_win(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train_codebooks,
     )
 
-    emb = spark.read.parquet(f"{_ANISO_DIR}/embeddings.parquet")
+    emb = _t(spark, _ANISO_DIR, "embeddings")
     qids = list(range(10))
     exact = cosine_topk(emb, qids, 10).select("query_id", "vec_id")
     books = pq_train_codebooks(emb)
@@ -7620,7 +7620,7 @@ def sim_ivfpq_residual_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_residual_opq_model,
     )
 
-    emb = spark.read.parquet(f"{_ANISO_DIR}/embeddings.parquet").select(
+    emb = _t(spark, _ANISO_DIR, "embeddings").select(
         "vec_id", "embedding"
     )
     cents = ivf_train_kmeans(emb, k=8, iterations=2)
@@ -7708,9 +7708,9 @@ def _ropq_published_index(spark: SparkSession) -> str:
     key = (_session_key(spark), "ropq_index")
     with _CACHE_LOCK:
         if key not in _ENGINE_CACHE:
-            emb = spark.read.parquet(
-                f"{_ANISO_DIR}/embeddings.parquet"
-            ).select("vec_id", "embedding")
+            emb = _t(spark, _ANISO_DIR, "embeddings").select(
+                "vec_id", "embedding"
+            )
             cents = ivf_train_kmeans(emb, k=8, iterations=2)
             books, rot = pq_residual_opq_model(emb, cents, iterations=2)
             path = tempfile.mkdtemp(prefix="ropq_index_")
@@ -7758,7 +7758,7 @@ def sim_ivfpq_residual_opq_index(
 ) -> DataFrame:
     from hadoop_search_spark.operators.similarity import ivfpq_index_topk
 
-    emb = spark.read.parquet(f"{_ANISO_DIR}/embeddings.parquet").select(
+    emb = _t(spark, _ANISO_DIR, "embeddings").select(
         "vec_id", "embedding"
     )
     path = _ropq_published_index(spark)
@@ -7800,7 +7800,7 @@ def sim_cascade_residual_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_residual_opq_model,
     )
 
-    emb = spark.read.parquet(f"{_ANISO_DIR}/embeddings.parquet").select(
+    emb = _t(spark, _ANISO_DIR, "embeddings").select(
         "vec_id", "embedding"
     )
     cents = ivf_train_kmeans(emb, k=8, iterations=2)
@@ -7860,7 +7860,7 @@ def stream_residual_opq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from hadoop_search_spark.streaming.ivf_ingest import StreamingIvfIndexer
 
-    emb = spark.read.parquet(f"{_ANISO_DIR}/embeddings.parquet").select(
+    emb = _t(spark, _ANISO_DIR, "embeddings").select(
         "vec_id", "embedding"
     )
     build = emb.filter(F.col("vec_id") < 1200)

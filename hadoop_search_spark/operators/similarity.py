@@ -66,6 +66,32 @@ def _cosine(a: F.Column, b: F.Column) -> F.Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 9)
 
 
+def _cosine_names(a: str, b: str) -> F.Column:
+    """:func:`_cosine` over two NAMED array columns, built as ONE
+    parsed SQL string (r12): the Column/lambda form issues ~50 py4j
+    round trips (6 higher-order functions) per fresh plan — a
+    measured ~0.1 s construct constant on the exact-cosine headline.
+    Resolves to the SAME optimized plan; pinned canonically-equal and
+    value-equal to :func:`_cosine` by ``tests/test_expr_twins.py``.
+    Same 9dp rounding, same NaN contract."""
+
+    def dot(u: str, v: str) -> str:
+        return (
+            f"aggregate(zip_with({u}, {v}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, v) -> acc + v)"
+        )
+
+    def norm(u: str) -> str:
+        return (
+            f"sqrt(aggregate(transform({u}, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "0.0D, (acc, v) -> acc + v))"
+        )
+
+    return F.expr(f"round({dot(a, b)} / ({norm(a)} * {norm(b)}), 9)")
+
+
 # Integer quantization scale for ORDER-EXACT decision arithmetic (cell
 # argmin, PQ code argmin, ADC distances): each per-element double term
 # floors at 1e-12 resolution to a BIGINT, so the sum is exact integer
@@ -199,7 +225,7 @@ def _topk_per_query(pairs: DataFrame, k: int) -> DataFrame:
     scored = pairs.select(
         "query_id",
         "vec_id",
-        _cosine(F.col("embedding"), F.col("q_emb")).alias("cosine"),
+        _cosine_names("embedding", "q_emb").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -932,7 +958,7 @@ def embedding_dedup_pairs(
     return (
         pairs.unionByName(stars)
         .select(
-            "vec_a", "vec_b", _cosine(F.col("emb_a"), F.col("emb_b")).alias("cosine")
+            "vec_a", "vec_b", _cosine_names("emb_a", "emb_b").alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -1872,7 +1898,26 @@ def _adc_score(m: int, kc: int) -> F.Column:
     exact BIGINTs, surfaced as ``adist9`` = sum/1e12 in float64 (one
     IEEE division of an exactly-representable integer — identical
     cross-engine; the name keeps the historical column label, the
-    quantum is 1e-12). Expects ``code`` and ``lut`` columns in scope."""
+    quantum is 1e-12). Expects ``code`` and ``lut`` columns in scope.
+
+    Built as ONE parsed SQL string (r12): the incremental Column form
+    issued ~m·8 py4j round trips per fresh serving plan (~0.15 s of
+    driver latency on the published-index headline); the string
+    resolves to the SAME optimized plan — pinned canonically-equal
+    and value-equal to the retained Column form by
+    ``tests/test_expr_twins.py``."""
+    terms = " + ".join(
+        f"element_at(lut, {s * kc} + CAST((code div {int(kc ** s)}) % {kc} AS INT) + 1)"
+        for s in range(m)
+    )
+    return F.expr(
+        f"CAST(CAST(0 AS BIGINT) + {terms} AS DOUBLE) / {_QS!r}D"
+    ).alias("adist9")
+
+
+def _adc_score_column_form(m: int, kc: int) -> F.Column:
+    """The original Column construction of :func:`_adc_score`,
+    retained as the equivalence REFERENCE for the twin test."""
     adist = F.lit(0).cast("bigint")
     for s in range(m):
         code_s = F.expr(f"CAST((code div {int(kc ** s)}) % {kc} AS INT)")
@@ -2684,9 +2729,14 @@ def ivfpq_index_topk(
             )
     # the broadcast side is a literal frame (the ivf_index_topk
     # pattern); the BIGINT schema round-trips the quantized LUT
-    # exactly — no float hop
+    # exactly — no float hop. verifySchema=False: the rows are built
+    # two lines up from int()/_py_pq_lut (ints by construction), and
+    # the per-element verifier walk costs ~0.1 s per serve on an
+    # m·k LUT × nprobe × queries (measured r12 — pure driver latency)
     probes_lit = spark.createDataFrame(
-        lit_rows, "query_id BIGINT, lut ARRAY<BIGINT>, cell BIGINT"
+        lit_rows,
+        "query_id BIGINT, lut ARRAY<BIGINT>, cell BIGINT",
+        verifySchema=False,
     )
     probed_cells = sorted({c for _q, _l, c in lit_rows})
     codes = spark.read.parquet(f"{path}/codes").filter(

@@ -84,7 +84,64 @@ def _phrase_score_expr() -> F.Column:
     Side is encoded in the low bit (pos*2 + side) so the merge
     sorts primitive longs, not structs — ~30x cheaper sort in
     practice (measured 1-3s vs 40s struct-sort vs 104-117s
-    cross-product on 2000 rows of tf=1500)."""
+    cross-product on 2000 rows of tf=1500).
+
+    Built as ONE ``F.expr`` SQL string (r12 optimization): the
+    Column/lambda form issued ~60 py4j round trips (~0.13 s of
+    driver latency per fresh plan — the dominant construct cost of
+    every phrase query); the parsed string resolves to the SAME
+    optimized plan, pinned canonically-equal and value-equal to the
+    retained Column form by ``tests/test_expr_twins.py``."""
+    return F.expr(_PHRASE_SCORE_SQL)
+
+
+def _phrase_score_sql() -> str:
+    """The :func:`_phrase_score_expr` expression as Spark SQL text.
+
+    Literal-type notes mirroring the Column form: ``1.0D`` keeps the
+    exponent arithmetic in DOUBLE (a bare ``1.0`` parses as
+    DECIMAL(2,1) in Spark SQL); the side tag ``* 2 (+ 1)`` stays an
+    INT literal exactly like ``F.lit(2)`` so analyzer type promotion
+    is identical."""
+    tagged = (
+        "array_sort(concat("
+        "transform(_pa, x -> CAST(x AS BIGINT) * 2), "
+        "transform(_pb, y -> CAST(y AS BIGINT) * 2 + 1)))"
+    )
+
+    def cross_gaps(off: int) -> str:
+        # greatest(..., 0): a tf-only side (empty positions array,
+        # e.g. an externally built index) makes the merged array
+        # shorter than the offset — slice must see length 0, not a
+        # negative length (error)
+        length = f"greatest(size({tagged}) - {off}, 0)"
+        return (
+            f"zip_with(slice({tagged}, 1, {length}), "
+            f"slice({tagged}, {off + 1}, {length}), "
+            "(u, v) -> CASE WHEN (u + v) % 2 = 1 "  # low bits differ -> cross-side
+            "AND shiftright(v, 1) != shiftright(u, 1) "
+            "THEN shiftright(v, 1) - shiftright(u, 1) END)"
+        )
+
+    # array_min skips nulls (same-side or zero-distance gaps)
+    min_dist = f"array_min(concat({cross_gaps(1)}, {cross_gaps(2)}))"
+    return (
+        f"CASE WHEN {min_dist} IS NOT NULL "
+        f"THEN power(_sa * _sb, {PHRASE_FACTOR!r}D + 1.0D / {min_dist}) "
+        "ELSE _sa * _sb END"
+    )
+
+
+_PHRASE_SCORE_SQL = _phrase_score_sql()
+
+
+def _phrase_score_expr_column_form() -> F.Column:
+    """The original Column/lambda construction of
+    :func:`_phrase_score_expr`, retained as the equivalence REFERENCE:
+    ``tests/test_expr_twins.py`` pins the production SQL-string form
+    canonically plan-equal and value-equal to this tree on every run,
+    so the two can never drift (and a Spark upgrade that changes
+    either parser or Column semantics fails loudly)."""
     tagged = F.array_sort(
         F.concat(
             F.transform("_pa", lambda x: x.cast("bigint") * 2),
@@ -94,10 +151,6 @@ def _phrase_score_expr() -> F.Column:
     n = F.size(tagged)
 
     def _cross_gaps(off: int) -> F.Column:
-        # greatest(..., 0): a tf-only side (empty positions
-        # array, e.g. an externally built index) makes the
-        # merged array shorter than the offset — slice must
-        # see length 0, not a negative length (error)
         length = F.greatest(n - off, F.lit(0))
         return F.zip_with(
             F.slice(tagged, 1, length),
@@ -109,7 +162,6 @@ def _phrase_score_expr() -> F.Column:
             ),
         )
 
-    # array_min skips nulls (same-side or zero-distance gaps)
     min_dist = F.array_min(F.concat(_cross_gaps(1), _cross_gaps(2)))
     prod = F.col("_sa") * F.col("_sb")
     return F.when(

@@ -36,7 +36,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_search_spark.operators.similarity import _cosine, lsh_bucket
+from hadoop_search_spark.operators.similarity import _cosine_names, lsh_bucket
 
 VECS_SCHEMA = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
 
@@ -90,7 +90,7 @@ class StreamingVectorDeduper:
 
         def verify(pairs: DataFrame) -> DataFrame:
             return pairs.filter(
-                _cosine(F.col("emb_a"), F.col("emb_b")) >= self.threshold
+                _cosine_names("emb_a", "emb_b") >= self.threshold
             ).select("vec_a", "vec_b")
 
         if store is not None:

@@ -1,0 +1,120 @@
+"""r12 optimization guards: hot construct-path expressions were
+rewritten from Column/lambda builders (tens of py4j round trips per
+fresh plan — the measured dominant cost of the cold concurrent
+headline) to single parsed SQL strings. These tests pin each SQL form
+CANONICALLY PLAN-EQUAL and value-equal to the retained Column form,
+so the rewrite can never drift semantically — and a Spark upgrade
+that changes the parser or Column semantics fails loudly here."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _canon(df):
+    return df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+
+
+PHRASE_ROWS = [
+    (1, 0.5, 2.0, [1, 5, 9], [2, 9, 14]),   # normal overlap
+    (2, 1.5, 0.25, [], [3]),                 # empty side (tf-only index)
+    (3, 0.1, 0.2, [7], [7]),                 # equal positions only (zero gap)
+    (4, 2.0, 3.0, [1, 2, 3, 4], [2, 4, 6, 8]),
+    (5, 0.9, 1.1, [10], []),                 # empty other side
+    (6, 1.0, 1.0, [1, 1000000], [500000]),   # wide gaps
+    (7, 0.3, 0.7, [2, 3], [1, 4]),           # adjacent both directions
+]
+
+
+def test_phrase_score_sql_form_plan_and_values(spark):  # noqa: F811
+    from hadoop_search_spark.plans.planner import (
+        _phrase_score_expr,
+        _phrase_score_expr_column_form,
+    )
+
+    df = spark.createDataFrame(
+        PHRASE_ROWS,
+        "doc_id INT, _sa DOUBLE, _sb DOUBLE, _pa ARRAY<INT>, _pb ARRAY<INT>",
+    )
+    new = df.select(_phrase_score_expr().alias("s"))
+    old = df.select(_phrase_score_expr_column_form().alias("s"))
+    assert _canon(new) == _canon(old)
+    assert new.dtypes == old.dtypes
+    vn = [r.s for r in new.orderBy("s").collect()]
+    vo = [r.s for r in old.orderBy("s").collect()]
+    assert vn == vo  # bit-exact doubles
+
+
+def test_adc_score_sql_form_plan_and_values(spark):  # noqa: F811
+    from hadoop_search_spark.operators.similarity import (
+        _adc_score,
+        _adc_score_column_form,
+    )
+
+    m, kc = 8, 16
+    rows = [
+        (q, code, [((q * 131 + j * 17 + code) % 5003) for j in range(m * kc)])
+        for q, code in [(0, 0), (1, 7), (2, kc**m - 1), (3, 123456789), (4, kc**4)]
+    ]
+    df = spark.createDataFrame(rows, "query_id INT, code BIGINT, lut ARRAY<BIGINT>")
+    new = df.select("query_id", _adc_score(m, kc))
+    old = df.select("query_id", _adc_score_column_form(m, kc))
+    assert _canon(new) == _canon(old)
+    assert new.dtypes == old.dtypes
+    assert new.orderBy("query_id").collect() == old.orderBy("query_id").collect()
+
+
+def test_cosine_names_sql_form_plan_and_values(spark):  # noqa: F811
+    from hadoop_search_spark.operators.similarity import _cosine, _cosine_names
+
+    # no zero vector: under Spark 4 ANSI both forms raise
+    # DIVIDE_BY_ZERO identically, and a cosine store holds none
+    rows = [
+        (1, [1.0, 0.0, 2.5], [1.0, 0.0, 2.5]),
+        (2, [0.1, -0.2, 0.3], [-0.3, 0.2, -0.1]),
+        (3, [0.25, 0.5, -0.125], [0.125, -0.25, 0.5]),
+        (4, [1e-9, 1e9, -1e-9], [1e9, 1e-9, 1e-9]),
+    ]
+    df = spark.createDataFrame(rows, "i INT, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+    new = df.select(_cosine_names("a", "b").alias("c"))
+    old = df.select(_cosine(F.col("a"), F.col("b")).alias("c"))
+    assert _canon(new) == _canon(old)
+    assert new.dtypes == old.dtypes
+    vn = [r.c for r in new.collect()]
+    vo = [r.c for r in old.collect()]
+    assert len(vn) == len(vo) and all(
+        (x != x and y != y) or x == y for x, y in zip(vn, vo)
+    )
+
+
+def test_minhash_wide_form_still_matches_narrow(spark):  # noqa: F811
+    # the r12 project-hash-first + SQL-string aggregates must keep the
+    # wide/narrow band-key equivalence byte-identical (the r5 pin);
+    # test_ops.py covers the fixture corpus — this one hits the
+    # degenerate shapes (single shingle, duplicate-heavy doc)
+    from hadoop_search_spark.operators.dedup import (
+        lsh_bands,
+        minhash_bands_wide,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b c d e f g"),
+            (3, "x x x x x x"),
+            (4, "one two"),  # < shingle size -> no rows
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    sh = word_shingles(docs)
+    narrow = {
+        (r.doc_id, r.band, r.band_key)
+        for r in lsh_bands(minhash_signatures(sh)).collect()
+    }
+    wide = {
+        (r.doc_id, r.band, r.band_key)
+        for r in minhash_bands_wide(sh).collect()
+    }
+    assert narrow == wide and wide  # non-empty and identical
