@@ -126,7 +126,7 @@ def main() -> int:
     # every pass while every other headline served from memory;
     # (b) the published-index serving entry collects its request
     # vectors from the aniso fixture, a scan the plain loop never
-    # covered. Measured at sf0.1: events_sessionize cold −0.2 s.
+    # covered. Measured at sf0.1: events_sessionize cold 0.69->0.56 s.
     from hadoop_search_spark import catalog as _cat_tables
 
     _cat_tables._events(spark, SF_DIR).cache().count()

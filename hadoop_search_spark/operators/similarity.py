@@ -107,6 +107,40 @@ def _cosine_names(a: str, b: str) -> F.Column:
 _QS = 1_000_000_000_000.0  # 1e12
 
 
+def _sql_double_array(vec) -> str:
+    """``array(<x>D, ...)`` SQL text for a model vector. ``repr`` of a
+    CPython float is the shortest round-trip decimal, and
+    ``Double.parseDouble`` of that string returns the identical bits,
+    so the parsed literal equals ``F.lit(float(x))`` exactly —
+    pinned canonically plan-equal by ``tests/test_expr_twins.py``.
+    Non-finite values are refused: no trained model contains them,
+    and ``repr(inf/nan)`` is not SQL."""
+    parts = []
+    for x in vec:
+        fx = float(x)
+        if not math.isfinite(fx):
+            raise ValueError(f"non-finite model value {fx!r} in literal array")
+        parts.append(repr(fx) + "D")
+    return "array(" + ", ".join(parts) + ")"
+
+
+def _lit_double_array(vec) -> F.Column:
+    """Literal DOUBLE array as ONE parsed expression (r12): the
+    ``F.array(*[F.lit(x) ...])`` form issues dim py4j round trips per
+    vector — k·dim per centroid/codebook model, the measured dominant
+    plan-construction cost of every model-inlined sim_* entry."""
+    return F.expr(_sql_double_array(vec))
+
+
+def _lit_double_matrix(rows) -> F.Column:
+    """Literal ARRAY<ARRAY<DOUBLE>> as ONE parsed expression — the
+    nested form of :func:`_lit_double_array` for codebooks/centroid
+    tables."""
+    return F.expr(
+        "array(" + ", ".join(_sql_double_array(r) for r in rows) + ")"
+    )
+
+
 def _qdot(a: F.Column, b: F.Column) -> F.Column:
     """Order-exact integer-quantized dot product: Σ floor((aᵢ·bᵢ)·1e12)
     as one BIGINT — the decision-grade twin of :func:`_dot` (see _QS).
@@ -268,7 +302,7 @@ def hyperplane_proj(emb: F.Column, plane: int, dim: int) -> F.Column:
     accumulation order differs across engines; both the sign test
     (bucketing) and the |margin| ordering (multi-probe) must see the
     stabilized value."""
-    comps = F.array(*[F.lit(i) for i in range(dim)])
+    comps = F.expr("array(" + ", ".join(str(i) for i in range(dim)) + ")")
     signed = F.zip_with(
         emb,
         comps,
@@ -521,9 +555,7 @@ def _cell_ranking(
         F.struct(
             (
                 -(
-                    _qdot(emb, F.array(*[F.lit(x) for x in vec])).cast(
-                        "double"
-                    )
+                    _qdot(emb, _lit_double_array(vec)).cast("double")
                     / F.sqrt(
                         row_qnorm.cast("double")
                         * F.lit(float(_py_qdot(vec, vec)))
@@ -556,9 +588,7 @@ def _cell_ranking_l2(emb: F.Column, centroids) -> F.Column:
         raise ValueError(
             f"L2 ranking requires dense 0..C-1 cell ids, got {cells}"
         )
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in centroids]
-    )
+    cents_lit = _lit_double_matrix([vec for _, vec in centroids])
     return F.array_sort(
         F.transform(
             cents_lit,
@@ -641,9 +671,7 @@ def _cell_argmax_exact(emb: F.Column, centroids) -> F.Column:
 
     scored = [
         F.struct(
-            _qdot(emb, F.array(*[F.lit(float(x)) for x in vec])).alias(
-                "dq"
-            ),
+            _qdot(emb, _lit_double_array(vec)).alias("dq"),
             F.lit(int(_py_qdot(vec, vec))).cast("bigint").alias("qc"),
             F.lit(int(cell)).cast("bigint").alias("cell"),
         )
@@ -1705,9 +1733,7 @@ def ivf_drift_stats(
     apply) + a 1-row broadcast of the global totals. The centroid
     lookup is ``element_at`` on a C-sized literal array — map-only,
     no join against the model."""
-    cvecs = F.array(
-        *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in centroids]
-    )
+    cvecs = _lit_double_matrix([vec for _, vec in centroids])
     cqnorms = F.array(
         *[F.lit(float(_py_qdot(vec, vec))) for _, vec in centroids]
     )
@@ -1855,9 +1881,7 @@ def _pq_sub_dists(emb: F.Column, s: int, book_s: list, sub: int) -> F.Column:
     DECIMAL(18,9)-of-round(·,9) form left a thread-order-dependent
     DuckDB float sum in front of the quantization — r6 VERDICT #1)."""
     sv = F.slice(emb, s * sub + 1, sub)
-    books_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in cent]) for cent in book_s]
-    )
+    books_lit = _lit_double_matrix(book_s)
 
     def one(carr):
         return F.aggregate(
@@ -2124,9 +2148,7 @@ def _residual_expr(emb: F.Column, centroids) -> F.Column:
     """``embedding − centroid[cell]`` as a pointwise array expression
     (requires a ``cell`` column in scope). Pure IEEE subtraction —
     bit-identical cross-engine, no rounding needed."""
-    cvecs = F.array(
-        *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in centroids]
-    )
+    cvecs = _lit_double_matrix([vec for _, vec in centroids])
     return F.zip_with(
         emb,
         F.element_at(cvecs, (F.col("cell") + 1).cast("int")),
@@ -3775,9 +3797,7 @@ def int8_drift_stats(
             f"(element_at keys by list position), got {cells}"
         )
     n_cells = len(centroids)
-    cvecs = F.array(
-        *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in centroids]
-    )
+    cvecs = _lit_double_matrix([vec for _, vec in centroids])
     cqn = F.array(
         *[F.lit(float(_py_qdot(vec, vec))) for _, vec in centroids]
     )
@@ -4158,13 +4178,13 @@ def pca_project(
     not. The double→decimal cast (shortest repr, HALF_UP) is exactly
     ``Decimal(str(x)).quantize(1e-9, HALF_UP)`` — the golden twin
     reproduces it term-for-term in Python."""
-    mean_arr = F.array(*[F.lit(float(m)) for m in mean])
+    mean_arr = _lit_double_array(mean)
     centered = F.zip_with(
         F.col(vec_col), mean_arr, lambda x, m: x.cast("double") - m
     )
     cols = [F.col(id_col)]
     for j, comp in enumerate(components):
-        w = F.array(*[F.lit(float(c)) for c in comp])
+        w = _lit_double_array(comp)
         terms = F.zip_with(
             centered, w, lambda x, c: (x * c).cast("decimal(28,9)")
         )
@@ -4321,12 +4341,45 @@ def _opq_rotate_expr(
     ``x − centroid[cell]`` on the index side and the per-(query,
     probed-cell) residual on the query side) can inline it without a
     self-join. Each output coordinate is the exact decimal-fold dot
-    product (order-independent, golden-replayable term for term)."""
-    mean_arr = F.array(*[F.lit(float(mn)) for mn in mean])
+    product (order-independent, golden-replayable term for term).
+
+    r12 form: ONE ``transform`` over the permuted literal component
+    matrix instead of dim unrolled fold trees (the
+    :func:`_pq_sub_dists` shape — the k-loop lives in the HOF
+    runtime). The unrolled form issued ~dim·20 py4j round trips and
+    compiled a ~dim× larger codegen body per fresh plan; per-element
+    arithmetic is unchanged (same zip_with/aggregate, same
+    DECIMAL(28,9) casts over the same literal doubles), pinned
+    value-identical to the retained unrolled form by
+    ``tests/test_expr_twins.py`` on randomized vectors and by the
+    golden-replay oracles of every OPQ entry."""
+    mean_arr = _lit_double_array(mean)
+    centered = F.zip_with(vec, mean_arr, lambda x, mn: x.cast("double") - mn)
+    w_matrix = _lit_double_matrix([components[i] for i in perm])
+    return F.transform(
+        w_matrix,
+        lambda w: F.aggregate(
+            F.zip_with(centered, w, lambda x, c: (x * c).cast("decimal(28,9)")),
+            F.lit(0).cast("decimal(28,9)"),
+            lambda a, t: (a + t).cast("decimal(28,9)"),
+        ).cast("double"),
+    )
+
+
+def _opq_rotate_expr_unrolled(
+    vec: F.Column,
+    mean: list[float],
+    components: list[list[float]],
+    perm: list[int],
+) -> F.Column:
+    """The original per-coordinate unrolled construction of
+    :func:`_opq_rotate_expr`, retained as the value-equivalence
+    REFERENCE for the twin test."""
+    mean_arr = _lit_double_array(mean)
     centered = F.zip_with(vec, mean_arr, lambda x, mn: x.cast("double") - mn)
     elems = []
     for comp_idx in perm:
-        w = F.array(*[F.lit(float(c)) for c in components[comp_idx]])
+        w = _lit_double_array(components[comp_idx])
         terms = F.zip_with(
             centered, w, lambda x, c: (x * c).cast("decimal(28,9)")
         )

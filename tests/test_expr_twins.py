@@ -87,6 +87,89 @@ def test_cosine_names_sql_form_plan_and_values(spark):  # noqa: F811
     )
 
 
+ADVERSARIAL_DOUBLES = [
+    0.1, -0.1, 2.0, -0.0, 0.0, 1e-300, 5e-324, 1e308, -1.7976931348623157e308,
+    4.6e12, 0.30000000000000004, 1.0000000000000002, -2.2250738585072014e-308,
+    123456789.123456789, 1e-9, 0.5e-9, 1.5000000000000002e-9,
+]
+
+
+def test_lit_double_array_matches_lit_loop(spark):  # noqa: F811
+    from hadoop_search_spark.operators.similarity import (
+        _lit_double_array,
+        _lit_double_matrix,
+    )
+
+    df = spark.range(1)
+    vecs = [ADVERSARIAL_DOUBLES, list(reversed(ADVERSARIAL_DOUBLES))]
+    for v in vecs:
+        new = df.select(_lit_double_array(v).alias("a"))
+        old = df.select(F.array(*[F.lit(float(x)) for x in v]).alias("a"))
+        assert _canon(new) == _canon(old)
+        import struct
+
+        bn = [struct.pack(">d", x) for x in new.collect()[0].a]
+        bo = [struct.pack(">d", x) for x in old.collect()[0].a]
+        assert bn == bo  # bit-exact incl. -0.0
+    newm = df.select(_lit_double_matrix(vecs).alias("m"))
+    oldm = df.select(
+        F.array(*[F.array(*[F.lit(float(x)) for x in v]) for v in vecs]).alias("m")
+    )
+    assert _canon(newm) == _canon(oldm)
+    import math
+
+    with pytest_raises_valueerror():
+        _lit_double_array([1.0, math.inf])
+
+
+class pytest_raises_valueerror:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        assert et is ValueError, f"expected ValueError, got {et}"
+        return True
+
+
+def test_opq_rotate_transform_form_matches_unrolled(spark):  # noqa: F811
+    import random
+
+    from hadoop_search_spark.operators.similarity import (
+        _opq_rotate_expr,
+        _opq_rotate_expr_unrolled,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    mean = [rng.uniform(-1, 1) for _ in range(dim)]
+    comps = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(dim)]
+    perm = list(range(dim))
+    rng.shuffle(perm)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(dim)]) for i in range(200)
+    ]
+    # sprinkle knife-edge values (0.5e-9 HALF_UP boundary class)
+    rows.append((200, [0.5e-9] * dim))
+    rows.append((201, [1.5000000000000002e-9] * dim))
+    df = spark.createDataFrame(rows, "vec_id INT, v ARRAY<DOUBLE>")
+    new = df.select(
+        "vec_id", _opq_rotate_expr(F.col("v"), mean, comps, perm).alias("r")
+    )
+    old = df.select(
+        "vec_id",
+        _opq_rotate_expr_unrolled(F.col("v"), mean, comps, perm).alias("r"),
+    )
+    assert new.dtypes == old.dtypes
+    got = {r.vec_id: r.r for r in new.collect()}
+    want = {r.vec_id: r.r for r in old.collect()}
+    import struct
+
+    for k in want:
+        assert [struct.pack(">d", x) for x in got[k]] == [
+            struct.pack(">d", x) for x in want[k]
+        ]  # bit-exact per coordinate
+
+
 def test_minhash_wide_form_still_matches_narrow(spark):  # noqa: F811
     # the r12 project-hash-first + SQL-string aggregates must keep the
     # wide/narrow band-key equivalence byte-identical (the r5 pin);
