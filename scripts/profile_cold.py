@@ -44,6 +44,8 @@ def main() -> int:
     for tbl in ("lineitem", "orders", "customer", "supplier", "nation",
                 "region", "events", "documents", "embeddings"):
         spark.read.parquet(f"{SF_DIR}/{tbl}.parquet").cache().count()
+    _cat._events(spark, SF_DIR).cache().count()
+    _cat._t(spark, _cat._ANISO_DIR, "embeddings").cache().count()
     _cat._plain_engine(spark, SF_DIR).plan("table").collect()
     _cat.search_stemmed_cnf(spark, SF_DIR).limit(1).collect()
     _cat._ropq_published_index(spark)

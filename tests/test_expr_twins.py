@@ -45,6 +45,32 @@ def test_phrase_score_sql_form_plan_and_values(spark):  # noqa: F811
     assert vn == vo  # bit-exact doubles
 
 
+def test_apply_phrase_score_staged_matches_single_expr(spark):  # noqa: F811
+    # the staged projections (P1 tagged, P2 min-gap, P3 score) must
+    # compute bit-identical scores to the single-expression reference
+    # — the staging exists purely so the merged-sort evaluates once
+    # per row instead of ~10x
+    import struct
+
+    from hadoop_search_spark.plans.planner import (
+        _apply_phrase_score,
+        _phrase_score_expr,
+    )
+
+    df = spark.createDataFrame(
+        PHRASE_ROWS,
+        "doc_id INT, _sa DOUBLE, _sb DOUBLE, _pa ARRAY<INT>, _pb ARRAY<INT>",
+    )
+    staged = {r.doc_id: r.score for r in _apply_phrase_score(df).collect()}
+    single = {
+        r.doc_id: r.score
+        for r in df.select("doc_id", _phrase_score_expr().alias("score")).collect()
+    }
+    assert staged.keys() == single.keys()
+    for k in single:
+        assert struct.pack(">d", staged[k]) == struct.pack(">d", single[k])
+
+
 def test_adc_score_sql_form_plan_and_values(spark):  # noqa: F811
     from hadoop_search_spark.operators.similarity import (
         _adc_score,
