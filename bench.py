@@ -166,17 +166,42 @@ def main() -> int:
     # is recorded as contended evidence below.
     cold: dict[str, float] = {}
     cold_max: dict[str, float] = {}
-    for _pass in range(3):
-        for name in HEADLINE:
-            t0 = time.time()
-            n = materialize(qs[name](spark, SF_DIR), name)
-            t = round(time.time() - t0, 3)
-            cold[name] = min(cold.get(name, t), t)
-            cold_max[name] = max(cold_max.get(name, t), t)
-            print(f"# cold {name}: {t}s ({n} rows)", file=sys.stderr)
-    contended = sorted(
-        name for name in HEADLINE if cold_max[name] > 2 * cold[name] + 0.05
-    )
+
+    def _cold_passes(n_passes: int) -> None:
+        for _pass in range(n_passes):
+            for name in HEADLINE:
+                t0 = time.time()
+                n = materialize(qs[name](spark, SF_DIR), name)
+                t = round(time.time() - t0, 3)
+                cold[name] = min(cold.get(name, t), t)
+                cold_max[name] = max(cold_max.get(name, t), t)
+                print(f"# cold {name}: {t}s ({n} rows)", file=sys.stderr)
+
+    def _contended() -> list[str]:
+        return sorted(
+            name for name in HEADLINE if cold_max[name] > 2 * cold[name] + 0.05
+        )
+
+    _cold_passes(3)
+    # r13 (VERDICT #2): a contended recording is useless evidence —
+    # when any query's max/min pass spread trips the >2x contention
+    # marker, re-run the cold series (up to 2 retries) folding the
+    # per-query MIN in (the established min-agg estimator; strictly
+    # additions-only: more passes can only tighten the minimum).
+    # cold_requery_retries records how many extra series ran.
+    cold_requery_retries = 0
+    while _contended() and cold_requery_retries < 2:
+        cold_requery_retries += 1
+        print(
+            f"# cold series contended ({_contended()}); retry "
+            f"{cold_requery_retries}/2",
+            file=sys.stderr,
+        )
+        # the retry's own min/max spread decides, not the poisoned
+        # max from the contended attempt
+        cold_max.clear()
+        _cold_passes(3)
+    contended = _contended()
 
     # PREPARED pass: the serving configuration. The reference serves
     # repeated queries from an exact-match RESULT cache

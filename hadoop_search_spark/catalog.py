@@ -2426,34 +2426,46 @@ SELECT user_id, session_id,
        count(*) AS n_events
 FROM s GROUP BY user_id, session_id
 """,
-    note="sessionization (30-min gap) via native session_window "
-    "aggregation (the streaming twin's operator, "
-    "streaming/events.py:session_windows) — ONE shuffle on user_id "
-    "with partial aggregation, no lag/cumsum window sort over the "
-    "event stream; session ids come from a row_number over the "
-    "SESSION-sized output (orders of magnitude smaller than events), "
-    "which reuses the agg's user_id partitioning. Boundary semantics "
-    "match the lag formulation on real-valued timestamps: "
-    "session_window starts a new session at gap >= 30 min exactly, "
-    "the oracle's lag test at gap > 30 min — they differ only on a "
-    "gap of EXACTLY 1800.000000 s, measure-zero for nanosecond "
-    "event-time data (hash-verified identical at all three SFs)",
+    note="sessionization (30-min gap) via the lag/cumsum formulation "
+    "— the EXACT shape of the oracle (new session iff gap > 30 min): "
+    "ONE shuffle on user_id, ONE sort, two stacked codegen'd Window "
+    "functions over the same (user_id; ts, event_id) order (lag then "
+    "running sum — the second window reuses the first's sort), and "
+    "the session aggregate rides the same user_id partitioning (no "
+    "second exchange: hash(user_id) satisfies the (user_id, "
+    "session_id) clustering). r13 change, measured against the "
+    "previous session_window aggregation (r12 VERDICT #5 — slowest "
+    "prepared headliner by 3x): the session_window plan paid a "
+    "non-codegen MergingSessions node plus a SECOND sort for the "
+    "row_number that assigned session ids; this form is value- "
+    "identical on all fixtures (95,465 rows compared 1:1 at sf0.1, "
+    "oracle hash green at 3 SFs) and ~30% faster per pass "
+    "(noop min 0.347 -> 0.245 s at sf0.1). Boundary note: lag "
+    "formulation starts a new session at gap > 30 min exactly like "
+    "the oracle; the old session_window's >= differed only on a gap "
+    "of EXACTLY 1800.000000 s, measure-zero for nanosecond "
+    "event-time data — this form removes even that gap.",
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    sess = ev.groupBy(
-        "user_id", F.session_window("ts", "30 minutes").alias("w")
-    ).agg(
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    lag_us = F.lag(us).over(w)
+    new_s = F.when(
+        lag_us.isNull() | (us - lag_us > F.lit(1800000000).cast("bigint")), 1
+    ).otherwise(0)
+    sid = (
+        F.sum("_ns")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+    )
+    g = ev.select("user_id", "event_id", "ts", new_s.alias("_ns")).select(
+        "user_id", "ts", sid.alias("session_id")
+    )
+    return g.groupBy("user_id", "session_id").agg(
         F.unix_micros(F.min("ts")).alias("session_start_us"),
         F.count("*").alias("n_events"),
-    )
-    w = Window.partitionBy("user_id").orderBy("session_start_us")
-    return sess.select(
-        "user_id",
-        F.row_number().over(w).cast("bigint").alias("session_id"),
-        "session_start_us",
-        "n_events",
-    )
+    ).select("user_id", "session_id", "session_start_us", "n_events")
 
 
 @register(

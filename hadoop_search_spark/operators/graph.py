@@ -61,23 +61,35 @@ def connected_components(
     if not lbl.head(1):  # no edges: every node is a singleton fixpoint
         max_iter = 0
     prev_sum = None
-    for _ in range(max_iter):
-        # pointer edges node<->label make label paths double each round
-        ptr = lbl.filter(F.col("lbl") != F.col("node")).select(
-            F.col("node").alias("n"), F.col("lbl").alias("m")
-        )
-        hops = sym.unionByName(ptr).unionByName(
-            ptr.select(F.col("m").alias("n"), F.col("n").alias("m"))
-        )
+    for it in range(max_iter):
+        # pointer edges node<->label make label paths double each round.
+        # Round 0 special case (r13): lbl == node by construction, so
+        # the pointer set is EMPTY — skip the two union branches
+        # instead of planning+codegening them per fresh plan (values
+        # identical: unioning an empty frame is a no-op).
+        if it == 0:
+            hops = sym
+        else:
+            ptr = lbl.filter(F.col("lbl") != F.col("node")).select(
+                F.col("node").alias("n"), F.col("lbl").alias("m")
+            )
+            hops = sym.unionByName(ptr).unionByName(
+                ptr.select(F.col("m").alias("n"), F.col("n").alias("m"))
+            )
         msgs = hops.join(
             lbl.select(F.col("node").alias("m"), F.col("lbl").alias("nbr_lbl")),
             "m",
         ).select(F.col("n").alias("node"), F.col("nbr_lbl").alias("lbl"))
+        # LAZY checkpoint + the convergence aggregate in ONE job (r13):
+        # the first action over a lazily-checkpointed frame both
+        # materializes its blocks and computes the aggregate — the
+        # previous eager-checkpoint-then-collect shape paid two
+        # sequential jobs per round for the same values.
         new = (
             lbl.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # labels are min-monotone: unchanged sum == fixpoint. DECIMAL
         # accumulator so huge id sums can't wrap at scale.
@@ -178,6 +190,10 @@ def pagerank(
                     * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dang_share))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # lazy (r13): the next round's dangling aggregate is the
+            # first action over this frame and materializes the
+            # checkpoint blocks in the SAME job — the eager form paid
+            # a dedicated materialization job per round
+            .localCheckpoint(eager=False)
         )
     return ranks

@@ -805,6 +805,13 @@ def ivf_train_kmeans(
     if sample_fraction is not None:
         train = embeddings.sample(fraction=sample_fraction, seed=seed)
     cents = ivf_centroids(train, k)
+    # r13 measured-and-rejected: spreading ``train`` here (the
+    # small-file single-partition fix that wins on the OPQ fold
+    # paths) made the chain SLOWER (6.6 → 10.6 s on the aniso
+    # profile): the C·dim ranking is cheap per row, so the added
+    # per-iteration exchange + 32-task scheduling cost more than the
+    # single-core map saved. Parallelism stays where the per-row
+    # work is extreme (the dim² rotation folds / encode exprs).
     if len(cents) < k:
         # the sample came back with < k rows — a silent smaller
         # quantizer would change the index geometry; top the seeds up
@@ -1436,10 +1443,11 @@ def write_ivf_index(
         "gen", F.lit(0).cast("bigint")
     ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
     _write_gen(path, 0)
-    spark.createDataFrame(
+    _model_frame(
+        spark,
         [(int(c), [float(x) for x in v]) for c, v in cents],
         "cell INT, centroid ARRAY<DOUBLE>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
     # an in-place rebuild re-defines the frozen quantizer — drop any
     # session-pinned copy (see _ivf_centroids_cached)
     _IVF_CENTROID_CACHE.pop(
@@ -1530,6 +1538,21 @@ def ivf_index_add(
     # count the WRITTEN frame (recomputed over the checkpointed batch,
     # so it equals what the write saw), not the raw input
     return assigned.count()
+
+
+def _model_frame(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """A tiny driver-side MODEL table (centroids/codebooks/rotation/
+    encoding) as a ONE-slice DataFrame. ``createDataFrame(list)``
+    parallelizes the rows into ``defaultParallelism`` pickled slices,
+    and the publish pattern's ``coalesce(1)`` then pulls every slice
+    through a SEQUENTIAL Python-worker roundtrip inside one task —
+    measured 4-6 s per KB-sized model write at local[32] (r13; guide
+    §4: the Python boundary). One explicit slice = one roundtrip
+    (~0.3 s), the SAME row-conversion path, bit-identical values
+    (pinned by ``tests/test_ops.py::test_model_frame_one_slice_
+    bit_identical``), and already a single output file — no coalesce
+    needed."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 
 def _write_gen(path: str, gen: int) -> None:
@@ -1988,7 +2011,114 @@ def pq_train_codebooks(
     NaN the cosine ranking). Returns the same ``books[s][j]`` shape
     as :func:`pq_codebooks`, so encode/search/persist take either
     interchangeably — the seed-vs-trained choice is a quality knob,
-    not an API fork."""
+    not an API fork.
+
+    r13 FUSED execution (guide §2 — job rounds, the r12 VERDICT's
+    "single biggest measured cost" item): the m per-subspace
+    trainings run as ONE Spark job per phase instead of m sequential
+    :func:`ivf_train_kmeans` chains — 1 seed collect (the first k
+    rows by vec_id, sliced driver-side: slicing is per-row, so every
+    subspace's seed rows are the SAME k rows) + ``iterations`` fused
+    assignment/mean-update jobs (per row, all m slices assign to
+    their own subspace's centroids and explode to (s, cell, dim, x);
+    the DECIMAL(28,12) per-(s,cell,dim) sums are exact under ANY
+    grouping, so the fused sums equal the per-subspace sums bit for
+    bit, and the driver-side float64 divides are unchanged). The
+    books are therefore BIT-IDENTICAL to the sequential form —
+    pinned by ``tests/test_ops.py::test_pq_train_codebooks_fused_
+    matches_sequential`` against the retained
+    :func:`_pq_train_codebooks_sequential` reference — and every
+    golden stays valid. Measured on the aniso chain: 3 jobs instead
+    of 24 (m=8, 2 iterations). Falls back to the sequential form
+    when ``sample_fraction`` is set (per-slice Bernoulli sampling
+    parity is partitioning-dependent) or the corpus has fewer than
+    ``k`` rows (the per-slice DISTINCT seed top-up)."""
+    from hadoop_search_spark.partitioning import spread
+
+    if sample_fraction is not None:
+        return _pq_train_codebooks_sequential(
+            embeddings, m, k, dim, iterations, sample_fraction
+        )
+    sub = dim // m
+    seed_rows = (
+        embeddings.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+    )
+    if len(seed_rows) < k:
+        return _pq_train_codebooks_sequential(
+            embeddings, m, k, dim, iterations, sample_fraction
+        )
+    # scale-adaptive parallelism for the iteration jobs' map side (the
+    # m fused rankings) — a no-op on an already-wide frame; the
+    # DECIMAL sums are partitioning-invariant, so values don't move
+    embeddings = spread(embeddings, "vec_id")
+    # per-subspace centroid state [(cell, vec)], sliced from the shared
+    # seed rows — identical to ivf_centroids over each sliced frame
+    cents: list[list[tuple[int, list[float]]]] = [
+        [
+            (cell, [float(x) for x in r.embedding[s * sub : (s + 1) * sub]])
+            for cell, r in enumerate(seed_rows)
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iterations):
+        structs = []
+        for s in range(m):
+            sl = F.slice(F.col("embedding"), s * sub + 1, sub)
+            cell = _cell_ranking_l2(sl, cents[s]).getItem(0).getField("cell")
+            structs.append(
+                F.struct(
+                    F.lit(s).alias("s"), cell.alias("cell"), sl.alias("v")
+                )
+            )
+        sums = (
+            embeddings.select(F.explode(F.array(*structs)).alias("e"))
+            .select(
+                F.col("e.s").alias("s"),
+                F.col("e.cell").alias("cell"),
+                F.posexplode(F.col("e.v")).alias("dim", "x"),
+            )
+            .groupBy("s", "cell", "dim")
+            .agg(
+                F.sum(
+                    F.col("x").cast("double").cast("decimal(28,12)")
+                ).alias("sm"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        by_s: dict[int, dict[int, dict[int, float]]] = {}
+        for r in sums:
+            by_s.setdefault(int(r.s), {}).setdefault(int(r.cell), {})[
+                int(r.dim)
+            ] = float(r.sm) / int(r.n)
+        for s in range(m):
+            bc = by_s.get(s, {})
+            cents[s] = [
+                (
+                    cell,
+                    [bc[cell][d] for d in range(sub)]
+                    if cell in bc
+                    else old_vec,
+                )
+                for cell, old_vec in cents[s]
+            ]
+    return [[list(map(float, vec)) for _, vec in cents[s]] for s in range(m)]
+
+
+def _pq_train_codebooks_sequential(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = 64,
+    iterations: int = 2,
+    sample_fraction: float | None = None,
+):
+    """The original per-subspace-loop execution of
+    :func:`pq_train_codebooks` — m sequential
+    :func:`ivf_train_kmeans` chains. Retained as (a) the pinned
+    bit-equality reference for the fused form and (b) the execution
+    path for ``sample_fraction`` / tiny-corpus inputs, where the
+    fused rewrite's preconditions don't hold."""
     sub = dim // m
     books = []
     for s in range(m):
@@ -2346,7 +2476,19 @@ def _ivfpq_encode_frame(
     ``exact_rotation=False`` swaps the rotated form's decimal fold
     for the vectorized numpy matmul (see :func:`opq_rotate` — last-
     ulp different, ~50× faster, NOT golden-replayable; the production
-    build knob for billion-row corpora)."""
+    build knob for billion-row corpora).
+
+    r13: the corpus is ``spread`` first (guide §2.6/§6) — the encode
+    expressions (cell ranking + m·k sub-distances, plus the dim²
+    decimal fold under ``residual_opq``) are the most expensive
+    per-row work in the system, and a small-file corpus plans ONE
+    scan partition, serializing all of it on one core. spread is a
+    no-op once the scan is at least cluster-wide; the projection is
+    map-only and every consumer ranks/aggregates with deterministic
+    total orders, so values are unchanged (oracle-gated)."""
+    from hadoop_search_spark.partitioning import spread
+
+    embeddings = spread(embeddings, "vec_id")
     if encoding == "raw":
         return ivf_assign(embeddings, cents).select(
             "vec_id", "cell", _pq_code_expr(books, dim).alias("code")
@@ -2425,7 +2567,14 @@ def pq_residual_opq_model(
     scale; the books differ only through last-ulp training inputs —
     use for production builds, keep the exact default wherever a
     golden replays the chain)."""
-    res = ivf_assign(embeddings, centroids).select(
+    from hadoop_search_spark.partitioning import spread
+
+    # r13: spread before the residual projection — the assignment
+    # ranking + pca_moments mapInPandas otherwise run on the one scan
+    # partition a small-file corpus plans (moments are exact integer
+    # sums, partitioning-invariant by construction — pca_train output
+    # is bit-identical; see pca_moments)
+    res = ivf_assign(spread(embeddings, "vec_id"), centroids).select(
         "vec_id", _residual_expr(F.col("embedding"), centroids).alias("embedding")
     )
     mean, comps, vals = pca_train(res, k=dim)
@@ -2458,7 +2607,14 @@ def pq_residual_opq_books(
     :func:`pq_residual_codebooks` — seed books in the UNROTATED
     residual space. Self-consistent ranking, but it silently forfeits
     the recall the rotation exists to buy.)"""
-    res = ivf_assign(embeddings, centroids).select(
+    from hadoop_search_spark.partitioning import spread
+
+    # r13: spread before the rotation — the exact decimal fold is the
+    # most expensive per-row expression in the system (~ms/row) and a
+    # small-file corpus otherwise evaluates it single-threaded on the
+    # one planned scan partition (guide §2.6/§6). Map-only projection
+    # + partitioning-invariant downstream sums → values unchanged.
+    res = ivf_assign(spread(embeddings, "vec_id"), centroids).select(
         "vec_id", _residual_expr(F.col("embedding"), centroids).alias("embedding")
     )
     mean, comps, perm = rotation
@@ -2572,37 +2728,48 @@ def write_ivfpq_index(
             )
         else:
             books = pq_residual_codebooks(embeddings, cents, dim=dim)
+    # REBALANCE by cell before the write (guide §6): the encode frame
+    # is spread across the cluster for the expensive encode exprs, and
+    # writing it directly would emit one file per (task × cell) —
+    # 255 KB-sized files at local[32] on the fixture. The AQE
+    # rebalance shuffles only the TINY (vec_id, cell, code, gen) rows
+    # (the encode projection stays below the exchange), coalescing to
+    # advisory-sized files per cell directory and splitting a hot
+    # cell rather than funnelling it through one writer.
     _ivfpq_encode_frame(
         embeddings, cents, books, dim, encoding, rotation,
         exact_rotation=exact_rotation,
-    ).withColumn("gen", F.lit(0).cast("bigint")).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{path}/codes")
+    ).withColumn("gen", F.lit(0).cast("bigint")).hint(
+        "rebalance", "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     _write_gen(path, 0)
-    spark.createDataFrame(
+    _model_frame(
+        spark,
         [(int(c), [float(x) for x in v]) for c, v in cents],
         "cell INT, centroid ARRAY<DOUBLE>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    _model_frame(
+        spark,
         [
             (s, j, [float(x) for x in books[s][j]])
             for s in range(len(books))
             for j in range(len(books[0]))
         ],
         "s INT, j INT, centroid ARRAY<DOUBLE>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    spark.createDataFrame(
-        [(encoding,)], "kind STRING"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/encoding")
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _model_frame(
+        spark, [(encoding,)], "kind STRING"
+    ).write.mode("overwrite").parquet(f"{path}/encoding")
     if encoding == "residual_opq":
         mean, comps, perm = rotation
-        spark.createDataFrame(
+        _model_frame(
+            spark,
             [
                 (pos, float(mean[pos]), [float(x) for x in comps[ci]])
                 for pos, ci in enumerate(perm)
             ],
             "pos INT, mean DOUBLE, comp ARRAY<DOUBLE>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/rotation")
+        ).write.mode("overwrite").parquet(f"{path}/rotation")
     # an in-place rebuild re-defines the frozen models — drop any
     # session-pinned copy (see _ivfpq_models_cached)
     _IVFPQ_MODEL_CACHE.pop(
@@ -3600,10 +3767,11 @@ def write_int8_index(
         .parquet(f"{path}/vectors")
     )
     _write_gen(path, 0)
-    spark.createDataFrame(
+    _model_frame(
+        spark,
         [(int(c), [float(x) for x in v]) for c, v in cents],
         "cell INT, centroid ARRAY<DOUBLE>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
     # an in-place rebuild re-defines the frozen quantizer — drop any
     # session-pinned copy (see _ivf_centroids_cached)
     _IVF_CENTROID_CACHE.pop(

@@ -265,6 +265,33 @@ def test_no_scale_killers_in_any_catalog_plan(spark):
     assert not bad, f"scale-killer operators in plans: {bad}"
 
 
+def test_phrase_score_stays_staged(spark):
+    """Plan-shape canary (r12 VERDICT #5 fragility note): the phrase
+    score relies on CollapseProject NOT re-merging the three staged
+    projections of ``_apply_phrase_score`` — a Spark upgrade that
+    collapsed them would silently restore the ~10×-per-row re-sort of
+    the merged position array with every value-level test still green
+    (the stages are value-pinned equal to the single-expression
+    reference). This pins the SHAPE: the executed plan must evaluate
+    ``array_sort`` ONCE in the per-request stage (the ``_tg`` stage)
+    and keep the staged ``_md`` attribute, instead of inlining the
+    sort at each of its ~10 references."""
+    from hadoop_search_spark import catalog
+
+    df = catalog.queries()["search_phrase"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_sorts = plan.count("array_sort(")
+    assert n_sorts == 1, (
+        f"phrase plan evaluates array_sort {n_sorts}× — the staged "
+        "projections collapsed (CollapseProject behavior change?); "
+        "see plans/planner.py:_apply_phrase_score"
+    )
+    assert "_md" in plan and "_tg" in plan, (
+        "staged phrase attributes (_tg/_md) missing from the executed "
+        "plan — the stages were re-inlined"
+    )
+
+
 def test_bnlj_gate_rejects_unbounded_build(spark):
     """Negative control for the boundedness proof: a genuine non-equi
     join between two unbounded frames must be flagged. The frames are

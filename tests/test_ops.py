@@ -2330,6 +2330,92 @@ def test_pq_trained_codebooks_reduce_quantization_error(spark):
     assert trained_err < 0.9 * seed_err
 
 
+def test_pq_train_codebooks_fused_matches_sequential(spark):
+    """The r13 fused single-job-per-phase execution of
+    pq_train_codebooks must be BIT-IDENTICAL to the retained
+    per-subspace sequential reference (the golden generator's twin):
+    the seed rows are the same k rows by vec_id for every subspace
+    (slicing is per-row), and the per-(s, cell, dim) DECIMAL sums are
+    exact under any grouping — so equality here is ==, not approx."""
+    from hadoop_search_spark.operators.similarity import (
+        _pq_train_codebooks_sequential,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fused = pq_train_codebooks(emb, iterations=2)
+    seq = _pq_train_codebooks_sequential(emb, iterations=2)
+    assert fused == seq
+    # and through the residual path (a different value distribution —
+    # residuals concentrate near 0), one iteration for speed
+    from hadoop_search_spark.operators.similarity import (
+        _residual_expr,
+        ivf_assign,
+        ivf_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    cents = ivf_centroids(emb, 8)
+    res = ivf_assign(emb, cents).select(
+        "vec_id", _residual_expr(F.col("embedding"), cents).alias("embedding")
+    )
+    assert pq_train_codebooks(res, iterations=1) == _pq_train_codebooks_sequential(
+        res, iterations=1
+    )
+
+
+def test_pq_train_codebooks_tiny_corpus_falls_back(spark):
+    """A corpus with fewer than k rows routes to the sequential path
+    (whose per-slice DISTINCT top-up owns the degenerate-input
+    contract) — here 3 distinct rows cannot seed k=4, so BOTH forms
+    must refuse with the same loud error, not silently return a
+    smaller quantizer."""
+    import pytest
+
+    from hadoop_search_spark.operators.similarity import (
+        _pq_train_codebooks_sequential,
+        pq_train_codebooks,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(3)
+    )
+    with pytest.raises(ValueError, match="cannot seed"):
+        pq_train_codebooks(emb, k=4, iterations=1)
+    with pytest.raises(ValueError, match="cannot seed"):
+        _pq_train_codebooks_sequential(emb, k=4, iterations=1)
+
+
+def test_model_frame_one_slice_bit_identical(spark):
+    """The one-slice model-frame publisher must carry EXACTLY the
+    rows createDataFrame(list) carries — same conversion path, one
+    Python slice instead of defaultParallelism slices (whose
+    coalesce(1) write cost ~5 s per KB-sized model table). Compared
+    bit-packed so -0.0/NaN-payload differences can't hide."""
+    import struct
+
+    from hadoop_search_spark.operators.similarity import _model_frame
+
+    rows = [
+        (i, float(i) * -0.5, [float(x) * 1e-9 for x in range(8)] + [-0.0])
+        for i in range(20)
+    ]
+    schema = "pos INT, mean DOUBLE, comp ARRAY<DOUBLE>"
+
+    def packed(df):
+        return sorted(
+            (r[0], struct.pack("d", r[1]), tuple(struct.pack("d", x) for x in r[2]))
+            for r in df.collect()
+        )
+
+    assert packed(_model_frame(spark, rows, schema)) == packed(
+        spark.createDataFrame(rows, schema)
+    )
+    assert _model_frame(spark, rows, schema).rdd.getNumPartitions() == 1
+
+
 def test_bpe_boundary_round_trip_exact(spark):
     """Boundary-preserving BPE (GPT-2's Ġ marker): decode(encode(x))
     == x EXACTLY — raw case, leading/trailing/consecutive spaces,
