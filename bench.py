@@ -257,6 +257,68 @@ def main() -> int:
         cold_concurrent_max = max(cold_concurrent_max, wall)
         print(f"# cold_concurrent_x8 pass: {wall}s", file=sys.stderr)
 
+    # r13 (VERDICT #7): a deliberately DATA-VOLUME-BOUND series. At
+    # sf0.1 every headliner is plan/driver-constant-bound (every
+    # 8c/32c ratio ≈ 1 in PERF_r12's scaling block), so §2/§3
+    # engine-level wins are invisible to the bench. Each stress entry
+    # unions FACTOR reads of a base table (16× the rows flowing
+    # through scan/decode + aggregation — the reads plan-match the
+    # hot table cache where it is populated, so the work is columnar
+    # decode + the operator, which is exactly the part that scales
+    # with cores) and is timed via the noop sink (guide §1.4: every
+    # column of every row computes, nothing transfers driver-side).
+    # Additions-only: new JSON keys (stress_queries, stress_factor);
+    # the existing series and the one-line contract are unchanged.
+    # SPARK_GRAFT_STRESS_FACTOR=0 disables.
+    stress_factor = int(os.environ.get("SPARK_GRAFT_STRESS_FACTOR", "16"))
+    stress: dict[str, float] = {}
+    if stress_factor > 0:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        def _amplified(tbl: str):
+            reads = [
+                spark.read.parquet(f"{SF_DIR}/{tbl}.parquet")
+                for _ in range(stress_factor)
+            ]
+            return reduce(lambda a, b: a.unionAll(b), reads)
+
+        def _stress_queries():
+            li = _amplified("lineitem")
+            yield "stress_scan_agg_lineitem", (
+                li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    F.sum("l_quantity").alias("sq"),
+                    F.sum("l_extendedprice").alias("sp"),
+                    F.avg("l_discount").alias("ad"),
+                    F.count("*").alias("n"),
+                )
+            )
+            docs = _amplified("documents")
+            yield "stress_scan_wordcount_documents", (
+                docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+                .groupBy("w")
+                .agg(F.count("*").alias("cnt"))
+            )
+            ev = _amplified("events")
+            yield "stress_scan_window_events", (
+                ev.groupBy("user_id", "event_type").agg(
+                    F.count("*").alias("n"), F.max("ts").alias("last_ts")
+                )
+            )
+
+        for _pass in range(2):  # min-of-2, the established estimator
+            for sname, sdf in _stress_queries():
+                spark.sparkContext.setJobDescription(f"bench stress {sname}")
+                t0 = time.time()
+                sdf.write.format("noop").mode("overwrite").save()
+                t = round(time.time() - t0, 3)
+                stress[sname] = min(stress.get(sname, t), t)
+                print(f"# stress {sname}: {t}s", file=sys.stderr)
+        spark.sparkContext.setJobDescription(None)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -286,7 +348,15 @@ def main() -> int:
         "vm_contention_* record spread across passes: this VM takes "
         "CPU-steal spikes (r3's driver-recorded 7.63s cold-concurrent "
         "re-ran at 3.42s idle), so a >2x min-to-max spread means the "
-        "recording is contended, not a code regression.",
+        "recording is contended, not a code regression. r13 "
+        "additions (existing series unchanged): the cold series "
+        "auto-retries up to 2x when its own contention marker trips "
+        "(cold_requery_retries; min-agg over all passes), and "
+        "stress_queries is a new data-volume-bound series (16x "
+        "unioned base reads through representative shapes, noop "
+        "sink, min-of-2) so engine-level scan/shuffle wins are "
+        "visible at a fixture SF where the headliners are "
+        "plan-constant-bound.",
         "vm_contention_queries": contended,
         "vm_contention_cold_concurrent_spread": round(
             cold_concurrent_max / cold_concurrent, 2
@@ -294,6 +364,9 @@ def main() -> int:
         if cold_concurrent
         else None,
         "arrow_fallback_queries": sorted(_FELL_BACK),
+        "cold_requery_retries": cold_requery_retries,
+        "stress_queries": stress,
+        "stress_factor": stress_factor,
         "runs": {"prepared": 2, "cold": 3},
         "agg": "min",
         "sf": sf_val,

@@ -230,8 +230,8 @@ def cmd_stats(args) -> int:
 
     spark = _spark(args.cpus)
     docs = spark.read.parquet(args.corpus)
-    qe = quality_exprs(F.col("text"))
-    le = lang_exprs(F.col("text"))
+    qe = quality_exprs("text")
+    le = lang_exprs("text")
     profile = docs.select(
         qe["n_tokens"].alias("n_tokens"),
         qe["quality"].alias("quality"),

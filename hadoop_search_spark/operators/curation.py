@@ -94,9 +94,8 @@ def curate(
     # ONE projection over one scan of the survivor set — the feature
     # families are pure expressions (quality_exprs / lang_exprs), so
     # composing them costs no extra scans and no joins
-    t = F.col(text_col)
-    qe = quality_exprs(t)
-    le = lang_exprs(t)
+    qe = quality_exprs(text_col)  # str -> per-process memoized tree
+    le = lang_exprs(text_col)
     feats = after_near.select(
         "doc_id",
         qe["quality"].alias("quality"),
@@ -195,11 +194,21 @@ def corpus_datacard(
     One scan: quality/lang features are pure expressions composed
     into a single projection (the curate pattern), one per-source
     aggregation, and a 1-row broadcast of the corpus total. No UDFs,
-    no joins against data-sized tables."""
+    no joins against data-sized tables.
+
+    r13: the input is ``spread`` first (guide §2.6/§6) — the feature
+    projection runs ~30 regex/replace/HOF passes per row, and a
+    small-file corpus plans ONE scan partition, serializing all of it
+    on one core (measured 2.4 s of the entry's 3.0 s cold at sf0.1).
+    spread is a no-op at cluster-wide scans; the per-source sums are
+    exact (decimal-quantized) and counts are counts — partitioning
+    cannot move any published value (oracle-gated)."""
+    from hadoop_search_spark.partitioning import spread
+
     t = F.col(text_col)
-    qe = quality_exprs(t)
-    le = lang_exprs(t)
-    feats = docs.select(
+    qe = quality_exprs(text_col)  # str -> per-process memoized tree
+    le = lang_exprs(text_col)
+    feats = spread(docs, "doc_id").select(
         source_col,
         "doc_id",
         F.md5(t).alias("h"),

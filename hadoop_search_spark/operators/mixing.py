@@ -121,7 +121,7 @@ def token_budget_mix(
     ``budgets`` are unlimited. One shuffle (the window's partition by
     stratum); quality/token features are the same expressions the
     curation pipeline uses, so ranking agrees across operators."""
-    qe = quality_exprs(F.col(text_col))
+    qe = quality_exprs(text_col)
     scored = docs.select(
         "doc_id",
         strata_col,

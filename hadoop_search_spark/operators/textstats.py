@@ -8,6 +8,8 @@ wraps silently, DuckDB promotes — overflow would diverge)."""
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 import pandas as pd  # noqa: F401 — pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -63,10 +65,30 @@ def _ngram_count(padded: F.Column, gram: str) -> F.Column:
     ) / F.lit(len(gram))
 
 
-def lang_exprs(t: F.Column) -> dict[str, F.Column]:
+def lang_exprs(t: "F.Column | str") -> dict[str, F.Column]:
     """lang_pred / lang_score as pure expressions over a text column —
     composable into a wider single-scan projection (see
-    ``operators/curation.py``)."""
+    ``operators/curation.py``).
+
+    r13: pass the column NAME (a str) to get the per-process memoized
+    expression tree — building this family costs ~300 py4j round
+    trips (~0.2-0.3 s of every fresh curation/text plan), and Column
+    objects are immutable unresolved expression descriptors that are
+    safe to reuse across DataFrames and sessions within one process
+    (the analyzer resolves per plan). Values are identical by
+    construction: the memo returns the same expression tree the
+    Column path builds."""
+    if isinstance(t, str):
+        return _lang_exprs_cached(t)
+    return _lang_exprs_build(t)
+
+
+@_lru_cache(maxsize=64)
+def _lang_exprs_cached(col_name: str) -> dict[str, F.Column]:
+    return _lang_exprs_build(F.col(col_name))
+
+
+def _lang_exprs_build(t: F.Column) -> dict[str, F.Column]:
     padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
     scored = [
         F.struct(
@@ -102,14 +124,27 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the alphabetically first language; all-zero → 'und'). Scoring is
     map-only — no shuffle, no UDF; at 100 TB this is a narrow
     projection pipelined into whatever consumes it."""
-    e = lang_exprs(F.col(text_col))
+    e = lang_exprs(text_col)
     return docs.select(
         "doc_id", e["lang_pred"].alias("lang_pred"), e["lang_score"].alias("lang_score")
     )
 
 
-def quality_exprs(t: F.Column) -> dict[str, F.Column]:
-    """Quality features as pure expressions over a text column."""
+def quality_exprs(t: "F.Column | str") -> dict[str, F.Column]:
+    """Quality features as pure expressions over a text column.
+    Pass the column NAME for the per-process memoized tree (see
+    :func:`lang_exprs` — same rationale and safety argument)."""
+    if isinstance(t, str):
+        return _quality_exprs_cached(t)
+    return _quality_exprs_build(t)
+
+
+@_lru_cache(maxsize=64)
+def _quality_exprs_cached(col_name: str) -> dict[str, F.Column]:
+    return _quality_exprs_build(F.col(col_name))
+
+
+def _quality_exprs_build(t: F.Column) -> dict[str, F.Column]:
     toks = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
     n_tokens = F.size(toks)
     mean_len = (
@@ -145,7 +180,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     token count, mean token length, stop-word ratio, digit ratio.
     quality = stop_ratio·0.4 + clamp(mean_len/10)·0.3 + (1-digit_ratio)·0.3
     (an interpretable heuristic in [0,1], monotone in 'looks like prose')."""
-    e = quality_exprs(F.col(text_col))
+    e = quality_exprs(text_col)
     return docs.select(
         "doc_id", *[e[k].alias(k) for k in
                     ("n_tokens", "mean_token_len", "stop_ratio", "digit_ratio", "quality")]
@@ -283,7 +318,13 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def gopher_exprs(text_col: str = "text") -> dict[str, F.Column]:
     """The rule expressions behind :func:`gopher_rules`, exposed so a
     pipeline (curation v2) can inline the ``pass`` predicate as a
-    map-only filter instead of joining the rules frame back."""
+    map-only filter instead of joining the rules frame back.
+    Per-process memoized by column name (see :func:`lang_exprs`)."""
+    return _gopher_exprs_cached(text_col)
+
+
+@_lru_cache(maxsize=64)
+def _gopher_exprs_cached(text_col: str) -> dict[str, F.Column]:
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
     )

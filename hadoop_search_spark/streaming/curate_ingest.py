@@ -102,11 +102,10 @@ class StreamingCurator:
         out = batch
         if self.gopher:
             out = out.filter(gopher_exprs(self.text_col)["pass"])
-        t = F.col(self.text_col)
         if self.min_quality > 0:
-            out = out.filter(quality_exprs(t)["quality"] >= self.min_quality)
+            out = out.filter(quality_exprs(self.text_col)["quality"] >= self.min_quality)
         if self.langs:
-            out = out.filter(lang_exprs(t)["lang_pred"].isin(*self.langs))
+            out = out.filter(lang_exprs(self.text_col)["lang_pred"].isin(*self.langs))
         return out
 
     # -- the composed batch body --------------------------------------

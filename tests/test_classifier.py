@@ -4,6 +4,8 @@ synthetic data."""
 
 from decimal import Decimal
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hadoop_search_spark.operators.classifier import (
@@ -87,6 +89,7 @@ def test_train_logreg_bit_exact_vs_pure_python(spark):
     assert (w2, b2) == (w, b)
 
 
+@pytest.mark.slow  # quality demonstration (oracle-gated elsewhere); r13 default-gate budget
 def test_trained_model_separates_and_scores(spark):
     docs = _labeled(spark, n_copies=6)
     dim = 128

@@ -8,6 +8,10 @@ import sys
 
 import pytest
 
+# every test here drives a subprocess Spark session (60-240 s each) —
+# excluded from the default gate as a module (r13; run with -m "")
+pytestmark = pytest.mark.slow
+
 CORPUS = "/root/testdata/sf0.001/documents.parquet"
 
 
@@ -26,7 +30,6 @@ def run_cli(*args, timeout=600):
     )
 
 
-@pytest.mark.slow
 def test_cli_index_search_fetch(tmp_path):
     idx = str(tmp_path / "idx")
     r = run_cli("index", "--corpus", CORPUS, "--out", idx, "--stopwords", "2")
@@ -51,7 +54,6 @@ def test_cli_index_search_fetch(tmp_path):
     assert "not found" in r.stderr
 
 
-@pytest.mark.slow
 def test_cli_curate_export(tmp_path, spark):
     out = str(tmp_path / "dataset")
     # permissive thresholds: the tiny-vocab fixture makes most docs
@@ -90,7 +92,6 @@ def test_cli_curate_export(tmp_path, spark):
         assert pos == sorted(pos), f"pos not monotone within {f}"
 
 
-@pytest.mark.slow
 def test_cli_curate_v2_with_benchmark(tmp_path, spark):
     """curate --benchmark routes through the v2 pipeline (Gopher hard
     rules + decontamination): the dataset must exclude every doc the
@@ -128,7 +129,6 @@ def test_cli_curate_v2_with_benchmark(tmp_path, spark):
     assert not (exported & flagged)
 
 
-@pytest.mark.slow
 def test_cli_decontaminate(tmp_path, spark):
     """Both decontaminate paths (direct join and Bloom prefilter)
     must flag the same docs and write the same kept set; the %50
@@ -163,7 +163,6 @@ def test_cli_decontaminate(tmp_path, spark):
     assert len(kept_a) + n_flagged == spark.read.parquet(cand_path).count()
 
 
-@pytest.mark.slow
 def test_cli_stats_report(tmp_path):
     r = run_cli("stats", "--corpus", CORPUS)
     assert r.returncode == 0, r.stderr[-500:]

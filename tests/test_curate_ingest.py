@@ -6,6 +6,8 @@ the same frozen model."""
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hadoop_search_spark.streaming.curate_ingest import (
@@ -39,6 +41,7 @@ def _mk_corpus(rng, n):
     return rows
 
 
+@pytest.mark.slow  # 70 s streaming end-to-end lifecycle (r13 gate budget)
 def test_streaming_curator_composes_filters_dedup_and_scoring(
     spark, tmp_path
 ):

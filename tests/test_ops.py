@@ -1866,6 +1866,7 @@ def test_ivfpq_index_add_equals_rebuild_and_code_drift_flags(
     )
 
 
+@pytest.mark.slow  # quality demonstration (oracle-gated elsewhere); r13 default-gate budget
 def test_opq_beats_plain_pq_on_anisotropic_fixture(spark):
     """The OPQ WIN, demonstrated (r8 verdict #3): on the committed
     anisotropic fixture (tests/fixtures/aniso — decaying eigenvalue
@@ -2539,6 +2540,7 @@ def test_bpe_boundary_matches_pure_python(spark):
     assert got == want
 
 
+@pytest.mark.slow  # quality demonstration (oracle-gated elsewhere); r13 default-gate budget
 def test_ann_lsh_multiprobe_dials_from_single_bucket_to_exact(spark):
     """Multi-probe LSH endpoints and monotonicity: flips=0 equals the
     single-bucket path exactly; flips=num_planes probes every bucket
@@ -2711,6 +2713,7 @@ def test_cascade_residual_opq_candidates_and_exact_scores(spark):
         assert exact[(r.query_id, r.vec_id)] == r.cosine
 
 
+@pytest.mark.slow  # quality demonstration (oracle-gated elsewhere); r13 default-gate budget
 def test_residual_opq_beats_plain_on_aniso(spark):
     """The r9-measured go-signal, pinned: OPQ learned on the RESIDUAL
     population beats plain residual PQ at identical bits on the
