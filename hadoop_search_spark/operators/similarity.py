@@ -3753,15 +3753,25 @@ def write_int8_index(
         if centroids is not None
         else ivf_centroids(embeddings, num_centroids)
     )
-    qz = embedding_quantize_int8(embeddings).select(
-        "vec_id", "amax9", "qvec"
-    )
+    from hadoop_search_spark.partitioning import spread
+
+    # r13: assign + quantize are both MAP-ONLY projections of the
+    # same row — the previous assign⋈quantize self-join on vec_id was
+    # an accidental shuffle of both subtrees (guide §2.4); the fused
+    # single projection is value-identical (the join was 1:1 on the
+    # unique vec_id). spread parallelizes the quantize folds on a
+    # small-file scan (no-op at cluster-wide scans) and the rebalance
+    # compacts the write to advisory-sized files per cell (guide §6),
+    # the write_ivfpq_index pattern.
     (
-        ivf_assign(embeddings, cents)
-        .select("vec_id", "cell")
-        .join(qz, "vec_id")
+        embedding_quantize_int8(
+            ivf_assign(spread(embeddings, "vec_id"), cents),
+            extra_cols=("cell",),
+        )
+        .select("vec_id", "cell", "amax9", "qvec")
         .withColumn("qn", _qn_expr(F.col("qvec")))
         .withColumn("gen", F.lit(0).cast("bigint"))
+        .hint("rebalance", "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/vectors")
@@ -3823,13 +3833,13 @@ def int8_index_add(
                 "fresh ids"
             )
     gen = _read_gen(spark, path) + 1
-    qz = embedding_quantize_int8(new_embeddings).select(
-        "vec_id", "amax9", "qvec"
-    )
+    # fused map-only assign+quantize projection — see write_int8_index
+    # (the join was an accidental shuffle, 1:1 on the unique vec_id)
     assigned = (
-        ivf_assign(new_embeddings, cents)
-        .select("vec_id", "cell")
-        .join(qz, "vec_id")
+        embedding_quantize_int8(
+            ivf_assign(new_embeddings, cents), extra_cols=("cell",)
+        )
+        .select("vec_id", "cell", "amax9", "qvec")
         .withColumn("qn", _qn_expr(F.col("qvec")))
         .withColumn("gen", F.lit(gen).cast("bigint"))
     )
@@ -4092,7 +4102,8 @@ def cascade_ivfpq_recall(
 
 
 def embedding_quantize_int8(
-    embeddings: DataFrame, vec_col: str = "embedding"
+    embeddings: DataFrame, vec_col: str = "embedding",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Per-vector symmetric int8 scalar quantization — the storage
     path for a web-scale embedding store (4 bytes/dim → 1, before
@@ -4141,6 +4152,7 @@ def embedding_quantize_int8(
     )
     return embeddings.select(
         "vec_id",
+        *extra_cols,
         F.round(amax, 9).alias("amax9"),
         q.alias("qvec"),
         F.size(F.filter(q, lambda qi: F.abs(qi) == 127))
